@@ -1,0 +1,111 @@
+"""Spark session factory and table loading, tuned for scale.
+
+The reference engine is a single-process push loop (reference:
+crates/varpulis-cli/src/main.rs:942 run_program); our "engine" is Spark
+itself. This module owns session defaults that matter at 100 TB:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- Broadcast threshold generous enough that dimension tables (region/nation/
+  customer-sized) broadcast instead of shuffling.
+- Arrow enabled for the Pandas-UDF paths (SASE layer) with bounded batches.
+- shuffle partitions sized from the local core count; on a real cluster this
+  is left to AQE's coalescing (initialPartitionNum high, AQE shrinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> SparkSession:
+    """Create (or return) a SparkSession with scale-aware defaults."""
+    cores = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Reference semantics: division by zero yields Null, not an error
+        # (crates/varpulis-runtime/src/engine/evaluator.rs:543-553).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader that tolerates TIMESTAMP(NANOS) columns.
+
+    The testdata is written with ns-precision timestamps (the reference's
+    native resolution, crates/varpulis-core/src/value.rs:38 Timestamp(i64 ns));
+    Spark has no ns timestamp, so we read nanos as long and truncate to µs
+    TimestampType (`x div 1000` — integer division, no double rounding).
+    This matches DuckDB's ns→µs truncation, so oracle comparisons agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(_first_parquet_file(path))
+        ns_cols = [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        pass
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return path
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the standard parquet tables from a scale-factor dir."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,226 @@
+"""Aggregation functions for `.aggregate(...)` after a window / group-by.
+
+Reference surface: crates/varpulis-runtime/src/aggregation.rs (Aggregator,
+AggregateFunc impls) and the aggregate-expression compiler
+crates/varpulis-runtime/src/engine/compiler.rs:15-106. Everything here lowers
+to built-in Spark aggregate Columns — partial (map-side) aggregation, codegen
+and AQE come for free; there is no Python in the aggregation path. The one
+order-dependent aggregate (EMA) lowers to sort_array(collect_list(...)) +
+F.aggregate — still JVM-side via Catalyst higher-order functions.
+
+Semantics preserved:
+- stddev = SAMPLE stddev, null when n < 2 (aggregation.rs:328-388 Welford,
+  n-1 denominator) — Spark's stddev_samp yields NaN for n==1, so we guard.
+- ema: k = 2/(period+1), seeded with the first value
+  (aggregation.rs:677-724).
+- count_distinct is EXACT (HashSet, aggregation.rs:445).
+- first/last are ordered by (ts, order tiebreaker) — the reference sees
+  events in arrival order; batch mode orders by event time.
+- arithmetic over aggregates, e.g. ema(x,12) - ema(x,26)
+  (ExprAggregate, aggregation.rs:494-675) → plain Column arithmetic.
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class AggBase:
+    """Base for aggregate specs; supports arithmetic composition like the
+    reference's ExprAggregate (aggregation.rs:494-675)."""
+
+    def _bin(self, other: Any, op: Callable, rev: bool = False) -> "AggArith":
+        return AggArith(self, other, op, rev)
+
+    def __add__(self, other):
+        return self._bin(other, operator.add)
+
+    def __radd__(self, other):
+        return self._bin(other, operator.add, rev=True)
+
+    def __sub__(self, other):
+        return self._bin(other, operator.sub)
+
+    def __rsub__(self, other):
+        return self._bin(other, operator.sub, rev=True)
+
+    def __mul__(self, other):
+        return self._bin(other, operator.mul)
+
+    def __rmul__(self, other):
+        return self._bin(other, operator.mul, rev=True)
+
+    def __truediv__(self, other):
+        return self._bin(other, operator.truediv)
+
+    def __rtruediv__(self, other):
+        return self._bin(other, operator.truediv, rev=True)
+
+    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+        raise NotImplementedError
+
+
+@dataclass
+class AggSpec(AggBase):
+    kind: str
+    field: str | Column | None = None
+    params: dict = dc_field(default_factory=dict)
+
+    def _field_col(self) -> Column:
+        return F.col(self.field) if isinstance(self.field, str) else self.field
+
+    def _order(self, ts_col: str, order_col: str | None) -> Column:
+        if order_col:
+            return F.struct(F.col(ts_col), F.col(order_col))
+        return F.col(ts_col)
+
+    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+        k = self.kind
+        f = self._field_col() if self.field is not None else None
+        if k == "count":
+            return F.count(F.lit(1)) if f is None else F.count(f)
+        if k == "sum":
+            return F.sum(f)
+        if k == "avg":
+            return F.avg(f)
+        if k == "min":
+            return F.min(f)
+        if k == "max":
+            return F.max(f)
+        if k == "stddev":
+            # sample stddev, null when n < 2 (aggregation.rs:355-360)
+            return F.when(F.count(f) >= 2, F.stddev_samp(f)).otherwise(F.lit(None))
+        if k == "variance":
+            return F.when(F.count(f) >= 2, F.var_samp(f)).otherwise(F.lit(None))
+        if k == "count_distinct":
+            return F.countDistinct(f)
+        if k == "approx_count_distinct":
+            return F.approx_count_distinct(f, self.params.get("rsd", 0.05))
+        if k == "first":
+            return F.min_by(f, self._order(ts_col, order_col))
+        if k == "last":
+            return F.max_by(f, self._order(ts_col, order_col))
+        if k == "collect":
+            # ts-ordered list of values (columnar window buffer analog)
+            pairs = F.sort_array(F.collect_list(F.struct(self._order(ts_col, order_col).alias("o"), f.alias("v"))))
+            return F.transform(pairs, lambda s: s.getField("v"))
+        if k == "ema":
+            return self._ema(ts_col, order_col)
+        if k == "median":
+            return F.median(f)
+        if k == "percentile":
+            return F.percentile(f, self.params["p"])
+        raise ValueError(f"unknown aggregate: {self.kind}")
+
+    def _ema(self, ts_col: str, order_col: str | None) -> Column:
+        """EMA over ts-ordered values: seed = first value, then
+        v*k + prev*(1-k), k = 2/(period+1) (aggregation.rs:677-724).
+
+        Lowered as sort_array(collect_list(struct(order, v))) then a Catalyst
+        higher-order F.aggregate — no Python UDF. Per-window lists are bounded
+        by the window size; for unbounded groups prefer a windowed query.
+        """
+        period = self.params.get("period", 12)
+        k = 2.0 / (float(period) + 1.0)
+        f = self._field_col().cast("double")
+        pairs = F.sort_array(
+            F.collect_list(F.struct(self._order(ts_col, order_col).alias("o"), f.alias("v")))
+        )
+        vals = F.transform(pairs, lambda s: s.getField("v"))
+        seed = F.element_at(vals, 1)
+        rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+        return F.aggregate(rest, seed, lambda acc, x: x * F.lit(k) + acc * F.lit(1.0 - k))
+
+
+@dataclass
+class AggArith(AggBase):
+    left: Any
+    right: Any
+    op: Callable
+    rev: bool = False
+
+    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+        def lower(x):
+            return x.to_column(ts_col, order_col) if isinstance(x, AggBase) else F.lit(x)
+
+        l, r = lower(self.left), lower(self.right)
+        return self.op(r, l) if self.rev else self.op(l, r)
+
+
+# -- public constructors (the `.aggregate(alias: func(field))` surface) -----
+
+
+def count(field: str | Column | None = None) -> AggSpec:
+    return AggSpec("count", field)
+
+
+def sum(field: str | Column) -> AggSpec:  # noqa: A001 - mirrors VPL name
+    return AggSpec("sum", field)
+
+
+def avg(field: str | Column) -> AggSpec:
+    return AggSpec("avg", field)
+
+
+def min(field: str | Column) -> AggSpec:  # noqa: A001
+    return AggSpec("min", field)
+
+
+def max(field: str | Column) -> AggSpec:  # noqa: A001
+    return AggSpec("max", field)
+
+
+def stddev(field: str | Column) -> AggSpec:
+    return AggSpec("stddev", field)
+
+
+def variance(field: str | Column) -> AggSpec:
+    return AggSpec("variance", field)
+
+
+def count_distinct(field: str | Column) -> AggSpec:
+    return AggSpec("count_distinct", field)
+
+
+def approx_count_distinct(field: str | Column, rsd: float = 0.05) -> AggSpec:
+    return AggSpec("approx_count_distinct", field, {"rsd": rsd})
+
+
+def first(field: str | Column) -> AggSpec:
+    return AggSpec("first", field)
+
+
+def last(field: str | Column) -> AggSpec:
+    return AggSpec("last", field)
+
+
+def collect(field: str | Column) -> AggSpec:
+    return AggSpec("collect", field)
+
+
+def ema(field: str | Column, period: int = 12) -> AggSpec:
+    return AggSpec("ema", field, {"period": period})
+
+
+def median(field: str | Column) -> AggSpec:
+    return AggSpec("median", field)
+
+
+def percentile(field: str | Column, p: float) -> AggSpec:
+    return AggSpec("percentile", field, {"p": p})
+
+
+def compile_aggs(
+    aggs: dict[str, AggBase | Column], ts_col: str, order_col: str | None
+) -> list[Column]:
+    """Lower alias→spec mappings to aliased aggregate Columns."""
+    out = []
+    for alias, spec in aggs.items():
+        col = spec.to_column(ts_col, order_col) if isinstance(spec, AggBase) else spec
+        out.append(col.alias(alias))
+    return out

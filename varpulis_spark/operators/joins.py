@@ -1,0 +1,126 @@
+"""Join / merge / enrich operators.
+
+Reference surface:
+- n-way windowed equi-join: `stream J = join(A: SA, B: SB).on(A.k == B.k)
+  .window(5m)` — JoinBuffer keyed per source; emits a merged event when every
+  source has a key-matching event within the window
+  (crates/varpulis-runtime/src/join.rs:18-71, add_event :88; wiring
+  crates/varpulis-runtime/src/engine/mod.rs:941-990,1067-1078; the default
+  join key is the field "symbol" when `.on` is omitted, mod.rs:2202-2207).
+  Inner-join semantics only; merged fields are prefixed with the source
+  alias.
+- merge(a: A, b: B where cond): union of filtered sources (ast.rs:184,
+  228-232; MergeSource engine/types.rs:167-171).
+- .enrich(Conn, key:, fields:, fallback:): per-event lookup join with TTL
+  cache (EnrichConfig engine/types.rs:248-263, providers
+  runtime/src/enrichment/).
+
+Spark lowering (batch):
+- windowed join → chained equi-joins on the key plus a time-band condition;
+  the band `|ts_i - ts_j| <= window` makes every pair of matched events lie
+  within the window span, matching the buffer semantics. Equi-key joins
+  shuffle-hash/broadcast under AQE; the time band is a post-join filter so
+  the join itself stays an equi-join (no cartesian).
+- merge → unionByName(allowMissingColumns=True).
+- enrich → broadcast hash join against the dimension DataFrame (the Spark
+  analog of the TTL lookup cache: in streaming, re-reading the dimension per
+  micro-batch gives the refresh; fallback values fill misses, inner-drop
+  matches the reference's drop-on-miss).
+
+Scale: the key+band join never degenerates into a range-only join — Catalyst
+plans an equi-join on the key with the band as residual. Skewed keys are
+handled by AQE skew-join splitting (enabled in engine.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from varpulis_spark.functions import duration_seconds
+
+DEFAULT_JOIN_KEY = "symbol"  # reference engine/mod.rs:2202-2207
+
+
+def windowed_join(
+    sources: dict[str, DataFrame],
+    on: str | list[str] | None = None,
+    window=None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """N-way windowed equi-join. `sources` maps alias → DataFrame.
+
+    Output columns: `{alias}_{col}` for every payload column of every source
+    (the reference merges fields with source prefixes), plus `ts` = the max
+    event time across the matched tuple (the triggering event's time) and the
+    join key column(s) unprefixed.
+    """
+    if len(sources) < 2:
+        raise ValueError("windowed_join needs >= 2 sources")
+    keys = [on] if isinstance(on, str) else list(on or [DEFAULT_JOIN_KEY])
+    win_s = duration_seconds(window) if window is not None else None
+
+    aliased: list[tuple[str, DataFrame]] = []
+    for alias, df in sources.items():
+        renamed = df
+        for c in df.columns:
+            renamed = renamed.withColumnRenamed(c, f"{alias}_{c}")
+        aliased.append((alias, renamed))
+
+    first_alias, joined = aliased[0]
+    seen = [first_alias]
+    for alias, df in aliased[1:]:
+        cond = None
+        for k in keys:
+            c = F.col(f"{seen[0]}_{k}") == F.col(f"{alias}_{k}")
+            cond = c if cond is None else (cond & c)
+        if win_s is not None:
+            # band against every already-joined source so the whole tuple
+            # spans <= window (max-min <= window ⇔ all pairwise <= window)
+            for prev in seen:
+                dt = F.col(f"{alias}_{ts_col}").cast("double") - F.col(f"{prev}_{ts_col}").cast("double")
+                cond = cond & (F.abs(dt) <= F.lit(win_s))
+        joined = joined.join(df, cond, "inner")
+        seen.append(alias)
+
+    ts_cols = [F.col(f"{a}_{ts_col}") for a in seen]
+    joined = joined.withColumn(ts_col, F.greatest(*ts_cols) if len(ts_cols) > 1 else ts_cols[0])
+    for k in keys:
+        joined = joined.withColumn(k, F.col(f"{seen[0]}_{k}"))
+    return joined
+
+
+def merge_frames(*dfs: DataFrame) -> DataFrame:
+    """merge(a: A, b: B, ...) — union of (already filtered) sources."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def enrich(
+    df: DataFrame,
+    dimension: DataFrame,
+    key,
+    dim_key: str,
+    fields: list[str] | None = None,
+    fallback: dict | None = None,
+    drop_on_miss: bool = False,
+) -> DataFrame:
+    """Lookup-join enrichment against a dimension table.
+
+    `key` is a column/name on the event side, `dim_key` the dimension column.
+    `fields` restricts which dimension columns are appended (column pruning →
+    narrower broadcast). `fallback` fills missing lookups per field;
+    `drop_on_miss=True` reproduces the reference's drop behavior
+    (EnrichConfig, engine/types.rs:248-263).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    wanted = fields or [c for c in dimension.columns if c != dim_key]
+    dim = dimension.select(F.col(dim_key).alias("__enrich_key"), *[F.col(c) for c in wanted])
+    how = "inner" if drop_on_miss else "left"
+    out = df.join(F.broadcast(dim), key_col == F.col("__enrich_key"), how).drop("__enrich_key")
+    if fallback and not drop_on_miss:
+        for f_name, f_val in fallback.items():
+            out = out.withColumn(f_name, F.coalesce(F.col(f_name), F.lit(f_val)))
+    return out

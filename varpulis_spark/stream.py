@@ -1,0 +1,316 @@
+"""Fluent Stream builder — the VPL pipeline surface on DataFrames.
+
+A `Stream` wraps a DataFrame plus event-time metadata and exposes the
+reference's operator chain (crates/varpulis-core/src/ast.rs StreamOp /
+crates/varpulis-runtime/src/engine/types.rs RuntimeOp) as lazy DataFrame
+composition. Nothing executes until an action; Catalyst sees the whole
+pipeline and optimizes across operators (filter pushdown through emit/select,
+column pruning into the parquet scan, etc.) — the analog of the reference's
+hand-rolled pipeline interpreter (engine/pipeline.rs:78 execute_pipeline),
+done declaratively.
+
+Operator parity map (reference → here):
+- stream S = EventType (router)      → Stream.events(...).of_type("X")
+- .where/.filter (RuntimeOp::WhereExpr) → .where()
+- .select (SelectConfig)             → .select()
+- .emit / .emit as Type (EmitConfig) → .emit()
+- .distinct (DistinctState, LRU 100k)→ .distinct()
+- .limit/.first (LimitState)         → .limit()/.first()
+- .order_by (parse-only in ref)      → .order_by() (we support it)
+- .partition_by (ast.rs:256)         → .partition_by()
+- .window (window.rs)                → .window() → WindowedStream
+- .aggregate/.having (aggregation.rs)→ WindowedStream.aggregate()/.having()
+- merge(...) (MergeSource)           → varpulis_spark.merge(...)
+- join(...).on(...).window(...)      → Stream.join(...)
+- .enrich (EnrichConfig)             → .enrich()
+- A as a -> B ... (SASE)             → .pattern(...) (operators/sase.py)
+- .process (RuntimeOp::Process)      → .process() (mapInPandas flatMap)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from varpulis_spark.functions import col as as_col
+from varpulis_spark.operators import aggregates as agg_mod
+from varpulis_spark.operators import joins as join_mod
+from varpulis_spark.operators import windows as win_mod
+
+
+class Stream:
+    """A (possibly streaming) typed event flow."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        ts_col: str = "ts",
+        keys: list[str] | None = None,
+        order_col: str | None = None,
+        name: str | None = None,
+    ) -> None:
+        self.df = df
+        self.ts_col = ts_col
+        self.keys = keys or []
+        # secondary deterministic order column (e.g. event_id) used to break
+        # equal-timestamp ties in order-dependent ops (ema/first/last/SASE)
+        self.order_col = order_col
+        self.name = name
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_df(cls, df: DataFrame, ts_col: str = "ts", order_col: str | None = None) -> "Stream":
+        return cls(df, ts_col=ts_col, order_col=order_col)
+
+    @classmethod
+    def from_parquet(
+        cls, spark: SparkSession, path: str, ts_col: str = "ts", order_col: str | None = None
+    ) -> "Stream":
+        from varpulis_spark.engine import read_parquet
+
+        return cls(read_parquet(spark, path), ts_col=ts_col, order_col=order_col)
+
+    @classmethod
+    def events(cls, spark: SparkSession, sf_dir: str, event_type: str | None = None) -> "Stream":
+        """The standard events table; optional event-type routing filter
+        (reference router engine/router.rs:13-44 → a pushed-down filter)."""
+        from varpulis_spark.engine import read_parquet
+
+        df = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        if event_type:
+            df = df.filter(F.col("event_type") == event_type)
+        return cls(df, ts_col="ts", order_col="event_id")
+
+    def _with(self, df: DataFrame, **overrides) -> "Stream":
+        kw = dict(ts_col=self.ts_col, keys=self.keys, order_col=self.order_col, name=self.name)
+        kw.update(overrides)
+        return Stream(df, **kw)
+
+    # -- stateless ops -------------------------------------------------------
+
+    def of_type(self, event_type: str) -> "Stream":
+        return self._with(self.df.filter(F.col("event_type") == event_type))
+
+    def where(self, cond: Column | str) -> "Stream":
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        return self._with(self.df.filter(cond))
+
+    filter = where  # alias, engine/mod.rs:1647-1650
+
+    def select(self, *cols: str | Column, **named: Column | str) -> "Stream":
+        proj = [as_col(c) for c in cols]
+        proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
+        return self._with(self.df.select(*proj))
+
+    def emit(self, event_type: str | None = None, **named: Column | str | Any) -> "Stream":
+        """Project into a new output event (EmitConfig engine/types.rs:448).
+
+        Keeps the time column; sets `event_type` when a new type name is
+        given (`.emit as Type`).
+        """
+        proj: list[Column] = [F.col(self.ts_col)]
+        if event_type is not None:
+            proj.append(F.lit(event_type).alias("event_type"))
+        if self.order_col:
+            proj.append(F.col(self.order_col))
+        proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
+        return self._with(self.df.select(*proj))
+
+    def with_column(self, alias: str, expr: Column | str) -> "Stream":
+        return self._with(self.df.withColumn(alias, as_col(expr)))
+
+    def distinct(self, *exprs: str | Column) -> "Stream":
+        """Dedup by expression value, or the whole event when no args
+        (DistinctState engine/types.rs:289-295; the reference bounds state
+        with a 100k LRU — batch semantics keep first occurrence by time)."""
+        if not exprs:
+            return self._with(self.df.distinct())
+        # keep the earliest event per distinct key (arrival order analog)
+        key_cols = [as_col(e).alias(f"__k{i}") for i, e in enumerate(exprs)]
+        order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
+        from pyspark.sql.window import Window as W
+
+        df = self.df.select("*", *key_cols)
+        spec = W.partitionBy(*[F.col(f"__k{i}") for i in range(len(exprs))]).orderBy(*order)
+        df = df.withColumn("__rn", F.row_number().over(spec)).filter(F.col("__rn") == 1)
+        return self._with(df.drop("__rn", *[f"__k{i}" for i in range(len(exprs))]))
+
+    def limit(self, n: int) -> "Stream":
+        """Pass at most n events, in event-time order (LimitState
+        engine/types.rs:298-301 — the reference passes the FIRST n seen)."""
+        order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
+        return self._with(self.df.orderBy(*order).limit(n))
+
+    def first(self) -> "Stream":
+        return self.limit(1)
+
+    def order_by(self, *cols: str | Column) -> "Stream":
+        return self._with(self.df.orderBy(*[as_col(c) for c in cols]))
+
+    def partition_by(self, *keys: str) -> "Stream":
+        """Set grouping keys for subsequent windows/aggregates/patterns
+        (ast.rs:256; per-key window instances engine/types.rs:318-380)."""
+        return self._with(self.df, keys=list(keys))
+
+    def watermark(self, out_of_order) -> "Stream":
+        """withWatermark passthrough (reference .watermark(out_of_order:),
+        runtime/src/watermark.rs:13-140; Spark's min-across-sources global
+        watermark matches the reference's PerSourceWatermarkTracker)."""
+        from varpulis_spark.functions import duration_interval_str
+
+        return self._with(self.df.withWatermark(self.ts_col, duration_interval_str(out_of_order)))
+
+    # -- windows / aggregation ----------------------------------------------
+
+    def window(self, size, sliding=None, session=None, align: str = "epoch") -> "WindowedStream":
+        """`.window(5m)`, `.window(5m, sliding=1m)`, `.window(100)`,
+        `.window(100, sliding=25)`, `.window(session='5m')` — dispatch like
+        engine/mod.rs:1357-1476 (duration → time, int → count, session kwarg
+        → session)."""
+        if session is not None:
+            return WindowedStream(self, kind="session", gap=session)
+        if isinstance(size, int) and not isinstance(size, bool):
+            return WindowedStream(self, kind="count", size=size, slide=sliding)
+        return WindowedStream(self, kind="time", size=size, slide=sliding, align=align)
+
+    def aggregate(self, **aggs) -> "Stream":
+        """Global/keyed aggregate without a window (whole-stream fold)."""
+        cols = agg_mod.compile_aggs(aggs, self.ts_col, self.order_col)
+        if self.keys:
+            out = self.df.groupBy(*[F.col(k) for k in self.keys]).agg(*cols)
+        else:
+            out = self.df.agg(*cols)
+        return Stream(out, ts_col=self.ts_col, keys=self.keys)
+
+    # -- joins ----------------------------------------------------------------
+
+    def join(
+        self,
+        other: "Stream | DataFrame",
+        on: str | list[str] | None = None,
+        window=None,
+        self_alias: str = "a",
+        other_alias: str = "b",
+        **more_sources: "Stream | DataFrame",
+    ) -> "Stream":
+        """Windowed n-way equi-join (join.rs JoinBuffer semantics)."""
+        sources: dict[str, DataFrame] = {
+            self_alias: self.df,
+            other_alias: other.df if isinstance(other, Stream) else other,
+        }
+        for alias, s in more_sources.items():
+            sources[alias] = s.df if isinstance(s, Stream) else s
+        out = join_mod.windowed_join(sources, on=on, window=window, ts_col=self.ts_col)
+        return Stream(out, ts_col=self.ts_col, order_col=None)
+
+    def enrich(
+        self,
+        dimension: "Stream | DataFrame",
+        key,
+        dim_key: str,
+        fields: list[str] | None = None,
+        fallback: dict | None = None,
+        drop_on_miss: bool = False,
+    ) -> "Stream":
+        dim = dimension.df if isinstance(dimension, Stream) else dimension
+        out = join_mod.enrich(self.df, dim, key, dim_key, fields, fallback, drop_on_miss)
+        return self._with(out)
+
+    # -- patterns (SASE+) -----------------------------------------------------
+
+    def pattern(self, pattern) -> "Stream":
+        """Run a SASE+ pattern (operators/sase.py) over this stream."""
+        from varpulis_spark.operators.sase import apply_pattern_batch
+
+        out = apply_pattern_batch(self, pattern)
+        return Stream(out, ts_col=self.ts_col)
+
+    # -- imperative escape hatch ---------------------------------------------
+
+    def process(self, fn: Callable, schema) -> "Stream":
+        """.process(expr) analog: per-event imperative logic that may emit
+        0..n output events (RuntimeOp::Process engine/types.rs:203; emit
+        collector evaluator.rs:70-100). `fn` is a pandas-batch iterator
+        (mapInPandas) — Arrow-vectorized, not per-row Python."""
+        return self._with(self.df.mapInPandas(fn, schema))
+
+    # -- sinks -----------------------------------------------------------------
+
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None):
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def print(self, n: int = 20) -> "Stream":  # noqa: A003 - VPL .print()
+        self.df.show(n, truncate=False)
+        return self
+
+    def collect(self):
+        return self.df.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+
+class WindowedStream:
+    """A stream with a window assignment pending aggregation."""
+
+    def __init__(self, stream: Stream, kind: str, size=None, slide=None, gap=None, align="epoch"):
+        self.stream = stream
+        self.kind = kind
+        self.size = size
+        self.slide = slide
+        self.gap = gap
+        self.align = align
+
+    def aggregate(self, **aggs) -> Stream:
+        s = self.stream
+        cols = agg_mod.compile_aggs(aggs, s.ts_col, s.order_col)
+        key_cols = [F.col(k) for k in s.keys]
+
+        if self.kind == "time":
+            df, wcol = win_mod.time_window_cols(
+                s.df, s.ts_col, self.size, self.slide, self.align, s.keys
+            )
+            grouped = df.groupBy(*key_cols, wcol.alias("__w"))
+            out = grouped.agg(*cols)
+            out = (
+                out.withColumn("window_start", F.col("__w.start"))
+                .withColumn("window_end", F.col("__w.end"))
+                .drop("__w", "__shift_ts")
+            )
+            return Stream(out, ts_col="window_end", keys=s.keys)
+
+        if self.kind == "session":
+            wcol = win_mod.session_window_col(s.ts_col, self.gap)
+            out = s.df.groupBy(*key_cols, wcol.alias("__w")).agg(*cols)
+            out = (
+                out.withColumn("window_start", F.col("__w.start"))
+                .withColumn("window_end", F.col("__w.end"))
+                .drop("__w")
+            )
+            return Stream(out, ts_col="window_end", keys=s.keys)
+
+        # count windows
+        df = win_mod.count_window_ids(
+            s.df, s.ts_col, self.size, self.slide, s.keys, s.order_col
+        )
+        df = df.filter(F.col("__win_complete"))
+        out = df.groupBy(*key_cols, F.col("__win").alias("window_id")).agg(*cols)
+        return Stream(out, ts_col=s.ts_col, keys=s.keys)
+
+
+def merge(*streams: Stream) -> Stream:
+    """merge(a: A, b: B where cond, ...) — apply filters upstream, then union
+    (MergeSource engine/types.rs:167-171)."""
+    out = join_mod.merge_frames(*[s.df for s in streams])
+    first = streams[0]
+    return Stream(out, ts_col=first.ts_col, order_col=first.order_col)
