@@ -52,9 +52,9 @@ def time_window_cols(
         # shift so windows open at the partition's first event (reference
         # TumblingWindow semantics, window.rs:22-150)
         spec = W.partitionBy(*[F.col(k) for k in (keys or [])])
-        base = F.min(F.col(ts_col)).over(spec)
-        shifted = F.col(ts_col).cast("long") - base.cast("long")
-        df = df.withColumn("__shift_ts", F.timestamp_seconds(shifted))
+        base = F.min(F.unix_micros(F.col(ts_col))).over(spec)
+        shifted = F.unix_micros(F.col(ts_col)) - base
+        df = df.withColumn("__shift_ts", F.timestamp_micros(shifted))
         wcol = (
             F.window("__shift_ts", size_s, duration_interval_str(slide))
             if slide

@@ -100,6 +100,7 @@ class Stream:
         return self._with(self.df.filter(cond))
 
     filter = where  # alias, engine/mod.rs:1647-1650
+    having = where  # post-aggregate filter (RuntimeOp::Having engine/types.rs:189)
 
     def select(self, *cols: str | Column, **named: Column | str) -> "Stream":
         proj = [as_col(c) for c in cols]
@@ -166,7 +167,7 @@ class Stream:
 
     # -- windows / aggregation ----------------------------------------------
 
-    def window(self, size, sliding=None, session=None, align: str = "epoch") -> "WindowedStream":
+    def window(self, size=None, sliding=None, session=None, align: str = "epoch") -> "WindowedStream":
         """`.window(5m)`, `.window(5m, sliding=1m)`, `.window(100)`,
         `.window(100, sliding=25)`, `.window(session='5m')` — dispatch like
         engine/mod.rs:1357-1476 (duration → time, int → count, session kwarg
