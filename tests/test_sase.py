@@ -1,0 +1,192 @@
+"""SASE+ semantics tests.
+
+Pure-Python enumerator checks mirror the reference's unit-test style
+(sase.rs:4700+): sequences are ALL-pairs under skip-till-any (SIGMOD'06
+skip_till_any_match), Kleene captures all combinations with the reference
+caps, negation guards intervals, within bounds the match span.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark import Stream
+from varpulis_spark.operators.sase import (
+    MAX_KLEENE_EVENTS,
+    SKIP_TILL_NEXT,
+    STRICT,
+    Pattern,
+    _enumerate_matches,
+    not_step,
+    step,
+)
+
+S = 1_000_000_000  # ns per second
+
+
+def ev(i, typ, t, **extra):
+    d = {"event_id": i, "event_type": typ, "__ts": t * S}
+    d.update(extra)
+    return d
+
+
+def ids(rows, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+def test_seq_all_pairs():
+    events = [ev(0, "A", 0), ev(1, "A", 1), ev(2, "B", 2), ev(3, "B", 3)]
+    p = Pattern(steps=[step("A", "a"), step("B", "b")],
+                emit={"a": ("a", "event_id"), "b": ("b", "event_id")})
+    got = ids(_enumerate_matches(events, p), "a", "b")
+    assert got == [(0, 2), (0, 3), (1, 2), (1, 3)]
+
+
+def test_seq_within():
+    events = [ev(0, "A", 0), ev(1, "B", 5), ev(2, "B", 20)]
+    p = Pattern(steps=[step("A", "a"), step("B", "b")], within="10s",
+                emit={"a": ("a", "event_id"), "b": ("b", "event_id")})
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(0, 1)]
+
+
+def test_seq_predicate_binding():
+    events = [ev(0, "A", 0, v=10), ev(1, "B", 1, v=5), ev(2, "B", 2, v=20)]
+    p = Pattern(
+        steps=[step("A", "a"), step("B", "b", where=lambda e, b: e["v"] > b["a"]["v"])],
+        emit={"a": ("a", "event_id"), "b": ("b", "event_id")},
+    )
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(0, 2)]
+
+
+def test_negation_between():
+    events = [ev(0, "A", 0), ev(1, "C", 1), ev(2, "B", 2), ev(3, "A", 3), ev(4, "B", 4)]
+    p = Pattern(
+        steps=[step("A", "a"), not_step("C"), step("B", "b")],
+        emit={"a": ("a", "event_id"), "b": ("b", "event_id")},
+    )
+    # A0 has C1 before both Bs → dead; A3 → B4 clean.
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(3, 4)]
+
+
+def test_trailing_negation_needs_quiet_window():
+    events = [ev(0, "A", 0), ev(1, "C", 5), ev(2, "A", 20)]
+    p = Pattern(
+        steps=[step("A", "a"), not_step("C")], within="10s",
+        emit={"a": ("a", "event_id")},
+    )
+    # A0 sees C within 10s → suppressed; A20 confirmed at deadline.
+    assert ids(_enumerate_matches(events, p), "a") == [(2,)]
+
+
+def test_kleene_all_combinations():
+    events = [ev(0, "A", 0), ev(1, "B", 1), ev(2, "B", 2), ev(3, "C", 3)]
+    p = Pattern(
+        steps=[step("A", "a"), step("B", "bs", kleene="+"), step("C", "c")],
+        emit={"a": ("a", "event_id"), "bs": ("bs", "event_id"), "c": ("c", "event_id")},
+    )
+    got = sorted(tuple(r["bs"]) for r in _enumerate_matches(events, p))
+    assert got == [(1,), (1, 2), (2,)]  # all non-empty ordered subsets
+
+
+def test_kleene_iterative_predicate():
+    # strictly-increasing closure: each B must exceed the previous one
+    events = [ev(0, "A", 0), ev(1, "B", 1, v=3), ev(2, "B", 2, v=1),
+              ev(3, "B", 3, v=5), ev(4, "C", 4)]
+
+    def rising(e, b):
+        prev = b["bs"]
+        return not prev or e["v"] > prev[-1]["v"]
+
+    p = Pattern(
+        steps=[step("A", "a"), step("B", "bs", kleene="+", where=rising), step("C", "c")],
+        emit={"bs": ("bs", "v")},
+    )
+    got = sorted(tuple(r["bs"]) for r in _enumerate_matches(events, p))
+    assert got == [(1,), (1, 5), (3,), (3, 5), (5,)]
+
+
+def test_kleene_cap():
+    events = [ev(0, "A", 0)] + [ev(i, "B", i) for i in range(1, 40)] + [ev(99, "C", 99)]
+    p = Pattern(
+        steps=[step("A", "a"), step("B", "bs", kleene="+"), step("C", "c")],
+        emit={"n": ("bs", "__count")},
+        max_matches=100_000,
+    )
+    rows = _enumerate_matches(events, p)
+    assert rows and max(r["n"] for r in rows) <= MAX_KLEENE_EVENTS
+
+
+def test_skip_till_next():
+    events = [ev(0, "A", 0), ev(1, "B", 1), ev(2, "B", 2)]
+    p = Pattern(steps=[step("A", "a"), step("B", "b")], strategy=SKIP_TILL_NEXT,
+                emit={"a": ("a", "event_id"), "b": ("b", "event_id")})
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(0, 1)]
+
+
+def test_strict_contiguous():
+    events = [ev(0, "A", 0), ev(1, "X", 1), ev(2, "B", 2), ev(3, "A", 3), ev(4, "B", 4)]
+    p = Pattern(steps=[step("A", "a"), step("B", "b")], strategy=STRICT,
+                emit={"a": ("a", "event_id"), "b": ("b", "event_id")})
+    # A0 followed by X → broken; A3 immediately followed by B4 → match.
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(3, 4)]
+
+
+def test_match_cap():
+    events = [ev(i, "A", i) for i in range(200)] + [ev(1000 + i, "B", 1000 + i) for i in range(200)]
+    p = Pattern(steps=[step("A", "a"), step("B", "b")], max_matches=500,
+                emit={"a": ("a", "event_id")})
+    assert len(_enumerate_matches(events, p)) == 500
+
+
+# ---------------------------------------------------------------------------
+# Spark driver differential test vs duckdb
+# ---------------------------------------------------------------------------
+
+
+def test_spark_seq_vs_duckdb(spark, sf_dir):
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b")],
+        within="24h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    out = Stream.events(spark, sf_dir).partition_by("user_id").pattern(p)
+    got = sorted((r.user_id, r.a_id, r.b_id) for r in out.df.collect())
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT a.user_id, a.event_id, b.event_id
+            FROM '{sf_dir}/events.parquet' a JOIN '{sf_dir}/events.parquet' b
+              ON a.user_id = b.user_id
+             AND a.event_type='signup' AND b.event_type='purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '24 hours'
+            ORDER BY 1,2,3"""
+    ).fetchall()
+    assert got == exp
+
+
+def test_spark_negation_vs_duckdb(spark, sf_dir):
+    p = Pattern(
+        steps=[step("signup", "a"), not_step("error",
+                    where=lambda e, b: e["user_id"] == b["a"]["user_id"]),
+               step("purchase", "b")],
+        within="24h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    out = Stream.events(spark, sf_dir).partition_by("user_id").pattern(p)
+    got = sorted((r.user_id, r.a_id, r.b_id) for r in out.df.collect())
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT a.user_id, a.event_id, b.event_id
+            FROM '{sf_dir}/events.parquet' a JOIN '{sf_dir}/events.parquet' b
+              ON a.user_id = b.user_id
+             AND a.event_type='signup' AND b.event_type='purchase'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '24 hours'
+            WHERE NOT EXISTS (
+              SELECT 1 FROM '{sf_dir}/events.parquet' c
+              WHERE c.user_id = a.user_id AND c.event_type='error'
+                AND c.ts > a.ts AND c.ts < b.ts)
+            ORDER BY 1,2,3"""
+    ).fetchall()
+    assert got == exp

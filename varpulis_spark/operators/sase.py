@@ -1,0 +1,325 @@
+"""SASE+ pattern matching — sequences, Kleene closure, negation, within.
+
+Reference surface: crates/varpulis-runtime/src/sase.rs (6313 LoC NFA engine,
+after Wu/Diao/Rizvi SIGMOD'06):
+- `A as a -> B where cond as b -> ...` (StreamOp::FollowedBy ast.rs:301-302,
+  compiled to SasePattern::Seq by engine/compiler.rs:127-247)
+- Kleene `B+ / B* / B?` capturing ALL combinations (exhaustive SASE+, not
+  greedy), ZDD-backed in the reference (sase.rs:553-672) with hard caps
+  MAX_KLEENE_EVENTS=20 (sase.rs:36-39) and 10k enumerated results
+  (sase.rs:41-44) — we enumerate explicitly under the same caps.
+- Negation `.not(E where cond)` — match confirmed only if the negated event
+  does NOT occur in the guarded interval (NegationConstraint sase.rs:675-716).
+- `.within(5m)` relative time budget from the first matched event
+  (sase.rs:1733-1745, is_timed_out sase.rs:1790-1806).
+- Selection strategies SkipTillAnyMatch (default, sase.rs:1920),
+  SkipTillNextMatch, StrictContiguous (advance logic sase.rs:3103-3340).
+- `partition by` → independent NFA universe per key (sase.rs:1728,1946).
+
+Spark lowering (batch): the pattern is an opaque per-key stateful computation,
+so it runs as `df.groupBy(partition_keys).applyInPandas(run_nfa, out_schema)`
+— Arrow-batched, one Python NFA per key group, embarrassingly parallel across
+keys. Before the stateful op we push down an `event_type isin (...)` prefilter
+(the analog of the reference's EventTypeIndex, sase.rs:917-1005) so the
+shuffle only carries relevant events; Catalyst pushes that filter into the
+parquet scan. At 100 TB the shuffle is keyed by the partition column(s) —
+the same layout any keyed aggregation uses; per-group work is bounded by the
+`within` horizon pruning and the reference's own result caps.
+
+Patterns without `partition_by` funnel into ONE task (the reference has the
+identical constraint: one NFA universe). We keep it for parity but a warning
+comment marks the hazard for large data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from varpulis_spark.functions import duration_ns
+
+# Reference caps (sase.rs:36-44)
+MAX_KLEENE_EVENTS = 20
+MAX_MATCHES_PER_GROUP = 10_000
+
+SKIP_TILL_ANY = "skip_till_any_match"      # default, sase.rs:1920
+SKIP_TILL_NEXT = "skip_till_next_match"
+STRICT = "strict_contiguous"
+
+
+@dataclass
+class Step:
+    """One positive or negated pattern step.
+
+    `where` is a Python predicate `(event: dict, bindings: dict) -> bool`;
+    `bindings` maps earlier aliases to their bound event dict (or list of
+    dicts for a Kleene alias — including the in-progress closure itself, so a
+    Kleene predicate can reference `b[-1]` like the reference's iterative
+    conditions).
+    """
+
+    event_type: str | None
+    alias: str
+    where: Callable[[dict, dict], bool] | None = None
+    kleene: str | None = None  # '+', '*', '?'
+    negated: bool = False
+
+
+def step(event_type, alias, where=None, kleene=None):
+    return Step(event_type, alias, where=where, kleene=kleene)
+
+
+def not_step(event_type, alias="_not", where=None):
+    return Step(event_type, alias, where=where, negated=True)
+
+
+@dataclass
+class Pattern:
+    """Compiled SASE+ pattern (SasePattern analog, engine/compiler.rs:127)."""
+
+    steps: list[Step]
+    within: Any = None                      # duration literal or None
+    partition_by: list[str] | None = None
+    strategy: str = SKIP_TILL_ANY
+    # output projection: out_col -> (alias, field). Kleene aliases yield
+    # arrays; ("alias", None) binds the whole closure size is via special
+    # field "__count".
+    emit: dict[str, tuple[str, str]] = dc_field(default_factory=dict)
+    max_matches: int = MAX_MATCHES_PER_GROUP
+
+    def within_ns(self) -> int | None:
+        return duration_ns(self.within) if self.within is not None else None
+
+    def relevant_types(self) -> list[str] | None:
+        types = set()
+        for s in self.steps:
+            if s.event_type is None:
+                return None  # wildcard step → cannot prefilter
+            types.add(s.event_type)
+        return sorted(types)
+
+
+# ---------------------------------------------------------------------------
+# NFA enumeration over one ts-sorted key group
+# ---------------------------------------------------------------------------
+
+
+def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
+    """Enumerate matches per the selection strategy. `events` sorted by
+    (ts, tiebreak); each dict has `__ts` int64 ns."""
+    out: list[dict] = []
+    steps = pattern.steps
+    within = pattern.within_ns()
+    n = len(events)
+    strategy = pattern.strategy
+
+    def type_ok(s: Step, e: dict) -> bool:
+        return s.event_type is None or e.get("event_type") == s.event_type
+
+    def pred_ok(s: Step, e: dict, b: dict) -> bool:
+        if s.where is None:
+            return True
+        try:
+            return bool(s.where(e, b))
+        except (KeyError, TypeError):
+            return False
+
+    def check_negation(neg: Step, lo_ts: int, hi_ts: int, b: dict) -> bool:
+        """True when NO negated-type event satisfying pred lies in
+        (lo_ts, hi_ts) — NegationConstraint sase.rs:675-716."""
+        for e in events:
+            if e["__ts"] <= lo_ts:
+                continue
+            if e["__ts"] >= hi_ts:
+                break
+            if type_ok(neg, e) and pred_ok(neg, e, b):
+                return False
+        return True
+
+    def emit_match(bindings: dict) -> None:
+        row = {}
+        for out_col, (alias, fld) in pattern.emit.items():
+            v = bindings[alias]
+            if isinstance(v, list):
+                row[out_col] = len(v) if fld == "__count" else [e.get(fld) for e in v]
+            else:
+                row[out_col] = v.get(fld)
+        out.append(row)
+
+    def advance(si: int, ei: int, bindings: dict, first_ts: int | None,
+                pending_neg: list[Step], prev_ts: int, prev_idx: int) -> None:
+        if len(out) >= pattern.max_matches:
+            return
+        # skip over negated steps: collect them as pending guards
+        while si < len(steps) and steps[si].negated:
+            pending_neg.append(steps[si])
+            si += 1
+        if si == len(steps):
+            # trailing negations guard until within-deadline (event-time
+            # confirmation, sase.rs:702-716); unbounded without `within`.
+            hi = (first_ts + within) if (within is not None and first_ts is not None) else (
+                events[-1]["__ts"] + 1 if events else 0
+            )
+            for neg in pending_neg:
+                if not check_negation(neg, prev_ts, hi, bindings):
+                    return
+            emit_match(bindings)
+            return
+
+        s = steps[si]
+        deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
+
+        if s.kleene:
+            _advance_kleene(s, si, ei, bindings, first_ts, list(pending_neg), prev_ts, prev_idx)
+            return
+
+        rng: Iterable[int]
+        if strategy == STRICT and first_ts is not None:
+            rng = range(prev_idx + 1, min(prev_idx + 2, n))
+        else:
+            rng = range(ei, n)
+        for i in rng:
+            e = events[i]
+            if deadline is not None and e["__ts"] > deadline:
+                break
+            if not (type_ok(s, e) and pred_ok(s, e, bindings)):
+                if strategy == STRICT and first_ts is not None:
+                    return  # contiguity broken
+                continue
+            for neg in pending_neg:
+                if not check_negation(neg, prev_ts, e["__ts"], bindings):
+                    # a negated event already occurred before this candidate —
+                    # any later candidate also fails; stop.
+                    return
+            b2 = dict(bindings)
+            b2[s.alias] = e
+            advance(si + 1, i + 1, b2, first_ts if first_ts is not None else e["__ts"],
+                    [], e["__ts"], i)
+            if strategy != SKIP_TILL_ANY and first_ts is not None:
+                return  # skip-till-next: only the first viable candidate
+            if len(out) >= pattern.max_matches:
+                return
+
+    def _advance_kleene(s: Step, si: int, ei: int, bindings: dict,
+                        first_ts: int | None, pending_neg: list[Step],
+                        prev_ts: int, prev_idx: int) -> None:
+        deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
+
+        def extend(chosen: list[dict], from_i: int, last_idx: int) -> None:
+            if len(out) >= pattern.max_matches:
+                return
+            min_needed = 1 if s.kleene == "+" else 0
+            max_take = 1 if s.kleene == "?" else MAX_KLEENE_EVENTS
+            if len(chosen) >= min_needed:
+                b2 = dict(bindings)
+                b2[s.alias] = list(chosen)
+                nts = chosen[-1]["__ts"] if chosen else prev_ts
+                nidx = last_idx if chosen else prev_idx
+                ok = True
+                for neg in pending_neg:
+                    lo = prev_ts
+                    hi = chosen[0]["__ts"] if chosen else nts + 1
+                    if chosen and not check_negation(neg, lo, hi, b2):
+                        ok = False
+                        break
+                if ok or not chosen:
+                    advance(si + 1, (last_idx + 1) if chosen else ei, b2,
+                            first_ts if first_ts is not None else (chosen[0]["__ts"] if chosen else None),
+                            [] if chosen else list(pending_neg), nts, nidx)
+            if len(chosen) >= max_take:
+                return
+            rng: Iterable[int]
+            if strategy == STRICT:
+                base = last_idx if chosen else prev_idx
+                rng = range(base + 1, min(base + 2, n)) if (first_ts is not None or chosen) else range(from_i, n)
+            else:
+                rng = range(from_i, n)
+            for i in rng:
+                e = events[i]
+                d = deadline
+                if d is None and not chosen and within is not None and first_ts is None:
+                    d = None  # closure opens the match; deadline starts at e
+                if d is not None and e["__ts"] > d:
+                    break
+                b_probe = dict(bindings)
+                b_probe[s.alias] = list(chosen)
+                if not (type_ok(s, e) and pred_ok(s, e, b_probe)):
+                    if strategy == STRICT and (first_ts is not None or chosen):
+                        return
+                    continue
+                chosen.append(e)
+                extend(chosen, i + 1, i)
+                chosen.pop()
+                if strategy != SKIP_TILL_ANY:
+                    return
+                if len(out) >= pattern.max_matches:
+                    return
+
+        extend([], ei, prev_idx)
+
+    advance(0, 0, {}, None, [], events[0]["__ts"] - 1 if n else 0, -1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark driver (batch)
+# ---------------------------------------------------------------------------
+
+
+def _out_schema(pattern: Pattern, input_df: DataFrame) -> str:
+    """Derive the output schema from emit projection + input column types."""
+    in_types = dict(input_df.dtypes)
+    kleene_aliases = {s.alias for s in pattern.steps if s.kleene}
+    parts = []
+    for out_col, (alias, fld) in pattern.emit.items():
+        if fld == "__count":
+            parts.append(f"{out_col} long")
+        else:
+            t = in_types.get(fld, "string")
+            if alias in kleene_aliases:
+                t = f"array<{t}>"
+            parts.append(f"{out_col} {t}")
+    return ", ".join(parts)
+
+
+def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
+    """Run `pattern` over a batch Stream; returns the match DataFrame."""
+    df = stream.df
+    ts_col = stream.ts_col
+    order_col = stream.order_col
+    keys = pattern.partition_by or stream.keys
+
+    types = pattern.relevant_types()
+    if types is not None and pattern.strategy != STRICT:
+        # EventTypeIndex analog (sase.rs:917-1005): prefilter pushes to scan.
+        df = df.filter(F.col("event_type").isin(types))
+
+    schema = _out_schema(pattern, df)
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        events = pdf.to_dict("records")
+        for e, t in zip(events, ts_ns):
+            e["__ts"] = int(t)
+        rows = _enumerate_matches(events, pattern)
+        cols = list(pattern.emit.keys())
+        return pd.DataFrame(rows, columns=cols)
+
+    if keys:
+        return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+            lambda _key, pdf: run(pdf), schema
+        )
+    # single NFA universe — serial, parity with an unpartitioned reference
+    # pattern; avoid on large inputs.
+    return (
+        df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda _key, pdf: run(pdf.drop(columns="__g")), schema)
+    )
