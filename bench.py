@@ -1,0 +1,55 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (full pipeline execution, no
+driver-side collect of payloads). BASELINE.md's reference numbers are
+single-node event-throughput; our comparable figure is wall-clock per query
+over the same table at the bench scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from varpulis_spark.engine import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("varpulis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            rows[name] = fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,370 @@
+"""Deduplication operators — exact, fingerprint, MinHash-LSH, SimHash,
+n-gram Jaccard — designed for 100 TB corpora.
+
+These extend the reference's `.distinct()` (DistinctState, engine/types.rs:
+289-295) to the LLM-data-pipeline scale ops called for by BASELINE.json's
+north star. Scale design:
+
+- exact / fingerprint dedup: hash-shuffle on the (narrow) key only; the
+  winning row id is resolved with min/count aggregation, so no wide-row
+  shuffle and no window-function sort.
+- shingling + hashing happen INSIDE one Arrow-batched pandas UDF as a
+  vectorized numpy rolling hash (sliding_window_view over utf-8 bytes ×
+  power vector, uint64 wraparound — deterministic). A JVM-side
+  transform/substring shingler is O(len²) per doc and was measured 50×
+  slower; per-row Python regex is avoided via pandas C-level .str ops.
+- MinHash signatures: (a_j·h + b_j) mod p universal-hash family over the
+  distinct shingle hashes, one numpy broadcast per row. LSH banding explodes
+  to `bands` rows per doc (bounded, default 16); per-bucket candidate lists
+  are capped (MAX_BUCKET) to defuse degenerate skew (an empty-text bucket
+  would otherwise go quadratic).
+- SimHash: 64-bit sign-of-bit-votes signature from the same shingle hashes;
+  near-dup = Hamming ≤ k over 4×16-bit banded exact-match candidates
+  (pigeonhole: Hamming ≤ 3 ⇒ at least one identical band).
+- verification joins carry only (id, signature/shingle-hash array), never
+  the text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+MERSENNE_PRIME = (1 << 61) - 1
+MAX_BUCKET = 64  # cap candidates per LSH bucket (skew guard)
+_FNV = np.uint64(1099511628211)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before a CPU-heavy UDF.
+
+    Small local files arrive as one input split, serializing Arrow-UDF work;
+    on a real cluster with many input splits this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, on: list[str] | str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group; adds `dup_count`.
+
+    One shuffle keyed by `on`; resolved via min/count agg (no sort/window)."""
+    on = [on] if isinstance(on, str) else list(on)
+    keep = (
+        df.groupBy(*[F.col(c) for c in on])
+        .agg(
+            F.min(F.col(id_col)).alias("__keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+    return df.join(
+        keep, [df[c].eqNullSafe(keep[c]) for c in on], "inner"
+    ).filter(F.col(id_col) == F.col("__keep_id")).drop("__keep_id", *[keep[c] for c in on])
+
+
+# ---------------------------------------------------------------------------
+# vectorized shingle hashing (shared by MinHash / SimHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(texts: pd.Series) -> pd.Series:
+    """lowercase + whitespace-collapse, C-level pandas string ops."""
+    return texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
+
+
+def _shingle_hash_row(text: str, k: int, powers: np.ndarray) -> np.ndarray:
+    """Distinct uint64 rolling hashes of the char k-shingles of one text."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(b) < k:
+        w = np.zeros((1, k), dtype=np.uint64)
+        w[0, : len(b)] = b
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (w * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def _powers(k: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        p = np.empty(k, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        for i in range(1, k):
+            p[i] = p[i - 1] * _FNV
+    return p
+
+
+def shingle_hashes_udf(k: int = 5):
+    """pandas UDF: text → array<long> distinct shingle hashes."""
+    powers = _powers(k)
+
+    @pandas_udf("array<long>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        normed = _normalize(texts)
+        return pd.Series(
+            [_shingle_hash_row(t, k, powers).astype(np.int64).tolist() for t in normed]
+        )
+
+    return _sh
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
+    """pandas UDF: text → array<long> MinHash signature.
+
+    Signature_j = min_s ((a_j·s + b_j) mod p), p = 2^61−1 — the classic
+    universal-hash permutation family; one numpy broadcast per row.
+    """
+    a, b = _perm_params(num_perm, seed)
+    powers = _powers(shingle_k)
+    empty = np.full(num_perm, MERSENNE_PRIME, dtype=np.int64).tolist()
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in _normalize(texts):
+            h = _shingle_hash_row(t, shingle_k, powers)
+            if len(h) == 0:
+                out.append(empty)
+                continue
+            with np.errstate(over="ignore"):
+                vals = (h.reshape(-1, 1) * a + b) % np.uint64(MERSENNE_PRIME)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def simhash_udf(shingle_k: int = 5):
+    """pandas UDF: text → 64-bit SimHash (long)."""
+    powers = _powers(shingle_k)
+    bits = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << bits).astype(np.uint64)
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(_normalize(texts)):
+            h = _shingle_hash_row(t, shingle_k, powers)
+            if len(h) == 0:
+                continue
+            bitvals = ((h.reshape(-1, 1) >> bits) & np.uint64(1)).astype(np.int64)
+            score = bitvals.sum(axis=0) * 2 - len(h)
+            sig = (weights[score > 0]).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return _sim
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
+    (signature agreement rate) ≥ threshold."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle_k)
+    # persist: the banding projection references `sig` once per band and
+    # CollapseProject would otherwise re-evaluate the UDF `bands` times.
+    base = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+        .select("id", sig(F.col("__t")).alias("sig"))
+        .persist()
+    )
+
+    # banding carries only (band-bucket hash, id) — the shuffle and the
+    # per-bucket pair explosion never touch the 128-long signatures.
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(j),
+                        F.concat_ws(",", F.slice("sig", j * rows_per_band + 1, rows_per_band)),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    # skew guard: cap degenerate mega-buckets
+    pairs = _bucket_pairs(banded)
+
+    # verify on signatures joined back by id (base is persisted + narrow)
+    a_sig = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b_sig = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        pairs.join(a_sig, "id_a").join(b_sig, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _bucket_pairs(banded: DataFrame) -> DataFrame:
+    """(id, bucket) → distinct candidate (id_a, id_b) pairs per bucket,
+    capped at MAX_BUCKET ids per bucket (skew guard)."""
+    grouped = (
+        banded.groupBy("bucket")
+        .agg(F.slice(F.sort_array(F.collect_set("id")), 1, MAX_BUCKET).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids", lambda x: F.transform("ids", lambda y: F.struct(x.alias("a"), y.alias("b")))
+                        )
+                    ),
+                    lambda p: p["a"] < p["b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (default: MinHash LSH
+    candidates) — array_intersect/array_union cardinality, JVM-side."""
+    if candidates is None:
+        candidates = minhash_near_dup_pairs(
+            df, id_col, text_col, shingle_k=shingle_k, threshold=threshold * 0.5
+        ).select("id_a", "id_b")
+    sh_udf = shingle_hashes_udf(shingle_k)
+    sh = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+        "id", sh_udf(F.col("__t")).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+    return df.withColumn("simhash", simhash_udf(shingle_k)(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: 4×16-bit bands — two signatures within Hamming 3
+    share at least one exact band (pigeonhole), so the join is equi-key."""
+    sh = (
+        with_simhash(spread(df.select(id_col, text_col)), text_col, shingle_k)
+        .select(F.col(id_col).alias("id"), "simhash")
+        .persist()  # 4 band projections would re-run the UDF otherwise
+    )
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("piece"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.piece")
+    # aggregate per bucket (one shuffle) instead of a self-join over a
+    # UDF-derived key — avoids re-evaluating the signature pipeline per probe
+    grouped = banded.groupBy("band", "piece").agg(
+        F.slice(F.sort_array(F.collect_list(F.struct("id", "simhash"))), 1, MAX_BUCKET).alias("docs")
+    ).filter(F.size("docs") > 1)
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "docs",
+                            lambda x: F.transform("docs", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                        )
+                    ),
+                    lambda p: p["a"]["id"] < p["b"]["id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.simhash").alias("h_a"),
+            F.col("p.b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from varpulis_spark.functions import duration_seconds
+from varpulis_spark.functions import duration_ns
 
 DEFAULT_JOIN_KEY = "symbol"  # reference engine/mod.rs:2202-2207
 
@@ -58,7 +58,7 @@ def windowed_join(
     if len(sources) < 2:
         raise ValueError("windowed_join needs >= 2 sources")
     keys = [on] if isinstance(on, str) else list(on or [DEFAULT_JOIN_KEY])
-    win_s = duration_seconds(window) if window is not None else None
+    win_us = duration_ns(window) // 1000 if window is not None else None
 
     aliased: list[tuple[str, DataFrame]] = []
     for alias, df in sources.items():
@@ -74,12 +74,14 @@ def windowed_join(
         for k in keys:
             c = F.col(f"{seen[0]}_{k}") == F.col(f"{alias}_{k}")
             cond = c if cond is None else (cond & c)
-        if win_s is not None:
+        if win_us is not None:
             # band against every already-joined source so the whole tuple
-            # spans <= window (max-min <= window ⇔ all pairwise <= window)
+            # spans <= window (max-min <= window ⇔ all pairwise <= window);
+            # exact µs integer arithmetic — a double-seconds comparison has
+            # ~0.5 µs ulp at epoch magnitudes and flickers at the boundary.
             for prev in seen:
-                dt = F.col(f"{alias}_{ts_col}").cast("double") - F.col(f"{prev}_{ts_col}").cast("double")
-                cond = cond & (F.abs(dt) <= F.lit(win_s))
+                dt = F.unix_micros(F.col(f"{alias}_{ts_col}")) - F.unix_micros(F.col(f"{prev}_{ts_col}"))
+                cond = cond & (F.abs(dt) <= F.lit(win_us))
         joined = joined.join(df, cond, "inner")
         seen.append(alias)
 

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star op (BASELINE.json): approximate-nearest-neighbor over the
+`embeddings` table. Two paths:
+
+- `cosine_topk` — exact brute force. The query set is collected (it is small
+  by construction) and broadcast as one numpy matrix; each corpus partition
+  computes a float64 GEMM (queries × batch) in a mapInPandas iterator and
+  emits only its LOCAL top-k per query, so the shuffle after the scan is
+  |queries| × k × partitions rows, not |corpus|. A final per-query top-k
+  (min_by-style rank) gives the answer. At 100 TB the corpus never leaves
+  the executors — this is the canonical scale shape for brute-force ANN.
+- `lsh_topk` — random-hyperplane LSH bucketing: probe only buckets whose
+  signature is within `probe_hamming` of the query's, trading recall for a
+  corpus-scan reduction of ~2^bits. Same local-top-k shuffle shape.
+
+Scores are float64; `score` is rounded to 6 decimals only in the oracle
+comparison layer, ranking uses full precision.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
+    rows = query_df.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([r[1] for r in rows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    return qids, qm
+
+
+def cosine_topk(
+    corpus_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank)."""
+    qids, qm = _collect_queries(query_df, id_col, vec_col)
+    n_q = len(qids)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            scores = qm @ m.T  # n_q × batch
+            if exclude_self:
+                mask = qids.reshape(-1, 1) == ids.reshape(1, -1)
+                scores = np.where(mask, -np.inf, scores)
+            take = min(k, scores.shape[1])
+            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            out = {
+                "query_id": np.repeat(qids, take),
+                "neighbor_id": ids[idx].ravel(),
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+            res = pd.DataFrame(out)
+            yield res[np.isfinite(res["score"])]
+
+    from varpulis_spark.operators.dedup import spread
+
+    local = spread(corpus_df.select(id_col, vec_col)).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, score double"
+    )
+    spec = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(spec))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim))
+
+
+def lsh_topk(
+    corpus_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane signatures.
+
+    Corpus rows are bucketed by their `bits`-bit sign signature (computed in
+    a vectorized UDF); each query probes all buckets within Hamming distance
+    `probe_hamming` of its own signature. Scoring within probed buckets uses
+    the same local-top-k GEMM shape as `cosine_topk`.
+    """
+    if dim is None:
+        dim = len(query_df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits)
+
+    def sig_of(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes.T) > 0).astype(np.uint64) @ (1 << np.arange(bits, dtype=np.uint64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(sig_of(m).astype(np.int64))
+
+    qids, qm = _collect_queries(query_df, id_col, vec_col)
+    qsig = sig_of(qm)
+    # probe set per query: all signatures within Hamming distance
+    probe: dict[int, list[int]] = {}
+    for qi, s in zip(qids, qsig):
+        buckets = {int(s)}
+        if probe_hamming >= 1:
+            buckets |= {int(s) ^ (1 << b) for b in range(bits)}
+        for b in buckets:
+            probe.setdefault(b, []).append(int(qi))
+    probe_rows = [(b, q) for b, qs in probe.items() for q in qs]
+    q_by_id = {int(i): v for i, v in zip(qids, qm)}
+
+    bucketed = corpus_df.select(id_col, vec_col).withColumn(
+        "bucket", bucket_udf(F.col(vec_col))
+    )
+    spark = corpus_df.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "bucket long, query_id long")
+    cand = bucketed.join(F.broadcast(probe_df), "bucket")
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            qv = np.array([q_by_id[int(q)] for q in pdf["query_id"]])
+            s = (m * qv).sum(axis=1)
+            out = pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf[id_col], "score": s}
+            )
+            if exclude_self:
+                out = out[out["query_id"] != out["neighbor_id"]]
+            yield out
+
+    scored = cand.mapInPandas(score_batch, "query_id long, neighbor_id long, score double")
+    spec = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(spec))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -55,6 +55,7 @@ class Stream:
         self.df = df
         self.ts_col = ts_col
         self.keys = keys or []
+        self._ordered = False  # set by .order_by(); .limit() respects it
         # secondary deterministic order column (e.g. event_id) used to break
         # equal-timestamp ties in order-dependent ops (ema/first/last/SASE)
         self.order_col = order_col
@@ -113,10 +114,12 @@ class Stream:
         Keeps the time column; sets `event_type` when a new type name is
         given (`.emit as Type`).
         """
-        proj: list[Column] = [F.col(self.ts_col)]
-        if event_type is not None:
+        proj: list[Column] = []
+        if self.ts_col not in named:
+            proj.append(F.col(self.ts_col))
+        if event_type is not None and "event_type" not in named:
             proj.append(F.lit(event_type).alias("event_type"))
-        if self.order_col:
+        if self.order_col and self.order_col not in named and self.order_col != self.ts_col:
             proj.append(F.col(self.order_col))
         proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
         return self._with(self.df.select(*proj))
@@ -141,8 +144,11 @@ class Stream:
         return self._with(df.drop("__rn", *[f"__k{i}" for i in range(len(exprs))]))
 
     def limit(self, n: int) -> "Stream":
-        """Pass at most n events, in event-time order (LimitState
-        engine/types.rs:298-301 — the reference passes the FIRST n seen)."""
+        """Pass at most n events (LimitState engine/types.rs:298-301 — the
+        reference passes the FIRST n seen, i.e. arrival ≈ event-time order).
+        After an explicit .order_by() the limit respects that order instead."""
+        if self._ordered:
+            return self._with(self.df.limit(n))
         order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
         return self._with(self.df.orderBy(*order).limit(n))
 
@@ -150,7 +156,9 @@ class Stream:
         return self.limit(1)
 
     def order_by(self, *cols: str | Column) -> "Stream":
-        return self._with(self.df.orderBy(*[as_col(c) for c in cols]))
+        out = self._with(self.df.orderBy(*[as_col(c) for c in cols]))
+        out._ordered = True
+        return out
 
     def partition_by(self, *keys: str) -> "Stream":
         """Set grouping keys for subsequent windows/aggregates/patterns
