@@ -1,0 +1,129 @@
+"""Structured Streaming parity tests: the same operator surface produces
+the same results in micro-batch streaming as in batch.
+
+Harness: the sf0.001 events table is re-written as several ts-ordered
+parquet files; a file streaming source with maxFilesPerTrigger=1 replays
+them as micro-batches (the `.evt` timed-replay analog, event_file.rs:1-26),
+`availableNow` drains everything, and a memory sink collects the output.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark import Stream
+from varpulis_spark.operators import aggregates as A
+from varpulis_spark.operators.sase import Pattern, step
+from varpulis_spark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    """events split into 4 ts-ordered files (micro-batch replay)."""
+    base = str(tmp_path_factory.mktemp("replay"))
+    df = Stream.events(spark, sf_dir).df.orderBy("ts", "event_id")
+    rows = df.collect()
+    n = len(rows)
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"f{i}"))
+    # flatten: move part files into one dir so the source sees 4 files
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    k = 0
+    for i in range(4):
+        d = os.path.join(base, f"f{i}")
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{k:02d}.parquet")
+                shutil.copy(os.path.join(d, f), dst)
+                # distinct mtimes: FileStreamSource orders batches by file
+                # modification time; identical stamps make replay order
+                # nondeterministic.
+                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+                k += 1
+    return flat
+
+
+def test_streaming_filter_emit(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    assert src.df.isStreaming
+    out = src.where(F.col("value") > 150).emit(
+        "HighValue", event_id=F.col("event_id"), value=F.col("value")
+    )
+    S.run_to_memory(out, "hv_stream")
+    got = {r.event_id for r in spark.sql("SELECT * FROM hv_stream").collect()}
+    exp = {
+        r.event_id
+        for r in Stream.events(spark, sf_dir).where(F.col("value") > 150).df.collect()
+    }
+    assert got == exp
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = (
+        src.watermark("10m")
+        .partition_by("user_id")
+        .window("1h")
+        .aggregate(n=A.count(), total=A.sum("value"))
+    )
+    S.run_to_memory(out, "tumb_stream")
+    got = {
+        (r.user_id, r.window_start, r.n, round(r.total, 6))
+        for r in spark.sql("SELECT * FROM tumb_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.window_start, r.n, round(r.total, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window("1h")
+            .aggregate(n=A.count(), total=A.sum("value"))
+            .df.collect()
+        )
+    }
+    # append mode emits only watermark-closed windows: subset of batch, and
+    # everything emitted must be byte-identical to the batch result
+    assert got <= exp
+    # append mode withholds windows not yet passed by the final watermark
+    # (the last replay file's span); ts-ordered replay closes the rest.
+    assert len(got) >= len(exp) * 0.7
+
+
+def test_streaming_sase_matches_batch(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b")],
+        within="24h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.apply_pattern_streaming(src.partition_by("user_id"), p)
+    S.run_to_memory(out, "sase_stream")
+    got = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.sql("SELECT * FROM sase_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
+    }
+    assert got == exp
+
+
+def test_timer_source_constructs(spark):
+    s = S.timer_source(spark, "5s")
+    assert s.df.isStreaming
+    assert set(s.df.columns) == {"ts", "tick", "event_type"}

@@ -1,0 +1,297 @@
+"""Structured Streaming execution of the same operator surface.
+
+Reference: the engine is a per-event push loop (engine/mod.rs:2309
+Engine::process) fed by connector tasks over bounded channels
+(varpulis-cli/src/main.rs:954,1005-1040). Spark's analog is micro-batch
+Structured Streaming; the operator compiler is shared — a `Stream` whose
+DataFrame `isStreaming` simply keeps composing the same expressions.
+
+Mapping (SURVEY §2.1/§2.9):
+- `timer(5s)` source            → rate source (`rate-micro-batch` in tests)
+- `EventType.from(Kafka, ...)`  → `readStream.format("kafka")`
+- file/S3 replay                → `readStream.parquet/json` on a directory
+- `.watermark(out_of_order:)`   → `withWatermark` (Spark's global min-
+  across-sources watermark == the reference's PerSourceWatermarkTracker
+  min rule, runtime/src/watermark.rs:108-140)
+- `.to(Conn, ...)` sinks        → `writeStream` console/file/memory/
+  foreachBatch (connector fan-out, MultiSink ≈ multiple queries or
+  foreachBatch fan-out)
+- checkpoint/restore            → `option("checkpointLocation", ...)`
+- SASE patterns                 → `applyInPandasWithState` (sase_streaming)
+
+Windows: tumbling/sliding/session lower to the identical F.window /
+F.session_window expressions as batch; Spark maintains them incrementally
+(the reference's IncrementalSlidingWindow, window.rs:1225-1345, for free).
+Count windows and `.limit` need per-key counters — custom stateful ops, kept
+out of v1 streaming (documented divergence; batch supports them fully).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from varpulis_spark.functions import duration_interval_str
+from varpulis_spark.stream import Stream
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def timer_source(
+    spark: SparkSession, every, rows_per_batch: int | None = None
+) -> Stream:
+    """`timer(5s)` analog (TimerConfig engine/types.rs:157-164): periodic
+    synthetic events with `ts` and a monotonically increasing `tick`."""
+    import re
+
+    from varpulis_spark.functions import duration_ns
+
+    per_sec = max(1, int(1e9 / duration_ns(every)))
+    reader = spark.readStream.format("rate").option("rowsPerSecond", per_sec)
+    df = reader.load().select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("tick"),
+        F.lit("Timer").alias("event_type"),
+    )
+    return Stream(df, ts_col="ts", order_col="tick")
+
+
+def file_source(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+    ns_timestamp_cols: list[str] | None = None,
+) -> Stream:
+    """Directory replay source (S3/file connector analog, connector/s3.rs).
+
+    `ns_timestamp_cols`: columns physically stored as TIMESTAMP(NANOS)
+    (INT64) parquet — e.g. the raw testdata tables. They are read as long and
+    truncated to µs TimestampType, mirroring engine.read_parquet (Spark has
+    no ns timestamp; streaming readers cannot probe footers per file, so the
+    caller must name them)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ns_cols = set(ns_timestamp_cols or [])
+    if ns_cols:
+        schema = StructType(
+            [
+                StructField(f.name, LongType() if f.name in ns_cols else f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return Stream(df, ts_col=ts_col)
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    value_schema=None,
+    starting_offsets: str = "latest",
+) -> Stream:
+    """Kafka connector source (connector/kafka.rs → built-in format).
+
+    Payloads arrive as JSON in `value`; when `value_schema` is given the
+    fields are unpacked into columns (the reference's typed event decode)."""
+    df = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    if value_schema is not None:
+        parsed = df.select(
+            F.col("timestamp").alias("ts"),
+            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        )
+        df = parsed.select("ts", "v.*")
+    return Stream(df, ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# sinks (`.to(...)` surface, engine/sink_factory.rs)
+# ---------------------------------------------------------------------------
+
+
+def to_memory(stream: Stream, name: str, output_mode: str = "append", trigger_once: bool = True):
+    """Memory sink — the test/debug sink (ConsoleSink analog for asserts)."""
+    w = stream.df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def run_to_memory(stream: Stream, name: str, output_mode: str = "append"):
+    """Start a memory-sink query, drain ALL available input honoring read
+    limits (maxFilesPerTrigger → one micro-batch per file, deterministic
+    replay), then stop. `availableNow` may coalesce files into one batch;
+    this helper is the timed-replay harness (.evt analog)."""
+    q = (
+        stream.df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return q
+
+
+def to_console(stream: Stream, output_mode: str = "append"):
+    return stream.df.writeStream.format("console").outputMode(output_mode).start()
+
+
+def to_parquet(stream: Stream, path: str, checkpoint: str, output_mode: str = "append"):
+    return (
+        stream.df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def foreach_batch(stream: Stream, fn: Callable[[DataFrame, int], None], checkpoint: str | None = None):
+    """HTTP/JDBC/Redis/ES sink analog (HttpSinkWithRetry sink.rs:315-487):
+    per-micro-batch callback; retries/DLQ are the callback's concern."""
+    w = stream.df.writeStream.foreachBatch(fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def multi_sink(stream: Stream, *fns: Callable[[DataFrame, int], None], checkpoint: str | None = None):
+    """MultiSink fan-out (sink.rs:489-620): one stream, several consumers,
+    single write ensures consistent micro-batch across sinks."""
+
+    def fan_out(df: DataFrame, epoch: int) -> None:
+        df.persist()
+        try:
+            for fn in fns:
+                fn(df, epoch)
+        finally:
+            df.unpersist()
+
+    return foreach_batch(stream, fan_out, checkpoint)
+
+
+# ---------------------------------------------------------------------------
+# streaming SASE (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None = None):
+    """Run a SASE+ pattern over a streaming Stream.
+
+    State per partition key = the ts-sorted buffer of relevant events still
+    inside the `within` horizon (the reference's run/partial-match state,
+    sase.rs:1728 Run::with_partition). Each micro-batch appends the new
+    events, re-enumerates, and emits only matches whose LAST event is new —
+    incremental delivery without duplicate emission. Negation correctness
+    relies on the watermark: set `.watermark(...)` upstream so late events
+    that could veto a match are bounded (event-time confirmation,
+    sase.rs:702-716).
+    """
+    import pandas as pd
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from varpulis_spark.functions import duration_ns
+    from varpulis_spark.operators.sase import _enumerate_matches, _out_schema
+
+    # Idle-key GC is opt-in: with a processing-time timeout the engine keeps
+    # scheduling no-data batches, so processAllAvailable()-style draining
+    # never settles. Event buffers are bounded by within-horizon eviction
+    # regardless; pass state_timeout only for long-running queries with
+    # high key churn.
+    timeout_ms = max(1, duration_ns(state_timeout) // 1_000_000) if state_timeout else None
+
+    df = stream.df
+    ts_col = stream.ts_col
+    order_col = stream.order_col
+    keys = pattern.partition_by or stream.keys
+    if not keys:
+        raise ValueError("streaming patterns require partition_by (keyed state)")
+
+    types = pattern.relevant_types()
+    if types is not None:
+        df = df.filter(F.col("event_type").isin(types))
+
+    out_schema = _out_schema(pattern, df)
+    state_schema = "buf binary, emitted binary"
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    within = pattern.within_ns()
+    in_cols = df.columns
+
+    def run(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=list(pattern.emit.keys()))
+            return
+        old_events, emitted = [], set()
+        if state.exists:
+            buf_pkl, emitted_pkl = state.get
+            old_events = pickle.loads(buf_pkl)
+            emitted = pickle.loads(emitted_pkl)
+        new_events = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            evs = pdf.to_dict("records")
+            for e, t in zip(evs, ts_ns):
+                e["__ts"] = int(t)
+            new_events.extend(evs)
+        events = sorted(old_events + new_events, key=lambda e: e["__ts"])
+        new_ids = {id(e) for e in new_events}
+        max_ts = events[-1]["__ts"] if events else 0
+        rows = _enumerate_matches(events, pattern)
+        # emit only matches not already emitted (dedupe on projected row)
+        fresh = []
+        for r in rows:
+            sig = tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in r.items()))
+            if sig not in emitted:
+                emitted.add(sig)
+                fresh.append(r)
+        # evict events beyond the within horizon (bounded state). With an
+        # upstream watermark, an event can still open/extend a match as long
+        # as a future event ≤ its within-deadline may arrive, i.e. while
+        # e.ts + within >= watermark; without one, fall back to batch max
+        # (exact for in-order replay).
+        if within is not None:
+            try:
+                wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+            except Exception:  # no upstream withWatermark configured
+                wm_ns = 0
+            low = (wm_ns if wm_ns > 0 else max_ts) - within
+            events = [e for e in events if e["__ts"] >= low]
+        state.update((pickle.dumps(events), pickle.dumps(emitted)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(fresh, columns=list(pattern.emit.keys()))
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        run, out_schema, state_schema, "append", timeout_conf
+    )
+    return Stream(out, ts_col=stream.ts_col)
