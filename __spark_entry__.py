@@ -227,6 +227,31 @@ def q_kleene_purchases(spark, sf):
     return Stream.events(spark, sf).partition_by("user_id").pattern(p).df
 
 
+def q_greta_trend_count(spark, sf):
+    """GRETA: per-user count of ALL purchase trends (every non-empty ordered
+    subset) — closed form 2^n − 1 gives the SQL oracle."""
+    out = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+        .trend_aggregate(event_type="purchase")
+    )
+    return out.df.select("user_id", "trend_count", "event_count")
+
+
+def q_greta_rising(spark, sf):
+    """GRETA with a rising adjacency predicate — no closed form (rows-only)."""
+    out = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+        .trend_aggregate(
+            event_type="purchase",
+            adjacent=lambda a, b: b["value"] > a["value"],
+            value_field="value",
+        )
+    )
+    return out.df.select("user_id", "trend_count", "value_sum")
+
+
 def q_text_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return T.with_text_stats(docs).select(
@@ -287,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_signup_purchase": q_seq_signup_purchase,
         "seq_no_error": q_seq_no_error,
         "kleene_purchases": q_kleene_purchases,
+        "greta_trend_count": q_greta_trend_count,
+        "greta_rising": q_greta_rising,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -438,6 +465,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM events c
               WHERE c.user_id = a.user_id AND c.event_type = 'error'
                 AND c.ts > a.ts AND c.ts < b.ts)
+        """,
+        "greta_trend_count": """
+            SELECT user_id,
+                   pow(2, count(*)) - 1 AS trend_count,
+                   count(*) * pow(2, count(*) - 1) AS event_count
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -1,0 +1,117 @@
+"""Multimodal plumbing, model scoring, forecasting, .process flatMap."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark import Stream
+from varpulis_spark.operators import multimodal as M
+from varpulis_spark.operators.forecast import OnlinePST, forecast
+from varpulis_spark.operators.score import score
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = [
+        (i, M.make_fake_image(8 + i, 6 + i, 3, seed=i)) for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "img_id long, content binary")
+
+
+def test_decode_metadata(spark, images_df):
+    out = M.decode_metadata(images_df).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.width == 8 + r.img_id and r.height == 6 + r.img_id
+        assert r.channels == 3 and r.format == "raw-fake"
+
+
+def test_resize_roundtrip(spark, images_df):
+    resized = M.resize_images(images_df, 4, 4)
+    metas = M.decode_metadata(resized).collect()
+    assert all(r.width == 4 and r.height == 4 for r in metas)
+
+
+def test_extract_features_shape(spark, images_df):
+    out = M.extract_features(images_df, dim=16).collect()
+    assert all(len(r.features) == 16 for r in out)
+    # deterministic: same seed → same features
+    again = M.extract_features(images_df, dim=16).collect()
+    assert {r.img_id: tuple(r.features) for r in out} == {
+        r.img_id: tuple(r.features) for r in again
+    }
+
+
+def test_unknown_codec_raises(spark, images_df):
+    with pytest.raises(NotImplementedError):
+        M.decode_metadata(images_df, codec="jpeg")
+
+
+def test_sample_frames(spark):
+    buf = bytes(range(256)) * 10  # 2560 bytes = 40 frames of 64
+    df = spark.createDataFrame([(1, buf)], "vid_id long, content binary")
+    out = M.sample_frames(df, every_n=10, frame_bytes=64).collect()
+    assert [r.frame_index for r in out] == [0, 10, 20, 30]
+    assert all(len(r.content) == 64 for r in out)
+
+
+def test_score_linear(spark, sf_dir):
+    df = Stream.events(spark, sf_dir).df.limit(50)
+    out = score(df, "linear:2.0,0.5,3.0", inputs=["value", "user_id"]).collect()
+    for r in out:
+        assert r.score == pytest.approx(2.0 * r.value + 0.5 * r.user_id + 3.0)
+
+
+def test_score_onnx_unavailable(spark, sf_dir):
+    df = Stream.events(spark, sf_dir).df.limit(5)
+    with pytest.raises(Exception):
+        score(df, "model.onnx", inputs=["value"]).collect()
+
+
+def test_pst_learns_periodic_sequence():
+    pst = OnlinePST(max_depth=3)
+    seq = ["a", "b", "c"] * 50
+    hist = []
+    for s in seq:
+        pst.update(hist, s)
+        hist.append(s)
+        hist = hist[-3:]
+    # after 'a','b' the model should strongly predict 'c'
+    assert pst.prob(["a", "b"], "c") > 0.9
+    assert pst.prob(["a", "b"], "a") < 0.1
+    # completion: pattern ['c'] within 2 of history [a, b] ≈ certain
+    assert pst.completion_prob(["a", "b"], ["c"], 2) > 0.9
+
+
+def test_forecast_spark(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        for i, et in enumerate(["a", "b", "c"] * 20):
+            rows.append((u * 1000 + i, t0 + timedelta(seconds=i), u, et, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    s = Stream(df, ts_col="ts", order_col="event_id").partition_by("user_id")
+    out = forecast(s, ["a", "b", "c"], horizon=5, warmup=10).collect()
+    assert len(out) == 180
+    probs = [r.completion_prob for r in out if r.completion_prob is not None]
+    assert probs and sum(p > 0.5 for p in probs) / len(probs) > 0.8
+
+
+def test_process_flatmap(spark, sf_dir):
+    """RuntimeOp::Process analog: 0..n output events per input event."""
+
+    def dup_high(batches):
+        for pdf in batches:
+            big = pdf[pdf["value"] > 150][["event_id", "value"]]
+            out = big.loc[big.index.repeat(2)].reset_index(drop=True)
+            out["copy"] = out.groupby("event_id").cumcount()
+            yield out
+
+    s = Stream.events(spark, sf_dir).process(dup_high, "event_id long, value double, copy long")
+    got = s.df.groupBy("event_id").count().collect()
+    exp = Stream.events(spark, sf_dir).where(F.col("value") > 150).df.count()
+    assert len(got) == exp and all(r["count"] == 2 for r in got)

@@ -1,0 +1,87 @@
+"""GRETA trend aggregation vs brute-force enumeration oracle.
+
+The DP must agree with explicit enumeration of all trends (non-empty ordered
+subsets satisfying the adjacency predicate) on small inputs — the same oracle
+trick the reference's ZDD tests use (SURVEY §5)."""
+
+from datetime import datetime, timedelta
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark import Stream
+from varpulis_spark.operators.greta import trend_aggregate
+
+
+def brute_force(vals, adjacent=None):
+    """All non-empty ordered subsets (by index) with adjacent() holding on
+    consecutive picks. Returns (n_trends, sum_lengths, sum_of_value_sums)."""
+    n = len(vals)
+    n_trends = total_len = total_val = 0
+    for r in range(1, n + 1):
+        for idxs in combinations(range(n), r):
+            ok = True
+            if adjacent:
+                for a, b in zip(idxs, idxs[1:]):
+                    if not adjacent(vals[a], vals[b]):
+                        ok = False
+                        break
+            if ok:
+                n_trends += 1
+                total_len += r
+                total_val += sum(vals[i] for i in idxs)
+    return n_trends, total_len, total_val
+
+
+def _mk_stream(spark, vals):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), 1, "Tick", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    return Stream(df, ts_col="ts", order_col="event_id").partition_by("user_id")
+
+
+@pytest.mark.parametrize("vals", [[1, 2, 3], [3, 1, 4, 1, 5, 9, 2, 6], list(range(12))])
+def test_unconstrained_trend_count(spark, vals):
+    out = trend_aggregate(_mk_stream(spark, vals), value_field="value").collect()
+    nt, tl, tv = brute_force(vals)
+    assert out[0].trend_count == nt == 2 ** len(vals) - 1
+    assert out[0].event_count == tl
+    assert out[0].value_sum == pytest.approx(tv)
+
+
+@pytest.mark.parametrize("vals", [[1, 3, 2, 4], [5, 1, 2, 1, 3, 2, 4], [2, 2, 2, 2]])
+def test_rising_trend_count(spark, vals):
+    rising = lambda a, b: b["value"] > a["value"]  # noqa: E731
+    out = trend_aggregate(
+        _mk_stream(spark, vals), adjacent=rising, value_field="value"
+    ).collect()
+    nt, tl, tv = brute_force(vals, adjacent=lambda a, b: b > a)
+    assert out[0].trend_count == nt
+    assert out[0].event_count == tl
+    assert out[0].value_sum == pytest.approx(tv)
+
+
+def test_per_key_and_type_filter(spark, sf_dir):
+    s = Stream.events(spark, sf_dir).partition_by("user_id")
+    out = trend_aggregate(s, event_type="purchase").collect()
+    # count 2^n - 1 per user where n = purchases of that user
+    import duckdb
+
+    exp = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT user_id, count(*) FROM '{sf_dir}/events.parquet' "
+            "WHERE event_type='purchase' GROUP BY 1"
+        )
+        .fetchall()
+    )
+    got = {r.user_id: r.trend_count for r in out}
+    assert set(got) == set(exp)
+    for u, n in exp.items():
+        assert got[u] == pytest.approx(2**n - 1, rel=1e-12)

@@ -1,0 +1,176 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star surface (BASELINE.json): a 100 TB training-data pipeline carries
+media as `binary` columns with structured metadata; decode / resize /
+frame-sample / feature-extract run as Arrow-batched pandas functions over
+`mapInPandas`. The decode kernels themselves need codec libraries (PIL /
+torchaudio / ffmpeg) that are NOT in this container — they are STUBBED:
+
+- `codec="raw-fake"` (default in tests) decodes a deterministic fake format
+  (documented header below) so the Spark-side plumbing — schema, batch
+  iteration, partitioning, output shapes — is real and testable end-to-end.
+- any other codec raises NotImplementedError at the call site with the
+  library that a production deployment would plug in.
+
+Fake format (deterministic, used by the test fixtures):
+    bytes 0..2   magic b"FKI"
+    byte  3      channels
+    bytes 4..7   width  (big-endian u32)
+    bytes 8..11  height (big-endian u32)
+    bytes 12..   payload (row-major pixel bytes, possibly truncated)
+
+Scale design: all functions are mapInPandas iterators — no driver collect,
+no per-row Python UDF dispatch; media bytes never leave the executor. Wide
+binary rows make parquet row groups large: pair these with
+`spark.sql.files.maxPartitionBytes` tuning and column pruning (select the
+metadata struct, not the bytes, whenever the kernel doesn't need payload).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
+
+
+def make_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """Encode a deterministic fake image (test fixture helper)."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=width * height * channels, dtype=np.uint8)
+    return b"FKI" + bytes([channels]) + struct.pack(">II", width, height) + payload.tobytes()
+
+
+def _decode_fake(buf: bytes) -> tuple[np.ndarray, int, int, int]:
+    if buf[:3] != b"FKI":
+        raise ValueError("not a fake image")
+    channels = buf[3]
+    width, height = struct.unpack(">II", buf[4:12])
+    payload = np.frombuffer(buf[12:], dtype=np.uint8)
+    want = width * height * channels
+    if len(payload) < want:
+        payload = np.pad(payload, (0, want - len(payload)))
+    return payload[:want].reshape(height, width, channels), width, height, channels
+
+
+def _require_codec(codec: str) -> None:
+    if codec != "raw-fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs an image library (PIL/opencv) not present "
+            "in this environment; the raw-fake codec exercises the full "
+            "Spark plumbing"
+        )
+
+
+def decode_metadata(
+    df: DataFrame, content_col: str = "content", codec: str = "raw-fake"
+) -> DataFrame:
+    """Append an image metadata struct decoded from the binary header."""
+    _require_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for buf in pdf[content_col]:
+                try:
+                    _, w, h, c = _decode_fake(bytes(buf))
+                    metas.append((w, h, c, "raw-fake"))
+                except (ValueError, struct.error):
+                    metas.append((None, None, None, None))
+            meta = pd.DataFrame(metas, columns=["width", "height", "channels", "format"])
+            out = pdf.drop(columns=[content_col]).reset_index(drop=True)
+            yield pd.concat([out, meta], axis=1)
+
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes if name != content_col
+    ) + ", " + IMAGE_META_SCHEMA
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    codec: str = "raw-fake",
+) -> DataFrame:
+    """Nearest-neighbor resize of the binary image column (stub kernel with
+    real decode→transform→re-encode batch plumbing)."""
+    _require_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bufs = []
+            for buf in pdf[content_col]:
+                img, w, h, c = _decode_fake(bytes(buf))
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = img[np.ix_(ys, xs)]
+                out_bufs.append(
+                    b"FKI" + bytes([c]) + struct.pack(">II", width, height) + resized.tobytes()
+                )
+            pdf = pdf.copy()
+            pdf[content_col] = out_bufs
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    content_col: str = "content",
+    codec: str = "raw-fake",
+) -> DataFrame:
+    """Per-image feature vector (channel/patch means — the deterministic
+    stand-in for a real vision-encoder Pandas UDF)."""
+    _require_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf[content_col]:
+                img, w, h, c = _decode_fake(bytes(buf))
+                flat = img.astype(np.float64).ravel()
+                chunks = np.array_split(flat, dim)
+                feats.append([float(ch.mean()) if len(ch) else 0.0 for ch in chunks])
+            out = pdf.drop(columns=[content_col]).reset_index(drop=True)
+            out["features"] = feats
+            yield out
+
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in df.dtypes if name != content_col
+    ) + ", features array<double>"
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    content_col: str = "content",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Video frame sampling stub: treat the payload as a sequence of
+    fixed-size frames, keep every n-th (one output row per kept frame)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row[content_col])
+                n_frames = max(1, len(buf) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    d = dict(row)
+                    d["frame_index"] = fi
+                    d[content_col] = buf[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_index"])
+
+    out_schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + ", frame_index int"
+    return df.mapInPandas(run, out_schema)

@@ -238,6 +238,20 @@ class Stream:
         out = apply_pattern_batch(self, pattern)
         return Stream(out, ts_col=self.ts_col)
 
+    def trend_aggregate(
+        self,
+        event_type: str | None = None,
+        adjacent: Callable | None = None,
+        value_field: str | None = None,
+        within=None,
+    ) -> "Stream":
+        """GRETA trend aggregation (.trend_aggregate, ast.rs:321-323;
+        greta.rs) — aggregates over all Kleene trends without enumeration."""
+        from varpulis_spark.operators.greta import trend_aggregate as _ta
+
+        out = _ta(self, event_type, adjacent, value_field, within)
+        return Stream(out, ts_col=self.ts_col, keys=self.keys)
+
     # -- imperative escape hatch ---------------------------------------------
 
     def process(self, fn: Callable, schema) -> "Stream":
