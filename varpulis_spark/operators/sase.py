@@ -61,6 +61,13 @@ class Step:
     dicts for a Kleene alias — including the in-progress closure itself, so a
     Kleene predicate can reference `b[-1]` like the reference's iterative
     conditions).
+
+    `where_sql` is the same predicate as a SQL boolean over alias-qualified
+    columns (e.g. "b.value > a.value"). When EVERY predicated step carries
+    where_sql (and the pattern is Kleene-free, skip-till-any), the pattern
+    compiles to native Catalyst joins instead of the Python NFA — the
+    filter-pushdown-into-NFA idea (compiler.rs:146-156) taken to its Spark
+    conclusion. Both forms must express the same predicate.
     """
 
     event_type: str | None
@@ -68,14 +75,15 @@ class Step:
     where: Callable[[dict, dict], bool] | None = None
     kleene: str | None = None  # '+', '*', '?'
     negated: bool = False
+    where_sql: str | None = None
 
 
-def step(event_type, alias, where=None, kleene=None):
-    return Step(event_type, alias, where=where, kleene=kleene)
+def step(event_type, alias, where=None, kleene=None, where_sql=None):
+    return Step(event_type, alias, where=where, kleene=kleene, where_sql=where_sql)
 
 
-def not_step(event_type, alias="_not", where=None):
-    return Step(event_type, alias, where=where, negated=True)
+def not_step(event_type, alias="_not", where=None, where_sql=None):
+    return Step(event_type, alias, where=where, negated=True, where_sql=where_sql)
 
 
 @dataclass
@@ -91,6 +99,7 @@ class Pattern:
     # field "__count".
     emit: dict[str, tuple[str, str]] = dc_field(default_factory=dict)
     max_matches: int = MAX_MATCHES_PER_GROUP
+    force_nfa: bool = False  # disable join compilation (testing/debug)
 
     def within_ns(self) -> int | None:
         return duration_ns(self.within) if self.within is not None else None
@@ -102,6 +111,22 @@ class Pattern:
                 return None  # wildcard step → cannot prefilter
             types.add(s.event_type)
         return sorted(types)
+
+    def join_compilable(self) -> bool:
+        """True when the pattern lowers to pure Catalyst joins: Kleene-free,
+        skip-till-any (all-combinations ⇔ relational cross-match), typed
+        steps, and every predicate available as SQL. The match cap is an NFA
+        state bound (sase.rs:41-44) — joins have no state to bound, so the
+        cap is not applied on this path (documented divergence; the
+        reference cap exists to protect enumeration memory)."""
+        if self.force_nfa or self.strategy != SKIP_TILL_ANY:
+            return False
+        for s in self.steps:
+            if s.kleene or s.event_type is None:
+                return False
+            if s.where is not None and s.where_sql is None:
+                return False
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -287,8 +312,143 @@ def _out_schema(pattern: Pattern, input_df: DataFrame) -> str:
     return ", ".join(parts)
 
 
+def compile_pattern_to_joins(stream, pattern: Pattern) -> DataFrame:
+    """Lower a Kleene-free skip-till-any pattern to Catalyst equi-joins.
+
+    Sequencing uses the NFA's exact order: strictly increasing (ts,
+    order_col) lexicographic position. `within` bounds every step's ts to
+    first.ts + within (µs integer arithmetic). Negated steps become
+    LEFT ANTI joins guarding the open ts-interval between their neighbors
+    (trailing negations guard (last.ts, first.ts + within]) — identical
+    semantics to check_negation's strict bounds.
+
+    Everything stays JVM-side: per-step filters push into the scan, the
+    per-key equi-joins shuffle once per step on the partition keys, and
+    Catalyst/AQE pick broadcast vs shuffle-hash per side. This is the scale
+    path for sequence patterns — the Python NFA remains for Kleene closures
+    and non-SQL predicates.
+    """
+    from varpulis_spark.functions import duration_ns
+
+    df = stream.df
+    ts_col = stream.ts_col
+    order_col = stream.order_col
+    keys = pattern.partition_by or stream.keys
+    if not keys:
+        raise ValueError("join compilation requires partition keys")
+    within_us = pattern.within_ns() // 1000 if pattern.within is not None else None
+
+    def aliased(s: Step) -> DataFrame:
+        d = df.filter(F.col("event_type") == s.event_type)
+        for c in d.columns:
+            d = d.withColumnRenamed(c, f"{s.alias}__{c}")
+        return d
+
+    def pos(alias: str) -> tuple:
+        # lexicographic (ts, order) position for strict sequencing
+        t = F.unix_micros(F.col(f"{alias}__{ts_col}"))
+        o = F.col(f"{alias}__{order_col}") if order_col else F.lit(0)
+        return t, o
+
+    def strictly_after(a: str, b: str):
+        ta, oa = pos(a)
+        tb, ob = pos(b)
+        return (tb > ta) | ((tb == ta) & (ob > oa))
+
+    positives = [s for s in pattern.steps if not s.negated]
+    first_alias = positives[0].alias
+    joined = aliased(positives[0])
+    if positives[0].where_sql:
+        joined = joined.filter(_qualify_sql(positives[0].where_sql, [positives[0].alias], df.columns))
+    prev_alias = first_alias
+    seen = [first_alias]
+
+    pending_neg: list[Step] = []
+    neg_guards: list[tuple[Step, str, str | None]] = []  # (neg, lo_alias, hi_alias)
+    i = 0
+    steps = pattern.steps
+    # skip leading negations? (reference patterns start positive; leading
+    # negations would guard (-inf, first) — unsupported here, NFA handles it)
+    for s in steps:
+        if s.negated:
+            if not seen or s is steps[0]:
+                raise ValueError("leading negation not join-compilable")
+            pending_neg.append(s)
+            continue
+        if s.alias == first_alias:
+            continue
+        nxt = aliased(s)
+        cond = None
+        for k in keys:
+            c = F.col(f"{prev_alias}__{k}") == F.col(f"{s.alias}__{k}")
+            cond = c if cond is None else cond & c
+        cond = cond & strictly_after(prev_alias, s.alias)
+        if within_us is not None:
+            t1, _ = pos(first_alias)
+            ti, _ = pos(s.alias)
+            cond = cond & (ti <= t1 + F.lit(within_us))
+        if s.where_sql:
+            cond = cond & _qualify_sql(s.where_sql, seen + [s.alias], df.columns)
+        joined = joined.join(nxt, cond, "inner")
+        for neg in pending_neg:
+            neg_guards.append((neg, prev_alias, s.alias))
+        pending_neg = []
+        prev_alias = s.alias
+        seen.append(s.alias)
+    for neg in pending_neg:  # trailing negations
+        if within_us is None:
+            raise ValueError("trailing negation needs `within` (join path)")
+        neg_guards.append((neg, prev_alias, None))
+
+    # negation guards: LEFT ANTI against the negated type in the interval
+    for neg, lo_alias, hi_alias in neg_guards:
+        nd = df.filter(F.col("event_type") == neg.event_type)
+        for c in nd.columns:
+            nd = nd.withColumnRenamed(c, f"{neg.alias}__{c}")
+        cond = None
+        for k in keys:
+            c = F.col(f"{lo_alias}__{k}") == F.col(f"{neg.alias}__{k}")
+            cond = c if cond is None else cond & c
+        tn = F.unix_micros(F.col(f"{neg.alias}__{ts_col}"))
+        t_lo, _ = pos(lo_alias)
+        cond = cond & (tn > t_lo)
+        if hi_alias is not None:
+            t_hi, _ = pos(hi_alias)
+            cond = cond & (tn < t_hi)
+        else:
+            # NFA trailing guard is (last.ts, first.ts+within) EXCLUSIVE of
+            # the deadline itself (check_negation breaks at ts >= hi)
+            t1, _ = pos(first_alias)
+            cond = cond & (tn < t1 + F.lit(within_us))
+        if neg.where_sql:
+            cond = cond & _qualify_sql(neg.where_sql, seen + [neg.alias], df.columns)
+        joined = joined.join(nd, cond, "left_anti")
+
+    proj = []
+    for out_col, (alias, fld) in pattern.emit.items():
+        proj.append(F.col(f"{alias}__{fld}").alias(out_col))
+    return joined.select(*proj)
+
+
+def _qualify_sql(sql: str, aliases: list[str], cols: list[str]):
+    """Rewrite `alias.column` references to the flattened `alias__column`
+    names (longest-alias-first to avoid prefix collisions)."""
+    import re
+
+    out = sql
+    for a in sorted(aliases, key=len, reverse=True):
+        out = re.sub(rf"\b{re.escape(a)}\.(\w+)", rf"{a}__\1", out)
+    return F.expr(out)
+
+
 def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
-    """Run `pattern` over a batch Stream; returns the match DataFrame."""
+    """Run `pattern` over a batch Stream; returns the match DataFrame.
+
+    Dispatch: Kleene-free skip-till-any patterns with SQL-expressible
+    predicates lower to Catalyst joins (compile_pattern_to_joins); anything
+    stateful runs the Python NFA under applyInPandas."""
+    if pattern.join_compilable() and (pattern.partition_by or stream.keys):
+        return compile_pattern_to_joins(stream, pattern)
     df = stream.df
     ts_col = stream.ts_col
     order_col = stream.order_col
