@@ -1,0 +1,81 @@
+"""Physical-plan audits: the properties that matter at 100 TB must hold in
+the optimized plan, not just in intent — pushed filters, pruned scans,
+broadcast dimension joins, partial aggregation, no Python in join-compiled
+patterns (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from varpulis_spark import Stream
+from varpulis_spark.operators import aggregates as A
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = E.queries()["high_value_filter"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "GreaterThan(value,150" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    df = Stream.events(spark, sf_dir).select("user_id", "value").df
+    plan = plan_of(df)
+    assert "props" not in plan  # untouched wide column never read
+
+
+def test_enrich_broadcasts_dimension(spark, sf_dir):
+    df = E.queries()["enrich_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    df = E.queries()["pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    # map-side partial + final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_windowed_join_is_equi_join(spark, sf_dir):
+    df = E.queries()["windowed_join_10m"](spark, sf_dir)
+    plan = plan_of(df)
+    # the time band must ride an equi-join, never a cartesian product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_type_prefilter_pushed_for_patterns(spark, sf_dir):
+    from varpulis_spark.operators.sase import Pattern, step
+
+    p = Pattern(
+        steps=[step("A", "a"), step("B", "bs", kleene="+")],
+        emit={"a_id": ("a", "event_id")},
+    )  # Kleene → NFA path, but the isin prefilter still pushes to the scan
+    df = Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df
+    plan = plan_of(df)
+    assert "In(event_type" in plan
+
+
+def test_late_split(spark):
+    """Arrival order (event_id) 0..5 with ts (seconds): 0, 600, 610, 5,
+    580, 620. Watermark trails max-prior-ts by 60s: event 3 (ts=5 vs
+    wm=610-60) is late; event 4 (ts=580 vs wm=550) is on time."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    secs = [0, 600, 610, 5, 580, 620]
+    df = spark.createDataFrame(
+        [(i, t0 + timedelta(seconds=s)) for i, s in enumerate(secs)],
+        "event_id long, ts timestamp",
+    )
+    s = Stream(df, ts_col="ts", order_col="event_id")
+    on_time, late = s.late_split("60s")
+    assert sorted(r.event_id for r in late.collect()) == [3]
+    assert sorted(r.event_id for r in on_time.collect()) == [0, 1, 2, 4, 5]
+    # allowed_lateness widens the acceptance band
+    on_time2, late2 = s.late_split("60s", allowed_lateness="10m")
+    assert late2.count() == 0

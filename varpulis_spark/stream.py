@@ -165,6 +165,36 @@ class Stream:
         (ast.rs:256; per-key window instances engine/types.rs:318-380)."""
         return self._with(self.df, keys=list(keys))
 
+    def late_split(self, out_of_order, allowed_lateness="0s") -> "tuple[Stream, Stream]":
+        """`.allowed_lateness(30s)` + side output (ast.rs:319-320; drop/route
+        logic engine/mod.rs:2330-2376): split into (on_time, late) by the
+        replayed watermark. The watermark at each event is the max event
+        time of all PRIOR arrivals (arrival = order_col order) minus
+        `out_of_order`; an event is late when its ts < watermark −
+        allowed_lateness. Batch analog of the reference's per-event check;
+        in streaming Spark drops such rows silently — this operator makes
+        the side output explicit.
+        """
+        from pyspark.sql.window import Window as W
+
+        from varpulis_spark.functions import duration_ns
+
+        if not self.order_col:
+            raise ValueError("late_split needs an arrival-order column")
+        ooo_us = duration_ns(out_of_order) // 1000
+        late_us = duration_ns(allowed_lateness) // 1000
+        spec = W.orderBy(F.col(self.order_col)).rowsBetween(W.unboundedPreceding, -1)
+        wm = F.max(F.unix_micros(F.col(self.ts_col))).over(spec) - F.lit(ooo_us)
+        df = self.df.withColumn(
+            "__late",
+            F.when(wm.isNull(), F.lit(False)).otherwise(
+                F.unix_micros(F.col(self.ts_col)) < wm - F.lit(late_us)
+            ),
+        )
+        on_time = self._with(df.filter(~F.col("__late")).drop("__late"))
+        late = self._with(df.filter(F.col("__late")).drop("__late"))
+        return on_time, late
+
     def watermark(self, out_of_order) -> "Stream":
         """withWatermark passthrough (reference .watermark(out_of_order:),
         runtime/src/watermark.rs:13-140; Spark's min-across-sources global
