@@ -117,3 +117,42 @@ def test_kleene_falls_back_to_nfa():
         emit={"a_id": ("a", "event_id")},
     )
     assert not p.join_compilable()
+
+
+def test_and_any_order(spark, sf_dir):
+    """AND(signup, error): both orders within the window (AndState
+    sase.rs:738-772) — oracle is the two-sided time-band join."""
+    import duckdb
+
+    from varpulis_spark.operators.sase import Pattern, step
+
+    p = Pattern(
+        steps=[step("signup", "a"), step("error", "b")],
+        within="2h",
+        emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
+        any_order=True,
+    )
+    out = Stream.events(spark, sf_dir).partition_by("user_id").pattern(p)
+    got = sorted((r.a_id, r.b_id) for r in out.df.collect())
+    exp = duckdb.connect().execute(
+        f"""SELECT a.event_id, b.event_id
+            FROM '{sf_dir}/events.parquet' a JOIN '{sf_dir}/events.parquet' b
+              ON a.user_id = b.user_id
+             AND a.event_type='signup' AND b.event_type='error'
+             AND a.event_id <> b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 7200000000
+            ORDER BY 1, 2"""
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in exp) and len(got) > 0
+
+
+def test_pattern_or_union(spark, sf_dir):
+    from varpulis_spark.operators.sase import Pattern, pattern_or, step
+
+    p1 = Pattern(steps=[step("signup", "a"), step("purchase", "b")], within="24h",
+                 emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")})
+    p2 = Pattern(steps=[step("signup", "a"), step("error", "b")], within="24h",
+                 emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")})
+    s = Stream.events(spark, sf_dir).partition_by("user_id")
+    both = pattern_or(s, p1, p2).count()
+    assert both == s.pattern(p1).df.count() + s.pattern(p2).df.count()

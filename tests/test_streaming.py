@@ -127,3 +127,38 @@ def test_timer_source_constructs(spark):
     s = S.timer_source(spark, "5s")
     assert s.df.isStreaming
     assert set(s.df.columns) == {"ts", "tick", "event_type"}
+
+
+def test_streaming_enrich_stream_static(spark, sf_dir, replay_dir):
+    """.enrich in streaming = stream-static broadcast join; the dimension
+    is re-read per micro-batch (the reference's TTL-cache refresh,
+    EnrichConfig engine/types.rs:248-263)."""
+    from varpulis_spark.engine import load_table
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [(u, f"segment_{u % 3}") for u in range(20)], "u long, segment string"
+    )
+    out = src.enrich(dim, key="user_id", dim_key="u", fields=["segment"])
+    S.run_to_memory(out, "enrich_stream")
+    got = spark.sql("SELECT * FROM enrich_stream").collect()
+    assert len(got) == Stream.events(spark, sf_dir).count()
+    assert all(r.segment == f"segment_{r.user_id % 3}" for r in got)
+
+
+def test_streaming_merge(spark, sf_dir, replay_dir):
+    from varpulis_spark.stream import merge
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    a = S.file_source(spark, replay_dir, schema).of_type("purchase")
+    b = S.file_source(spark, replay_dir, schema).of_type("error")
+    out = merge(a, b)
+    S.run_to_memory(out, "merge_stream")
+    got = spark.sql("SELECT count(*) c FROM merge_stream").collect()[0].c
+    exp = (
+        Stream.events(spark, sf_dir)
+        .where(F.col("event_type").isin("purchase", "error"))
+        .count()
+    )
+    assert got == exp

@@ -100,6 +100,11 @@ class Pattern:
     emit: dict[str, tuple[str, str]] = dc_field(default_factory=dict)
     max_matches: int = MAX_MATCHES_PER_GROUP
     force_nfa: bool = False  # disable join compilation (testing/debug)
+    # AND(A,B): conjunction in ANY order (AndState sase.rs:738-772) — the
+    # pattern matches every ts-order permutation of its positive steps.
+    # Lowered as the union of the per-permutation sequences (each event set
+    # matches under exactly one ordering, so the union is duplicate-free).
+    any_order: bool = False
 
     def within_ns(self) -> int | None:
         return duration_ns(self.within) if self.within is not None else None
@@ -441,12 +446,33 @@ def _qualify_sql(sql: str, aliases: list[str], cols: list[str]):
     return F.expr(out)
 
 
+def pattern_or(stream, *patterns: Pattern) -> DataFrame:
+    """OR(p1, p2, ...) — disjunction (ast.rs:133-135): union of the branch
+    matches. Emit schemas must align by column name."""
+    from functools import reduce
+
+    outs = [apply_pattern_batch(stream, p) for p in patterns]
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
     """Run `pattern` over a batch Stream; returns the match DataFrame.
 
     Dispatch: Kleene-free skip-till-any patterns with SQL-expressible
     predicates lower to Catalyst joins (compile_pattern_to_joins); anything
     stateful runs the Python NFA under applyInPandas."""
+    if pattern.any_order:
+        from dataclasses import replace
+        from functools import reduce
+        from itertools import permutations
+
+        if any(s.negated for s in pattern.steps):
+            raise ValueError("any_order with negation is not supported")
+        outs = [
+            apply_pattern_batch(stream, replace(pattern, steps=list(perm), any_order=False))
+            for perm in permutations(pattern.steps)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), outs)
     if pattern.join_compilable() and (pattern.partition_by or stream.keys):
         return compile_pattern_to_joins(stream, pattern)
     df = stream.df
