@@ -1,0 +1,106 @@
+"""VPL front-end: the reference's OWN .vpl programs run unmodified against
+their .evt fixtures and produce the reference-asserted alerts
+(cxo_scenario_tests.rs expectations)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark import Stream
+from varpulis_spark.sources import load_evt
+from varpulis_spark.vpl import parse_program, run_program
+
+FRAUD_VPL = "/root/reference/tests/scenarios/cxo_fraud_detection.vpl"
+FRAUD_EVT = "/root/reference/tests/scenarios/cxo_fraud_detection.evt"
+
+
+@pytest.fixture(scope="module")
+def fraud_results(spark):
+    with open(FRAUD_VPL) as f:
+        src = f.read()
+    events = Stream(load_evt(spark, FRAUD_EVT), ts_col="ts", order_col="event_id")
+    return run_program(src, events)
+
+
+def test_parse_shape():
+    with open(FRAUD_VPL) as f:
+        decls = parse_program(f.read())
+    names = [d.name for d in decls]
+    assert names == ["AccountTakeover", "CardTesting", "ImpossibleTravel"]
+    takeover = decls[0]
+    assert [s.event_type for s in takeover.steps] == [
+        "Login", "PasswordChange", "Purchase"
+    ]
+    assert any(op.name == "not" for op in takeover.ops)
+    card = decls[1]
+    assert card.steps[1].kleene  # `all SmallPurchase`
+
+
+def test_account_takeover_via_vpl(fraud_results):
+    rows = fraud_results["AccountTakeover"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == "attacker1"
+    assert r.alert_type == "account_takeover"
+    assert r.purchase_amount == pytest.approx(4999.0)
+
+
+def test_card_testing_via_vpl(fraud_results):
+    rows = fraud_results["CardTesting"].collect()
+    assert len(rows) >= 1  # reference asserts ≥1; exhaustive Kleene → 4
+    assert len(rows) == 4
+    assert all(r.card_id == "stolen_card_42" for r in rows)
+
+
+def test_impossible_travel_via_vpl(fraud_results):
+    rows = fraud_results["ImpossibleTravel"].collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == "traveler1"
+    assert (rows[0].location1, rows[0].location2) == ("US", "NG")
+
+
+def test_auto_partitioning_enables_join_path(spark):
+    """The user_id==login.user_id correlation should auto-partition and
+    (for the Kleene-free pattern) take the Catalyst join path."""
+    src = """
+stream T = Login as a
+    -> Purchase where user_id == a.user_id as b
+    .within(1h)
+    .emit(alert_type: "t", user_id: a.user_id)
+"""
+    events = Stream(load_evt(spark, FRAUD_EVT), ts_col="ts", order_col="event_id")
+    out = run_program(src, events)["T"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert out.count() >= 1
+
+
+def test_relational_decl(spark, sf_dir):
+    src = """
+stream HighValue = events
+    .where(value > 150)
+    .emit(event_id: event_id, user_id: user_id, v: value)
+"""
+    # our events table carries event_type values, use a typed source analog:
+    src = src.replace("= events", "= purchase")
+    events = Stream.events(spark, sf_dir)
+    out = run_program(src, events)["HighValue"]
+    exp = (
+        Stream.events(spark, sf_dir, "purchase").where(F.col("value") > 150).count()
+    )
+    assert out.count() == exp
+
+
+def test_cyber_threat_via_vpl(spark):
+    """The cyber kill-chain .vpl (Kleene + cross-field correlation) runs
+    unmodified: ≥1 brute_force_lateral, ≥1 dns_exfiltration, exactly 1
+    privilege_escalation (cxo_scenario_tests.rs)."""
+    with open("/root/reference/tests/scenarios/cxo_cyber_threat.vpl") as f:
+        src = f.read()
+    events = Stream(
+        load_evt(spark, "/root/reference/tests/scenarios/cxo_cyber_threat.evt"),
+        ts_col="ts", order_col="event_id",
+    )
+    res = run_program(src, events)
+    assert res["BruteForceLateral"].count() == 4   # ≥1 asserted by reference
+    assert res["DnsExfiltration"].count() == 4      # ≥1 asserted by reference
+    assert res["PrivilegeEscalation"].count() == 1
