@@ -281,6 +281,11 @@ def q_knn_cosine(spark, sf):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_embedding_near_dup(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_pairs(emb, threshold=0.4)
+
+
 def q_minhash_near_dup(spark, sf):
     docs = load_table(spark, sf, "documents")
     return D.minhash_near_dup_pairs(docs, threshold=0.4).select(
@@ -318,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "exact_dedup_docs": q_exact_dedup_docs,
         "knn_cosine": q_knn_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
     }
@@ -503,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),

@@ -82,6 +82,46 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    corpus_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold — exact, via a broadcast normalized matrix and one
+    partition-local GEMM per corpus split (no pairwise shuffle).
+
+    Scale envelope: the broadcast matrix is dim×4 bytes/row (64-dim float64
+    ≈ 0.5 KB/row → ~2 GB at 4M rows). Beyond that, switch to LSH-bucketed
+    candidates (`lsh_topk` machinery) or block the corpus into chunked
+    cross-products; exactness is the point of THIS operator.
+    """
+    rows = corpus_df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+            scores = bm @ m.T  # batch × corpus
+            bi, cj = np.nonzero(scores >= threshold)
+            ia, ib = bids[bi], ids[cj]
+            keep = ia < ib  # each unordered pair once
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    from varpulis_spark.operators.dedup import spread
+
+    return spread(corpus_df.select(id_col, vec_col)).mapInPandas(
+        block, "id_a long, id_b long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------
