@@ -104,3 +104,46 @@ def test_cyber_threat_via_vpl(spark):
     assert res["BruteForceLateral"].count() == 4   # ≥1 asserted by reference
     assert res["DnsExfiltration"].count() == 4      # ≥1 asserted by reference
     assert res["PrivilegeEscalation"].count() == 1
+
+
+SCEN = "/root/reference/tests/scenarios"
+
+
+def _run_scenario(spark, name):
+    with open(f"{SCEN}/{name}.vpl") as f:
+        src = f.read()
+    events = Stream(
+        load_evt(spark, f"{SCEN}/{name}.evt"), ts_col="ts", order_col="event_id"
+    )
+    return run_program(src, events)
+
+
+def test_insider_trading_via_vpl(spark):
+    res = _run_scenario(spark, "cxo_insider_trading")
+    assert res["TradeBeforeNews"].count() == 1           # ref asserts == 1
+    assert res["AbnormalPositionBuilding"].count() >= 1  # ref asserts >= 1
+
+
+def test_patient_safety_via_vpl(spark):
+    res = _run_scenario(spark, "cxo_patient_safety")
+    di = res["DrugInteraction"].collect()
+    assert len(di) == 1 and di[0].patient_id == "P-101"
+    vd = res["VitalDeterioration"].collect()
+    assert len(vd) == 1 and vd[0].patient_id == "P-202"
+    da = res["DosageAnomaly"].collect()
+    assert len(da) == 1 and da[0].patient_id == "P-303"
+    # healthy patient P-404 triggers nothing (cxo_patient_healthy_no_alert)
+    for df in res.values():
+        if "patient_id" in df.columns:
+            assert df.filter(F.col("patient_id") == "P-404").count() == 0
+
+
+def test_predictive_maintenance_via_vpl(spark):
+    res = _run_scenario(spark, "cxo_predictive_maintenance")
+    bd = res["BearingDegradation"].collect()
+    assert len(bd) == 1
+    assert res["OverheatingCascade"].count() == 1
+    # healthy machine CNC-02 silent (cxo_maintenance_healthy_no_alert)
+    for df in res.values():
+        if "machine_id" in df.columns:
+            assert df.filter(F.col("machine_id") == "CNC-02").count() == 0
