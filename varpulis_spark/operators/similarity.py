@@ -104,16 +104,21 @@ def cosine_pairs(
     order = np.argsort(ids)
     ids, m = ids[order], m[order]
 
+    # keep the per-chunk score matrix bounded (chunk × corpus doubles):
+    # 256 rows × 1M corpus ≈ 2 GB — scale chunk down as the corpus grows.
+    chunk = max(16, min(1024, (1 << 28) // max(1, len(ids))))
+
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bids = pdf[id_col].to_numpy(dtype=np.int64)
             bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-            scores = bm @ m.T  # batch × corpus
-            bi, cj = np.nonzero(scores >= threshold)
-            ia, ib = bids[bi], ids[cj]
-            keep = ia < ib  # each unordered pair once
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+            for s in range(0, len(bids), chunk):
+                scores = bm[s : s + chunk] @ m.T  # chunk × corpus
+                bi, cj = np.nonzero(scores >= threshold)
+                ia, ib = bids[s + bi], ids[cj]
+                keep = ia < ib  # each unordered pair once
+                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
 
     from varpulis_spark.operators.dedup import spread
 
