@@ -162,3 +162,40 @@ def test_streaming_merge(spark, sf_dir, replay_dir):
         .count()
     )
     assert got == exp
+
+
+def test_streaming_count_window(spark, sf_dir, replay_dir):
+    """Stateful count windows across micro-batch boundaries must equal the
+    batch count-window result (complete windows only)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.count_window_streaming(
+        src.partition_by("user_id"), 20,
+        {"n": ("count", None), "total": ("sum", "value")},
+    )
+    S.run_to_memory(out, "cw_stream")
+    got = sorted(
+        (r.user_id, r.window_id, r.n, round(r.total, 6))
+        for r in spark.sql("SELECT * FROM cw_stream").collect()
+    )
+    exp = sorted(
+        (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window(20)
+            .aggregate(n=A.count(), total=A.sum("value"))
+            .df.select("user_id", "window_id", "n", "total")
+            .collect()
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_limit(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.limit_streaming(src.partition_by("user_id"), 5)
+    S.run_to_memory(out, "lim_stream")
+    got = spark.sql("SELECT user_id, count(*) c FROM lim_stream GROUP BY 1").collect()
+    assert all(r.c == 5 for r in got) and len(got) > 0

@@ -193,6 +193,116 @@ def multi_sink(stream: Stream, *fns: Callable[[DataFrame, int], None], checkpoin
 
 
 # ---------------------------------------------------------------------------
+# stateful count windows / limit (no Spark built-in; CountWindow
+# window.rs:274-359, LimitState engine/types.rs:298-301)
+# ---------------------------------------------------------------------------
+
+_COUNT_AGG_FNS = {
+    "count": lambda s: len(s),
+    "sum": lambda s: float(s.sum()),
+    "avg": lambda s: float(s.mean()),
+    "min": lambda s: float(s.min()),
+    "max": lambda s: float(s.max()),
+    "first": lambda s: s.iloc[0],
+    "last": lambda s: s.iloc[-1],
+}
+
+
+def count_window_streaming(
+    stream: Stream, size: int, aggs: dict[str, tuple[str, str | None]]
+) -> Stream:
+    """Streaming count window: emit one aggregate row per `size` events per
+    key, in arrival order (CountWindow semantics — the trailing partial
+    buffer never fires). `aggs`: alias → (fn, field) with fn in
+    count/sum/avg/min/max/first/last.
+
+    State per key = (window counter, leftover rows) — bounded by `size`.
+    """
+    import pickle
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    df = stream.df
+    keys = stream.keys
+    if not keys:
+        raise ValueError("streaming count windows require partition_by")
+    sort_cols = [stream.ts_col] + ([stream.order_col] if stream.order_col else [])
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    out_fields = []
+    for alias, (fn, _field) in aggs.items():
+        out_fields.append(f"{alias} double" if fn != "count" else f"{alias} long")
+    out_schema = f"{key_fields}, window_id long, " + ", ".join(out_fields)
+    state_schema = "win long, buf binary"
+
+    def run(key, pdfs, state):
+        win, leftover = 0, None
+        if state.exists:
+            win, buf = state.get
+            leftover = pickle.loads(buf)
+        batches = [] if leftover is None or leftover.empty else [leftover]
+        for pdf in pdfs:
+            batches.append(pdf.sort_values(sort_cols, kind="mergesort"))
+        all_rows = pd.concat(batches) if batches else pd.DataFrame()
+        rows = []
+        while len(all_rows) >= size:
+            chunk, all_rows = all_rows.iloc[:size], all_rows.iloc[size:]
+            row = list(key) + [win]
+            for alias, (fn, field) in aggs.items():
+                series = chunk[field] if field else chunk.iloc[:, 0]
+                row.append(_COUNT_AGG_FNS[fn](series))
+            rows.append(row)
+            win += 1
+        state.update((win, pickle.dumps(all_rows)))
+        cols = list(keys) + ["window_id"] + list(aggs.keys())
+        yield pd.DataFrame(rows, columns=cols)
+
+    out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return Stream(out, ts_col=stream.ts_col, keys=keys)
+
+
+def limit_streaming(stream: Stream, n: int) -> Stream:
+    """Streaming `.limit(n)`: pass the first n events per key (all keys
+    share the limit only when partitioned by a constant) — LimitState."""
+    import pickle
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    df = stream.df
+    keys = stream.keys or []
+    gdf = df if keys else df.withColumn("__g", F.lit(0))
+    gkeys = keys or ["__g"]
+    sort_cols = [stream.ts_col] + ([stream.order_col] if stream.order_col else [])
+    out_cols = [k for k, _t in gdf.dtypes if k != "__g"]
+    out_schema = ", ".join(f"{k} {t}" for k, t in gdf.dtypes if k != "__g")
+    state_schema = "seen long"
+
+    def run(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            if "__g" in pdf.columns:
+                pdf = pdf.drop(columns="__g")
+            take = max(0, n - seen)
+            if take:
+                out.append(pdf.iloc[:take])
+                seen += min(take, len(pdf))
+        state.update((seen,))
+        yield pd.concat(out) if out else pd.DataFrame(columns=out_cols)
+
+    out = gdf.groupBy(*[F.col(k) for k in gkeys]).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return Stream(out, ts_col=stream.ts_col, keys=keys)
+
+
+# ---------------------------------------------------------------------------
 # streaming SASE (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
