@@ -147,3 +147,51 @@ def test_predictive_maintenance_via_vpl(spark):
     for df in res.values():
         if "machine_id" in df.columns:
             assert df.filter(F.col("machine_id") == "CNC-02").count() == 0
+
+
+def test_vpl_window_aggregate_ema_crossover(spark, sf_dir):
+    """The reference's headline EMA-crossover shape via VPL: windowed
+    aggregate with arithmetic over EMAs (README.md:108; ExprAggregate)."""
+    import duckdb
+
+    src = """
+stream Macd = purchase
+    .partition_by(user_id)
+    .aggregate(e12: ema(value, 12), macd: ema(value, 12) - ema(value, 26))
+"""
+    events = Stream.events(spark, sf_dir)
+    out = run_program(src, events)["Macd"]
+    got = sorted(
+        (r.user_id, round(r.e12, 6), round(r.macd, 6)) for r in out.collect()
+    )
+    exp = duckdb.connect().execute(
+        f"""WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) vs
+             FROM '{sf_dir}/events.parquet' WHERE event_type='purchase' GROUP BY 1)
+            SELECT user_id,
+              round(list_reduce(vs, (acc, x) -> x*(2.0/13.0) + acc*(1-2.0/13.0)), 6),
+              round(list_reduce(vs, (acc, x) -> x*(2.0/13.0) + acc*(1-2.0/13.0))
+                  - list_reduce(vs, (acc, x) -> x*(2.0/27.0) + acc*(1-2.0/27.0)), 6)
+            FROM v ORDER BY 1"""
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
+def test_vpl_tumbling_window(spark, sf_dir):
+    src = """
+stream ZoneStats = view
+    .partition_by(user_id)
+    .window(1h)
+    .aggregate(n: count(), mx: max(value))
+    .having(n > 1)
+"""
+    events = Stream.events(spark, sf_dir)
+    out = run_program(src, events)["ZoneStats"]
+    import duckdb
+
+    exp = duckdb.connect().execute(
+        f"""SELECT count(*) FROM (
+              SELECT user_id, time_bucket(INTERVAL '1 hour', ts), count(*) n
+              FROM '{sf_dir}/events.parquet' WHERE event_type='view'
+              GROUP BY 1,2 HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    assert out.count() == exp

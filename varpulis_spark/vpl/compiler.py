@@ -47,6 +47,12 @@ _AGG_FNS = {
     "ema": A.ema,
 }
 
+_SCALAR_FNS = {
+    "abs": F.abs, "sqrt": F.sqrt, "floor": F.floor, "ceil": F.ceil,
+    "round": F.round, "lower": F.lower, "upper": F.upper, "trim": F.trim,
+    "len": F.length, "exp": F.exp, "log": F.log, "log10": F.log10,
+}
+
 _PY_OPS = {
     "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
     "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
@@ -82,6 +88,8 @@ def to_column(e) -> Column:
             "==": left == right, "!=": left != right, "<": left < right,
             "<=": left <= right, ">": left > right, ">=": left >= right,
         }[e.op]
+    if isinstance(e, Call) and e.name in _SCALAR_FNS:
+        return _SCALAR_FNS[e.name](*[to_column(a) for a in e.args])
     raise ValueError(f"cannot lower to Column: {e}")
 
 
@@ -258,6 +266,27 @@ def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
     return Stream(df, ts_col=stream.ts_col)
 
 
+def _agg_expr(v):
+    """Aggregate expression: fn(field) calls plus arithmetic over them —
+    `ema(price, 12) - ema(price, 26)` (ExprAggregate aggregation.rs:494)."""
+    if isinstance(v, Call):
+        fn = _AGG_FNS[v.name]
+        fargs = []
+        for a in v.args:
+            if isinstance(a, Ref):
+                fargs.append(".".join(a.parts))
+            elif isinstance(a, Lit):
+                fargs.append(a.value)
+            else:
+                raise ValueError(f"aggregate arg not supported: {a}")
+        return fn(*fargs)
+    if isinstance(v, Lit):
+        return v.value
+    if isinstance(v, Bin) and v.op in ("+", "-", "*", "/"):
+        return _PY_OPS[v.op](_agg_expr(v.left), _agg_expr(v.right))
+    raise ValueError(f"aggregate expression not supported: {v}")
+
+
 # -- relational compilation -----------------------------------------------------
 
 
@@ -295,19 +324,7 @@ def compile_relational_decl(decl: StreamDecl, stream: Stream) -> Stream:
             session = session.text if isinstance(session, Dur) else None
             windowed = out.window(size, sliding=sliding, session=session)
         elif op.name == "aggregate":
-            aggs = {}
-            for k, v in op.kwargs.items():
-                if isinstance(v, Call):
-                    fn = _AGG_FNS[v.name]
-                    fargs = []
-                    for a in v.args:
-                        if isinstance(a, Ref):
-                            fargs.append(".".join(a.parts))
-                        elif isinstance(a, Lit):
-                            fargs.append(a.value)
-                    aggs[k] = fn(*fargs)
-                else:
-                    raise ValueError(f"aggregate value not a call: {v}")
+            aggs = {k: _agg_expr(v) for k, v in op.kwargs.items()}
             out = (windowed or out).aggregate(**aggs)
             windowed = None
         elif op.name == "having":
