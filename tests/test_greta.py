@@ -85,3 +85,33 @@ def test_per_key_and_type_filter(spark, sf_dir):
     assert set(got) == set(exp)
     for u, n in exp.items():
         assert got[u] == pytest.approx(2**n - 1, rel=1e-12)
+
+
+def test_multi_query_matches_single(spark, sf_dir):
+    """Hamlet-lite: N queries in one pass must equal N single-query runs."""
+    from varpulis_spark.operators.greta import trend_aggregate_multi
+
+    s = Stream.events(spark, sf_dir).partition_by("user_id")
+    rising = lambda a, b: b["value"] > a["value"]  # noqa: E731
+    multi = trend_aggregate_multi(
+        s,
+        {
+            "purchases": {"event_type": "purchase"},
+            "rising_views": {"event_type": "view", "adjacent": rising,
+                             "value_field": "value"},
+            "errors_1d": {"event_type": "error", "within": "24h"},
+        },
+    ).collect()
+    got = {(r.user_id, r.query): (r.trend_count, r.event_count, r.value_sum)
+           for r in multi}
+    singles = {
+        "purchases": trend_aggregate(s, event_type="purchase"),
+        "rising_views": trend_aggregate(s, event_type="view", adjacent=rising,
+                                        value_field="value"),
+        "errors_1d": trend_aggregate(s, event_type="error", within="24h"),
+    }
+    for name, df in singles.items():
+        for r in df.collect():
+            tc, ec = r.trend_count, r.event_count
+            vs = getattr(r, "value_sum", 0.0)
+            assert got[(r.user_id, name)] == (tc, ec, vs), (name, r.user_id)

@@ -40,6 +40,94 @@ from pyspark.sql import functions as F
 from varpulis_spark.functions import duration_ns
 
 
+def trend_aggregate_multi(
+    stream,
+    queries: dict[str, dict],
+) -> DataFrame:
+    """Hamlet-style MULTI-QUERY trend aggregation (runtime/src/hamlet/,
+    SIGMOD'21): N concurrent trend queries answered in ONE pass per key.
+
+    What is shared (the Hamlet idea, adapted to Spark): the scan, the
+    event-type prefilter (union of all queries' types), the shuffle, the
+    per-key sort, and the Arrow materialization — the dominant costs at
+    scale. Each query then runs its GRETA DP over its own type/predicate
+    view of the sorted batch. (The reference additionally shares graphlet
+    counts BETWEEN queries with overlapping patterns; that sub-quadratic
+    sharing is future work — this gives the N-queries-for-one-scan
+    economics that the Hamlet benchmark measures.)
+
+    `queries`: name → {event_type?, adjacent?, value_field?, within?}.
+    Output: one row per (key, query) with the same aggregates as
+    `trend_aggregate`.
+    """
+    df = stream.df
+    ts_col = stream.ts_col
+    order_col = stream.order_col
+    keys = stream.keys
+    types = {q.get("event_type") for q in queries.values()}
+    if None not in types:
+        df = df.filter(F.col("event_type").isin(sorted(t for t in types if t)))
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    specs = {
+        name: (
+            q.get("event_type"),
+            q.get("adjacent"),
+            q.get("value_field"),
+            duration_ns(q["within"]) if q.get("within") is not None else None,
+        )
+        for name, q in queries.items()
+    }
+
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    schema = (key_fields + ", " if keys else "") + (
+        "query string, trend_count double, event_count double, value_sum double"
+    )
+
+    def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")  # shared sort
+        rows = []
+        for name, (etype, adjacent, value_field, within_ns) in specs.items():
+            sub = pdf[pdf["event_type"] == etype] if etype else pdf
+            ts = sub[ts_col].astype("int64").to_numpy()
+            events = sub.to_dict("records") if adjacent is not None else None
+            vals = (
+                sub[value_field].to_numpy(dtype=np.float64)
+                if value_field
+                else None
+            )
+            n = len(sub)
+            cnt = np.zeros(n)
+            len_sum = np.zeros(n)
+            val_sum = np.zeros(n)
+            for i in range(n):
+                c, ls, vs = 1.0, 0.0, 0.0
+                for j in range(i):
+                    if within_ns is not None and ts[i] - ts[j] > within_ns:
+                        continue
+                    if adjacent is not None and not adjacent(events[j], events[i]):
+                        continue
+                    c += cnt[j]
+                    ls += len_sum[j]
+                    vs += val_sum[j]
+                cnt[i] = c
+                len_sum[i] = ls + c
+                val_sum[i] = vs + (vals[i] * c if vals is not None else 0.0)
+            rows.append(
+                list(key_tuple)
+                + [name, float(cnt.sum()), float(len_sum.sum()), float(val_sum.sum())]
+            )
+        cols = list(keys) + ["query", "trend_count", "event_count", "value_sum"]
+        return pd.DataFrame(rows, columns=cols)
+
+    if keys:
+        return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+    return (
+        df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda k, pdf: run((), pdf.drop(columns="__g")), schema)
+    )
+
+
 def trend_aggregate(
     stream,
     event_type: str | None = None,
