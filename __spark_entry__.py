@@ -123,6 +123,16 @@ def q_count_window_100(spark, sf):
     return out.df.select("user_id", F.col("window_id").cast("long").alias("win"), "n", "total")
 
 
+def q_sliding_count_window(spark, sf):
+    out = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+        .window(50, sliding=25)
+        .aggregate(n=A.count(), total=_dsum("value"))
+    )
+    return out.df.select("user_id", F.col("window_id").cast("long").alias("win"), "n", "total")
+
+
 def q_distinct_earliest(spark, sf):
     return (
         Stream.events(spark, sf)
@@ -306,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_2h1h": q_sliding_2h1h,
         "session_30m": q_session_30m,
         "count_window_100": q_count_window_100,
+        "sliding_count_window": q_sliding_count_window,
         "distinct_earliest": q_distinct_earliest,
         "merge_union": q_merge_union,
         "windowed_join_10m": q_windowed_join_10m,
@@ -406,6 +417,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (rn - 1) // 100 AS win, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM t GROUP BY 1, 2 HAVING count(*) = 100
+        """,
+        "sliding_count_window": """
+            WITH t AS (SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+              FROM events),
+            x AS (SELECT user_id, value, rn, unnest(generate_series(
+                greatest(CAST(ceil((rn - 50) / 25.0) AS BIGINT), 0),
+                (rn - 1) // 25)) win FROM t)
+            SELECT user_id, win, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM x GROUP BY 1, 2 HAVING count(*) >= 50
         """,
         "distinct_earliest": """
             SELECT user_id, event_type, event_id FROM (

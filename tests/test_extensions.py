@@ -115,3 +115,23 @@ def test_process_flatmap(spark, sf_dir):
     got = s.df.groupBy("event_id").count().collect()
     exp = Stream.events(spark, sf_dir).where(F.col("value") > 150).df.count()
     assert len(got) == exp and all(r["count"] == 2 for r in got)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """LSH ANN must hit high recall@10 vs exact brute force on the
+    embeddings table (approximation quality gate)."""
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10, bits=6, probe_hamming=2).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5  # 6-bit probe-2 on 64-dim

@@ -172,11 +172,17 @@ def lsh_topk(
     qids, qm = _collect_queries(query_df, id_col, vec_col)
     qsig = sig_of(qm)
     # probe set per query: all signatures within Hamming distance
+    from itertools import combinations
+
     probe: dict[int, list[int]] = {}
     for qi, s in zip(qids, qsig):
         buckets = {int(s)}
-        if probe_hamming >= 1:
-            buckets |= {int(s) ^ (1 << b) for b in range(bits)}
+        for r in range(1, probe_hamming + 1):
+            for flips in combinations(range(bits), r):
+                m = 0
+                for b in flips:
+                    m |= 1 << b
+                buckets.add(int(s) ^ m)
         for b in buckets:
             probe.setdefault(b, []).append(int(qi))
     probe_rows = [(b, q) for b, qs in probe.items() for q in qs]
