@@ -69,6 +69,13 @@ def load_evt(spark: SparkSession, path_or_source: str, ts_col: str = "ts") -> Da
         with open(src) as f:
             src = f.read()
     events = parse_evt(src)
+    # payload keys may collide with the envelope (event_id/ts/event_type) —
+    # e.g. financial_markets.evt carries a `ts` field; suffix them.
+    reserved = {"event_id", ts_col, "event_type"}
+    events = [
+        (off, t, {(f"{k}_payload" if k in reserved else k): v for k, v in p.items()})
+        for off, t, p in events
+    ]
     fields: dict[str, str] = {}
     for _off, _t, payload in events:
         for k, v in payload.items():
