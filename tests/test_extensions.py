@@ -135,3 +135,49 @@ def test_lsh_topk_recall(spark, sf_dir):
         ap.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.5  # 6-bit probe-2 on 64-dim
+
+
+def test_metrics_listener(spark, sf_dir, tmp_path):
+    import time as _time
+
+    from varpulis_spark import metrics as MX
+    from varpulis_spark import streaming as S
+
+    listener = MX.attach(spark)
+    schema = Stream.events(spark, sf_dir).df.schema
+    import shutil
+
+    src_dir = str(tmp_path / "mx_src")
+    import os
+
+    os.makedirs(src_dir)
+    # reuse raw events parquet via spark rewrite (µs timestamps)
+    Stream.events(spark, sf_dir).df.coalesce(1).write.parquet(str(tmp_path / "w"))
+    for f in os.listdir(tmp_path / "w"):
+        if f.endswith(".parquet"):
+            shutil.copy(tmp_path / "w" / f, os.path.join(src_dir, f))
+    out = S.file_source(spark, src_dir, schema).where(F.col("value") > 0)
+    q = out.df.writeStream.format("memory").queryName("mx_q").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    for _ in range(20):  # listener events are delivered asynchronously
+        st = listener.stats.get("mx_q")
+        if st and st.input_rows >= 1000:
+            break
+        _time.sleep(0.5)
+    st = listener.stats.get("mx_q")
+    assert st is not None and st.input_rows == 1000 and st.batches >= 1
+    spark.streams.removeListener(listener)
+
+
+def test_register_fn(spark, sf_dir):
+    from varpulis_spark.functions import register_fn
+
+    register_fn(spark, "double_it", lambda x: x * 2.0, "double")
+    out = (
+        Stream.events(spark, sf_dir)
+        .where(F.expr("double_it(value) > 300"))
+        .count()
+    )
+    exp = Stream.events(spark, sf_dir).where(F.col("value") > 150).count()
+    assert out == exp

@@ -367,3 +367,15 @@ def is_map(c) -> Column:
 def prop(c, key: str) -> Column:
     """Extract a key from a JSON props column (dynamic event payload)."""
     return F.get_json_object(col(c), f"$.{key}")
+
+
+def register_fn(spark, name: str, fn, return_type: str = "double"):
+    """`fn name(params) -> T:` user functions (UserFunction
+    engine/types.rs:33-38) → registered Spark UDF, callable from both the
+    Column API and SQL. Row-at-a-time Python — keep OUT of hot paths; the
+    expression layer above covers the built-ins JVM-side."""
+    from pyspark.sql.functions import udf
+
+    f = udf(fn, return_type)
+    spark.udf.register(name, f)
+    return f
