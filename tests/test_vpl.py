@@ -195,3 +195,40 @@ stream ZoneStats = view
               GROUP BY 1,2 HAVING count(*) > 1)"""
     ).fetchone()[0]
     assert out.count() == exp
+
+
+def test_hvac_readme_program(spark):
+    """The reference README's flagship HVAC program (README.md:75-96):
+    stream references, connector binding (ignored in replay), relational
+    alerting, windowed zone stats, and the rapid-swing SASE pattern —
+    all through the VPL front-end on hvac_monitoring.evt."""
+    src = """
+stream Readings = TemperatureReading.from(Sensors, topic: "sensors/temp")
+
+stream HighTemp = Readings
+    .where(value > 28)
+    .emit(alert: "HIGH_TEMPERATURE", zone: zone, temperature: value)
+
+stream ZoneStats = Readings
+    .partition_by(zone)
+    .window(5m)
+    .aggregate(avg_temp: avg(value), max_temp: max(value))
+
+stream RapidSwing = Readings as t1
+    -> Readings where sensor_id == t1.sensor_id and value > t1.value + 5 as t2
+    -> Readings where sensor_id == t1.sensor_id and value < t2.value - 5 as t3
+    .within(10m)
+    .emit(alert: "RAPID_SWING", zone: t1.zone, peak: t2.value)
+"""
+    events = Stream(
+        load_evt(spark, f"{SCEN}/hvac_monitoring.evt"),
+        ts_col="ts", order_col="event_id",
+    )
+    res = run_program(src, events)
+    high = res["HighTemp"].collect()
+    assert len(high) == 1 and high[0].temperature == pytest.approx(35.0)
+    assert high[0].zone == "Zone_A"
+    zs = res["ZoneStats"].collect()
+    assert {r.zone for r in zs} == {"Zone_A", "Zone_B", "Zone_C"}
+    # no same-sensor ±5°C swing exists in the fixture
+    assert res["RapidSwing"].count() == 0

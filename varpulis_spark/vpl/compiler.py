@@ -291,8 +291,12 @@ def _agg_expr(v):
 
 
 def compile_relational_decl(decl: StreamDecl, stream: Stream) -> Stream:
+    return _apply_relational_ops(decl, stream, typed=True)
+
+
+def _apply_relational_ops(decl: StreamDecl, stream: Stream, typed: bool) -> Stream:
     s0 = decl.steps[0]
-    out = stream.of_type(s0.event_type)
+    out = stream.of_type(s0.event_type) if typed else stream
     if s0.where is not None:
         out = out.where(to_column(s0.where))
     windowed = None
@@ -343,14 +347,41 @@ def compile_relational_decl(decl: StreamDecl, stream: Stream) -> Stream:
 
 def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
     """Compile+run every `stream X = ...` declaration against the ingest
-    Stream; returns name → result DataFrame (the engine-router analog)."""
+    Stream; returns name → result DataFrame.
+
+    Streams may reference earlier streams by name (the dataflow DAG the
+    reference wires through its event-type router, engine/router.rs:13-23)
+    — here it is plain DataFrame composition. `.from(Conn, ...)` connector
+    bindings are accepted and ignored in replay mode (the ingest Stream IS
+    the bound source)."""
     from varpulis_spark.vpl.parser import parse_program
 
     results: dict[str, DataFrame] = {}
+    env: dict[str, Stream] = {}
     for decl in parse_program(source):
+        # drop connector bindings (source already bound in replay mode)
+        decl.ops = [op for op in decl.ops if op.name != "from"]
         is_pattern = len(decl.steps) > 1 or any(s.kleene or s.alias for s in decl.steps)
         if is_pattern:
-            results[decl.name] = compile_pattern_decl(decl, stream).df
+            # steps naming a declared stream run over THAT stream (wildcard
+            # type); all steps must reference the same upstream for now.
+            refs = {s.event_type for s in decl.steps if s.event_type in env}
+            src = stream
+            if refs:
+                if len(refs) > 1:
+                    raise ValueError("pattern over multiple upstream streams not supported")
+                src = env[next(iter(refs))]
+                for s in decl.steps:
+                    if s.event_type in env:
+                        s.event_type = None
+            out = compile_pattern_decl(decl, src)
         else:
-            results[decl.name] = compile_relational_decl(decl, stream).df
+            s0 = decl.steps[0]
+            if s0.event_type in env:
+                src = env[s0.event_type]
+                out = _apply_relational_ops(decl, src, typed=False)
+            else:
+                out = compile_relational_decl(decl, stream)
+        env[decl.name] = out
+        results[decl.name] = out.df
     return results
