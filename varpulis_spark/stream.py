@@ -254,7 +254,15 @@ class Stream:
         fields: list[str] | None = None,
         fallback: dict | None = None,
         drop_on_miss: bool = False,
+        cache_ttl=None,
+        timeout=None,
     ) -> "Stream":
+        """.enrich(Conn, key:, fields:, cache_ttl:, timeout:, fallback:)
+        (EnrichConfig engine/types.rs:248-263). `cache_ttl`/`timeout` are
+        accepted for API parity: in batch the dimension is read once per
+        job; in streaming it is re-read per micro-batch, which IS the TTL
+        refresh (bounded by trigger interval). Per-row lookup timeouts
+        don't exist in a join — misses surface as nulls/fallbacks."""
         dim = dimension.df if isinstance(dimension, Stream) else dimension
         out = join_mod.enrich(self.df, dim, key, dim_key, fields, fallback, drop_on_miss)
         return self._with(out)
@@ -301,6 +309,16 @@ class Stream:
 
     def print(self, n: int = 20) -> "Stream":  # noqa: A003 - VPL .print()
         self.df.show(n, truncate=False)
+        return self
+
+    def log(self, level: str = "info", message: str | None = None, n: int = 5) -> "Stream":
+        """`.log(level:, message:)` (LogConfig engine/types.rs:424-434) —
+        dev-only diagnostic passthrough; logs a sample, returns self."""
+        import logging
+
+        logger = logging.getLogger("varpulis_spark")
+        sample = [r.asDict() for r in self.df.limit(n).collect()]
+        getattr(logger, level, logger.info)("%s %s", message or self.name or "stream", sample)
         return self
 
     def collect(self):
