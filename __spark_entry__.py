@@ -113,11 +113,13 @@ def q_session_30m(spark, sf):
     return out.df.select("user_id", "n", "total")
 
 
-def q_count_window_100(spark, sf):
+def q_count_window_20(spark, sf):
+    # window size 20: ~66 events/user at sf0.001 → ≥1 full window per user
+    # (a 100-window never completed — vacuous 0-row check)
     out = (
         Stream.events(spark, sf)
         .partition_by("user_id")
-        .window(100)
+        .window(20)
         .aggregate(n=A.count(), total=_dsum("value"))
     )
     return out.df.select("user_id", F.col("window_id").cast("long").alias("win"), "n", "total")
@@ -315,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_1h": q_tumbling_1h,
         "sliding_2h1h": q_sliding_2h1h,
         "session_30m": q_session_30m,
-        "count_window_100": q_count_window_100,
+        "count_window_20": q_count_window_20,
         "sliding_count_window": q_sliding_count_window,
         "distinct_earliest": q_distinct_earliest,
         "merge_union": q_merge_union,
@@ -410,13 +412,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM s GROUP BY user_id, sid
         """,
-        "count_window_100": """
+        "count_window_20": """
             WITH t AS (SELECT user_id, value,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
               FROM events)
-            SELECT user_id, (rn - 1) // 100 AS win, count(*) AS n,
+            SELECT user_id, (rn - 1) // 20 AS win, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM t GROUP BY 1, 2 HAVING count(*) = 100
+            FROM t GROUP BY 1, 2 HAVING count(*) = 20
         """,
         "sliding_count_window": """
             WITH t AS (SELECT user_id, value,

@@ -272,8 +272,10 @@ def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
             for i in rng:
                 e = events[i]
                 d = deadline
-                if d is None and not chosen and within is not None and first_ts is None:
-                    d = None  # closure opens the match; deadline starts at e
+                if d is None and within is not None and chosen:
+                    # closure opened the match: its first chosen event starts
+                    # the within clock, bounding the closure itself too
+                    d = chosen[0]["__ts"] + within
                 if d is not None and e["__ts"] > d:
                     break
                 b_probe = dict(bindings)

@@ -342,7 +342,9 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
         raise ValueError("streaming patterns require partition_by (keyed state)")
 
     types = pattern.relevant_types()
-    if types is not None:
+    if types is not None and pattern.strategy != "strict_contiguous":
+        # mirror the batch guard (sase.py): prefiltering under strict
+        # contiguity would hide intervening events that break contiguity
         df = df.filter(F.col("event_type").isin(types))
 
     out_schema = _out_schema(pattern, df)
@@ -351,12 +353,29 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
     within = pattern.within_ns()
     in_cols = df.columns
 
+    # Dedupe on MATCH IDENTITY (the participating events' (ts, order)
+    # tuples), not on the projected output — two distinct matches that
+    # project to identical emit values must both be delivered, matching
+    # batch. Internal identity columns ride along in the emit projection and
+    # are stripped before output.
+    from dataclasses import replace as _dc_replace
+
+    sig_emit: dict[str, tuple[str, str]] = {}
+    for s in pattern.steps:
+        if s.negated:
+            continue
+        sig_emit[f"__sig_ts__{s.alias}"] = (s.alias, "__ts")
+        if order_col:
+            sig_emit[f"__sig_o__{s.alias}"] = (s.alias, order_col)
+    id_pattern = _dc_replace(pattern, emit={**pattern.emit, **sig_emit})
+    sig_cols = list(sig_emit.keys())
+
     def run(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(columns=list(pattern.emit.keys()))
             return
-        old_events, emitted = [], set()
+        old_events, emitted = [], {}
         if state.exists:
             buf_pkl, emitted_pkl = state.get
             old_events = pickle.loads(buf_pkl)
@@ -372,13 +391,23 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
         events = sorted(old_events + new_events, key=lambda e: e["__ts"])
         new_ids = {id(e) for e in new_events}
         max_ts = events[-1]["__ts"] if events else 0
-        rows = _enumerate_matches(events, pattern)
-        # emit only matches not already emitted (dedupe on projected row)
+        rows = _enumerate_matches(events, id_pattern)
         fresh = []
         for r in rows:
-            sig = tuple(sorted((k, tuple(v) if isinstance(v, list) else v) for k, v in r.items()))
+            sig_vals, first_ts = [], None
+            for c in sig_cols:
+                v = r.pop(c)
+                if isinstance(v, list):
+                    sig_vals.append(tuple(v))
+                else:
+                    sig_vals.append(v)
+                if c.startswith("__sig_ts__"):
+                    t = min(v) if isinstance(v, (list, tuple)) and v else v
+                    if isinstance(t, int) and (first_ts is None or t < first_ts):
+                        first_ts = t
+            sig = tuple(sig_vals)
             if sig not in emitted:
-                emitted.add(sig)
+                emitted[sig] = first_ts if first_ts is not None else max_ts
                 fresh.append(r)
         # evict events beyond the within horizon (bounded state). With an
         # upstream watermark, an event can still open/extend a match as long
@@ -392,6 +421,10 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
                 wm_ns = 0
             low = (wm_ns if wm_ns > 0 else max_ts) - within
             events = [e for e in events if e["__ts"] >= low]
+            # a match can only be re-enumerated while its FIRST event is
+            # still in the buffer — evict signatures in lockstep, so the
+            # dedupe set plateaus instead of growing forever
+            emitted = {s: t for s, t in emitted.items() if t >= low}
         state.update((pickle.dumps(events), pickle.dumps(emitted)))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)

@@ -152,8 +152,16 @@ def _and_exprs(a, b):
     return b if a is None else (a if b is None else Bin("and", a, b))
 
 
-def _auto_partition_key(steps: list[PatternStep]) -> str | None:
-    """`f == first.f` on every later step → partition by f (SASEXT)."""
+def _auto_partition_key(
+    steps: list[PatternStep], neg_steps: list[PatternStep] | None = None
+) -> str | None:
+    """`f == first.f` on every later step → partition by f (SASEXT).
+
+    Global negations (check_global_negations, sase.rs:3000-3034) veto runs in
+    ALL partitions regardless of the negated event's own key — so
+    auto-partitioning is only sound when every negation predicate ITSELF
+    correlates on the same field (then a negated event with a different key
+    could never veto anyway)."""
     if len(steps) < 2:
         return None
     first_alias = steps[0].alias
@@ -161,6 +169,10 @@ def _auto_partition_key(steps: list[PatternStep]) -> str | None:
         return None
 
     def correlated_field(expr) -> set[str]:
+        # Only equalities REQUIRED by the predicate count: walk pure `and`
+        # conjunctions, stop at `or`/`not` subtrees — an equality inside a
+        # disjunctive branch is optional, and partitioning on it would drop
+        # matches from the other branch.
         found = set()
 
         def walk(e):
@@ -174,8 +186,10 @@ def _auto_partition_key(steps: list[PatternStep]) -> str | None:
                             and y.parts[0] == first_alias and y.parts[1] == x.parts[0]
                         ):
                             found.add(x.parts[0])
-                walk(e.left) if isinstance(e, Bin) else None
-                walk(e.right) if isinstance(e, Bin) else None
+                elif e.op == "and":
+                    walk(e.left)
+                    walk(e.right)
+                # `or` / `not` / arithmetic: stop — nothing below is required
 
         walk(expr)
         return found
@@ -186,6 +200,12 @@ def _auto_partition_key(steps: list[PatternStep]) -> str | None:
             return None
         fields = correlated_field(s.where)
         common = fields if common is None else (common & fields)
+        if not common:
+            return None
+    for ns in neg_steps or []:
+        if ns.where is None:
+            return None  # unkeyed negation vetoes across all partitions
+        common &= correlated_field(ns.where)
         if not common:
             return None
     return sorted(common)[0] if common else None
@@ -257,7 +277,8 @@ def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
         if i < len(sase_steps) - 1:
             steps_final.extend(negs)
 
-    key = _auto_partition_key(decl.steps)
+    neg_asts = [op.args[0] for op in decl.ops if op.name == "not"]
+    key = _auto_partition_key(decl.steps, neg_steps=neg_asts)
     p = Pattern(steps=steps_final, within=within, emit=emit,
                 partition_by=[key] if key else None)
     df = stream.pattern(p).df
