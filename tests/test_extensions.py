@@ -137,6 +137,37 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5  # 6-bit probe-2 on 64-dim
 
 
+def test_cosine_pairs_exact_no_driver_collect(spark, sf_dir, monkeypatch):
+    """Blocked all-pairs must match numpy brute force AND never collect the
+    corpus on the driver (the 100 TB scale contract)."""
+    from pyspark.sql import DataFrame
+
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    ii, jj = np.nonzero(s >= 0.4)
+    exp = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ii, jj)
+        if ids[i] < ids[j]
+    )
+
+    def boom(self):
+        raise AssertionError("driver collect inside cosine_pairs")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = cosine_pairs(emb, threshold=0.4, n_blocks=4)
+    monkeypatch.undo()
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    assert got == exp
+
+
 def test_metrics_listener(spark, sf_dir, tmp_path):
     import time as _time
 

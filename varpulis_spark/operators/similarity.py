@@ -87,44 +87,75 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine ≥ threshold — exact, via a broadcast normalized matrix and one
-    partition-local GEMM per corpus split (no pairwise shuffle).
+    cosine ≥ threshold — exact, via BLOCKED all-pairs GEMM, entirely
+    executor-side (no driver collect).
 
-    Scale envelope: the broadcast matrix is dim×4 bytes/row (64-dim float64
-    ≈ 0.5 KB/row → ~2 GB at 4M rows). Beyond that, switch to LSH-bucketed
-    candidates (`lsh_topk` machinery) or block the corpus into chunked
-    cross-products; exactness is the point of THIS operator.
+    The corpus is hash-split into B blocks; every unordered block pair
+    {i, j} becomes one task holding the two blocks' matrices (≤ 2·N/B rows),
+    which computes the cross GEMM (upper triangle when i == j). Each row is
+    replicated B times through ONE shuffle — the standard block-matrix
+    shape: shuffle volume B·N, per-task memory N/B·dim, both tunable via
+    `n_blocks` (default ~√(2·parallelism) so block pairs ≈ cores). At 100 TB
+    pick B so a block fits an executor (e.g. 4M rows · 64 dims · 8 B ≈ 2 GB
+    per block) — no single node ever sees the whole corpus.
     """
-    rows = corpus_df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    m = np.array([r[1] for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
+    import math
 
-    # keep the per-chunk score matrix bounded (chunk × corpus doubles):
-    # 256 rows × 1M corpus ≈ 2 GB — scale chunk down as the corpus grows.
-    chunk = max(16, min(1024, (1 << 28) // max(1, len(ids))))
+    spark = corpus_df.sparkSession
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = max(2, math.ceil(math.sqrt(2 * par)))
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-            for s in range(0, len(bids), chunk):
-                scores = bm[s : s + chunk] @ m.T  # chunk × corpus
-                bi, cj = np.nonzero(scores >= threshold)
-                ia, ib = bids[s + bi], ids[cj]
-                keep = ia < ib  # each unordered pair once
-                yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
-
-    from varpulis_spark.operators.dedup import spread
-
-    return spread(corpus_df.select(id_col, vec_col)).mapInPandas(
-        block, "id_a long, id_b long"
+    base = corpus_df.select(id_col, vec_col).withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     )
+    partners = spark.range(n_blocks).select(F.col("id").alias("__j"))
+    rep = (
+        base.crossJoin(F.broadcast(partners))
+        .withColumn("__pa", F.least("__b", "__j"))
+        .withColumn("__pb", F.greatest("__b", "__j"))
+        .drop("__j")
+    )
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        blk = pdf["__b"].to_numpy()
+        out_a, out_b = [], []
+        # chunk the left side so the score matrix stays bounded
+        if pa == pb:
+            n = len(ids)
+            chunk = max(16, min(1024, (1 << 28) // max(1, n)))
+            for s in range(0, n, chunk):
+                scores = m[s : s + chunk] @ m.T
+                bi, cj = np.nonzero(scores >= threshold)
+                ia, ib = ids[s + bi], ids[cj]
+                keep = ia < ib
+                out_a.append(ia[keep])
+                out_b.append(ib[keep])
+        else:
+            amask = blk == pa
+            aids, am = ids[amask], m[amask]
+            bids, bm = ids[~amask], m[~amask]
+            chunk = max(16, min(1024, (1 << 28) // max(1, len(bids))))
+            for s in range(0, len(aids), chunk):
+                scores = am[s : s + chunk] @ bm.T
+                bi, cj = np.nonzero(scores >= threshold)
+                ia, ib = aids[s + bi], bids[cj]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return rep.groupBy("__pa", "__pb").applyInPandas(gemm, "id_a long, id_b long")
 
 
 # ---------------------------------------------------------------------------
