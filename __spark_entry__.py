@@ -251,13 +251,14 @@ def q_greta_trend_count(spark, sf):
 
 
 def q_greta_rising(spark, sf):
-    """GRETA with a rising adjacency predicate — no closed form (rows-only)."""
+    """GRETA with a rising adjacency predicate — no closed form (rows-only).
+    Uses the vectorized adjacency mask (one numpy comparison per event)."""
     out = (
         Stream.events(spark, sf)
         .partition_by("user_id")
         .trend_aggregate(
             event_type="purchase",
-            adjacent=lambda a, b: b["value"] > a["value"],
+            adjacent_vec=lambda cols, i: cols["value"][:i] < cols["value"][i],
             value_field="value",
         )
     )

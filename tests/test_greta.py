@@ -67,6 +67,38 @@ def test_rising_trend_count(spark, vals):
     assert out[0].value_sum == pytest.approx(tv)
 
 
+@pytest.mark.parametrize("vals", [[1, 3, 2, 4], [5, 1, 2, 1, 3, 2, 4], [2, 2, 2, 2]])
+def test_rising_vectorized_matches_callable(spark, vals):
+    """adjacent_vec (numpy mask) must agree with the row-callable path and
+    the brute-force oracle."""
+    out = trend_aggregate(
+        _mk_stream(spark, vals),
+        adjacent_vec=lambda cols, i: cols["value"][:i] < cols["value"][i],
+        value_field="value",
+    ).collect()
+    nt, tl, tv = brute_force(vals, adjacent=lambda a, b: b > a)
+    assert out[0].trend_count == nt
+    assert out[0].event_count == tl
+    assert out[0].value_sum == pytest.approx(tv)
+
+
+def test_within_only_vectorized(spark):
+    """within-only DP (searchsorted slice) vs brute force with a gap bound."""
+    vals = [1, 2, 3, 4, 5, 6]
+    s = _mk_stream(spark, vals)  # events 1s apart
+    out = trend_aggregate(s, within="2s", value_field="value").collect()
+    # brute force with per-edge gap <= 2s (indices 1s apart)
+    from itertools import combinations
+
+    n = len(vals)
+    nt = 0
+    for r in range(1, n + 1):
+        for idxs in combinations(range(n), r):
+            if all(b - a <= 2 for a, b in zip(idxs, idxs[1:])):
+                nt += 1
+    assert out[0].trend_count == nt
+
+
 def test_per_key_and_type_filter(spark, sf_dir):
     s = Stream.events(spark, sf_dir).partition_by("user_id")
     out = trend_aggregate(s, event_type="purchase").collect()

@@ -50,6 +50,19 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Hash-repartition on `keys` to ≥ default parallelism before a
+    CPU-heavy keyed op (applyInPandas).
+
+    AQE's size-based shuffle coalescing is wrong for Python-stateful
+    stages: a few MB of events can carry minutes of NFA/DP work, and AQE
+    happily coalesces them onto 1-2 tasks. An explicit repartition(N, keys)
+    pins the partition count; it is the SAME hash distribution the keyed op
+    needs, so no extra shuffle is introduced."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 # ---------------------------------------------------------------------------
 # exact / fingerprint dedup
 # ---------------------------------------------------------------------------

@@ -16,10 +16,22 @@ count, but per-event propagated counts give every aggregate in O(n²):
                     propagated as len_sum[i] = cnt[i] + Σ len_sum[j]
     sum_trends(f) = Σ over trends of Σ f(e), propagated the same way.
 
-Spark lowering: per partition key the DP is a ts-sorted numpy loop inside
-`applyInPandas` (the same shuffle shape as any keyed aggregation; O(n²) work
-per key is the algorithm's contract — the reference is identical). The
-event-type prefilter pushes into the scan.
+Spark lowering: per partition key the DP runs inside `applyInPandas` (the
+same shuffle shape as any keyed aggregation); the event-type prefilter
+pushes into the scan, and the shuffle is pinned at default parallelism
+(spread_keys) so AQE's size-based coalescing can't serialize the CPU-bound
+stage. The DP itself is vectorized:
+
+- no predicate, no `within`  → closed form (every non-empty ordered subset
+  is a trend): count = 2^n − 1, events = n·2^(n−1), Σf = (Σ f)·2^(n−1) —
+  O(n), no loop at all.
+- `within` only              → the j-window is a searchsorted slice;
+  cnt[i] = 1 + cnt[lo:i].sum() — one numpy reduction per i.
+- vectorized predicate       → `adjacent_vec(cols, i)` returns the bool
+  mask over j < i; combined with the within slice, one masked reduction
+  per i.
+- row-callable `adjacent`    → per-pair fallback (API parity), still
+  bounded to the within slice.
 
 Caps: the reference bounds Kleene state (MAX_KLEENE_EVENTS=20 applies to
 ENUMERATION, sase.rs:36-39); GRETA's whole point is no enumeration, so no
@@ -40,6 +52,71 @@ from pyspark.sql import functions as F
 from varpulis_spark.functions import duration_ns
 
 
+def _greta_dp(
+    ts: np.ndarray,
+    vals: np.ndarray | None,
+    cols: dict | None,
+    adjacent: Callable | None,
+    adjacent_vec: Callable | None,
+    within_ns: int | None,
+) -> tuple[float, float, float]:
+    """Run the GRETA DP over one sorted group; returns
+    (trend_count, event_count, value_sum)."""
+    n = len(ts)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    if adjacent is None and adjacent_vec is None and within_ns is None:
+        # closed form: every pair is adjacent
+        p = float(2.0 ** (n - 1))
+        return 2.0 * p - 1.0, n * p, (float(vals.sum()) * p if vals is not None else 0.0)
+
+    cnt = np.zeros(n)
+    len_sum = np.zeros(n)
+    val_sum = np.zeros(n)
+    lo_all = (
+        np.searchsorted(ts, ts - within_ns, side="left")
+        if within_ns is not None
+        else np.zeros(n, dtype=np.int64)
+    )
+    events = None
+    if adjacent is not None and adjacent_vec is None and cols is not None:
+        from varpulis_spark.operators.sase import _EventView
+
+        events = [_EventView(cols, i) for i in range(n)]
+    for i in range(n):
+        lo = int(lo_all[i])
+        if lo >= i:
+            c, ls, vs = 1.0, 0.0, 0.0
+        elif adjacent_vec is not None:
+            m = np.asarray(adjacent_vec(cols, i))[lo:i]
+            c = 1.0 + float(cnt[lo:i][m].sum())
+            ls = float(len_sum[lo:i][m].sum())
+            vs = float(val_sum[lo:i][m].sum())
+        elif adjacent is not None:
+            c, ls, vs = 1.0, 0.0, 0.0
+            ei = events[i]
+            for j in range(lo, i):
+                if adjacent(events[j], ei):
+                    c += cnt[j]
+                    ls += len_sum[j]
+                    vs += val_sum[j]
+        else:
+            c = 1.0 + float(cnt[lo:i].sum())
+            ls = float(len_sum[lo:i].sum())
+            vs = float(val_sum[lo:i].sum())
+        cnt[i] = c
+        len_sum[i] = ls + c  # every trend ending at i gains event i
+        val_sum[i] = vs + (vals[i] * c if vals is not None else 0.0)
+    return float(cnt.sum()), float(len_sum.sum()), float(val_sum.sum())
+
+
+def _group_arrays(pdf: pd.DataFrame, ts_col: str, value_field: str | None):
+    ts = pdf[ts_col].astype("int64").to_numpy()
+    vals = pdf[value_field].to_numpy(dtype=np.float64) if value_field else None
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    return ts, vals, cols
+
+
 def trend_aggregate_multi(
     stream,
     queries: dict[str, dict],
@@ -51,13 +128,13 @@ def trend_aggregate_multi(
     event-type prefilter (union of all queries' types), the shuffle, the
     per-key sort, and the Arrow materialization — the dominant costs at
     scale. Each query then runs its GRETA DP over its own type/predicate
-    view of the sorted batch. (The reference additionally shares graphlet
-    counts BETWEEN queries with overlapping patterns; that sub-quadratic
-    sharing is future work — this gives the N-queries-for-one-scan
-    economics that the Hamlet benchmark measures.)
+    view of the sorted batch. Additionally, queries that agree on
+    (event_type, adjacent, within) but differ in aggregates share ONE DP run
+    (graphlet-count sharing, hamlet/optimizer.rs:33-56 semantics — the DP
+    counts ARE the graphlet counts).
 
-    `queries`: name → {event_type?, adjacent?, value_field?, within?}.
-    Output: one row per (key, query) with the same aggregates as
+    `queries`: name → {event_type?, adjacent?, adjacent_vec?, value_field?,
+    within?}. Output: one row per (key, query) with the same aggregates as
     `trend_aggregate`.
     """
     df = stream.df
@@ -72,6 +149,7 @@ def trend_aggregate_multi(
         name: (
             q.get("event_type"),
             q.get("adjacent"),
+            q.get("adjacent_vec"),
             q.get("value_field"),
             duration_ns(q["within"]) if q.get("within") is not None else None,
         )
@@ -86,41 +164,24 @@ def trend_aggregate_multi(
     def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")  # shared sort
         rows = []
-        for name, (etype, adjacent, value_field, within_ns) in specs.items():
-            sub = pdf[pdf["event_type"] == etype] if etype else pdf
-            ts = sub[ts_col].astype("int64").to_numpy()
-            events = sub.to_dict("records") if adjacent is not None else None
-            vals = (
-                sub[value_field].to_numpy(dtype=np.float64)
-                if value_field
-                else None
-            )
-            n = len(sub)
-            cnt = np.zeros(n)
-            len_sum = np.zeros(n)
-            val_sum = np.zeros(n)
-            for i in range(n):
-                c, ls, vs = 1.0, 0.0, 0.0
-                for j in range(i):
-                    if within_ns is not None and ts[i] - ts[j] > within_ns:
-                        continue
-                    if adjacent is not None and not adjacent(events[j], events[i]):
-                        continue
-                    c += cnt[j]
-                    ls += len_sum[j]
-                    vs += val_sum[j]
-                cnt[i] = c
-                len_sum[i] = ls + c
-                val_sum[i] = vs + (vals[i] * c if vals is not None else 0.0)
-            rows.append(
-                list(key_tuple)
-                + [name, float(cnt.sum()), float(len_sum.sum()), float(val_sum.sum())]
-            )
-        cols = list(keys) + ["query", "trend_count", "event_count", "value_sum"]
-        return pd.DataFrame(rows, columns=cols)
+        # share one DP across queries with the same (type, adjacency, within)
+        dp_cache: dict = {}
+        for name, (etype, adjacent, adjacent_vec, value_field, within_ns) in specs.items():
+            ck = (etype, id(adjacent), id(adjacent_vec), value_field, within_ns)
+            got = dp_cache.get(ck)
+            if got is None:
+                sub = pdf[pdf["event_type"] == etype] if etype else pdf
+                ts, vals, cols = _group_arrays(sub, ts_col, value_field)
+                got = _greta_dp(ts, vals, cols, adjacent, adjacent_vec, within_ns)
+                dp_cache[ck] = got
+            rows.append(list(key_tuple) + [name, got[0], got[1], got[2]])
+        out_cols = list(keys) + ["query", "trend_count", "event_count", "value_sum"]
+        return pd.DataFrame(rows, columns=out_cols)
 
     if keys:
-        return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+        from varpulis_spark.operators.dedup import spread_keys
+
+        return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
     return (
         df.withColumn("__g", F.lit(0))
         .groupBy("__g")
@@ -134,6 +195,7 @@ def trend_aggregate(
     adjacent: Callable[[dict, dict], bool] | None = None,
     value_field: str | None = None,
     within=None,
+    adjacent_vec: Callable | None = None,
 ) -> DataFrame:
     """GRETA aggregates over all `E+` trends per partition key.
 
@@ -143,6 +205,9 @@ def trend_aggregate(
 
     `adjacent(prev, next)` is the Kleene iterative predicate; None means any
     ts-increasing pair (every non-empty ordered subset is a trend).
+    `adjacent_vec(cols, i) -> bool[i]` is its vectorized form (preferred in
+    hot paths): given the group's column arrays and the current index,
+    return the adjacency mask over all j < i.
 
     `within` bounds the gap between CONSECUTIVE trend events (per-edge
     budget). The reference's whole-span `within` composes via a window
@@ -168,36 +233,20 @@ def trend_aggregate(
 
     def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ts = pdf[ts_col].astype("int64").to_numpy()
-        events = pdf.to_dict("records") if adjacent is not None else None
-        vals = pdf[value_field].to_numpy(dtype=np.float64) if has_value else None
-        n = len(pdf)
-        cnt = np.zeros(n)        # trends ending at i
-        len_sum = np.zeros(n)    # Σ lengths of trends ending at i
-        val_sum = np.zeros(n)    # Σ value-sums of trends ending at i
-        for i in range(n):
-            c, ls, vs = 1.0, 0.0, 0.0
-            for j in range(i):
-                if within_ns is not None and ts[i] - ts[j] > within_ns:
-                    continue
-                if adjacent is not None and not adjacent(events[j], events[i]):
-                    continue
-                c += cnt[j]
-                ls += len_sum[j]
-                vs += val_sum[j]
-            cnt[i] = c
-            len_sum[i] = ls + c  # every trend ending at i gains event i
-            val_sum[i] = vs + (vals[i] * c if has_value else 0.0)
-        row = list(key_tuple) + [float(cnt.sum()), float(len_sum.sum())]
+        ts, vals, cols = _group_arrays(pdf, ts_col, value_field)
+        tc, ec, vs = _greta_dp(ts, vals, cols, adjacent, adjacent_vec, within_ns)
+        row = list(key_tuple) + [tc, ec]
         if has_value:
-            row.append(float(val_sum.sum()))
-        cols = list(keys) + ["trend_count", "event_count"] + (
+            row.append(vs)
+        out_cols = list(keys) + ["trend_count", "event_count"] + (
             ["value_sum"] if has_value else []
         )
-        return pd.DataFrame([row], columns=cols)
+        return pd.DataFrame([row], columns=out_cols)
 
     if keys:
-        return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+        from varpulis_spark.operators.dedup import spread_keys
+
+        return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
     return (
         df.withColumn("__g", F.lit(0))
         .groupBy("__g")

@@ -34,8 +34,9 @@ comment marks the hazard for large data.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -136,54 +137,115 @@ class Pattern:
 
 # ---------------------------------------------------------------------------
 # NFA enumeration over one ts-sorted key group
+#
+# The engine is INDEX-BASED: the group's events live as column arrays
+# (numpy), an event is its integer position, and bindings hold lazy
+# `_EventView`s. Per-step candidate indices are precomputed once (the
+# EventTypeIndex analog, sase.rs:917-1005) and every time-bound (within
+# deadlines, negation intervals) is a `searchsorted` on the candidate ts
+# array instead of a linear scan — enumeration work is proportional to
+# viable candidates, not group size.
 # ---------------------------------------------------------------------------
 
 
-def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
-    """Enumerate matches per the selection strategy. `events` sorted by
-    (ts, tiebreak); each dict has `__ts` int64 ns."""
+class _EventView:
+    """Dict-like lazy view of one event over the group's column arrays.
+
+    Predicates receive these instead of materialized per-event dicts
+    (`to_dict("records")` was the NFA's dominant constant factor)."""
+
+    __slots__ = ("cols", "i")
+
+    def __init__(self, cols: dict, i: int):
+        self.cols = cols
+        self.i = i
+
+    def get(self, k, default=None):
+        a = self.cols.get(k)
+        return default if a is None else a[self.i]
+
+    def __getitem__(self, k):
+        return self.cols[k][self.i]
+
+    def __contains__(self, k):
+        return k in self.cols
+
+
+def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dict]:
+    """Enumerate matches over one key group given column arrays + int64-ns
+    `ts` (sorted ascending, ties already ordered by the caller's sort)."""
     out: list[dict] = []
     steps = pattern.steps
     within = pattern.within_ns()
-    n = len(events)
     strategy = pattern.strategy
+    max_matches = pattern.max_matches
+    et = cols.get("event_type")
 
-    def type_ok(s: Step, e: dict) -> bool:
-        return s.event_type is None or e.get("event_type") == s.event_type
+    idx_cache: dict = {}
+    cts_cache: dict = {}
 
-    def pred_ok(s: Step, e: dict, b: dict) -> bool:
+    def cand(s: Step) -> "np.ndarray":
+        key = s.event_type
+        got = idx_cache.get(key)
+        if got is None:
+            if key is None:
+                got = np.arange(n, dtype=np.int64)
+            elif et is None:
+                got = np.empty(0, dtype=np.int64)  # typed step, untyped events
+            else:
+                got = np.nonzero(et == key)[0]
+            idx_cache[key] = got
+            cts_cache[key] = ts[got]
+        return got
+
+    def cand_ts(s: Step) -> "np.ndarray":
+        cand(s)
+        return cts_cache[s.event_type]
+
+    def type_at(s: Step, i: int) -> bool:
+        if s.event_type is None:
+            return True
+        return et is not None and et[i] == s.event_type
+
+    def view(i: int) -> _EventView:
+        return _EventView(cols, i)
+
+    def pred_ok(s: Step, i: int, b: dict) -> bool:
         if s.where is None:
             return True
         try:
-            return bool(s.where(e, b))
+            return bool(s.where(view(i), b))
         except (KeyError, TypeError):
             return False
 
     def check_negation(neg: Step, lo_ts: int, hi_ts: int, b: dict) -> bool:
-        """True when NO negated-type event satisfying pred lies in
+        """True when NO negated-type event satisfying pred lies strictly in
         (lo_ts, hi_ts) — NegationConstraint sase.rs:675-716."""
-        for e in events:
-            if e["__ts"] <= lo_ts:
-                continue
-            if e["__ts"] >= hi_ts:
-                break
-            if type_ok(neg, e) and pred_ok(neg, e, b):
+        ni, nts = cand(neg), cand_ts(neg)
+        a = int(np.searchsorted(nts, lo_ts, side="right"))
+        z = int(np.searchsorted(nts, hi_ts, side="left"))
+        if a >= z:
+            return True
+        if neg.where is None:
+            return False
+        for j in ni[a:z]:
+            if pred_ok(neg, int(j), b):
                 return False
         return True
 
-    def emit_match(bindings: dict) -> None:
+    def emit_match(b: dict) -> None:
         row = {}
         for out_col, (alias, fld) in pattern.emit.items():
-            v = bindings[alias]
+            v = b[alias]
             if isinstance(v, list):
-                row[out_col] = len(v) if fld == "__count" else [e.get(fld) for e in v]
+                row[out_col] = len(v) if fld == "__count" else [x.get(fld) for x in v]
             else:
                 row[out_col] = v.get(fld)
         out.append(row)
 
-    def advance(si: int, ei: int, bindings: dict, first_ts: int | None,
+    def advance(si: int, min_i: int, b: dict, first_ts: int | None,
                 pending_neg: list[Step], prev_ts: int, prev_idx: int) -> None:
-        if len(out) >= pattern.max_matches:
+        if len(out) >= max_matches:
             return
         # skip over negated steps: collect them as pending guards
         while si < len(steps) and steps[si].negated:
@@ -193,109 +255,144 @@ def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
             # trailing negations guard until within-deadline (event-time
             # confirmation, sase.rs:702-716); unbounded without `within`.
             hi = (first_ts + within) if (within is not None and first_ts is not None) else (
-                events[-1]["__ts"] + 1 if events else 0
+                int(ts[-1]) + 1 if n else 0
             )
             for neg in pending_neg:
-                if not check_negation(neg, prev_ts, hi, bindings):
+                if not check_negation(neg, prev_ts, hi, b):
                     return
-            emit_match(bindings)
+            emit_match(b)
             return
 
         s = steps[si]
         deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
 
         if s.kleene:
-            _advance_kleene(s, si, ei, bindings, first_ts, list(pending_neg), prev_ts, prev_idx)
+            advance_kleene(s, si, min_i, b, first_ts, list(pending_neg), prev_ts, prev_idx)
             return
 
-        rng: Iterable[int]
         if strategy == STRICT and first_ts is not None:
-            rng = range(prev_idx + 1, min(prev_idx + 2, n))
-        else:
-            rng = range(ei, n)
-        for i in rng:
-            e = events[i]
-            if deadline is not None and e["__ts"] > deadline:
-                break
-            if not (type_ok(s, e) and pred_ok(s, e, bindings)):
-                if strategy == STRICT and first_ts is not None:
-                    return  # contiguity broken
-                continue
+            i = prev_idx + 1
+            if i >= n:
+                return
+            if deadline is not None and ts[i] > deadline:
+                return
+            if not (type_at(s, i) and pred_ok(s, i, b)):
+                return  # contiguity broken
+            ti = int(ts[i])
             for neg in pending_neg:
-                if not check_negation(neg, prev_ts, e["__ts"], bindings):
+                if not check_negation(neg, prev_ts, ti, b):
+                    return
+            b2 = dict(b)
+            b2[s.alias] = view(i)
+            advance(si + 1, i + 1, b2, first_ts, [], ti, i)
+            return
+
+        ci, cts = cand(s), cand_ts(s)
+        start = int(np.searchsorted(ci, min_i, side="left"))
+        stop = int(np.searchsorted(cts, deadline, side="right")) if deadline is not None else len(ci)
+        for p in range(start, stop):
+            i = int(ci[p])
+            if not pred_ok(s, i, b):
+                continue
+            ti = int(ts[i])
+            for neg in pending_neg:
+                if not check_negation(neg, prev_ts, ti, b):
                     # a negated event already occurred before this candidate —
                     # any later candidate also fails; stop.
                     return
-            b2 = dict(bindings)
-            b2[s.alias] = e
-            advance(si + 1, i + 1, b2, first_ts if first_ts is not None else e["__ts"],
-                    [], e["__ts"], i)
+            b2 = dict(b)
+            b2[s.alias] = view(i)
+            advance(si + 1, i + 1, b2, first_ts if first_ts is not None else ti,
+                    [], ti, i)
             if strategy != SKIP_TILL_ANY and first_ts is not None:
                 return  # skip-till-next: only the first viable candidate
-            if len(out) >= pattern.max_matches:
+            if len(out) >= max_matches:
                 return
 
-    def _advance_kleene(s: Step, si: int, ei: int, bindings: dict,
-                        first_ts: int | None, pending_neg: list[Step],
-                        prev_ts: int, prev_idx: int) -> None:
-        deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
+    def advance_kleene(s: Step, si: int, min_i: int, b: dict,
+                       first_ts: int | None, pending_neg: list[Step],
+                       prev_ts: int, prev_idx: int) -> None:
+        deadline0 = (first_ts + within) if (within is not None and first_ts is not None) else None
+        min_needed = 1 if s.kleene == "+" else 0
+        max_take = 1 if s.kleene == "?" else MAX_KLEENE_EVENTS
+        ci, cts = cand(s), cand_ts(s)
 
-        def extend(chosen: list[dict], from_i: int, last_idx: int) -> None:
-            if len(out) >= pattern.max_matches:
+        def extend(chosen: list[int], from_i: int, last_idx: int) -> None:
+            if len(out) >= max_matches:
                 return
-            min_needed = 1 if s.kleene == "+" else 0
-            max_take = 1 if s.kleene == "?" else MAX_KLEENE_EVENTS
             if len(chosen) >= min_needed:
-                b2 = dict(bindings)
-                b2[s.alias] = list(chosen)
-                nts = chosen[-1]["__ts"] if chosen else prev_ts
-                nidx = last_idx if chosen else prev_idx
+                b2 = dict(b)
+                b2[s.alias] = [view(j) for j in chosen]
+                nts = int(ts[chosen[-1]]) if chosen else prev_ts
+                nidx = chosen[-1] if chosen else prev_idx
                 ok = True
-                for neg in pending_neg:
-                    lo = prev_ts
-                    hi = chosen[0]["__ts"] if chosen else nts + 1
-                    if chosen and not check_negation(neg, lo, hi, b2):
-                        ok = False
-                        break
+                if chosen:
+                    for neg in pending_neg:
+                        if not check_negation(neg, prev_ts, int(ts[chosen[0]]), b2):
+                            ok = False
+                            break
                 if ok or not chosen:
-                    advance(si + 1, (last_idx + 1) if chosen else ei, b2,
-                            first_ts if first_ts is not None else (chosen[0]["__ts"] if chosen else None),
+                    advance(si + 1, (last_idx + 1) if chosen else min_i, b2,
+                            first_ts if first_ts is not None else (int(ts[chosen[0]]) if chosen else None),
                             [] if chosen else list(pending_neg), nts, nidx)
             if len(chosen) >= max_take:
                 return
-            rng: Iterable[int]
-            if strategy == STRICT:
-                base = last_idx if chosen else prev_idx
-                rng = range(base + 1, min(base + 2, n)) if (first_ts is not None or chosen) else range(from_i, n)
-            else:
-                rng = range(from_i, n)
-            for i in rng:
-                e = events[i]
-                d = deadline
-                if d is None and within is not None and chosen:
-                    # closure opened the match: its first chosen event starts
-                    # the within clock, bounding the closure itself too
-                    d = chosen[0]["__ts"] + within
-                if d is not None and e["__ts"] > d:
-                    break
-                b_probe = dict(bindings)
-                b_probe[s.alias] = list(chosen)
-                if not (type_ok(s, e) and pred_ok(s, e, b_probe)):
-                    if strategy == STRICT and (first_ts is not None or chosen):
-                        return
-                    continue
-                chosen.append(e)
+            d = deadline0
+            if d is None and within is not None and chosen:
+                # closure opened the match: its first chosen event starts
+                # the within clock, bounding the closure itself too
+                d = int(ts[chosen[0]]) + within
+
+            if strategy == STRICT and (first_ts is not None or chosen):
+                base = chosen[-1] if chosen else prev_idx
+                i = base + 1
+                if i >= n:
+                    return
+                if d is not None and ts[i] > d:
+                    return
+                b_probe = dict(b)
+                b_probe[s.alias] = [view(j) for j in chosen]
+                if not (type_at(s, i) and pred_ok(s, i, b_probe)):
+                    return
+                chosen.append(i)
+                extend(chosen, i + 1, i)
+                chosen.pop()
+                return  # strict explores only the contiguous next event
+
+            start = int(np.searchsorted(ci, from_i, side="left"))
+            stop = int(np.searchsorted(cts, d, side="right")) if d is not None else len(ci)
+            has_pred = s.where is not None
+            for p in range(start, stop):
+                i = int(ci[p])
+                if has_pred:
+                    b_probe = dict(b)
+                    b_probe[s.alias] = [view(j) for j in chosen]
+                    if not pred_ok(s, i, b_probe):
+                        continue
+                chosen.append(i)
                 extend(chosen, i + 1, i)
                 chosen.pop()
                 if strategy != SKIP_TILL_ANY:
                     return
-                if len(out) >= pattern.max_matches:
+                if len(out) >= max_matches:
                     return
 
-        extend([], ei, prev_idx)
+        extend([], min_i, prev_idx)
 
-    advance(0, 0, {}, None, [], events[0]["__ts"] - 1 if n else 0, -1)
+    advance(0, 0, {}, None, [], int(ts[0]) - 1 if n else 0, -1)
     return out
+
+
+def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
+    """Compat shim over `_run_nfa` for callers holding per-event dicts
+    (the streaming state path pickles dict events). `events` sorted by
+    (ts, tiebreak); each dict has `__ts` int64 ns."""
+    if not events:
+        return []
+    pdf = pd.DataFrame(events)
+    cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    ts = np.asarray(cols["__ts"], dtype=np.int64)
+    return _run_nfa(cols, ts, len(pdf), pattern)
 
 
 # ---------------------------------------------------------------------------
@@ -487,21 +584,33 @@ def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
         # EventTypeIndex analog (sase.rs:917-1005): prefilter pushes to scan.
         df = df.filter(F.col("event_type").isin(types))
 
+    if all(s.where is None for s in pattern.steps):
+        # no opaque predicates → prune to the columns the NFA touches
+        # (pushes column pruning into the scan and shrinks Arrow transfer)
+        needed = set(keys or []) | {ts_col, "event_type"}
+        if order_col:
+            needed.add(order_col)
+        for _alias, fld in pattern.emit.values():
+            if fld != "__count":
+                needed.add(fld)
+        df = df.select(*[c for c in df.columns if c in needed])
+
     schema = _out_schema(pattern, df)
     sort_cols = [ts_col] + ([order_col] if order_col else [])
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ts_ns = pdf[ts_col].astype("int64").to_numpy()
-        events = pdf.to_dict("records")
-        for e, t in zip(events, ts_ns):
-            e["__ts"] = int(t)
-        rows = _enumerate_matches(events, pattern)
+        group_cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        group_cols["__ts"] = ts_ns
+        rows = _run_nfa(group_cols, ts_ns, len(pdf), pattern)
         cols = list(pattern.emit.keys())
         return pd.DataFrame(rows, columns=cols)
 
     if keys:
-        return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(
+        from varpulis_spark.operators.dedup import spread_keys
+
+        return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(
             lambda _key, pdf: run(pdf), schema
         )
     # single NFA universe — serial, parity with an unpartitioned reference

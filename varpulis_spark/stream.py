@@ -282,12 +282,16 @@ class Stream:
         adjacent: Callable | None = None,
         value_field: str | None = None,
         within=None,
+        adjacent_vec: Callable | None = None,
     ) -> "Stream":
         """GRETA trend aggregation (.trend_aggregate, ast.rs:321-323;
-        greta.rs) — aggregates over all Kleene trends without enumeration."""
+        greta.rs) — aggregates over all Kleene trends without enumeration.
+        `adjacent_vec(cols, i) -> bool[i]` is the vectorized predicate form
+        (preferred: one numpy comparison per event instead of per pair)."""
         from varpulis_spark.operators.greta import trend_aggregate as _ta
 
-        out = _ta(self, event_type, adjacent, value_field, within)
+        out = _ta(self, event_type, adjacent, value_field, within,
+                  adjacent_vec=adjacent_vec)
         return Stream(out, ts_col=self.ts_col, keys=self.keys)
 
     # -- imperative escape hatch ---------------------------------------------
