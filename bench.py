@@ -42,49 +42,57 @@ def warmup(spark, sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("varpulis-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = os.getloadavg()
     n_events = warmup(spark, sf_dir)
 
+    # median-of-N with a warm session (matches the baseline's 'preloaded
+    # events, median of 3 runs' protocol, README.md:100); the spread field
+    # exposes host-contention noise (shared microVM shows 10-20x spikes)
+    # so round-over-round deltas can be read against variance.
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
-    SLOW_RETRY_S = 10.0
     for name, fn in entrymod.queries().items():
         try:
-            t0 = time.time()
-            rows[name] = fn(spark, sf_dir).count()
-            took = time.time() - t0
-            spark.catalog.clearCache()
-            if took > SLOW_RETRY_S:
-                # this host shows intermittent 10-20x CPU-starvation spikes
-                # (shared microVM); a slow first attempt is usually noise —
-                # keep the faster of two runs (baseline uses median of 3).
+            samples = []
+            for _ in range(max(1, runs_per_query)):
                 t0 = time.time()
-                fn(spark, sf_dir).count()
-                took = min(took, time.time() - t0)
+                rows[name] = fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
                 spark.catalog.clearCache()
-            times[name] = round(took, 3)
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             times[name] = -1.0
-        # UDF-guard persists (dedup signatures) accumulate across queries;
-        # clearCache above keeps later queries untaxed by eviction/GC.
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # comparable to BASELINE.md CPU-bound event throughput (filter row)
     filter_tput = (
         round(n_events / times["high_value_filter"]) if times.get("high_value_filter", 0) > 0 else None
     )
+    events_per_sec = {
+        name: round(n_events / t) for name, t in times.items() if t > 0
+    }
     print(json.dumps({
         "metric": "headline_query_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread_min_max": spread,
+        "events_per_sec": events_per_sec,
         "rows": rows,
         "sf": sf,
         "events_rows": n_events,
         "filter_events_per_sec": filter_tput,
+        "runs_per_query": runs_per_query,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
 
 
