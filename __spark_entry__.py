@@ -493,9 +493,13 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_type = 'signup' AND b.event_type = 'purchase'
              AND b.ts > a.ts AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
             WHERE NOT EXISTS (
+              -- global negation vetoes in (first, last] ARRIVAL order:
+              -- strictly after the signup, at-or-before the purchase
+              -- (the completing event itself can veto; sase.rs:2204)
               SELECT 1 FROM events c
               WHERE c.user_id = a.user_id AND c.event_type = 'error'
-                AND c.ts > a.ts AND c.ts < b.ts)
+                AND (c.ts > a.ts OR (c.ts = a.ts AND c.event_id > a.event_id))
+                AND (c.ts < b.ts OR (c.ts = b.ts AND c.event_id <= b.event_id)))
         """,
         "greta_trend_count": """
             SELECT user_id,

@@ -69,6 +69,35 @@ def test_negation_between():
     assert ids(_enumerate_matches(events, p), "a", "b") == [(3, 4)]
 
 
+def test_global_negation_completing_event_vetoes():
+    """Global negation is checked BEFORE run advancement (sase.rs:2204):
+    the event completing the sequence can itself invalidate the run — the
+    veto span is (first, last] in arrival order."""
+    # pattern A -> B with .not(B): the completing B always vetoes
+    events = [ev(0, "A", 0), ev(1, "B", 5)]
+    p = Pattern(
+        steps=[step("A", "a"), not_step("B"), step("B", "b")],
+        emit={"a": ("a", "event_id"), "b": ("b", "event_id")},
+    )
+    assert _enumerate_matches(events, p) == []
+
+
+def test_global_negation_arrival_order_ties():
+    """Same-timestamp events: arrival (sort) order decides whether the
+    negated event saw an active run. C before B at the same ts vetoes;
+    C after B arrives post-completion and does not."""
+    # C sorted before the completing B at ts=5 → run still active → veto
+    events = [ev(0, "A", 0), ev(1, "C", 5), ev(2, "B", 5)]
+    p = Pattern(
+        steps=[step("A", "a"), not_step("C"), step("B", "b")],
+        emit={"a": ("a", "event_id"), "b": ("b", "event_id")},
+    )
+    assert _enumerate_matches(events, p) == []
+    # C sorted after the completing B at ts=5 → run already completed
+    events = [ev(0, "A", 0), ev(1, "B", 5), ev(2, "C", 5)]
+    assert ids(_enumerate_matches(events, p), "a", "b") == [(0, 1)]
+
+
 def test_trailing_negation_needs_quiet_window():
     events = [ev(0, "A", 0), ev(1, "C", 5), ev(2, "A", 20)]
     p = Pattern(
@@ -186,7 +215,8 @@ def test_spark_negation_vs_duckdb(spark, sf_dir):
             WHERE NOT EXISTS (
               SELECT 1 FROM '{sf_dir}/events.parquet' c
               WHERE c.user_id = a.user_id AND c.event_type='error'
-                AND c.ts > a.ts AND c.ts < b.ts)
+                AND (c.ts > a.ts OR (c.ts = a.ts AND c.event_id > a.event_id))
+                AND (c.ts < b.ts OR (c.ts = b.ts AND c.event_id <= b.event_id)))
             ORDER BY 1,2,3"""
     ).fetchall()
     assert got == exp

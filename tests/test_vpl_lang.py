@@ -1,0 +1,544 @@
+"""VPL language coverage: user functions, event decls, per-step ops,
+merge/join/sequence/timer sources, named patterns, and reference scenario
+programs run unmodified.
+
+Expected values mirror the reference's integration tests
+(crates/varpulis-runtime/tests/integration_scenarios.rs) where one exists
+for the program shape; the scenario-file assertions are derived from the
+.evt fixtures under the reference's documented semantics.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark.sources.event_file import load_evt
+from varpulis_spark.stream import Stream
+from varpulis_spark.vpl.compiler import run_program
+from varpulis_spark.vpl.parser import parse_full
+
+SCEN = "/root/reference/tests/scenarios"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from varpulis_spark.engine import get_spark
+
+    return get_spark("vpl-lang-tests")
+
+
+def run_inline(spark, program: str, events: str):
+    stream = Stream(load_evt(spark, events), ts_col="ts", order_col="event_id")
+    return run_program(program, stream)
+
+
+def run_scenario(spark, vpl_name: str, evt_name: str | None = None):
+    with open(f"{SCEN}/{vpl_name}.vpl") as f:
+        src = f.read()
+    evt = f"{SCEN}/{evt_name or vpl_name}.evt"
+    stream = Stream(load_evt(spark, evt), ts_col="ts", order_col="event_id")
+    return run_program(src, stream)
+
+
+# ---------------------------------------------------------------------------
+# user functions (integration_scenarios.rs:695-775)
+# ---------------------------------------------------------------------------
+
+
+def test_user_function_in_where(spark):
+    res = run_inline(spark, """
+fn is_high(value: float, threshold: float) -> bool:
+    value > threshold
+
+fn double(x: float) -> float:
+    x * 2.0
+
+stream HighValues = Measurement
+    .where(is_high(value, double(threshold)))
+    .emit(status: "high", val: value)
+""", """
+Measurement { value: 100.0, threshold: 30.0 }
+Measurement { value: 50.0, threshold: 30.0 }
+Measurement { value: 150.0, threshold: 100.0 }
+""")
+    rows = res["HighValues"].collect()
+    assert len(rows) == 1 and rows[0].val == 100.0
+
+
+def test_nested_function_calls(spark):
+    res = run_inline(spark, """
+fn add_margin(x: float, pct: float) -> float:
+    x * (1.0 + pct / 100.0)
+
+stream MarginCheck = Price
+    .where(current > add_margin(base, margin_pct))
+    .emit(status: "above_margin")
+""", """
+Price { current: 110.0, base: 100.0, margin_pct: 5.0 }
+Price { current: 104.0, base: 100.0, margin_pct: 5.0 }
+""")
+    assert res["MarginCheck"].count() == 1
+
+
+def test_builtin_abs_in_where(spark):
+    res = run_inline(spark, """
+stream AbsCheck = Reading
+    .where(abs(delta) > 10.0)
+    .emit(status: "large_delta", d: delta)
+""", """
+Reading { delta: 5.0 }
+Reading { delta: -15.0 }
+Reading { delta: 8.0 }
+Reading { delta: 25.0 }
+""")
+    assert res["AbsCheck"].count() == 2
+
+
+def test_emit_with_function_call_and_arithmetic(spark):
+    res = run_inline(spark, """
+fn calculate_tax(amount: float, rate: float) -> float:
+    amount * rate / 100.0
+
+stream TaxCalculation = Sale
+    .emit(sale_id: id, amount: amount, tax: calculate_tax(amount, tax_rate))
+
+stream PriceWithDiscount = Product
+    .emit(product_id: id, final_price: price * (1.0 - discount / 100.0))
+
+stream AbsoluteValues = Measurement
+    .emit(sensor_id: id, abs_value: abs(reading))
+""", """
+Sale { id: "S1", amount: 100.0, tax_rate: 20.0 }
+Product { id: "P1", price: 100.0, discount: 25.0 }
+Measurement { id: "M1", reading: -42.5 }
+""")
+    assert res["TaxCalculation"].collect()[0].tax == pytest.approx(20.0)
+    assert res["PriceWithDiscount"].collect()[0].final_price == pytest.approx(75.0)
+    assert res["AbsoluteValues"].collect()[0].abs_value == pytest.approx(42.5)
+
+
+# ---------------------------------------------------------------------------
+# global negation in chains (integration_scenarios.rs:783-858)
+# ---------------------------------------------------------------------------
+
+_NEG_PROGRAM = """
+stream OrderPayment = Order as order
+    -> Payment where order_id == order.id as payment
+    .not(Cancellation where order_id == order.id)
+    .emit(status: "paid", order_id: order.id)
+"""
+
+
+def test_sequence_negation_cancels_match(spark):
+    res = run_inline(spark, _NEG_PROGRAM, """
+Order { id: 1 }
+BATCH 10
+Cancellation { order_id: 1 }
+BATCH 20
+Payment { order_id: 1 }
+""")
+    assert res["OrderPayment"].count() == 0
+
+
+def test_sequence_negation_allows_non_matching(spark):
+    res = run_inline(spark, _NEG_PROGRAM, """
+Order { id: 1 }
+BATCH 10
+Cancellation { order_id: 2 }
+BATCH 20
+Payment { order_id: 1 }
+""")
+    assert res["OrderPayment"].count() == 1
+
+
+def test_sequence_without_negation(spark):
+    res = run_inline(spark, """
+stream OrderPayment = Order as order
+    -> Payment where order_id == order.id as payment
+    .emit(status: "paid", order_id: order.id)
+""", """
+Order { id: 1 }
+BATCH 10
+Cancellation { order_id: 1 }
+BATCH 20
+Payment { order_id: 1 }
+""")
+    assert res["OrderPayment"].count() == 1
+
+
+# ---------------------------------------------------------------------------
+# merge sources (integration_scenarios.rs:952-1019,1080-1120)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_inline_stream_decls(spark):
+    res = run_inline(spark, """
+stream BuildingMetrics = merge(
+    stream S1 = SensorEvent .where(sensor_id == "S1"),
+    stream S2 = SensorEvent .where(sensor_id == "S2"),
+    stream S3 = SensorEvent .where(sensor_id == "S3")
+)
+    .emit(sensor: sensor_id, temp: temperature)
+""", """
+SensorEvent { sensor_id: "S1", temperature: 22.5 }
+SensorEvent { sensor_id: "S2", temperature: 23.0 }
+SensorEvent { sensor_id: "S4", temperature: 24.0 }
+SensorEvent { sensor_id: "S3", temperature: 21.5 }
+""")
+    rows = res["BuildingMetrics"].collect()
+    assert len(rows) == 3
+    assert {r.sensor for r in rows} == {"S1", "S2", "S3"}
+
+
+def test_merge_named_streams(spark):
+    res = run_inline(spark, """
+stream Errors = LogEvent
+    .where(level == "error")
+
+stream Warnings = LogEvent
+    .where(level == "warn")
+
+stream Alerts = merge(Errors, Warnings)
+""", """
+LogEvent { level: "info", msg: "a" }
+LogEvent { level: "error", msg: "b" }
+LogEvent { level: "warn", msg: "c" }
+LogEvent { level: "error", msg: "d" }
+""")
+    assert res["Alerts"].count() == 3
+
+
+# ---------------------------------------------------------------------------
+# join source (financial_markets.vpl:142, hvac_demo.vpl:110)
+# ---------------------------------------------------------------------------
+
+
+def test_join_source_on_window_select(spark):
+    res = run_inline(spark, """
+stream Temps = Reading
+    .where(kind == "temp")
+    .emit(zone: zone, temp: value)
+
+stream Hums = Reading
+    .where(kind == "hum")
+    .emit(zone: zone, hum: value)
+
+stream Comfort = join(Temps, Hums)
+    .on(Temps.zone == Hums.zone)
+    .window(1m)
+    .select(zone: Temps.zone, temperature: Temps.temp, humidity: Hums.hum,
+            score: 100.0 - abs(Temps.temp - 22.0) * 5.0)
+""", """
+Reading { zone: "Z1", kind: "temp", value: 24.0 }
+Reading { zone: "Z1", kind: "hum", value: 50.0 }
+Reading { zone: "Z2", kind: "temp", value: 20.0 }
+""")
+    rows = res["Comfort"].collect()
+    assert len(rows) == 1
+    assert rows[0].zone == "Z1" and rows[0].humidity == 50.0
+    assert rows[0].score == pytest.approx(90.0)
+
+
+# ---------------------------------------------------------------------------
+# sequence() source (ast.rs:187,204-224; runtime/src/sequence.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_source_match_all(spark):
+    res = run_inline(spark, """
+stream Seq = sequence(match_all: true, timeout: 5m,
+                      first: Req, second: Resp where id == first.id)
+    .emit(req_id: first.id, resp_id: second.id)
+""", """
+Req { id: 1 }
+BATCH 100
+Resp { id: 1 }
+BATCH 200
+Resp { id: 1 }
+""")
+    # match_all: every viable completion (skip-till-any)
+    assert res["Seq"].count() == 2
+
+
+def test_sequence_source_single_match(spark):
+    res = run_inline(spark, """
+stream Seq = sequence(match_all: false, timeout: 5m,
+                      first: Req, second: Resp where id == first.id)
+    .emit(req_id: first.id, resp_id: second.id)
+""", """
+Req { id: 1 }
+BATCH 100
+Resp { id: 1 }
+BATCH 200
+Resp { id: 1 }
+""")
+    # single-run semantics: only the first completion fires (skip-till-next)
+    assert res["Seq"].count() == 1
+
+
+# ---------------------------------------------------------------------------
+# named pattern declarations (ast.rs:106-112; reusable_patterns.vpl)
+# ---------------------------------------------------------------------------
+
+
+def test_named_pattern_seq_within_partition(spark):
+    res = run_inline(spark, """
+pattern LoginThenTx = SEQ(
+    Login as login,
+    Transaction where user_id == login.user_id as tx
+) within 10m partition by user_id
+
+stream Alerts = LoginThenTx
+    .emit(user: login.user_id, amount: tx.amount)
+""", """
+Login { user_id: "u1" }
+BATCH 1000
+Transaction { user_id: "u1", amount: 50.0 }
+BATCH 2000
+Login { user_id: "u2" }
+Transaction { user_id: "u3", amount: 10.0 }
+""")
+    rows = res["Alerts"].collect()
+    assert len(rows) == 1
+    assert rows[0].user == "u1" and rows[0].amount == 50.0
+
+
+def test_named_pattern_kleene_breakout(spark):
+    """pipeline.vpl:24 Breakout shape: Kleene + len(closure) emit."""
+    res = run_inline(spark, """
+pattern Breakout = SEQ(
+    Tick as first,
+    Tick+ where price > first.price as rising,
+    Tick where price > first.price * 1.1 as last
+) within 120s partition by symbol
+
+stream Signals = Breakout
+    .emit(symbol: last.symbol, start_price: first.price,
+          end_price: last.price, tick_count: len(rising))
+""", """
+Tick { symbol: "ACME", price: 100.0 }
+BATCH 1000
+Tick { symbol: "ACME", price: 105.0 }
+BATCH 2000
+Tick { symbol: "ACME", price: 115.0 }
+""")
+    rows = res["Signals"].collect()
+    # first=100 -> rising=[105] -> last=115 (>110)
+    assert len(rows) == 1
+    assert rows[0].start_price == 100.0 and rows[0].end_price == 115.0
+    assert rows[0].tick_count == 1
+
+
+def test_named_pattern_or(spark):
+    res = run_inline(spark, """
+pattern AuthEvent = Login OR Logout
+
+stream Auths = AuthEvent
+    .emit(u: user_id)
+""", """
+Login { user_id: "a" }
+Logout { user_id: "a" }
+Other { user_id: "b" }
+Login { user_id: "c" }
+""")
+    assert res["Auths"].count() == 3
+
+
+# ---------------------------------------------------------------------------
+# event decls, vars, timer, .process
+# ---------------------------------------------------------------------------
+
+
+def test_event_decl_casts_columns(spark):
+    """Declared field types are applied to the frame (int payload read as
+    long becomes double per the event decl)."""
+    res = run_inline(spark, """
+event Reading:
+    value: float
+    count: int
+
+stream Out = Reading
+    .emit(v: value, c: count)
+""", """
+Reading { value: 5, count: 2 }
+""")
+    df = res["Out"]
+    types = dict(df.dtypes)
+    assert types["v"] == "double" and types["c"] == "bigint"
+
+
+def test_var_substitution(spark):
+    res = run_inline(spark, """
+var threshold: float = 50.0
+const factor = 2.0
+
+stream Big = Reading
+    .where(value > threshold * factor)
+    .emit(v: value)
+""", """
+Reading { value: 150.0 }
+Reading { value: 99.0 }
+""")
+    rows = res["Big"].collect()
+    assert len(rows) == 1 and rows[0].v == 150.0
+
+
+def test_timer_source(spark):
+    res = run_inline(spark, """
+stream Ticks = timer(10s)
+""", """
+Dummy { x: 1 }
+@30s Dummy { x: 2 }
+""")
+    # event-time range [0s, 30s] at 10s cadence -> 4 ticks
+    assert res["Ticks"].count() == 4
+
+
+def test_process_imperative_fn(spark):
+    res = run_scenario(spark, "emit_process")
+    rows = res["Pixels"].collect()
+    got = sorted((r.x, r.y, r.color) for r in rows)
+    assert got == [(0, 0, 0), (0, 1, 3), (1, 0, 1), (1, 1, 4), (2, 0, 2), (2, 1, 5)]
+    assert all(r.event_type == "Pixel" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# expression extensions: coalesce / if-then-else / in / list
+# ---------------------------------------------------------------------------
+
+
+def test_expression_extensions(spark):
+    res = run_inline(spark, """
+stream Out = Reading
+    .emit(v: value ?? 0.0,
+          grade: if value > 10.0 then "high" else "low",
+          tagged: kind in ["a", "b"])
+""", """
+Reading { kind: "a", value: 15.0 }
+Reading { kind: "c" }
+""")
+    rows = sorted(res["Out"].collect(), key=lambda r: r.v)
+    assert rows[0].v == 0.0 and rows[0].grade == "low" and rows[0].tagged is False
+    assert rows[1].v == 15.0 and rows[1].grade == "high" and rows[1].tagged is True
+
+
+# ---------------------------------------------------------------------------
+# reference scenario files run unmodified
+# ---------------------------------------------------------------------------
+
+
+def test_electrical_consumption_scenario(spark):
+    res = run_scenario(spark, "electrical_consumption")
+    # 5 readings exceed 150% of baseline in the fixture
+    ab = res["AbnormalFloorConsumption"].collect()
+    assert len(ab) == 5
+    by_floor = {(r.site_id, r.building_id, r.floor_id, r.consumption): r for r in ab}
+    spike = by_floor[("SITE-A", "B1", "F2", 200.0)]
+    assert spike.percent_over == pytest.approx((200.0 - 90.0) / 90.0 * 100.0)
+    assert spike.severity == "warning"
+
+    # all events fall in one 5m window; 3 buildings / 2 sites
+    bc = {r.building_id: r for r in res["BuildingConsumption"].collect()}
+    assert set(bc) == {"B1", "B2", "C1"}
+    assert bc["B1"].total_consumption == pytest.approx(1358.0)
+    assert bc["B1"].floor_count == 11
+    assert bc["B2"].total_consumption == pytest.approx(675.0)
+    assert {r.site_id for r in res["SiteConsumption"].collect()} == {"SITE-A", "SITE-B"}
+
+    # only B2 exceeds 130% of its baseline total
+    an = res["BuildingAnomaly"].collect()
+    assert len(an) == 1 and an[0].building_id == "B2" and an[0].severity == "critical"
+
+    # same-floor consumption doubling within 10m (all pairs, skip-till-any)
+    assert res["ConsumptionSpike"].count() == 9
+
+
+def test_order_payment_scenario(spark):
+    res = run_scenario(spark, "order_payment", "order_payment_sequence")
+    m = {r.order_id: r for r in res["OrderPaymentMatch"].collect()}
+    assert set(m) == {1, 2, 3}
+    assert m[1].fee == pytest.approx(15000.0 * 0.02)
+    assert m[1].status == "payment_received"
+    # Order events carry no `amount` field -> priority predicate is null
+    assert res["PriorityOrders"].count() == 0
+    # the matching Payment itself triggers the global negation
+    # (sase.rs:2204: negation check precedes run advancement)
+    assert res["UnpaidOrders"].count() == 0
+
+
+def test_watermark_scenarios(spark):
+    res = run_scenario(spark, "watermark_basic")
+    assert res["Watermarked"].count() == 5
+    with open(f"{SCEN}/watermark_lateness.vpl") as f:
+        src = f.read()
+    s = Stream(
+        load_evt(spark, """
+@0s OrderEvent { amount: 10.0 }
+@30s OrderEvent { amount: 20.0 }
+@90s OrderEvent { amount: 5.0 }
+"""),
+        ts_col="ts", order_col="event_id",
+    )
+    rows = run_program(src, s)["Combined"].collect()
+    # lateness is a replay no-op; two 1m windows aggregate normally
+    assert sorted(r.total_amount for r in rows) == [5.0, 30.0]
+
+
+def test_checkpoint_count_window_scenario(spark):
+    with open(f"{SCEN}/checkpoint_count_window.vpl") as f:
+        src = f.read()
+    p1 = open(f"{SCEN}/checkpoint_count_window_phase1.evt").read()
+    p2 = open(f"{SCEN}/checkpoint_count_window_phase2.evt").read()
+    # phase 1 alone: 3 events < window(5) -> no complete window
+    s1 = Stream(load_evt(spark, p1), ts_col="ts", order_col="event_id")
+    assert run_program(src, s1)["WindowedSum"].count() == 0
+    # phases replayed together (the checkpoint-restore contract): one full
+    # window, sum = 10+20+30+40+50
+    s12 = Stream(load_evt(spark, p1 + "\n" + p2), ts_col="ts", order_col="event_id")
+    rows = run_program(src, s12)["WindowedSum"].collect()
+    assert len(rows) == 1 and rows[0].sum == 150 and rows[0].n == 5
+
+
+def test_checkpoint_variables_scenario(spark):
+    res = run_scenario(spark, "checkpoint_variables", "checkpoint_passthrough")
+    assert res["Incrementer"].count() >= 1
+
+
+def test_count_distinct_sugar(spark):
+    res = run_inline(spark, """
+stream SensorStats = SensorEvent
+    .window(1m)
+    .aggregate(sensor_count: count(distinct(sensor_id)), total_count: count(sensor_id))
+    .emit(unique_sensors: sensor_count, total: total_count)
+""", """
+SensorEvent { sensor_id: "S1", temperature: 20.0 }
+SensorEvent { sensor_id: "S1", temperature: 21.0 }
+SensorEvent { sensor_id: "S2", temperature: 22.0 }
+SensorEvent { sensor_id: "S3", temperature: 23.0 }
+SensorEvent { sensor_id: "S1", temperature: 24.0 }
+""")
+    rows = res["SensorStats"].collect()
+    assert len(rows) == 1
+    assert rows[0].unique_sensors == 3 and rows[0].total == 5
+
+
+def test_parse_full_shapes():
+    prog = parse_full("""
+fn f(x: float) -> float:
+    x * 2.0
+
+event E extends Base:
+    a: float
+    b: str
+
+var v: int = 3
+
+pattern P = SEQ(A as a, B+ where x == a.x as b) within 1h partition by x
+
+stream S = merge(A, B where y > 1)
+    .emit(z: y)
+""")
+    assert len(prog.fns) == 1 and prog.fns[0].name == "f"
+    assert prog.events[0].base == "Base" and len(prog.events[0].fields) == 2
+    assert prog.vars[0].name == "v"
+    assert prog.patterns[0].partition_by == "x"
+    assert prog.streams[0].source is not None

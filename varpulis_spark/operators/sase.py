@@ -218,11 +218,51 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
         except (KeyError, TypeError):
             return False
 
-    def check_negation(neg: Step, lo_ts: int, hi_ts: int, b: dict) -> bool:
-        """True when NO negated-type event satisfying pred lies strictly in
-        (lo_ts, hi_ts) — NegationConstraint sase.rs:675-716."""
+    # negation classification (two reference mechanisms):
+    # - negated steps BEFORE the last positive step are GLOBAL negations
+    #   (`.not()`, GlobalNegation sase.rs:1842-1849): a matching event
+    #   arriving while the run is active invalidates it — the check runs
+    #   BEFORE run advancement (sase.rs:2204), so the veto span in arrival
+    #   order is (first_event, last_event] INCLUSIVE of the completing
+    #   event itself.
+    # - TRAILING negated steps are NegationConstraint states
+    #   (sase.rs:675-716): the match is confirmed only if no forbidden
+    #   event arrives before the within-deadline (event-time confirmation).
+    # The compiler may interleave the same guard objects between several
+    # pairs; dedupe by identity.
+    _pos_positions = [i for i, s in enumerate(pattern.steps) if not s.negated]
+    _last_pos = _pos_positions[-1] if _pos_positions else -1
+    _seen_negs: set[int] = set()
+    global_negs: list[Step] = []
+    trailing_negs: list[Step] = []
+    for _i, _s in enumerate(pattern.steps):
+        if _s.negated and id(_s) not in _seen_negs:
+            _seen_negs.add(id(_s))
+            (trailing_negs if _i > _last_pos else global_negs).append(_s)
+    steps = [s for s in steps if not s.negated]
+
+    def span_clear(neg: Step, lo_idx: int, hi_idx: int, b: dict) -> bool:
+        """True when NO negated-type event satisfying pred has arrival index
+        in (lo_idx, hi_idx] — the global-negation veto span. Index order IS
+        arrival order (caller sorts by (ts, order))."""
+        ni = cand(neg)
+        a = int(np.searchsorted(ni, lo_idx, side="right"))
+        z = int(np.searchsorted(ni, hi_idx, side="right"))
+        if a >= z:
+            return True
+        if neg.where is None:
+            return False
+        for j in ni[a:z]:
+            if pred_ok(neg, int(j), b):
+                return False
+        return True
+
+    def trailing_clear(neg: Step, last_idx: int, hi_ts: int, b: dict) -> bool:
+        """True when NO negated-type event satisfying pred arrives after the
+        match's last event and before the within-deadline (exclusive) —
+        NegationConstraint confirmation, sase.rs:702-716."""
         ni, nts = cand(neg), cand_ts(neg)
-        a = int(np.searchsorted(nts, lo_ts, side="right"))
+        a = int(np.searchsorted(ni, last_idx, side="right"))
         z = int(np.searchsorted(nts, hi_ts, side="left"))
         if a >= z:
             return True
@@ -232,6 +272,19 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
             if pred_ok(neg, int(j), b):
                 return False
         return True
+
+    def finish(b: dict, first_ts: int | None, first_idx: int, last_idx: int) -> None:
+        for neg in global_negs:
+            if not span_clear(neg, first_idx, last_idx, b):
+                return
+        if trailing_negs:
+            hi = (first_ts + within) if (within is not None and first_ts is not None) else (
+                int(ts[-1]) + 1 if n else 0
+            )
+            for neg in trailing_negs:
+                if not trailing_clear(neg, last_idx, hi, b):
+                    return
+        emit_match(b)
 
     def emit_match(b: dict) -> None:
         row = {}
@@ -244,30 +297,18 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
         out.append(row)
 
     def advance(si: int, min_i: int, b: dict, first_ts: int | None,
-                pending_neg: list[Step], prev_ts: int, prev_idx: int) -> None:
+                first_idx: int, prev_ts: int, prev_idx: int) -> None:
         if len(out) >= max_matches:
             return
-        # skip over negated steps: collect them as pending guards
-        while si < len(steps) and steps[si].negated:
-            pending_neg.append(steps[si])
-            si += 1
         if si == len(steps):
-            # trailing negations guard until within-deadline (event-time
-            # confirmation, sase.rs:702-716); unbounded without `within`.
-            hi = (first_ts + within) if (within is not None and first_ts is not None) else (
-                int(ts[-1]) + 1 if n else 0
-            )
-            for neg in pending_neg:
-                if not check_negation(neg, prev_ts, hi, b):
-                    return
-            emit_match(b)
+            finish(b, first_ts, first_idx, prev_idx)
             return
 
         s = steps[si]
         deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
 
         if s.kleene:
-            advance_kleene(s, si, min_i, b, first_ts, list(pending_neg), prev_ts, prev_idx)
+            advance_kleene(s, si, min_i, b, first_ts, first_idx, prev_ts, prev_idx)
             return
 
         if strategy == STRICT and first_ts is not None:
@@ -279,12 +320,9 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
             if not (type_at(s, i) and pred_ok(s, i, b)):
                 return  # contiguity broken
             ti = int(ts[i])
-            for neg in pending_neg:
-                if not check_negation(neg, prev_ts, ti, b):
-                    return
             b2 = dict(b)
             b2[s.alias] = view(i)
-            advance(si + 1, i + 1, b2, first_ts, [], ti, i)
+            advance(si + 1, i + 1, b2, first_ts, first_idx, ti, i)
             return
 
         ci, cts = cand(s), cand_ts(s)
@@ -295,22 +333,17 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
             if not pred_ok(s, i, b):
                 continue
             ti = int(ts[i])
-            for neg in pending_neg:
-                if not check_negation(neg, prev_ts, ti, b):
-                    # a negated event already occurred before this candidate —
-                    # any later candidate also fails; stop.
-                    return
             b2 = dict(b)
             b2[s.alias] = view(i)
             advance(si + 1, i + 1, b2, first_ts if first_ts is not None else ti,
-                    [], ti, i)
+                    first_idx if first_ts is not None else i, ti, i)
             if strategy != SKIP_TILL_ANY and first_ts is not None:
                 return  # skip-till-next: only the first viable candidate
             if len(out) >= max_matches:
                 return
 
     def advance_kleene(s: Step, si: int, min_i: int, b: dict,
-                       first_ts: int | None, pending_neg: list[Step],
+                       first_ts: int | None, first_idx: int,
                        prev_ts: int, prev_idx: int) -> None:
         deadline0 = (first_ts + within) if (within is not None and first_ts is not None) else None
         min_needed = 1 if s.kleene == "+" else 0
@@ -325,16 +358,10 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
                 b2[s.alias] = [view(j) for j in chosen]
                 nts = int(ts[chosen[-1]]) if chosen else prev_ts
                 nidx = chosen[-1] if chosen else prev_idx
-                ok = True
-                if chosen:
-                    for neg in pending_neg:
-                        if not check_negation(neg, prev_ts, int(ts[chosen[0]]), b2):
-                            ok = False
-                            break
-                if ok or not chosen:
-                    advance(si + 1, (last_idx + 1) if chosen else min_i, b2,
-                            first_ts if first_ts is not None else (int(ts[chosen[0]]) if chosen else None),
-                            [] if chosen else list(pending_neg), nts, nidx)
+                advance(si + 1, (last_idx + 1) if chosen else min_i, b2,
+                        first_ts if first_ts is not None else (int(ts[chosen[0]]) if chosen else None),
+                        first_idx if first_ts is not None else (chosen[0] if chosen else -1),
+                        nts, nidx)
             if len(chosen) >= max_take:
                 return
             d = deadline0
@@ -379,7 +406,7 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
 
         extend([], min_i, prev_idx)
 
-    advance(0, 0, {}, None, [], int(ts[0]) - 1 if n else 0, -1)
+    advance(0, 0, {}, None, -1, int(ts[0]) - 1 if n else 0, -1)
     return out
 
 
@@ -467,17 +494,24 @@ def compile_pattern_to_joins(stream, pattern: Pattern) -> DataFrame:
     prev_alias = first_alias
     seen = [first_alias]
 
-    pending_neg: list[Step] = []
-    neg_guards: list[tuple[Step, str, str | None]] = []  # (neg, lo_alias, hi_alias)
-    i = 0
+    # negations: mid-chain guards are GLOBAL (GlobalNegation
+    # sase.rs:1842-1849, checked before run advancement, sase.rs:2204) —
+    # veto span is (first_event, last_event] in arrival order, INCLUSIVE of
+    # the completing event itself. Trailing guards are NegationConstraint
+    # confirmation windows (sase.rs:675-716). Dedupe by identity: the
+    # pattern compiler interleaves the same guard objects between pairs.
+    global_negs: dict[int, Step] = {}
+    trailing_negs: list[Step] = []
     steps = pattern.steps
-    # skip leading negations? (reference patterns start positive; leading
-    # negations would guard (-inf, first) — unsupported here, NFA handles it)
-    for s in steps:
+    last_pos = max(i for i, s in enumerate(steps) if not s.negated)
+    for i, s in enumerate(steps):
         if s.negated:
-            if not seen or s is steps[0]:
+            if i == 0:
                 raise ValueError("leading negation not join-compilable")
-            pending_neg.append(s)
+            if i > last_pos:
+                trailing_negs.append(s)
+            else:
+                global_negs.setdefault(id(s), s)
             continue
         if s.alias == first_alias:
             continue
@@ -494,36 +528,44 @@ def compile_pattern_to_joins(stream, pattern: Pattern) -> DataFrame:
         if s.where_sql:
             cond = cond & _qualify_sql(s.where_sql, seen + [s.alias], df.columns)
         joined = joined.join(nxt, cond, "inner")
-        for neg in pending_neg:
-            neg_guards.append((neg, prev_alias, s.alias))
-        pending_neg = []
         prev_alias = s.alias
         seen.append(s.alias)
-    for neg in pending_neg:  # trailing negations
-        if within_us is None:
-            raise ValueError("trailing negation needs `within` (join path)")
-        neg_guards.append((neg, prev_alias, None))
+    last_alias = prev_alias
+    if trailing_negs and within_us is None:
+        raise ValueError("trailing negation needs `within` (join path)")
 
-    # negation guards: LEFT ANTI against the negated type in the interval
-    for neg, lo_alias, hi_alias in neg_guards:
+    def lex_after(tn, on, alias):  # (tn, on) > pos(alias)
+        ta, oa = pos(alias)
+        return (tn > ta) | ((tn == ta) & (on > oa))
+
+    def lex_at_or_before(tn, on, alias):  # (tn, on) <= pos(alias)
+        ta, oa = pos(alias)
+        return (tn < ta) | ((tn == ta) & (on <= oa))
+
+    # negation guards: LEFT ANTI against the negated type over the span
+    for neg, hi_alias in [(g, last_alias) for g in global_negs.values()] + [
+        (t, None) for t in trailing_negs
+    ]:
         nd = df.filter(F.col("event_type") == neg.event_type)
         for c in nd.columns:
             nd = nd.withColumnRenamed(c, f"{neg.alias}__{c}")
         cond = None
         for k in keys:
-            c = F.col(f"{lo_alias}__{k}") == F.col(f"{neg.alias}__{k}")
+            c = F.col(f"{first_alias}__{k}") == F.col(f"{neg.alias}__{k}")
             cond = c if cond is None else cond & c
         tn = F.unix_micros(F.col(f"{neg.alias}__{ts_col}"))
-        t_lo, _ = pos(lo_alias)
-        cond = cond & (tn > t_lo)
+        on = F.col(f"{neg.alias}__{order_col}") if order_col else F.lit(0)
         if hi_alias is not None:
-            t_hi, _ = pos(hi_alias)
-            cond = cond & (tn < t_hi)
+            # global span: strictly after the first event, at or before the
+            # completing event (the completing event CAN veto itself)
+            c2 = lex_after(tn, on, first_alias) & lex_at_or_before(tn, on, hi_alias)
+            cond = c2 if cond is None else cond & c2
         else:
-            # NFA trailing guard is (last.ts, first.ts+within) EXCLUSIVE of
-            # the deadline itself (check_negation breaks at ts >= hi)
+            # trailing: (last_event, first.ts+within) EXCLUSIVE of the
+            # deadline itself (trailing_clear breaks at ts >= hi)
             t1, _ = pos(first_alias)
-            cond = cond & (tn < t1 + F.lit(within_us))
+            c2 = lex_after(tn, on, last_alias) & (tn < t1 + F.lit(within_us))
+            cond = c2 if cond is None else cond & c2
         if neg.where_sql:
             cond = cond & _qualify_sql(neg.where_sql, seen + [neg.alias], df.columns)
         joined = joined.join(nd, cond, "left_anti")

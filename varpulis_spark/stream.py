@@ -115,11 +115,15 @@ class Stream:
         given (`.emit as Type`).
         """
         proj: list[Column] = []
-        if self.ts_col not in named:
+        cols = set(self.df.columns)
+        if self.ts_col not in named and self.ts_col in cols:
             proj.append(F.col(self.ts_col))
         if event_type is not None and "event_type" not in named:
             proj.append(F.lit(event_type).alias("event_type"))
-        if self.order_col and self.order_col not in named and self.order_col != self.ts_col:
+        if (
+            self.order_col and self.order_col not in named
+            and self.order_col != self.ts_col and self.order_col in cols
+        ):
             proj.append(F.col(self.order_col))
         proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
         return self._with(self.df.select(*proj))

@@ -1,10 +1,25 @@
-"""Compile parsed VPL declarations onto the Stream API.
+"""Compile parsed VPL programs onto the Stream API.
 
 Expression lowering has three backends, matching the two pattern execution
 paths plus plain relational ops:
 - `to_column`  → Spark Column (where/select/emit outside patterns)
 - `to_python`  → (event, bindings) closure for the NFA
 - `to_sql`     → alias-qualified SQL for the pattern join compiler
+
+Program-level semantics (ast.rs Statement, crates/varpulis-core/src/ast.rs):
+- `fn` declarations (ast.rs:37-44): expression-bodied functions are INLINED
+  at every call site before lowering, so user functions run JVM-side as
+  Catalyst expressions, not Python UDFs (the reference interprets them per
+  event, evaluator.rs). Imperative bodies (`for`/`emit`) drive `.process`.
+- `event` declarations (ast.rs:29-34) contribute column casts: a declared
+  field present in the input is cast to its declared type (the reference
+  validates payloads against the schema at ingest, event.rs).
+- `var`/`const` (ast.rs:45-50) are compile-time constants substituted into
+  expressions.
+- `pattern Name = SEQ(...) within d partition by f` (ast.rs:106-112) binds a
+  reusable pattern; a stream whose source names it applies its ops to the
+  pattern's match stream.
+- merge/join/sequence/timer stream sources (ast.rs StreamSource:165-190).
 
 Reference-parity notes:
 - `.not(E where c)` is the reference's global negation
@@ -13,31 +28,59 @@ Reference-parity notes:
   is the match span).
 - a `.where` AFTER a pattern chain referencing step aliases is merged into
   the final step's predicate — the reference's filter-pushdown-into-NFA
-  (engine/compiler.rs:146-156).
+  (engine/compiler.rs:146-156). A `.where` BETWEEN steps binds to the
+  preceding step (order_payment.vpl interleaving).
 - when every post-first step correlates on the same field
   (`f == first.f`), the compiler auto-partitions on `f` (the reference
   SASEXT `partition by`), turning one NFA universe into per-key parallelism
   and enabling the Catalyst join path.
+- `.print`/`.log` are accepted anywhere and compiled to no-ops: they are
+  side-effecting diagnostics in the reference (engine/types.rs:424-434);
+  triggering actions at compile time would force eager evaluation.
 """
 
 from __future__ import annotations
+
+from dataclasses import replace as dc_replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from varpulis_spark.operators import aggregates as A
-from varpulis_spark.operators.sase import Pattern, Step
+from varpulis_spark.operators.sase import (
+    SKIP_TILL_ANY,
+    SKIP_TILL_NEXT,
+    Pattern,
+    Step,
+)
 from varpulis_spark.stream import Stream
+from varpulis_spark.stream import merge as stream_merge
 from varpulis_spark.vpl.parser import (
     Bin,
     Call,
     Dur,
+    EmitStmt,
+    EventDecl,
+    FnDecl,
+    ForStmt,
+    If,
+    JoinSource,
+    ListLit,
     Lit,
+    MergeSource,
     OpCall,
+    PatAnd,
+    PatNot,
+    PatOr,
+    PatSeq,
+    PatternDecl,
     PatternStep,
     Ref,
+    SequenceSource,
     StreamDecl,
+    TimerSource,
     Un,
+    parse_full,
 )
 
 _AGG_FNS = {
@@ -47,10 +90,45 @@ _AGG_FNS = {
     "ema": A.ema,
 }
 
+# scalar built-ins (BuiltinFunction evaluator; completion.rs builtin list).
+# Names not in the aggregate table lower to JVM-side Column functions.
 _SCALAR_FNS = {
     "abs": F.abs, "sqrt": F.sqrt, "floor": F.floor, "ceil": F.ceil,
     "round": F.round, "lower": F.lower, "upper": F.upper, "trim": F.trim,
     "len": F.length, "exp": F.exp, "log": F.log, "log10": F.log10,
+    "pow": F.pow, "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "contains": F.contains, "starts_with": F.startswith,
+    "ends_with": F.endswith, "replace": F.replace, "split": F.split,
+    "concat": F.concat, "substring": F.substring,
+    "to_int": lambda c: c.cast("long"), "to_float": lambda c: c.cast("double"),
+    "to_str": lambda c: c.cast("string"), "to_bool": lambda c: c.cast("boolean"),
+}
+_SCALAR_MULTI = {"min": F.least, "max": F.greatest}  # scalar min/max (2+ args)
+
+# SQL spellings for the join-compiled pattern path (Spark SQL dialect)
+_SQL_FNS = {
+    "abs": "abs", "sqrt": "sqrt", "floor": "floor", "ceil": "ceil",
+    "round": "round", "lower": "lower", "upper": "upper", "trim": "trim",
+    "len": "length", "exp": "exp", "log": "ln", "log10": "log10",
+    "pow": "power", "sin": "sin", "cos": "cos", "tan": "tan",
+    "contains": "contains", "starts_with": "startswith",
+    "ends_with": "endswith", "min": "least", "max": "greatest",
+    "concat": "concat", "substring": "substring",
+}
+
+import math as _math
+
+_PY_FNS = {
+    "abs": abs, "sqrt": _math.sqrt, "floor": _math.floor, "ceil": _math.ceil,
+    "round": round, "exp": _math.exp, "log": _math.log, "log10": _math.log10,
+    "pow": pow, "sin": _math.sin, "cos": _math.cos, "tan": _math.tan,
+    "lower": lambda s: s.lower(), "upper": lambda s: s.upper(),
+    "trim": lambda s: s.strip(), "len": len,
+    "contains": lambda s, x: x in s,
+    "starts_with": lambda s, x: s.startswith(x),
+    "ends_with": lambda s, x: s.endswith(x),
+    "min": min, "max": max, "concat": lambda *a: "".join(str(x) for x in a),
+    "to_int": int, "to_float": float, "to_str": str, "to_bool": bool,
 }
 
 _PY_OPS = {
@@ -60,37 +138,156 @@ _PY_OPS = {
     "+": lambda a, b: a + b, "-": lambda a, b: a - b,
     "*": lambda a, b: a * b, "/": lambda a, b: a / b, "%": lambda a, b: a % b,
     "and": lambda a, b: bool(a) and bool(b), "or": lambda a, b: bool(a) or bool(b),
+    "??": lambda a, b: b if a is None else a,
+    "in": lambda a, b: a in b,
+}
+
+# VPL type name → Spark SQL type (event decl casts)
+_TYPES = {
+    "int": "long", "float": "double", "str": "string", "string": "string",
+    "bool": "boolean", "timestamp": "long",
 }
 
 
-# -- backends ---------------------------------------------------------------
+def _spark_type(t: str | None) -> str | None:
+    if t is None:
+        return None
+    if t.startswith("["):
+        inner = _TYPES.get(t[1:-1])
+        return f"array<{inner}>" if inner else None
+    return _TYPES.get(t)
 
 
-def to_column(e) -> Column:
-    if isinstance(e, Lit):
-        return F.lit(e.value)
-    if isinstance(e, Dur):
-        from varpulis_spark.functions import duration_ns
+# ---------------------------------------------------------------------------
+# program environment: fn inlining + var substitution
+# ---------------------------------------------------------------------------
 
-        return F.lit(duration_ns(e.text))
-    if isinstance(e, Ref):
-        return F.col(".".join(e.parts))
-    if isinstance(e, Un):
-        c = to_column(e.operand)
-        return ~c if e.op == "not" else -c
+
+class ProgramEnv:
+    """Declared fns / events / vars / patterns of one program."""
+
+    def __init__(self):
+        self.fns: dict[str, FnDecl] = {}
+        self.vars: dict[str, object] = {}          # name -> python constant
+        self.events: dict[str, EventDecl] = {}
+        self.patterns: dict[str, PatternDecl] = {}
+
+    def event_fields(self, name: str) -> list[tuple[str, str]]:
+        """Fields including `extends` inheritance (ast.rs:29-34)."""
+        decl = self.events.get(name)
+        if decl is None:
+            return []
+        base = self.event_fields(decl.base) if decl.base else []
+        return base + decl.fields
+
+
+def _map_expr(e, f):
+    """Bottom-up expression rewrite."""
     if isinstance(e, Bin):
-        left, right = to_column(e.left), to_column(e.right)
-        if e.op == "and":
-            return left & right
-        if e.op == "or":
-            return left | right
-        return _PY_OPS[e.op](left, right) if e.op in ("+", "-", "*", "/", "%") else {
-            "==": left == right, "!=": left != right, "<": left < right,
-            "<=": left <= right, ">": left > right, ">=": left >= right,
-        }[e.op]
-    if isinstance(e, Call) and e.name in _SCALAR_FNS:
-        return _SCALAR_FNS[e.name](*[to_column(a) for a in e.args])
-    raise ValueError(f"cannot lower to Column: {e}")
+        e = Bin(e.op, _map_expr(e.left, f), _map_expr(e.right, f))
+    elif isinstance(e, Un):
+        e = Un(e.op, _map_expr(e.operand, f))
+    elif isinstance(e, Call):
+        e = Call(e.name, [_map_expr(a, f) for a in e.args])
+    elif isinstance(e, If):
+        e = If(_map_expr(e.cond, f), _map_expr(e.then, f), _map_expr(e.other, f))
+    elif isinstance(e, ListLit):
+        e = ListLit([_map_expr(x, f) for x in e.items])
+    return f(e)
+
+
+def expand(e, env: ProgramEnv, depth: int = 0):
+    """Inline expression-bodied user functions and substitute vars/consts.
+
+    The reference evaluates user functions per event in its interpreter
+    (evaluator.rs); inlining keeps them inside Catalyst codegen instead."""
+    if depth > 32:
+        raise ValueError("fn inlining depth exceeded (recursive function?)")
+
+    def rewrite(node):
+        if isinstance(node, Ref) and len(node.parts) == 1 and node.parts[0] in env.vars:
+            return Lit(env.vars[node.parts[0]])
+        if isinstance(node, Call) and node.name in env.fns:
+            fn = env.fns[node.name]
+            if not isinstance(fn.body, list):  # expression body → inline
+                sub = {p: a for (p, _t), a in zip(fn.params, node.args)}
+
+                def subst(n):
+                    if isinstance(n, Ref) and len(n.parts) == 1 and n.parts[0] in sub:
+                        return sub[n.parts[0]]
+                    return n
+
+                return expand(_map_expr(fn.body, subst), env, depth + 1)
+        return node
+
+    return _map_expr(e, rewrite)
+
+
+def _const_eval(e, env: ProgramEnv):
+    """Evaluate a constant expression (var/const initializers)."""
+    return _eval_expr(expand(e, env), {}, env)
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+
+def to_column(e, resolver=None) -> Column:
+    """Lower to a Spark Column. `resolver(Ref) -> Column | None` overrides
+    reference resolution (join sources, pattern emit post-projection)."""
+
+    def rec(e):
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Dur):
+            from varpulis_spark.functions import duration_ns
+
+            return F.lit(duration_ns(e.text))
+        if isinstance(e, Ref):
+            if resolver is not None:
+                c = resolver(e)
+                if c is not None:
+                    return c
+            return F.col(".".join(e.parts))
+        if isinstance(e, Un):
+            c = rec(e.operand)
+            return ~c if e.op == "not" else -c
+        if isinstance(e, If):
+            return F.when(rec(e.cond), rec(e.then)).otherwise(rec(e.other))
+        if isinstance(e, ListLit):
+            return F.array(*[rec(x) for x in e.items])
+        if isinstance(e, Bin):
+            if e.op == "in":
+                if isinstance(e.right, ListLit) and all(
+                    isinstance(x, Lit) for x in e.right.items
+                ):
+                    return rec(e.left).isin([x.value for x in e.right.items])
+                return F.array_contains(rec(e.right), rec(e.left))
+            if e.op == "??":
+                return F.coalesce(rec(e.left), rec(e.right))
+            left, right = rec(e.left), rec(e.right)
+            if e.op == "and":
+                return left & right
+            if e.op == "or":
+                return left | right
+            return _PY_OPS[e.op](left, right) if e.op in ("+", "-", "*", "/", "%") else {
+                "==": left == right, "!=": left != right, "<": left < right,
+                "<=": left <= right, ">": left > right, ">=": left >= right,
+            }[e.op]
+        if isinstance(e, Call):
+            args = [rec(a) for a in e.args]
+            if e.name in _SCALAR_MULTI and len(args) >= 2:
+                return _SCALAR_MULTI[e.name](*args)
+            if e.name in _SCALAR_FNS:
+                # round(x, 2) / pow(x, 2): non-column literal tail args
+                fn = _SCALAR_FNS[e.name]
+                if e.name == "round" and len(e.args) == 2 and isinstance(e.args[1], Lit):
+                    return F.round(args[0], int(e.args[1].value))
+                return fn(*args)
+        raise ValueError(f"cannot lower to Column: {e}")
+
+    return rec(e)
 
 
 def to_python(e, aliases: set[str]):
@@ -116,10 +313,22 @@ def to_python(e, aliases: set[str]):
         if e.op == "not":
             return lambda ev, b: not inner(ev, b)
         return lambda ev, b: -inner(ev, b)
+    if isinstance(e, If):
+        cf = to_python(e.cond, aliases)
+        tf = to_python(e.then, aliases)
+        of = to_python(e.other, aliases)
+        return lambda ev, b: tf(ev, b) if cf(ev, b) else of(ev, b)
+    if isinstance(e, ListLit):
+        fs = [to_python(x, aliases) for x in e.items]
+        return lambda ev, b: [f(ev, b) for f in fs]
     if isinstance(e, Bin):
         lf, rf = to_python(e.left, aliases), to_python(e.right, aliases)
         op = _PY_OPS[e.op]
         return lambda ev, b: op(lf(ev, b), rf(ev, b))
+    if isinstance(e, Call) and e.name in _PY_FNS:
+        fs = [to_python(a, aliases) for a in e.args]
+        fn = _PY_FNS[e.name]
+        return lambda ev, b: fn(*[f(ev, b) for f in fs])
     raise ValueError(f"cannot lower to python: {e}")
 
 
@@ -132,6 +341,10 @@ def to_sql(e, self_alias: str, aliases: set[str]) -> str:
         if isinstance(e.value, str):
             return "'" + e.value.replace("'", "''") + "'"
         return repr(e.value)
+    if isinstance(e, Dur):
+        from varpulis_spark.functions import duration_ns
+
+        return repr(duration_ns(e.text))
     if isinstance(e, Ref):
         if len(e.parts) == 2 and e.parts[0] in aliases:
             return f"{e.parts[0]}.{e.parts[1]}"
@@ -139,13 +352,152 @@ def to_sql(e, self_alias: str, aliases: set[str]) -> str:
     if isinstance(e, Un):
         inner = to_sql(e.operand, self_alias, aliases)
         return f"(NOT {inner})" if e.op == "not" else f"(-{inner})"
+    if isinstance(e, If):
+        return (
+            f"(CASE WHEN {to_sql(e.cond, self_alias, aliases)} "
+            f"THEN {to_sql(e.then, self_alias, aliases)} "
+            f"ELSE {to_sql(e.other, self_alias, aliases)} END)"
+        )
+    if isinstance(e, ListLit):
+        return "array(" + ", ".join(to_sql(x, self_alias, aliases) for x in e.items) + ")"
     if isinstance(e, Bin):
+        if e.op == "in" and isinstance(e.right, ListLit):
+            items = ", ".join(to_sql(x, self_alias, aliases) for x in e.right.items)
+            return f"({to_sql(e.left, self_alias, aliases)} IN ({items}))"
+        if e.op == "??":
+            return (
+                f"COALESCE({to_sql(e.left, self_alias, aliases)}, "
+                f"{to_sql(e.right, self_alias, aliases)})"
+            )
         op = {"==": "=", "and": "AND", "or": "OR"}.get(e.op, e.op)
         return f"({to_sql(e.left, self_alias, aliases)} {op} {to_sql(e.right, self_alias, aliases)})"
+    if isinstance(e, Call) and e.name in _SQL_FNS:
+        args = ", ".join(to_sql(a, self_alias, aliases) for a in e.args)
+        return f"{_SQL_FNS[e.name]}({args})"
     raise ValueError(f"cannot lower to SQL: {e}")
 
 
-# -- pattern compilation ------------------------------------------------------
+# ---------------------------------------------------------------------------
+# imperative fn interpreter (.process bodies, emit_process.vpl)
+# ---------------------------------------------------------------------------
+
+
+def _eval_expr(e, scope: dict, env: ProgramEnv):
+    if isinstance(e, Lit):
+        return e.value
+    if isinstance(e, Dur):
+        from varpulis_spark.functions import duration_ns
+
+        return duration_ns(e.text)
+    if isinstance(e, Ref):
+        name = e.parts[-1]
+        return scope.get(e.parts[0] if len(e.parts) == 1 else name)
+    if isinstance(e, Un):
+        v = _eval_expr(e.operand, scope, env)
+        return (not v) if e.op == "not" else -v
+    if isinstance(e, If):
+        return (
+            _eval_expr(e.then, scope, env)
+            if _eval_expr(e.cond, scope, env)
+            else _eval_expr(e.other, scope, env)
+        )
+    if isinstance(e, ListLit):
+        return [_eval_expr(x, scope, env) for x in e.items]
+    if isinstance(e, Bin):
+        return _PY_OPS[e.op](_eval_expr(e.left, scope, env), _eval_expr(e.right, scope, env))
+    if isinstance(e, Call):
+        if e.name in env.fns and not isinstance(env.fns[e.name].body, list):
+            fn = env.fns[e.name]
+            inner = {p: _eval_expr(a, scope, env) for (p, _t), a in zip(fn.params, e.args)}
+            return _eval_expr(fn.body, inner, env)
+        if e.name in _PY_FNS:
+            return _PY_FNS[e.name](*[_eval_expr(a, scope, env) for a in e.args])
+    raise ValueError(f"cannot evaluate: {e}")
+
+
+def _exec_stmts(stmts: list, scope: dict, env: ProgramEnv, out: list):
+    """Run an imperative fn body; emitted events append to `out` as
+    (event_type, fields) tuples (emit collector, evaluator.rs:70-100)."""
+    for st in stmts:
+        if isinstance(st, ForStmt):
+            lo = int(_eval_expr(st.start, scope, env))
+            hi = int(_eval_expr(st.stop, scope, env))
+            for v in range(lo, hi):
+                scope[st.var] = v
+                _exec_stmts(st.body, scope, env, out)
+        elif isinstance(st, EmitStmt):
+            out.append((st.event_type, {k: _eval_expr(v, scope, env) for k, v in st.fields.items()}))
+        else:
+            raise ValueError(f"unsupported statement: {st}")
+
+
+def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
+    """`.process(gen_fn(args))` — per-event imperative emits via mapInPandas
+    (RuntimeOp::Process engine/types.rs:203; sequence of emits per input
+    event). Literal args are evaluated once; event fields are in scope."""
+    call = op.args[0]
+    if not (isinstance(call, Call) and call.name in env.fns):
+        raise ValueError(".process expects a declared fn call")
+    fn = env.fns[call.name]
+    if not isinstance(fn.body, list):
+        raise ValueError(".process expects an imperative fn (for/emit body)")
+    arg_exprs = list(call.args)
+    params = [p for p, _t in fn.params]
+
+    # static shape probe: run once with event fields absent to derive the
+    # output schema (declared event fields override inferred types)
+    probe_scope = {p: _eval_expr(a, {}, env) for p, a in zip(params, arg_exprs)}
+    probe: list = []
+    _exec_stmts(fn.body, dict(probe_scope), env, probe)
+    declared: dict[str, str] = {}
+    for etype, fields in probe:
+        for fname, ftype in env.event_fields(etype):
+            st = _spark_type(ftype)
+            if st:
+                declared[fname] = st
+    out_fields: dict[str, str] = {}
+    for _etype, fields in probe:
+        for k, v in fields.items():
+            if k not in out_fields:
+                if k in declared:
+                    out_fields[k] = declared[k]
+                elif isinstance(v, bool):
+                    out_fields[k] = "boolean"
+                elif isinstance(v, int):
+                    out_fields[k] = "long"
+                elif isinstance(v, float):
+                    out_fields[k] = "double"
+                else:
+                    out_fields[k] = "string"
+    ts_col = stream.ts_col
+    schema = ", ".join(
+        ["event_type string"] + [f"{k} {t}" for k, t in out_fields.items()] + [f"{ts_col} timestamp"]
+    )
+    fn_body = fn.body
+    col_names = list(out_fields)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                scope = dict(zip(pdf.columns, rec))
+                scope.update({p: _eval_expr(a, scope, env) for p, a in zip(params, arg_exprs)})
+                emitted: list = []
+                _exec_stmts(fn_body, scope, env, emitted)
+                for etype, fields in emitted:
+                    rows.append(
+                        [etype] + [fields.get(c) for c in col_names] + [scope.get(ts_col)]
+                    )
+            yield pd.DataFrame(rows, columns=["event_type"] + col_names + [ts_col])
+
+    return stream.process(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# pattern compilation
+# ---------------------------------------------------------------------------
 
 
 def _and_exprs(a, b):
@@ -211,31 +563,111 @@ def _auto_partition_key(
     return sorted(common)[0] if common else None
 
 
-def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
+def _classify_emit(kwargs: dict, aliases: set[str], kleene_aliases: set[str],
+                   last_alias: str):
+    """Split pattern-emit kwargs into direct (alias, field) projections,
+    literals, and post-computed expressions over hidden projection columns.
+
+    Complex expressions (fn calls, arithmetic) can't run inside the NFA emit;
+    instead every alias.field they touch is emitted as a hidden column and
+    the expression is computed as a Catalyst projection on the match frame —
+    the reference evaluates emit expressions per match in its interpreter
+    (evaluator.rs), here they stay JVM-side."""
+    emit: dict[str, tuple[str, str]] = {}
+    lits: dict[str, object] = {}
+    post: list[tuple[str, object]] = []  # (out_col, expr over hidden refs)
+    hidden: dict[tuple[str, str], str] = {}
+
+    def qualify(v):
+        """Rewrite refs to hidden column names; register hidden emits."""
+
+        def rw(node):
+            if isinstance(node, Ref):
+                if len(node.parts) == 2 and node.parts[0] in aliases:
+                    key = (node.parts[0], node.parts[1])
+                elif len(node.parts) == 1:
+                    key = (last_alias, node.parts[0])
+                else:
+                    return node
+                name = hidden.setdefault(key, f"__h_{key[0]}_{key[1]}")
+                return Ref([name])
+            if isinstance(node, Call) and node.name == "len" and len(node.args) == 1 \
+                    and isinstance(node.args[0], Ref) and len(node.args[0].parts) == 1 \
+                    and node.args[0].parts[0] in kleene_aliases:
+                key = (node.args[0].parts[0], "__count")
+                name = hidden.setdefault(key, f"__h_{key[0]}___count")
+                return Ref([name])
+            return node
+
+        return _map_expr(v, rw)
+
+    for k, v in kwargs.items():
+        if isinstance(v, Ref) and len(v.parts) == 2 and v.parts[0] in aliases:
+            emit[k] = (v.parts[0], v.parts[1])
+        elif isinstance(v, Ref) and len(v.parts) == 1 and v.parts[0] not in aliases:
+            emit[k] = (last_alias, v.parts[0])
+        elif isinstance(v, Lit):
+            lits[k] = v.value
+        elif (
+            isinstance(v, Call) and v.name == "len" and len(v.args) == 1
+            and isinstance(v.args[0], Ref) and len(v.args[0].parts) == 1
+            and v.args[0].parts[0] in kleene_aliases
+        ):
+            emit[k] = (v.args[0].parts[0], "__count")
+        else:
+            post.append((k, qualify(v)))
+
+    for key, name in hidden.items():
+        emit[name] = key
+    return emit, lits, post
+
+
+def compile_pattern_decl(
+    decl: StreamDecl, stream: Stream, env: ProgramEnv | None = None,
+    strategy: str | None = None, within_default=None,
+) -> Stream:
+    env = env or ProgramEnv()
     aliases = {s.alias for s in decl.steps if s.alias}
     sase_steps: list[Step] = []
     auto_alias = 0
+    kleene_aliases = set()
+
+    # fold per-step interleaved ops: `.where` binds to its step,
+    # `.print`/`.log` are diagnostics (no-ops)
+    for s in decl.steps:
+        for op in s.ops:
+            if op.name in ("print", "log", "tap"):
+                continue
+            if op.name == "where":
+                s.where = _and_exprs(s.where, op.args[0])
+            else:
+                raise ValueError(f"op .{op.name} not supported between pattern steps")
+        s.ops = []
+
     for s in decl.steps:
         alias = s.alias or f"_s{auto_alias}"
         auto_alias += 1
         aliases.add(alias)
+        if s.kleene:
+            kleene_aliases.add(alias)
         sase_steps.append(
             Step(
                 s.event_type,
                 alias,
                 where=to_python(s.where, aliases) if s.where else None,
-                where_sql=to_sql(s.where, alias, aliases) if s.where else None,
-                kleene="+" if s.kleene else None,
+                where_sql=_try_sql(s.where, alias, aliases),
+                kleene=s.kleene,
             )
         )
 
-    within = None
-    emit: dict[str, tuple[str, str]] = {}
-    lit_cols: dict[str, object] = {}
+    within = within_default
+    emit_kwargs: dict[str, object] = {}
     negs: list[Step] = []
     post_wheres = []
     for op in decl.ops:
-        if op.name == "within":
+        if op.name in ("print", "log", "tap", "to", "from"):
+            continue
+        elif op.name == "within":
             within = op.args[0].text if isinstance(op.args[0], Dur) else op.args[0].value
         elif op.name == "not":
             ps: PatternStep = op.args[0]
@@ -244,18 +676,12 @@ def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
                     ps.event_type,
                     ps.alias or "_not",
                     where=to_python(ps.where, aliases) if ps.where else None,
-                    where_sql=to_sql(ps.where, ps.alias or "_not", aliases) if ps.where else None,
+                    where_sql=_try_sql(ps.where, ps.alias or "_not", aliases),
                     negated=True,
                 )
             )
         elif op.name == "emit":
-            for k, v in op.kwargs.items():
-                if isinstance(v, Ref) and len(v.parts) == 2 and v.parts[0] in aliases:
-                    emit[k] = (v.parts[0], v.parts[1])
-                elif isinstance(v, Lit):
-                    lit_cols[k] = v.value
-                else:
-                    raise ValueError(f"emit value not supported in patterns: {v}")
+            emit_kwargs = op.kwargs
         elif op.name == "where":
             post_wheres.append(op.args[0])
         else:
@@ -267,8 +693,14 @@ def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
         py = to_python(w, aliases)
         old_py = last.where
         last.where = (lambda old, new: (lambda ev, b: (old is None or old(ev, b)) and new(ev, b)))(old_py, py)
-        sql = to_sql(w, last.alias, aliases)
-        last.where_sql = f"({last.where_sql} AND {sql})" if last.where_sql else sql
+        sql = _try_sql(w, last.alias, aliases)
+        if sql is None:
+            last.where_sql = None
+        elif last.where_sql is not None or old_py is None:
+            last.where_sql = f"({last.where_sql} AND {sql})" if last.where_sql else sql
+
+    last_alias = sase_steps[-1].alias
+    emit, lit_cols, post = _classify_emit(emit_kwargs, aliases, kleene_aliases, last_alias)
 
     # global negation → guards between every adjacent positive pair
     steps_final: list[Step] = []
@@ -280,17 +712,38 @@ def compile_pattern_decl(decl: StreamDecl, stream: Stream) -> Stream:
     neg_asts = [op.args[0] for op in decl.ops if op.name == "not"]
     key = _auto_partition_key(decl.steps, neg_steps=neg_asts)
     p = Pattern(steps=steps_final, within=within, emit=emit,
-                partition_by=[key] if key else None)
+                partition_by=[key] if key else None,
+                strategy=strategy or SKIP_TILL_ANY)
     df = stream.pattern(p).df
     for k, v in lit_cols.items():
         df = df.withColumn(k, F.lit(v))
+    for k, expr in post:
+        df = df.withColumn(k, to_column(expr))
+    # final projection in emit order (hidden columns dropped)
+    if emit_kwargs:
+        df = df.select(*emit_kwargs.keys())
     return Stream(df, ts_col=stream.ts_col)
+
+
+def _try_sql(expr, alias, aliases) -> str | None:
+    if expr is None:
+        return None
+    try:
+        return to_sql(expr, alias, aliases)
+    except ValueError:
+        return None  # NFA path only (opaque predicate)
 
 
 def _agg_expr(v):
     """Aggregate expression: fn(field) calls plus arithmetic over them —
     `ema(price, 12) - ema(price, 26)` (ExprAggregate aggregation.rs:494)."""
     if isinstance(v, Call):
+        # count(distinct(x)) sugar (aggregation.rs count-distinct form)
+        if (
+            v.name == "count" and len(v.args) == 1
+            and isinstance(v.args[0], Call) and v.args[0].name == "distinct"
+        ):
+            return _AGG_FNS["count_distinct"](".".join(v.args[0].args[0].parts))
         fn = _AGG_FNS[v.name]
         fargs = []
         for a in v.args:
@@ -308,31 +761,61 @@ def _agg_expr(v):
     raise ValueError(f"aggregate expression not supported: {v}")
 
 
-# -- relational compilation -----------------------------------------------------
+# ---------------------------------------------------------------------------
+# relational compilation
+# ---------------------------------------------------------------------------
 
 
-def compile_relational_decl(decl: StreamDecl, stream: Stream) -> Stream:
-    return _apply_relational_ops(decl, stream, typed=True)
+def compile_relational_decl(
+    decl: StreamDecl, stream: Stream, env: ProgramEnv | None = None
+) -> Stream:
+    return _apply_relational_ops(decl, stream, typed=True, env=env)
 
 
-def _apply_relational_ops(decl: StreamDecl, stream: Stream, typed: bool) -> Stream:
-    s0 = decl.steps[0]
-    out = stream.of_type(s0.event_type) if typed else stream
-    if s0.where is not None:
-        out = out.where(to_column(s0.where))
+def _apply_relational_ops(
+    decl: StreamDecl, stream: Stream, typed: bool,
+    env: ProgramEnv | None = None, resolver=None,
+) -> Stream:
+    env = env or ProgramEnv()
+    out = stream
+    if decl.steps:
+        s0 = decl.steps[0]
+        if typed:
+            out = stream.of_type(s0.event_type)
+        if s0.where is not None:
+            out = out.where(to_column(s0.where, resolver))
+        ops = list(s0.ops) + list(decl.ops)
+    else:
+        ops = list(decl.ops)
+    # `.window(5m).partition_by(k).aggregate(...)`: the reference keys the
+    # window state per partition regardless of clause order
+    # (engine/types.rs window op carries its partition key) — hoist
+    # partition_by above an immediately-preceding window.
+    norm: list[OpCall] = []
+    for op in ops:
+        if op.name == "partition_by" and norm and norm[-1].name == "window":
+            norm.insert(len(norm) - 1, op)
+        else:
+            norm.append(op)
+    ops = norm
     windowed = None
-    for op in decl.ops:
-        if op.name in ("where", "filter"):
-            out = out.where(to_column(op.args[0]))
+    for op in ops:
+        if op.name in ("print", "log", "tap", "to", "from", "context"):
+            continue  # diagnostics / sink-bindings: no-ops in replay mode
+        elif op.name in ("where", "filter", "having"):
+            cond = to_column(op.args[0], resolver)
+            out = out.having(cond) if op.name == "having" else out.where(cond)
         elif op.name == "select":
             cols = [".".join(a.parts) for a in op.args if isinstance(a, Ref)]
-            named = {k: to_column(v) for k, v in op.kwargs.items()}
+            named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
             out = out.select(*cols, **named)
         elif op.name == "emit":
-            named = {k: to_column(v) for k, v in op.kwargs.items()}
+            named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
             etype = None
             if op.args and isinstance(op.args[0], Lit):
                 etype = op.args[0].value
+            elif op.args and isinstance(op.args[0], Ref):
+                etype = op.args[0].parts[0]  # `.emit as Type` sugar
             out = out.emit(etype, **named)
         elif op.name == "partition_by":
             out = out.partition_by(*[".".join(a.parts) for a in op.args])
@@ -352,18 +835,356 @@ def _apply_relational_ops(decl: StreamDecl, stream: Stream, typed: bool) -> Stre
             aggs = {k: _agg_expr(v) for k, v in op.kwargs.items()}
             out = (windowed or out).aggregate(**aggs)
             windowed = None
-        elif op.name == "having":
-            out = out.having(to_column(op.args[0]))
         elif op.name == "distinct":
             out = out.distinct(*[".".join(a.parts) for a in op.args if isinstance(a, Ref)])
         elif op.name == "limit":
             out = out.limit(int(op.args[0].value))
+        elif op.name == "first":
+            out = out.first()
+        elif op.name == "order_by":
+            cols = []
+            for a in op.args:
+                if isinstance(a, Ref):
+                    cols.append(".".join(a.parts))
+                elif isinstance(a, Un) and a.op == "-" and isinstance(a.operand, Ref):
+                    cols.append(F.col(".".join(a.operand.parts)).desc())
+            out = out.order_by(*cols)
         elif op.name == "watermark":
             w = op.kwargs.get("out_of_order") or op.args[0]
             out = out.watermark(w.text if isinstance(w, Dur) else w.value)
+        elif op.name == "allowed_lateness":
+            # Late-tolerance extends window retention in the live engine
+            # (WatermarkConfig engine/types.rs); batch replay sees the whole
+            # input, so nothing is ever late — accepted as a no-op. The
+            # streaming path honors it via Stream.late_split.
+            pass
+        elif op.name == "process":
+            out = _compile_process(op, out, env)
         else:
             raise ValueError(f"op .{op.name} not supported")
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream sources (merge / join / sequence / timer, ast.rs:165-190)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_part(name: str, stream: Stream, env_streams: dict[str, Stream]) -> Stream:
+    if name in env_streams:
+        return env_streams[name]
+    return stream.of_type(name)
+
+
+def _compile_merge(decl: StreamDecl, stream: Stream, env: ProgramEnv,
+                   env_streams: dict[str, Stream]) -> Stream:
+    """merge(A, B where c, ...) — filters upstream, then union
+    (MergeSource engine/types.rs:167-171)."""
+    parts = []
+    for p in decl.source.parts:
+        if isinstance(p, StreamDecl):  # inline `stream S = Type .where(...)`
+            _expand_decl(p, env)
+            parts.append(_apply_relational_ops(p, stream, typed=True, env=env))
+            continue
+        s = _resolve_part(p.event_type, stream, env_streams)
+        if p.where is not None:
+            s = s.where(to_column(expand(p.where, env)))
+        parts.append(s)
+    return stream_merge(*parts)
+
+
+def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
+                  env_streams: dict[str, Stream]) -> Stream:
+    """join(A, B).on(A.k == B.k).window(1m).select(...) — windowed stream
+    equi-join (JoinSource ast.rs:228-240; window.rs join buffers). Lowered
+    as an aliased DataFrame join: the `.on` conjuncts become the join
+    condition, `.window(d)` adds a |ts_a - ts_b| <= d bound per pair."""
+    names = decl.source.parts
+    on_expr = None
+    window = None
+    rest: list[OpCall] = []
+    for op in decl.ops:
+        if op.name == "on":
+            on_expr = expand(op.args[0], env)
+        elif op.name == "window" and window is None and op.args:
+            a = op.args[0]
+            window = a.text if isinstance(a, Dur) else a.value
+        else:
+            rest.append(op)
+    if on_expr is None:
+        raise ValueError("join(...) requires .on(condition)")
+
+    from varpulis_spark.functions import duration_ns
+
+    def qualified(e: Ref):
+        if len(e.parts) == 2 and e.parts[0] in names:
+            return F.col(f"{e.parts[0]}.{e.parts[1]}")
+        return None
+
+    def conjuncts(e):
+        if isinstance(e, Bin) and e.op == "and":
+            return conjuncts(e.left) + conjuncts(e.right)
+        return [e]
+
+    def ref_names(e) -> set[str]:
+        found = set()
+
+        def walk(n):
+            if isinstance(n, Ref) and len(n.parts) == 2 and n.parts[0] in names:
+                found.add(n.parts[0])
+            return n
+
+        _map_expr(e, walk)
+        return found
+
+    dfs = {n: _resolve_part(n, stream, env_streams) for n in names}
+    base_name = names[0]
+    base = dfs[base_name]
+    joined = base.df.alias(base_name)
+    win_ns = duration_ns(window) if window is not None else None
+    pending = conjuncts(on_expr)
+    available = {base_name}
+    for n in names[1:]:
+        available.add(n)
+        now = [c for c in pending if ref_names(c) <= available]
+        pending = [c for c in pending if c not in now]
+        c = F.lit(True)
+        for x in now:
+            c = c & to_column(x, qualified)
+        if win_ns is not None:
+            lt = F.col(f"{base_name}.{base.ts_col}").cast("long")
+            rt = F.col(f"{n}.{dfs[n].ts_col}").cast("long")
+            c = c & (F.abs(lt - rt) * F.lit(1_000_000_000) <= F.lit(win_ns))
+        joined = joined.join(dfs[n].df.alias(n), c, "inner")
+
+    out = Stream(joined, ts_col=base.ts_col)
+    synth = StreamDecl(decl.name, [], rest)
+    return _apply_relational_ops(synth, out, typed=False, env=env, resolver=qualified)
+
+
+def _compile_sequence(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
+    """sequence(match_all:, timeout:, alias: Type where c, ...) source
+    (ast.rs:187,204-224; runtime/src/sequence.rs). match_all=true matches
+    every viable combination (skip-till-any); false keeps a single active
+    run per partition (skip-till-next)."""
+    src: SequenceSource = decl.source
+    timeout = None
+    if src.timeout is not None:
+        timeout = src.timeout.text if isinstance(src.timeout, Dur) else src.timeout.value
+    synth = StreamDecl(decl.name, src.steps, decl.ops)
+    return compile_pattern_decl(
+        synth, stream, env,
+        strategy=SKIP_TILL_ANY if src.match_all else SKIP_TILL_NEXT,
+        within_default=timeout,
+    )
+
+
+def _compile_timer(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
+    """timer(5s) source in replay mode: synthesize ticks spanning the input
+    stream's event-time range (TimerDecl ast.rs:193-200; the streaming
+    engine's live timer is varpulis_spark.streaming.timer_stream)."""
+    from varpulis_spark.functions import duration_ns
+
+    src: TimerSource = decl.source
+    iv = src.interval.text if isinstance(src.interval, Dur) else src.interval.value
+    iv_ns = duration_ns(iv)
+    delay_ns = 0
+    if src.initial_delay is not None:
+        d = src.initial_delay
+        delay_ns = duration_ns(d.text if isinstance(d, Dur) else d.value)
+    ts_col = stream.ts_col
+    bounds = stream.df.select(
+        F.min(ts_col).cast("long").alias("lo"), F.max(ts_col).cast("long").alias("hi")
+    ).collect()[0]
+    spark = stream.df.sparkSession
+    if bounds.lo is None:
+        ticks = spark.range(0).select(
+            F.lit("Timer").alias("event_type"), F.lit(None).cast("timestamp").alias(ts_col)
+        )
+    else:
+        lo_ns = bounds.lo * 1_000_000_000 + delay_ns
+        hi_ns = bounds.hi * 1_000_000_000
+        n = max(0, (hi_ns - lo_ns) // iv_ns + 1)
+        ticks = spark.range(int(n)).select(
+            F.lit("Timer").alias("event_type"),
+            ((F.lit(lo_ns) + F.col("id") * F.lit(iv_ns)) / 1e9).cast("timestamp").alias(ts_col),
+        )
+    out = Stream(ticks, ts_col=ts_col)
+    synth = StreamDecl(decl.name, [], decl.ops)
+    return _apply_relational_ops(synth, out, typed=False, env=env)
+
+
+# ---------------------------------------------------------------------------
+# named pattern declarations (ast.rs:106-112)
+# ---------------------------------------------------------------------------
+
+
+def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
+                           env: ProgramEnv, env_streams: dict[str, Stream]) -> Stream:
+    """`stream S = PatName .emit(...)`: apply the use-site ops to the
+    declared pattern (PatternDecl ast.rs:106-112). SEQ lowers to the chain
+    compiler; OR of branches unions their match streams (Or sase.rs
+    disjunction); AND is order-free conjunction (AndState sase.rs:738-772)."""
+    node = pdecl.node
+    within = None
+    if pdecl.within is not None:
+        within = pdecl.within.text if isinstance(pdecl.within, Dur) else pdecl.within.value
+
+    def steps_of(n) -> list[PatternStep]:
+        if isinstance(n, PatSeq):
+            return [dc_replace(s) for s in n.items]
+        if isinstance(n, PatternStep):
+            return [dc_replace(n)]
+        raise ValueError(f"pattern form not supported here: {n}")
+
+    def resolve_sources(steps: list[PatternStep]) -> Stream:
+        refs = {s.event_type for s in steps if s.event_type in env_streams}
+        src = stream
+        if refs:
+            if len(refs) > 1:
+                raise ValueError("pattern over multiple upstream streams not supported")
+            src = env_streams[next(iter(refs))]
+            for s in steps:
+                if s.event_type in refs:
+                    s.event_type = None
+        return src
+
+    extra_ops = []
+    if within is not None:
+        extra_ops.append(OpCall("within", [Dur(within) if isinstance(within, str) else Lit(within)]))
+
+    if isinstance(node, (PatSeq, PatternStep)):
+        steps = steps_of(node)
+        src = resolve_sources(steps)
+        synth = StreamDecl(use.name, steps, extra_ops + use.ops)
+        if pdecl.partition_by:
+            src = src.partition_by(pdecl.partition_by)
+        return compile_pattern_decl(synth, src, env)
+    if isinstance(node, PatOr):
+        branches = []
+
+        def flatten(n):
+            if isinstance(n, PatOr):
+                flatten(n.left)
+                flatten(n.right)
+            else:
+                branches.append(n)
+
+        flatten(node)
+        outs = []
+        for b in branches:
+            steps = steps_of(b)
+            src = resolve_sources(steps)
+            synth = StreamDecl(use.name, steps, extra_ops + use.ops)
+            if pdecl.partition_by:
+                src = src.partition_by(pdecl.partition_by)
+            outs.append(compile_pattern_decl(synth, src, env))
+        from functools import reduce
+
+        return Stream(
+            reduce(lambda a, b: a.unionByName(b), [s.df for s in outs]),
+            ts_col=stream.ts_col,
+        )
+    if isinstance(node, PatAnd):
+        if not (isinstance(node.left, PatternStep) and isinstance(node.right, PatternStep)):
+            raise ValueError("AND patterns support two event items")
+        steps = [dc_replace(node.left), dc_replace(node.right)]
+        src = resolve_sources(steps)
+        aliases = {s.alias for s in steps if s.alias}
+        sase_steps = []
+        for i, s in enumerate(steps):
+            alias = s.alias or f"_s{i}"
+            aliases.add(alias)
+            sase_steps.append(Step(
+                s.event_type, alias,
+                where=to_python(s.where, aliases) if s.where else None,
+                where_sql=_try_sql(s.where, alias, aliases),
+            ))
+        last_alias = sase_steps[-1].alias
+        # use-site emit handling mirrors compile_pattern_decl
+        emit_kwargs = {}
+        for op in use.ops:
+            if op.name == "emit":
+                emit_kwargs = op.kwargs
+        emit, lits, post = _classify_emit(emit_kwargs, aliases, set(), last_alias)
+        p = Pattern(steps=sase_steps, within=within, emit=emit, any_order=True,
+                    partition_by=[pdecl.partition_by] if pdecl.partition_by else None)
+        df = src.pattern(p).df
+        for k, v in lits.items():
+            df = df.withColumn(k, F.lit(v))
+        for k, expr in post:
+            df = df.withColumn(k, to_column(expr))
+        if emit_kwargs:
+            df = df.select(*emit_kwargs.keys())
+        return Stream(df, ts_col=stream.ts_col)
+    raise ValueError(f"pattern form not supported: {node}")
+
+
+# ---------------------------------------------------------------------------
+# program driver
+# ---------------------------------------------------------------------------
+
+
+def _expand_decl(decl: StreamDecl, env: ProgramEnv) -> None:
+    """Apply fn-inlining + var substitution to every expression in a
+    declaration (steps' wheres, op args/kwargs, incl. `.not` step args)."""
+
+    def ex(v):
+        if isinstance(v, PatternStep):
+            if v.where is not None:
+                v.where = expand(v.where, env)
+            return v
+        if isinstance(v, (Lit, Dur, Ref, Bin, Un, Call, If, ListLit)):
+            return expand(v, env)
+        return v
+
+    for s in decl.steps:
+        if s.where is not None:
+            s.where = expand(s.where, env)
+        for op in s.ops:
+            if op.name == "process":
+                continue  # .process args are interpreted, not inlined
+            op.args = [ex(a) for a in op.args]
+            op.kwargs = {k: ex(v) for k, v in op.kwargs.items()}
+    for op in decl.ops:
+        if op.name == "process":
+            continue
+        op.args = [ex(a) for a in op.args]
+        op.kwargs = {k: ex(v) for k, v in op.kwargs.items()}
+    if isinstance(decl.source, MergeSource):
+        for p in decl.source.parts:
+            if isinstance(p, PatternStep) and p.where is not None:
+                p.where = expand(p.where, env)
+    if isinstance(decl.source, SequenceSource):
+        for p in decl.source.steps:
+            if p.where is not None:
+                p.where = expand(p.where, env)
+
+
+def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
+    """Cast declared event fields present in the frame to their declared
+    types; on conflicting declarations the widest type wins (double >
+    long, string > anything)."""
+    wanted: dict[str, str] = {}
+    rank = {"boolean": 0, "long": 1, "double": 2, "string": 3}
+    for name in env.events:
+        for fname, ftype in env.event_fields(name):
+            st = _spark_type(ftype)
+            if st is None:
+                continue
+            cur = wanted.get(fname)
+            if cur is None or rank.get(st, 0) > rank.get(cur, 0):
+                wanted[fname] = st
+    if not wanted:
+        return stream
+    df = stream.df
+    cur_types = dict(df.dtypes)
+    casts = {
+        c: F.col(c).cast(t)
+        for c, t in wanted.items()
+        if c in cur_types and cur_types[c] not in (t, "timestamp")
+    }
+    return stream._with(df.withColumns(casts)) if casts else stream
 
 
 def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
@@ -374,35 +1195,69 @@ def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
     reference wires through its event-type router, engine/router.rs:13-23)
     — here it is plain DataFrame composition. `.from(Conn, ...)` connector
     bindings are accepted and ignored in replay mode (the ingest Stream IS
-    the bound source)."""
-    from varpulis_spark.vpl.parser import parse_program
+    the bound source); `.to(...)` sink bindings likewise."""
+    prog = parse_full(source)
+    env = ProgramEnv()
+    for f in prog.fns:
+        env.fns[f.name] = f
+    for e in prog.events:
+        env.events[e.name] = e
+    for v in prog.vars:
+        env.vars[v.name] = _const_eval(v.value, env)
+    for p in prog.patterns:
+        env.patterns[p.name] = p
+
+    stream = _apply_event_casts(stream, env)
 
     results: dict[str, DataFrame] = {}
-    env: dict[str, Stream] = {}
-    for decl in parse_program(source):
+    env_streams: dict[str, Stream] = {}
+    for decl in prog.streams:
         # drop connector bindings (source already bound in replay mode)
         decl.ops = [op for op in decl.ops if op.name != "from"]
-        is_pattern = len(decl.steps) > 1 or any(s.kleene or s.alias for s in decl.steps)
-        if is_pattern:
-            # steps naming a declared stream run over THAT stream (wildcard
-            # type); all steps must reference the same upstream for now.
-            refs = {s.event_type for s in decl.steps if s.event_type in env}
-            src = stream
-            if refs:
-                if len(refs) > 1:
-                    raise ValueError("pattern over multiple upstream streams not supported")
-                src = env[next(iter(refs))]
-                for s in decl.steps:
-                    if s.event_type in env:
-                        s.event_type = None
-            out = compile_pattern_decl(decl, src)
+        _expand_decl(decl, env)
+
+        if isinstance(decl.source, MergeSource):
+            out = _compile_merge(decl, stream, env, env_streams)
+            synth = StreamDecl(decl.name, [], decl.ops)
+            out = _apply_relational_ops(synth, out, typed=False, env=env)
+        elif isinstance(decl.source, JoinSource):
+            out = _compile_join(decl, stream, env, env_streams)
+        elif isinstance(decl.source, SequenceSource):
+            out = _compile_sequence(decl, stream, env)
+        elif isinstance(decl.source, TimerSource):
+            out = _compile_timer(decl, stream, env)
+        elif (
+            len(decl.steps) == 1 and decl.steps[0].event_type in env.patterns
+            and not decl.steps[0].alias and not decl.steps[0].kleene
+        ):
+            out = _compile_named_pattern(
+                env.patterns[decl.steps[0].event_type], decl, stream, env, env_streams
+            )
         else:
-            s0 = decl.steps[0]
-            if s0.event_type in env:
-                src = env[s0.event_type]
-                out = _apply_relational_ops(decl, src, typed=False)
+            is_pattern = len(decl.steps) > 1 or any(
+                s.kleene or s.alias for s in decl.steps
+            )
+            if is_pattern:
+                # steps naming a declared stream run over THAT stream
+                # (wildcard type); all steps must reference the same
+                # upstream for now.
+                refs = {s.event_type for s in decl.steps if s.event_type in env_streams}
+                src = stream
+                if refs:
+                    if len(refs) > 1:
+                        raise ValueError("pattern over multiple upstream streams not supported")
+                    src = env_streams[next(iter(refs))]
+                    for s in decl.steps:
+                        if s.event_type in env_streams:
+                            s.event_type = None
+                out = compile_pattern_decl(decl, src, env)
             else:
-                out = compile_relational_decl(decl, stream)
-        env[decl.name] = out
+                s0 = decl.steps[0]
+                if s0.event_type in env_streams:
+                    src = env_streams[s0.event_type]
+                    out = _apply_relational_ops(decl, src, typed=False, env=env)
+                else:
+                    out = compile_relational_decl(decl, stream, env)
+        env_streams[decl.name] = out
         results[decl.name] = out.df
     return results

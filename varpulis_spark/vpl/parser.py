@@ -1,14 +1,30 @@
-"""Tokenizer + recursive-descent parser for the VPL query subset.
+"""Tokenizer + recursive-descent parser for the VPL language.
 
-Reference surface: crates/varpulis-parser/src/varpulis.pest (stream_expr
-grammar line 77, stream_op 124-129); AST crates/varpulis-core/src/ast.rs.
-This is a clean-room subset parser: stream declarations whose source is an
-event type or a `->` pattern chain, followed by dotted operator calls.
+Reference surface: crates/varpulis-parser/src/varpulis.pest; AST
+crates/varpulis-core/src/ast.rs. Clean-room parser (not a port of the Pest
+grammar): top-level declarations are
 
-Expression grammar (precedence low→high):
-    or  →  and  →  not  →  comparison (== != < <= > >=)  →  additive (+ -)
-    →  multiplicative (* / %)  →  unary -  →  postfix (member access .f)
-    →  atom (literal | duration | ident | string | ( expr ))
+    stream Name = <source> <ops>          (ast.rs Statement::StreamDecl)
+    fn name(p: t, ...) -> t: <body>       (ast.rs:37-44, expression or
+                                           imperative for/emit body)
+    event Name [extends Base]: fields     (ast.rs:29-34)
+    var / const name: t = expr            (ast.rs:45-50)
+    pattern Name = SEQ(...) [within d]
+        [partition by f]                  (ast.rs:106-112 PatternDecl)
+    connector / context decls             (parsed and skipped — I/O bindings
+                                           are host-side in this engine)
+
+Stream sources (ast.rs StreamSource, 165-190): a typed event (optionally
+`all`/Kleene, `where`, `as`), a `->` pattern chain with per-step ops
+interleaved (`.print`/`.log`/`.where` between steps), `merge(...)`,
+`join(...)`, `sequence(match_all:, timeout:, alias: Type where ...)`,
+`timer(5s)`, and references to previously declared streams or patterns.
+
+Expression grammar (precedence low -> high):
+    or -> and -> not -> comparison (== != < <= > >= in) -> coalesce (??)
+    -> additive (+ -) -> multiplicative (* / %) -> unary - -> postfix
+    (member access .f / ?.f, call) -> atom (literal | duration | list |
+    if-then-else | ident | string | ( expr ))
 """
 
 from __future__ import annotations
@@ -57,11 +73,26 @@ class Call:
 
 
 @dataclass
+class If:
+    cond: object
+    then: object
+    other: object
+
+
+@dataclass
+class ListLit:
+    items: list[object]
+
+
+@dataclass
 class PatternStep:
     event_type: str
     alias: str | None
     where: object | None
-    kleene: bool = False  # `all T ... as x`
+    kleene: str | None = None  # '+', '*', '?'  (`all T` == '+')
+    ops: list["OpCall"] = field(default_factory=list)  # ops between this
+    # step and the next `->` (`.print`/`.log`/`.where` interleaving,
+    # order_payment.vpl style)
 
 
 @dataclass
@@ -71,11 +102,118 @@ class OpCall:
     kwargs: dict[str, object] = field(default_factory=dict)
 
 
+# -- stream sources ---------------------------------------------------------
+
+
+@dataclass
+class MergeSource:
+    parts: list[PatternStep]  # name [where expr] [as alias]
+
+
+@dataclass
+class JoinSource:
+    parts: list[str]  # stream/event names; join condition arrives via .on()
+
+
+@dataclass
+class SequenceSource:
+    match_all: bool
+    timeout: object | None
+    steps: list[PatternStep]  # alias from the kwarg name
+
+
+@dataclass
+class TimerSource:
+    interval: object
+    initial_delay: object | None = None
+
+
 @dataclass
 class StreamDecl:
     name: str
-    steps: list[PatternStep]  # len 1 + no alias ⇒ plain typed source
+    steps: list[PatternStep]  # len 1 + no alias => plain typed source
     ops: list[OpCall] = field(default_factory=list)
+    source: object | None = None  # Merge/Join/Sequence/Timer source, else None
+
+
+# -- top-level non-stream declarations --------------------------------------
+
+
+@dataclass
+class ForStmt:
+    var: str
+    start: object
+    stop: object
+    body: list[object]
+
+
+@dataclass
+class EmitStmt:
+    event_type: str
+    fields: dict[str, object]
+
+
+@dataclass
+class FnDecl:
+    name: str
+    params: list[tuple[str, str]]  # (name, type)
+    ret: str | None
+    body: object  # expression, or list of statements (imperative)
+
+
+@dataclass
+class EventDecl:
+    name: str
+    base: str | None
+    fields: list[tuple[str, str]]  # (name, type)
+
+
+@dataclass
+class VarDecl:
+    name: str
+    type: str | None
+    value: object
+    const: bool = False
+
+
+# pattern-declaration combinators (SasePatternExpr, ast.rs:128-146)
+@dataclass
+class PatSeq:
+    items: list[PatternStep]
+
+
+@dataclass
+class PatOr:
+    left: object
+    right: object
+
+
+@dataclass
+class PatAnd:
+    left: object
+    right: object
+
+
+@dataclass
+class PatNot:
+    operand: object
+
+
+@dataclass
+class PatternDecl:
+    name: str
+    node: object  # PatSeq | PatOr | PatAnd | PatNot | PatternStep
+    within: object | None = None
+    partition_by: str | None = None
+
+
+@dataclass
+class Program:
+    streams: list[StreamDecl] = field(default_factory=list)
+    fns: list[FnDecl] = field(default_factory=list)
+    events: list[EventDecl] = field(default_factory=list)
+    vars: list[VarDecl] = field(default_factory=list)
+    patterns: list[PatternDecl] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +225,7 @@ TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*|//[^\n]*)
   | (?P<arrow>->)
-  | (?P<op>==|!=|<=|>=|[=<>+\-*/%().,:\[\]])
+  | (?P<op>==|!=|<=|>=|\?\?|\?\.|:=|\.\.|[=<>+\-*/%().,:\[\]{}?])
   | (?P<dur>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w)\b)
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
@@ -96,12 +234,25 @@ TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-KEYWORDS = {"stream", "where", "as", "all", "and", "or", "not", "true", "false", "null"}
+KEYWORDS = {
+    "stream", "where", "as", "all", "and", "or", "not", "true", "false",
+    "null", "fn", "event", "var", "const", "pattern", "extends", "for",
+    "in", "emit", "if", "then", "else",
+}
+
+# keyword tokens that may still be used as `.method(...)` names
+_OP_NAME_KEYWORDS = {"not", "all", "where", "emit", "for", "in", "if", "else"}
 
 
-def tokenize(src: str) -> list[tuple[str, str]]:
+def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int]]:
+    """Returns (tokens, nl_before): `nl_before` holds indices of tokens
+    preceded by a newline — the disambiguator between a method call inside
+    an expression (`x.contains(y)`, same line) and a stream-op chain
+    continuing on the next line (`.within(5m)`)."""
     out = []
+    nl_before: set[int] = set()
     pos = 0
+    pending_nl = False
     while pos < len(src):
         m = TOKEN_RE.match(src, pos)
         if not m:
@@ -109,14 +260,19 @@ def tokenize(src: str) -> list[tuple[str, str]]:
         pos = m.end()
         kind = m.lastgroup
         if kind in ("ws", "comment"):
+            if "\n" in m.group():
+                pending_nl = True
             continue
         text = m.group()
+        if pending_nl:
+            nl_before.add(len(out))
+            pending_nl = False
         if kind == "ident" and text in KEYWORDS:
             out.append((text, text))
         else:
             out.append((kind, text))
     out.append(("eof", ""))
-    return out
+    return out, nl_before
 
 
 # ---------------------------------------------------------------------------
@@ -125,8 +281,9 @@ def tokenize(src: str) -> list[tuple[str, str]]:
 
 
 class Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], nl_before: set[int] | None = None):
         self.toks = tokens
+        self.nl_before = nl_before or set()
         self.i = 0
 
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -151,29 +308,151 @@ class Parser:
 
     # -- program ------------------------------------------------------------
 
-    def program(self) -> list[StreamDecl]:
-        decls = []
+    def program(self) -> Program:
+        prog = Program()
         while self.peek()[0] != "eof":
             if self.accept("stream"):
-                decls.append(self.stream_decl())
+                prog.streams.append(self.stream_decl())
+            elif self.accept("fn"):
+                prog.fns.append(self.fn_decl())
+            elif self.accept("event"):
+                prog.events.append(self.event_decl())
+            elif self.accept("var"):
+                prog.vars.append(self.var_decl(const=False))
+            elif self.accept("const"):
+                prog.vars.append(self.var_decl(const=True))
+            elif self.accept("pattern"):
+                prog.patterns.append(self.pattern_decl())
+            elif self.peek()[1] in ("connector", "context") and self.peek(1)[0] == "ident":
+                self._skip_decl()
             else:
                 self.next()  # skip unsupported top-level tokens gracefully
-        return decls
+        return prog
+
+    def _skip_decl(self):
+        """connector/context decls: consume `kw Name (...)` or `kw Name = ...`
+        up to (not including) the next top-level keyword."""
+        self.next()  # connector/context
+        self.next()  # name
+        stop = {"stream", "fn", "event", "var", "const", "pattern", "eof"}
+        depth = 0
+        while True:
+            k, tx = self.peek()
+            if depth == 0 and (k in stop or (k == "ident" and tx in ("connector", "context"))):
+                return
+            if (k, tx) == ("op", "("):
+                depth += 1
+            elif (k, tx) == ("op", ")"):
+                depth -= 1
+            self.next()
+
+    # -- stream declarations -------------------------------------------------
 
     def stream_decl(self) -> StreamDecl:
         name = self.expect("ident")[1]
         self.expect("op", "=")
+
+        k, tx = self.peek()
+        if k == "ident" and tx in ("merge", "join", "sequence", "timer") \
+                and self.peek(1) == ("op", "("):
+            src = getattr(self, f"{tx}_source")()
+            ops = self._op_chain()
+            return StreamDecl(name, [], ops, source=src)
+
         steps = [self.pattern_step()]
+        steps[-1].ops = self._op_chain()
         while self.accept("arrow"):
             steps.append(self.pattern_step())
+            steps[-1].ops = self._op_chain()
+        # trailing ops of the final step are the chain-level ops
+        ops = steps[-1].ops
+        steps[-1].ops = []
+        return StreamDecl(name, steps, ops)
+
+    def _op_chain(self) -> list[OpCall]:
         ops = []
         while self.accept("op", "."):
             ops.append(self.op_call())
-        return StreamDecl(name, steps, ops)
+        return ops
+
+    def merge_source(self) -> MergeSource:
+        """merge(A, B where c, ...) — or inline declarations
+        (InlineStreamDecl ast.rs:228-233):
+        merge(stream S1 = SensorEvent .where(...), stream S2 = ...)"""
+        self.next()  # merge
+        self.expect("op", "(")
+        parts = []
+        while True:
+            if self.accept("stream"):
+                name = self.expect("ident")[1]
+                self.expect("op", "=")
+                etype = self.expect("ident")[1]
+                ops = self._op_chain()
+                parts.append(StreamDecl(name, [PatternStep(etype, None, None)], ops))
+            else:
+                etype = self.expect("ident")[1]
+                where = self.expr() if self.accept("where") else None
+                alias = self.expect("ident")[1] if self.accept("as") else None
+                parts.append(PatternStep(etype, alias, where))
+            if self.accept("op", ")"):
+                break
+            self.expect("op", ",")
+        return MergeSource(parts)
+
+    def join_source(self) -> JoinSource:
+        self.next()  # join
+        self.expect("op", "(")
+        parts = []
+        while True:
+            parts.append(self.expect("ident")[1])
+            if self.accept("op", ")"):
+                break
+            self.expect("op", ",")
+        return JoinSource(parts)
+
+    def sequence_source(self) -> SequenceSource:
+        self.next()  # sequence
+        self.expect("op", "(")
+        match_all = False
+        timeout = None
+        steps = []
+        while True:
+            key = self.expect("ident")[1]
+            self.expect("op", ":")
+            if key == "match_all":
+                match_all = bool(self.expr().value)
+            elif key == "timeout":
+                timeout = self.expr()
+            else:
+                etype = self.expect("ident")[1]
+                where = self.expr() if self.accept("where") else None
+                steps.append(PatternStep(etype, key, where))
+            if self.accept("op", ")"):
+                break
+            self.expect("op", ",")
+        return SequenceSource(match_all, timeout, steps)
+
+    def timer_source(self) -> TimerSource:
+        self.next()  # timer
+        self.expect("op", "(")
+        interval = self.expr()
+        delay = None
+        while self.accept("op", ","):
+            key = self.expect("ident")[1]
+            self.expect("op", ":")
+            val = self.expr()
+            if key == "initial_delay":
+                delay = val
+        self.expect("op", ")")
+        return TimerSource(interval, delay)
 
     def pattern_step(self) -> PatternStep:
-        kleene = bool(self.accept("all"))
+        kleene = "+" if self.accept("all") else None
         etype = self.expect("ident")[1]
+        k, tx = self.peek()
+        if kleene is None and k == "op" and tx in ("+", "*", "?"):
+            self.next()
+            kleene = tx
         where = None
         alias = None
         if self.accept("where"):
@@ -183,9 +462,9 @@ class Parser:
         return PatternStep(etype, alias, where, kleene)
 
     def op_call(self) -> OpCall:
-        # `.not(...)` uses a keyword token as the method name
+        # `.not(...)` / `.emit(...)` use keyword tokens as method names
         k, _tx = self.peek()
-        if k in ("not", "all", "where"):
+        if k in _OP_NAME_KEYWORDS:
             name = self.next()[1]
         else:
             name = self.expect("ident")[1]
@@ -214,7 +493,7 @@ class Parser:
             and self.peek(1)[0] in ("where", "op")
             and (self.peek(1)[0] == "where" or self.peek(1)[1] in (")", ","))
         ):
-            kleene = False
+            kleene = None
             etype = self.next()[1]
             where = None
             if self.accept("where"):
@@ -224,6 +503,137 @@ class Parser:
                 alias = self.expect("ident")[1]
             return PatternStep(etype, alias, where, kleene)
         return self.expr()
+
+    # -- fn / event / var / pattern declarations -----------------------------
+
+    def _type(self) -> str:
+        if self.accept("op", "["):
+            inner = self.expect("ident")[1]
+            self.expect("op", "]")
+            return f"[{inner}]"
+        return self.expect("ident")[1]
+
+    def fn_decl(self) -> FnDecl:
+        name = self.expect("ident")[1]
+        self.expect("op", "(")
+        params = []
+        if not self.accept("op", ")"):
+            while True:
+                pname = self.expect("ident")[1]
+                ptype = self._type() if self.accept("op", ":") else None
+                params.append((pname, ptype))
+                if self.accept("op", ")"):
+                    break
+                self.expect("op", ",")
+        ret = None
+        if self.accept("arrow"):
+            ret = self._type()
+        self.expect("op", ":")
+        if self.peek()[0] in ("for", "emit"):
+            body = self.stmts()
+        else:
+            body = self.expr()
+        return FnDecl(name, params, ret, body)
+
+    def stmts(self) -> list[object]:
+        out = []
+        while True:
+            if self.accept("for"):
+                var = self.expect("ident")[1]
+                self.expect("in")
+                start = self.additive()
+                self.expect("op", "..")
+                stop = self.additive()
+                self.expect("op", ":")
+                out.append(ForStmt(var, start, stop, self.stmts()))
+            elif self.peek()[0] == "emit" and self.peek(1)[0] != "op":
+                self.next()
+                etype = self.expect("ident")[1]
+                fields: dict[str, object] = {}
+                if self.accept("op", "("):
+                    if not self.accept("op", ")"):
+                        while True:
+                            key = self.expect("ident")[1]
+                            self.expect("op", ":")
+                            fields[key] = self.expr()
+                            if self.accept("op", ")"):
+                                break
+                            self.expect("op", ",")
+                out.append(EmitStmt(etype, fields))
+            else:
+                return out
+
+    def event_decl(self) -> EventDecl:
+        name = self.expect("ident")[1]
+        base = None
+        if self.accept("extends"):
+            base = self.expect("ident")[1]
+        self.expect("op", ":")
+        fields = []
+        # fields are `name: type` pairs; top-level keywords terminate the list
+        while self.peek()[0] == "ident" and self.peek(1) == ("op", ":"):
+            fname = self.next()[1]
+            self.next()
+            fields.append((fname, self._type()))
+        return EventDecl(name, base, fields)
+
+    def var_decl(self, const: bool) -> VarDecl:
+        name = self.expect("ident")[1]
+        vtype = self._type() if self.accept("op", ":") else None
+        self.expect("op", "=")
+        return VarDecl(name, vtype, self.expr(), const)
+
+    def pattern_decl(self) -> PatternDecl:
+        name = self.expect("ident")[1]
+        self.expect("op", "=")
+        node = self.pat_or()
+        within = None
+        part = None
+        while self.peek()[0] == "ident" and self.peek()[1] in ("within", "partition"):
+            kw = self.next()[1]
+            if kw == "within":
+                within = self.expr()
+            else:
+                self.expect("ident", "by")
+                part = self.expect("ident")[1]
+        return PatternDecl(name, node, within, part)
+
+    def pat_or(self):
+        left = self.pat_and()
+        while self.peek() == ("ident", "OR"):
+            self.next()
+            left = PatOr(left, self.pat_and())
+        return left
+
+    def pat_and(self):
+        left = self.pat_unary()
+        while self.peek() == ("ident", "AND"):
+            self.next()
+            left = PatAnd(left, self.pat_unary())
+        return left
+
+    def pat_unary(self):
+        if self.peek() == ("ident", "NOT"):
+            self.next()
+            return PatNot(self.pat_unary())
+        return self.pat_primary()
+
+    def pat_primary(self):
+        if self.peek() == ("ident", "SEQ") and self.peek(1) == ("op", "("):
+            self.next()
+            self.next()
+            items = []
+            while True:
+                items.append(self.pattern_step())
+                if self.accept("op", ")"):
+                    break
+                self.expect("op", ",")
+            return PatSeq(items)
+        if self.accept("op", "("):
+            node = self.pat_or()
+            self.expect("op", ")")
+            return node
+        return self.pattern_step()
 
     # -- expressions ----------------------------------------------------------
 
@@ -248,11 +658,20 @@ class Parser:
         return self.comparison()
 
     def comparison(self):
-        left = self.additive()
+        left = self.coalesce()
         k, tx = self.peek()
         if k == "op" and tx in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            return Bin(tx, left, self.additive())
+            return Bin(tx, left, self.coalesce())
+        if k == "in":
+            self.next()
+            return Bin("in", left, self.coalesce())
+        return left
+
+    def coalesce(self):
+        left = self.additive()
+        while self.accept("op", "??"):
+            left = Bin("??", left, self.additive())
         return left
 
     def additive(self):
@@ -282,15 +701,30 @@ class Parser:
 
     def postfix(self):
         node = self.atom()
-        while self.peek() == ("op", ".") and self.peek(1)[0] == "ident":
-            # member access only when node is a Ref/Call chain
-            self.next()
-            part = self.expect("ident")[1]
-            if isinstance(node, Ref):
-                node.parts.append(part)
+        while True:
+            k, tx = self.peek()
+            if self.i in self.nl_before:
+                return node  # `.op(...)` on a fresh line is a stream op
+            if k == "op" and tx in (".", "?.") and self.peek(1)[0] == "ident":
+                # member access only when node is a Ref/Call chain
+                self.next()
+                part = self.expect("ident")[1]
+                if self.peek() == ("op", "("):  # method call x.f(args)
+                    self.next()
+                    args = [node]
+                    if not self.accept("op", ")"):
+                        while True:
+                            args.append(self.expr())
+                            if self.accept("op", ")"):
+                                break
+                            self.expect("op", ",")
+                    node = Call(part, args)
+                elif isinstance(node, Ref):
+                    node.parts.append(part)
+                else:
+                    node = Ref([repr(node), part])  # unsupported chain — opaque
             else:
-                node = Ref([repr(node), part])  # unsupported chain — opaque
-        return node
+                return node
 
     def atom(self):
         k, tx = self.peek()
@@ -309,6 +743,24 @@ class Parser:
         if k == "null":
             self.next()
             return Lit(None)
+        if k == "if":
+            self.next()
+            cond = self.expr()
+            self.expect("then")
+            then = self.expr()
+            self.expect("else")
+            other = self.expr()
+            return If(cond, then, other)
+        if k == "op" and tx == "[":
+            self.next()
+            items = []
+            if not self.accept("op", "]"):
+                while True:
+                    items.append(self.expr())
+                    if self.accept("op", "]"):
+                        break
+                    self.expect("op", ",")
+            return ListLit(items)
         if k == "ident":
             name = self.next()[1]
             if self.peek() == ("op", "("):  # function call fn(args)
@@ -329,5 +781,11 @@ class Parser:
         raise SyntaxError(f"unexpected token {self.peek()}")
 
 
+def parse_full(src: str) -> Program:
+    toks, nl = tokenize(src)
+    return Parser(toks, nl).program()
+
+
 def parse_program(src: str) -> list[StreamDecl]:
-    return Parser(tokenize(src)).program()
+    """Back-compat shim: stream declarations only."""
+    return parse_full(src).streams
