@@ -253,6 +253,7 @@ def minhash_near_dup_pairs(
 
     # banding carries only (band-bucket hash, id) — the shuffle and the
     # per-bucket pair explosion never touch the 128-long signatures.
+    # xxhash64 hashes the band's longs directly (no string casts).
     banded = base.select(
         "id",
         F.explode(
@@ -260,7 +261,10 @@ def minhash_near_dup_pairs(
                 *[
                     F.xxhash64(
                         F.lit(j),
-                        F.concat_ws(",", F.slice("sig", j * rows_per_band + 1, rows_per_band)),
+                        *[
+                            F.col("sig").getItem(j * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for j in range(bands)
                 ]
