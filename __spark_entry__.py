@@ -284,7 +284,10 @@ def q_lang_distribution(spark, sf):
 
 def q_exact_dedup_docs(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return D.exact_dedup(docs, on="text", id_col="doc_id").select("doc_id", "dup_count")
+    # fingerprint=True: the exchanges carry md5(text), never the document
+    return D.exact_dedup(docs, on="text", id_col="doc_id", fingerprint=True).select(
+        "doc_id", "dup_count"
+    )
 
 
 def q_knn_cosine(spark, sf):
@@ -536,8 +539,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_TEXT_SCORES}) GROUP BY 1
         """,
         "exact_dedup_docs": """
+            -- grouped by md5(text) to mirror the fingerprint-keyed shuffle;
+            -- identical result to GROUP BY text (128-bit collision-safe)
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-            FROM documents GROUP BY text
+            FROM documents GROUP BY md5(text)
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

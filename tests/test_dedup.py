@@ -1,0 +1,214 @@
+"""Dedup-family tests: OPH MinHash kernel invariants, LSH candidate recall
+pinned against exact Jaccard, skew-safety of the capped bucket aggregation,
+and fingerprint-keyed exact dedup (result parity + narrow exchanges).
+
+Reference parity: the reference's `.distinct()` is exact (engine/types.rs:
+289-295); the near-dup family is the LLM-pipeline extension mandated by
+BASELINE.json. Recall here is measured against exact character-5-shingle
+Jaccard computed in-process."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from varpulis_spark.engine import load_table
+from varpulis_spark.operators import dedup as D
+
+
+# ---------------------------------------------------------------------------
+# OPH kernel (numpy-only, no SparkSession needed)
+# ---------------------------------------------------------------------------
+
+
+def test_oph_identical_texts_identical_sigs():
+    texts = pd.Series(["the quick brown fox jumps", "the quick brown fox jumps", ""])
+    sig = D._oph_signatures(texts, 128, 5, 42)
+    assert (sig[0] == sig[1]).all()
+    # truly empty docs keep the all-sentinel signature
+    assert (sig[2] == D._EMPTY_SLOT).all()
+    # non-empty docs are fully densified (no sentinel slots)
+    assert (sig[0] != D._EMPTY_SLOT).all()
+
+
+def test_oph_deterministic_across_batch_splits():
+    """A doc's signature must not depend on which batch it arrives in."""
+    texts = ["doc %d body %s" % (i, "x" * (i % 7)) for i in range(20)]
+    whole = D._oph_signatures(pd.Series(texts), 64, 5, 42)
+    parts = np.vstack(
+        [D._oph_signatures(pd.Series(texts[i : i + 3]), 64, 5, 42) for i in range(0, 20, 3)]
+    )
+    assert (whole == parts).all()
+
+
+def _exact_jaccard(a: str, b: str, k: int = 5) -> float:
+    powers = D._powers(k)
+    ha = set(D._shingle_hash_row(D._normalize(pd.Series([a]))[0], k, powers).tolist())
+    hb = set(D._shingle_hash_row(D._normalize(pd.Series([b]))[0], k, powers).tolist())
+    return len(ha & hb) / len(ha | hb) if ha | hb else 1.0
+
+
+def test_oph_estimator_tracks_exact_jaccard():
+    """Mean |est − exact| must stay within sampling noise (~1/√128 ≈ 0.09)
+    across similarity levels — guards against densification bias."""
+    rng = random.Random(7)
+    for mut_frac in (0.02, 0.1, 0.3):
+        errs = []
+        for _ in range(15):
+            base = "".join(rng.choice("abcdefgh ") for _ in range(400))
+            chars = list(base)
+            for _ in range(int(len(chars) * mut_frac)):
+                chars[rng.randrange(len(chars))] = rng.choice("ijklmnop")
+            mut = "".join(chars)
+            sig = D._oph_signatures(pd.Series([base, mut]), 128, 5, 42)
+            est = (sig[0] == sig[1]).mean()
+            errs.append(est - _exact_jaccard(base, mut))
+        assert abs(float(np.mean(errs))) < 0.05, f"biased at mut_frac={mut_frac}"
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate recall vs exact Jaccard (the VERDICT r2 gate)
+# ---------------------------------------------------------------------------
+
+
+def _seeded_corpus(n_base: int = 150, n_dup: int = 40, seed: int = 11):
+    """Random-word docs plus planted mutated near-duplicates."""
+    rng = random.Random(seed)
+    words = ["w%03d" % i for i in range(500)]
+    docs = []
+    for i in range(n_base):
+        docs.append((i, " ".join(rng.choice(words) for _ in range(60))))
+    truth = []
+    for j in range(n_dup):
+        src_id, src_text = docs[j]
+        toks = src_text.split()
+        for _ in range(rng.randrange(1, 8)):
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        dup_id = n_base + j
+        dup_text = " ".join(toks)
+        docs.append((dup_id, dup_text))
+        truth.append((src_id, dup_id, _exact_jaccard(src_text, dup_text)))
+    return docs, truth
+
+
+def test_minhash_candidate_recall(spark):
+    docs, truth = _seeded_corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect()
+    }
+    D.release_caches()
+    strong = [(a, b) for a, b, j in truth if j >= 0.5]
+    hit = sum(1 for p in strong if p in got)
+    recall = hit / len(strong)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(strong)} true pairs"
+    # precision sanity: every reported pair must verify at est ≥ threshold
+    # (the est filter ran), and no self-pairs / reversed dups
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_pairs_distinct_and_stable(spark):
+    docs, _ = _seeded_corpus(n_base=40, n_dup=10)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    r1 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect())
+    r2 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect())
+    D.release_caches()
+    assert r1 == r2
+    assert len(r1) == len(set(r1))
+
+
+# ---------------------------------------------------------------------------
+# skew safety: degenerate mega-bucket
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_pairs_mega_bucket_capped(spark):
+    """100k ids in ONE bucket: output must be exactly the pairs among the
+    MAX_BUCKET lowest ids — and no aggregation buffer may see the whole
+    bucket (level-1 groups by (bucket, salt mod 256), so each buffer holds
+    ~400 ids here; structural bound, same plan at any scale)."""
+    banded = spark.range(100_000).select(
+        F.col("id"), F.lit(1).alias("bucket")
+    )
+    pairs = D._bucket_pairs(banded).collect()
+    expect = D.MAX_BUCKET * (D.MAX_BUCKET - 1) // 2
+    assert len(pairs) == expect
+    members = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert members == set(range(D.MAX_BUCKET))  # the lowest MAX_BUCKET ids
+    # the plan carries the two-level capped aggregation (no global collect)
+    plan = D._bucket_pairs(banded)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_bucket_pairs_salted_matches_unsalted_semantics(spark):
+    """On a mixed workload the salted two-level cap must produce the same
+    candidate set as a global sort-truncate."""
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(30)) for i in range(600)]
+    banded = spark.createDataFrame(rows, ["id", "bucket"])
+    got = sorted((r.id_a, r.id_b) for r in D._bucket_pairs(banded).collect())
+    # reference: per bucket, sort ids, truncate, emit ordered pairs
+    by_bucket: dict[int, list[int]] = {}
+    for i, b in rows:
+        by_bucket.setdefault(b, []).append(i)
+    want = set()
+    for ids in by_bucket.values():
+        ids = sorted(ids)[: D.MAX_BUCKET]
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                want.add((ids[x], ids[y]))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: fingerprint keying
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_fingerprint_parity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    raw = sorted(
+        (r.doc_id, r.dup_count)
+        for r in D.exact_dedup(docs, on="text", id_col="doc_id").select("doc_id", "dup_count").collect()
+    )
+    fp = sorted(
+        (r.doc_id, r.dup_count)
+        for r in D.exact_dedup(docs, on="text", id_col="doc_id", fingerprint=True)
+        .select("doc_id", "dup_count")
+        .collect()
+    )
+    assert raw == fp and len(raw) > 0
+
+
+def test_exact_dedup_fingerprint_narrow_exchange(spark, sf_dir):
+    """No exchange may carry the document text — the shuffles are keyed by
+    (and carry) the 32-char md5 fingerprint plus the id."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.exact_dedup(docs, on="text", id_col="doc_id", fingerprint=True).select(
+        "doc_id", "dup_count"
+    )
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted mode: every node section lists "Input [n]: [cols]"
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", explained):
+        section = m.group(1)
+        assert "text#" not in section, f"exchange carries text:\n{section}"
+    assert "Exchange" in explained  # the audit actually saw exchanges
+
+
+def test_exact_dedup_null_key(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")], ["id", "t"]
+    )
+    for fp in (False, True):
+        out = {
+            (r.id, r.dup_count)
+            for r in D.exact_dedup(df, on="t", id_col="id", fingerprint=fp).collect()
+        }
+        assert out == {(1, 2), (3, 2), (5, 1)}

@@ -59,6 +59,7 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -90,6 +91,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         pass
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # µs parquet timestamps written without UTC adjustment (pandas naive)
+    # surface as TIMESTAMP_NTZ, which streaming watermarks reject; with the
+    # session pinned to UTC the cast is a pure type relabel (same micros).
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -7,17 +7,22 @@ north star. Scale design:
 
 - exact / fingerprint dedup: hash-shuffle on the (narrow) key only; the
   winning row id is resolved with min/count aggregation, so no wide-row
-  shuffle and no window-function sort.
+  shuffle and no window-function sort. `fingerprint=True` groups on
+  md5(key) so wide keys (full document text) never enter an exchange.
 - shingling + hashing happen INSIDE one Arrow-batched pandas UDF as a
   vectorized numpy rolling hash (sliding_window_view over utf-8 bytes ×
   power vector, uint64 wraparound — deterministic). A JVM-side
   transform/substring shingler is O(len²) per doc and was measured 50×
   slower; per-row Python regex is avoided via pandas C-level .str ops.
-- MinHash signatures: (a_j·h + b_j) mod p universal-hash family over the
-  distinct shingle hashes, one numpy broadcast per row. LSH banding explodes
-  to `bands` rows per doc (bounded, default 16); per-bucket candidate lists
-  are capped (MAX_BUCKET) to defuse degenerate skew (an empty-text bucket
-  would otherwise go quadratic).
+- MinHash signatures: One-Permutation Hashing (Li/Owen/Zhang, NIPS 2012)
+  with rotation densification (Shrivastava/Li, ICML 2014) — the whole
+  `num_perm`-slot signature comes from ONE sort over the batch's shingle
+  hashes instead of a num_perm× multiply-add blowup (uint64 products have
+  no SIMD path; the k-permutation kernel measured ~4 s per 5k docs
+  single-core, OPH ~0.1 s). LSH banding explodes to `bands` rows per doc
+  (bounded, default 32); per-bucket candidate lists are capped
+  (MAX_BUCKET) via a salted two-level aggregation so no aggregation
+  buffer ever materializes a degenerate mega-bucket.
 - SimHash: 64-bit sign-of-bit-votes signature from the same shingle hashes;
   near-dup = Hamming ≤ k over 4×16-bit banded exact-match candidates
   (pigeonhole: Hamming ≤ 3 ⇒ at least one identical band).
@@ -36,7 +41,25 @@ from pyspark.sql.functions import pandas_udf
 
 MERSENNE_PRIME = (1 << 61) - 1
 MAX_BUCKET = 64  # cap candidates per LSH bucket (skew guard)
+BUCKET_SALTS = 256  # fan-out of the level-1 capped aggregation (skew guard)
 _FNV = np.uint64(1099511628211)
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    """Track persisted intermediates so long-lived sessions can release them
+    (persist() must outlive the caller's action, so the operator itself
+    cannot unpersist)."""
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist signature tables cached by the near-dup pipelines. Call
+    after consuming results when running many queries in one session."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -68,11 +91,37 @@ def spread_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, on: list[str] | str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, on: list[str] | str, id_col: str, fingerprint: bool = False
+) -> DataFrame:
     """Keep the lowest-id row per duplicate group; adds `dup_count`.
 
-    One shuffle keyed by `on`; resolved via min/count agg (no sort/window)."""
+    One shuffle keyed by `on`; resolved via min/count agg (no sort/window).
+
+    With ``fingerprint=True`` the grouping key is md5 over the key columns,
+    so a wide key (the full document text) never enters an exchange — both
+    the aggregation and the join-back shuffle carry a 32-char key, and
+    Catalyst prunes the text column entirely when the caller doesn't select
+    it. 128-bit fingerprints are collision-safe at any realistic corpus
+    size (p ≈ n²/2¹²⁹)."""
     on = [on] if isinstance(on, str) else list(on)
+    if fingerprint:
+        fp = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in on],
+            )
+        )
+        keyed = df.withColumn("__fp", fp)
+        keep = keyed.groupBy("__fp").agg(
+            F.min(F.col(id_col)).alias("__keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        return (
+            keyed.join(keep, "__fp")
+            .filter(F.col(id_col) == F.col("__keep_id"))
+            .drop("__fp", "__keep_id")
+        )
     keep = (
         df.groupBy(*[F.col(c) for c in on])
         .agg(
@@ -133,65 +182,94 @@ def shingle_hashes_udf(k: int = 5):
     return _sh
 
 
-def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.int64).astype(np.uint64)
-    return a, b
+_VAL_BITS = 40  # truncated min-hash value width; (doc, bin) key gets the rest
+_EMPTY_SLOT = np.int64(MERSENNE_PRIME)  # sentinel > any 40-bit value
+
+
+def _oph_signatures(
+    texts: pd.Series, num_perm: int, shingle_k: int, seed: int
+) -> np.ndarray:
+    """Core OPH kernel (numpy-only, testable without a SparkSession).
+    Returns an (n_docs × num_perm) int64 signature matrix."""
+    bin_bits = num_perm.bit_length() - 1
+    powers = _powers(shingle_k)
+    val_mask = np.uint64((1 << _VAL_BITS) - 1)
+    # murmur-style finalizer so bin assignment isn't correlated with the
+    # rolling-hash structure; seed varies the odd multipliers.
+    m1 = np.uint64((0xFF51AFD7ED558CCD ^ (2 * seed + 1)) | 1)
+    m2 = np.uint64((0xC4CEB9FE1A85EC53 ^ (2 * seed + 1)) | 1)
+
+    hashes = [_shingle_hash_row(t, shingle_k, powers) for t in _normalize(texts)]
+    n = len(hashes)
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    if n == 0 or lens.sum() == 0:
+        return np.full((n, num_perm), _EMPTY_SLOT, dtype=np.int64)
+    # key packing headroom: (batch_docs × num_perm) must fit above the
+    # value bits — 2^24 keys at the default widths, far beyond Arrow's
+    # 10k-row batches.
+    assert n * num_perm < (1 << (64 - _VAL_BITS))
+    doc_idx = np.repeat(np.arange(n, dtype=np.uint64), lens)
+    h = np.concatenate(hashes)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * m1
+        h = h ^ (h >> np.uint64(29))
+        h = h * m2
+        h = h ^ (h >> np.uint64(32))
+    bins = h >> np.uint64(64 - bin_bits)
+    key = doc_idx * np.uint64(num_perm) + bins
+    comp = (key << np.uint64(_VAL_BITS)) | (h & val_mask)
+    comp.sort()
+    keys_sorted = comp >> np.uint64(_VAL_BITS)
+    first = np.empty(comp.size, dtype=bool)
+    first[0] = True
+    np.not_equal(keys_sorted[1:], keys_sorted[:-1], out=first[1:])
+    sig = np.full(n * num_perm, _EMPTY_SLOT, dtype=np.int64)
+    sig[keys_sorted[first].astype(np.int64)] = (comp[first] & val_mask).astype(np.int64)
+    sig = sig.reshape(n, num_perm)
+    # rotation densification from the ORIGINAL bins (no cascading)
+    orig = sig.copy()
+    active = sig == _EMPTY_SLOT
+    active[lens == 0] = False  # truly empty docs keep the sentinel sig
+    t = 1
+    while active.any() and t < num_perm:
+        cand = np.roll(orig, -t, axis=1)
+        fill = active & (cand != _EMPTY_SLOT)
+        sig[fill] = cand[fill]
+        active &= ~fill
+        t += 1
+    return sig
 
 
 def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
-    """pandas UDF: text → array<long> MinHash signature.
+    """pandas UDF: text → array<long> MinHash signature via One-Permutation
+    Hashing.
 
-    Signature_j = min_s ((a_j·s + b_j) mod p), p = 2^61−1 — the classic
-    universal-hash permutation family. The permutation matrix is computed
-    for the WHOLE Arrow batch at once (docs' shingle hashes concatenated,
-    per-doc mins via np.minimum.reduceat) — one big numpy kernel instead of
-    a Python loop per document; bounded by a shingle-count chunk so the
-    intermediate stays ~100 MB regardless of batch size.
+    The classic k-permutation kernel is O(shingles × num_perm) uint64
+    multiply-adds per batch; 64-bit products have no SIMD path, so it
+    measured ~4 s per 5k docs on one core. OPH (Li, Owen, Zhang — "One
+    Permutation Hashing", NIPS 2012) computes the whole signature in ONE
+    pass: the (mixed) hash space is split into `num_perm` bins by the top
+    bits; slot j is the minimum 40-bit truncated hash among the doc's
+    shingles landing in bin j. Empty bins — common for short docs — are
+    filled by rotation densification (Shrivastava & Li, ICML 2014):
+    borrow the nearest ORIGINAL non-empty bin to the right, cyclically.
+    Identical shingle sets still yield identical signatures and
+    E[slot agreement] ≈ Jaccard, so LSH banding and the est_jaccard
+    verification are unchanged in shape; a recall test pins quality vs
+    exact Jaccard.
+
+    Vectorization: all docs in an Arrow batch share ONE np.sort — the
+    (doc, bin) key and the truncated value are packed into a single
+    uint64; after sorting, the first element of each key group is the min.
     """
-    a, b = _perm_params(num_perm, seed)
-    powers = _powers(shingle_k)
-    empty = np.full(num_perm, MERSENNE_PRIME, dtype=np.int64)
-    CHUNK_SHINGLES = 1 << 17  # ~128K shingles × 128 perms × 8 B ≈ 134 MB
+    if num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two")
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
-        hashes = [_shingle_hash_row(t, shingle_k, powers) for t in _normalize(texts)]
-        sigs: list[np.ndarray] = [None] * len(hashes)
-        group: list[int] = []
-        pending = 0
-
-        def flush():
-            nonlocal pending
-            if not group:
-                return
-            hs = [hashes[i] for i in group]
-            starts = np.zeros(len(hs), dtype=np.int64)
-            np.cumsum([len(h) for h in hs[:-1]], out=starts[1:])
-            cat = np.concatenate(hs)
-            with np.errstate(over="ignore"):
-                # multiply-add with 2^64 wraparound (multiply-shift family):
-                # a uint64 `%` has no SIMD path in numpy and was measured
-                # 40× slower than the wraparound product for the same
-                # MinHash quality (equality-only use of the signatures).
-                vals = cat.reshape(-1, 1) * a + b
-            mins = np.minimum.reduceat(vals, starts, axis=0)
-            for gi, i in enumerate(group):
-                sigs[i] = mins[gi].astype(np.int64)
-            group.clear()
-            pending = 0
-
-        for i, h in enumerate(hashes):
-            if len(h) == 0:
-                sigs[i] = empty
-                continue
-            group.append(i)
-            pending += len(h)
-            if pending >= CHUNK_SHINGLES:
-                flush()
-        flush()
-        return pd.Series([s.tolist() for s in sigs])
+        sig = _oph_signatures(texts, num_perm, shingle_k, seed)
+        return pd.Series([row.tolist() for row in sig])
 
     return _sig
 
@@ -245,7 +323,7 @@ def minhash_near_dup_pairs(
     sig = minhash_signature_udf(num_perm, shingle_k)
     # persist: the banding projection references `sig` once per band and
     # CollapseProject would otherwise re-evaluate the UDF `bands` times.
-    base = (
+    base = _register_cache(
         spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
         .select("id", sig(F.col("__t")).alias("sig"))
         .persist()
@@ -272,8 +350,12 @@ def minhash_near_dup_pairs(
         ).alias("bucket"),
     )
 
-    # skew guard: cap degenerate mega-buckets
-    pairs = _bucket_pairs(banded)
+    # skew guard: cap degenerate mega-buckets. Pairs are NOT deduped here:
+    # verifying the (few-×-duplicated) raw candidates through the broadcast
+    # joins is map-side work, while deduping 100s of K candidates first
+    # costs a full shuffle; the dedup runs after the est filter, on the few
+    # surviving rows.
+    pairs = _bucket_pairs(banded, dedup_pairs=False)
 
     # verify on signatures joined back by id (base is persisted + narrow;
     # the sig table scales with the corpus, so the join strategy is left to
@@ -288,33 +370,60 @@ def minhash_near_dup_pairs(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
-def _bucket_pairs(banded: DataFrame) -> DataFrame:
-    """(id, bucket) → distinct candidate (id_a, id_b) pairs per bucket.
+def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
+    """(id, bucket) → distinct candidate (id_a, id_b) pairs per bucket,
+    keeping the MAX_BUCKET lowest ids per bucket (skew guard — a
+    degenerate bucket, e.g. empty-text boilerplate, stays bounded but
+    still contributes candidates).
 
-    ONE shuffle: groupBy(bucket) collects the ids, truncates to the
-    MAX_BUCKET lowest (skew guard — a degenerate bucket, e.g. empty-text,
-    stays bounded but still contributes candidates), and the pair explosion
-    happens JVM-side with higher-order functions over the sorted list
-    (sort_array guarantees id_a < id_b). A second shuffle dedups pairs seen
-    in several bands. Replaces a window-rank + self-join + dedup pipeline
-    (3 shuffles + a per-bucket sort) measured 2× slower."""
-    lists = (
-        banded.groupBy("bucket")
+    Skew safety: the cap is applied BEFORE any aggregation buffer can
+    materialize a mega-bucket. Level 1 groups by (bucket, salt) with
+    salt = hash(id) mod BUCKET_SALTS and keeps each group's MAX_BUCKET
+    lowest ids, so a bucket with B members costs at most B/256 ids per
+    buffer (map-side partials hold only one input partition's share).
+    Level 2 merges ≤ 256 capped lists (≤ 16K ids) per bucket and re-caps.
+    Output is identical to an unsalted global cap: each id's salt group
+    retains its own lowest MAX_BUCKET ids, a superset of the bucket-global
+    lowest MAX_BUCKET.
+
+    Parallelism is pinned explicitly (repartition before each aggregation
+    level; the quadratic pair explosion runs pipelined on level-2's pinned
+    partitions): AQE's size-based coalescing sees a few MB and would run
+    the explode on 1-2 tasks."""
+    p = banded.sparkSession.sparkContext.defaultParallelism
+    salted = banded.withColumn(
+        "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
+    )
+    lvl1 = (
+        salted.repartition(p, "bucket", "__salt")
+        .groupBy("bucket", "__salt")
         .agg(F.slice(F.sort_array(F.collect_list("id")), 1, MAX_BUCKET).alias("ids"))
+    )
+    lists = (
+        lvl1.repartition(p, "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids"))), 1, MAX_BUCKET
+            ).alias("ids")
+        )
         .filter(F.size("ids") >= 2)
     )
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
-    return (
+    out = (
         lists.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if dedup_pairs:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -367,7 +476,7 @@ def simhash_near_dup_pairs(
 
     Candidate generation: 4×16-bit bands — two signatures within Hamming 3
     share at least one exact band (pigeonhole), so the join is equi-key."""
-    sh = (
+    sh = _register_cache(
         with_simhash(spread(df.select(id_col, text_col)), text_col, shingle_k)
         .select(F.col(id_col).alias("id"), "simhash")
         .persist()  # 4 band projections would re-run the UDF otherwise
@@ -386,7 +495,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bucket"),
     )
-    pairs = _bucket_pairs(banded)
+    pairs = _bucket_pairs(banded, dedup_pairs=False)
     a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
@@ -395,4 +504,5 @@ def simhash_near_dup_pairs(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -94,6 +94,13 @@ def file_source(
     df = reader.load(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # naive-µs parquet columns arrive as TIMESTAMP_NTZ, which watermarks
+    # reject; relabel to TIMESTAMP (session tz pinned to UTC — same micros)
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return Stream(df, ts_col=ts_col)
 
 
