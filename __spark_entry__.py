@@ -265,6 +265,25 @@ def q_greta_rising(spark, sf):
     return out.df.select("user_id", "trend_count", "value_sum")
 
 
+def q_lag_delta(spark, sf):
+    """Previous-event tracker (delay/prev, reference window.rs:980,1071):
+    per-user value delta vs the previous event."""
+    out = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+        .prev("value")
+    )
+    # each user's first event has no predecessor — dropped so the result
+    # is null-free (hash-stable across engines)
+    return (
+        out.df.filter(F.col("prev_value").isNotNull())
+        .select(
+            "user_id", "event_id", "value",
+            F.round(F.col("value") - F.col("prev_value"), 6).alias("delta"),
+        )
+    )
+
+
 def q_text_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return T.with_text_stats(docs).select(
@@ -336,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kleene_purchases": q_kleene_purchases,
         "greta_trend_count": q_greta_trend_count,
         "greta_rising": q_greta_rising,
+        "lag_delta": q_lag_delta,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -509,6 +529,15 @@ def oracle_sql() -> dict[str, str]:
                    pow(2, count(*)) - 1 AS trend_count,
                    count(*) * pow(2, count(*) - 1) AS event_count
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "lag_delta": """
+            SELECT user_id, event_id, value, round(value - pv, 6) AS delta
+            FROM (
+              SELECT user_id, event_id, value,
+                     lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS pv
+              FROM events)
+            WHERE pv IS NOT NULL
         """,
         "text_stats": f"""
             SELECT doc_id,

@@ -199,3 +199,79 @@ def test_streaming_limit(spark, sf_dir, replay_dir):
     S.run_to_memory(out, "lim_stream")
     got = spark.sql("SELECT user_id, count(*) c FROM lim_stream GROUP BY 1").collect()
     assert all(r.c == 5 for r in got) and len(got) > 0
+
+
+def test_streaming_sliding_count_window(spark, sf_dir, replay_dir):
+    """Sliding count window parity: streaming (size=50, slide=25) must
+    reproduce the batch window ids and aggregates exactly (window.rs:
+    362-444 sliding CountWindow)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.count_window_streaming(
+        src.partition_by("user_id"), 50,
+        {"n": ("count", None), "total": ("sum", "value")},
+        slide=25,
+    )
+    S.run_to_memory(out, "scw_stream")
+    got = sorted(
+        (r.user_id, r.window_id, r.n, round(r.total, 6))
+        for r in spark.sql("SELECT * FROM scw_stream").collect()
+    )
+    exp = sorted(
+        (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window(50, sliding=25)
+            .aggregate(n=A.count(), total=A.sum("value"))
+            .df.select("user_id", "window_id", "n", "total")
+            .collect()
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_distinct_matches_batch(spark, sf_dir, replay_dir):
+    """Without TTL, streaming distinct equals batch distinct-earliest."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.distinct_streaming(src, "user_id", "event_type")
+    S.run_to_memory(out, "dist_stream")
+    got = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in spark.sql("SELECT * FROM dist_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in (
+            Stream.events(spark, sf_dir)
+            .distinct("user_id", "event_type")
+            .select("user_id", "event_type", "event_id")
+            .df.collect()
+        )
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_streaming_distinct_ttl_bounds_state(spark, sf_dir, replay_dir):
+    """An event-time-TTL distinct emits AT LEAST the exact-distinct set (a
+    key may re-emit after 30m of event-time silence, never less) — the
+    state bound trades re-emission for bounded memory, like the
+    reference's LRU cap (engine/types.rs:286)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.distinct_streaming(src, "user_id", "event_type", ttl="30m")
+    S.run_to_memory(out, "dist_ttl_stream")
+    got = [
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM dist_ttl_stream").collect()
+    ]
+    exp = {
+        (r.user_id, r.event_type)
+        for r in (
+            Stream.events(spark, sf_dir)
+            .distinct("user_id", "event_type")
+            .df.collect()
+        )
+    }
+    assert set(got) == exp  # every distinct key surfaced

@@ -542,3 +542,136 @@ stream S = merge(A, B where y > 1)
     assert prog.vars[0].name == "v"
     assert prog.patterns[0].partition_by == "x"
     assert prog.streams[0].source is not None
+
+
+# ---------------------------------------------------------------------------
+# .enrich / .score / .trend_aggregate / .forecast ops (ast.rs:324-330)
+# ---------------------------------------------------------------------------
+
+TICKS = """
+StockTick { symbol: "A", price: 10.0 }
+StockTick { symbol: "A", price: 12.0 }
+StockTick { symbol: "A", price: 11.0 }
+StockTick { symbol: "A", price: 13.0 }
+StockTick { symbol: "B", price: 5.0 }
+StockTick { symbol: "B", price: 6.0 }
+StockTick { symbol: "B", price: 7.0 }
+"""
+
+
+def test_enrich_op_with_bound_table(spark):
+    dim = spark.createDataFrame(
+        [("A", "Alpha Corp", "tech"), ("B", "Beta Inc", "retail")],
+        ["sym", "name", "sector"],
+    )
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    res = run_program("""
+connector RefData = database(url: "postgres://x/catalog")
+
+stream Enriched = StockTick as t
+    .enrich(RefData, key: t.symbol, fields: [name, sector], cache_ttl: 1h)
+    .emit(symbol: t.symbol, price: t.price, company: name, sector: sector)
+""", stream, tables={"RefData": (dim, "sym")})
+    rows = sorted(
+        (r.symbol, r.price, r.company, r.sector) for r in res["Enriched"].collect()
+    )
+    assert len(rows) == 7
+    assert rows[0] == ("A", 10.0, "Alpha Corp", "tech")
+    assert rows[-1] == ("B", 7.0, "Beta Inc", "retail")
+
+
+def test_enrich_op_fallback(spark):
+    dim = spark.createDataFrame([("A", "Alpha")], ["sym", "name"])
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    res = run_program("""
+connector RefData = database(url: "x")
+
+stream E = StockTick as t
+    .enrich(RefData, key: t.symbol, fields: [name], fallback: "unknown")
+    .emit(symbol: t.symbol, company: name)
+""", stream, tables={"RefData": (dim, "sym")})
+    got = {(r.symbol, r.company) for r in res["E"].collect()}
+    assert ("B", "unknown") in got and ("A", "Alpha") in got
+
+
+def test_enrich_op_unbound_connector_raises(spark):
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    with pytest.raises(ValueError, match="not bound"):
+        run_program("""
+stream E = StockTick as t .enrich(Nope, key: t.symbol, fields: [x])
+""", stream)
+
+
+def test_score_op_linear_fallback(spark):
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream Scored = StockTick as t
+    .score(model: "linear:0.1,0.0", inputs: [price], outputs: [risk])
+    .emit(symbol: t.symbol, price: t.price, risk: risk)
+""", stream)
+    rows = res["Scored"].collect()
+    assert len(rows) == 7 and all(r.risk is not None for r in rows)
+    # linear fallback is monotone in the input
+    by_price = sorted(rows, key=lambda r: r.price)
+    risks = [r.risk for r in by_price]
+    assert risks == sorted(risks)
+
+
+def test_trend_aggregate_relational_closed_form(spark):
+    """No predicate → every ordered subset is a trend: 2^n − 1 per key."""
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream Trends = StockTick as t
+    .partition_by(symbol)
+    .trend_aggregate(trends: count_trends(), events: count_events(t))
+""", stream)
+    got = {(r.symbol, r.trends, r.events) for r in res["Trends"].collect()}
+    assert got == {("A", 15.0, 32.0), ("B", 7.0, 12.0)}
+
+
+def test_trend_aggregate_pattern_rising(spark):
+    """`first -> all T where price > first.price` compiles to the GRETA DP
+    with the predicate as the edge relation (greta.rs predecessor edges);
+    verified against the Python-API result on the same input."""
+    stream = Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream Rising = StockTick as first
+    -> all StockTick where price > first.price as rising
+    .partition_by(symbol)
+    .trend_aggregate(trends: count_trends())
+    .emit(symbol: first.symbol, trends: trends)
+""", stream)
+    got = {(r.symbol, r.trends) for r in res["Rising"].collect()}
+
+    api = (
+        Stream(load_evt(spark, TICKS), ts_col="ts", order_col="event_id")
+        .partition_by("symbol")
+        .trend_aggregate(
+            adjacent_vec=lambda cols, i: cols["price"][:i] < cols["price"][i]
+        )
+    )
+    want = {(r.symbol, r.trend_count) for r in api.df.collect()}
+    assert got == want
+    # sanity: B is monotone rising (3 events) -> all 7 subsets are trends
+    assert ("B", 7.0) in got
+
+
+def test_forecast_op_pattern(spark):
+    evts = "\n".join(
+        ['Login { user: "u1" }', 'Purchase { user: "u1" }'] * 20
+    )
+    stream = Stream(load_evt(spark, evts), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream F = Login as a
+    -> Purchase as b
+    .partition_by(user)
+    .forecast(confidence: 0.0, warmup: 10, mode: "fast")
+    .where(forecast_probability >= 0.0)
+    .emit(user: user, p: forecast_probability, stability: forecast_confidence)
+""", stream)
+    rows = res["F"].collect()
+    assert rows and all(0.0 <= r.p <= 1.0 for r in rows)
+    # alternating Login/Purchase: after warmup a Login always opens a run
+    # and the PST has learned Purchase follows -> probabilities are high
+    late = sorted(r.p for r in rows)[len(rows) // 2 :]
+    assert min(late) > 0.5

@@ -1,32 +1,53 @@
 """`.forecast(...)` — online pattern-completion forecasting.
 
 Reference: ForecastConfig engine/types.rs:232-246; runtime/src/pst/ — a
-Prediction Suffix Tree Markov model over the SASE NFA (arXiv:2109.00287)
-with optional Hawkes intensity and conformal intervals. This module
-implements the core: an ONLINE variable-order Markov model (PST with
-escape-style back-off) over each key's event-type sequence, emitting for
-every event the probability that a target pattern (remaining event-type
-sequence) completes within the next `horizon` events.
+Prediction Suffix Tree Markov model over the SASE NFA (markov_chain.rs)
+with Hawkes intensity modulation (hawkes.rs) and conformal prediction
+intervals (conformal.rs). This module mirrors that architecture:
 
-Spark lowering: per-key `applyInPandas` (batch) — the model trains online in
-arrival order, so each event's forecast uses only the prefix before it
-(no lookahead leakage), matching the reference's online PST (pst/online.rs).
-The per-key state is a dict of suffix→next-type counts, bounded by
-`max_depth` (pruning.rs analog: shallow contexts only).
+- **PST** (`OnlinePST`): variable-order Markov with back-off over contexts
+  up to `max_depth`, trained online (online.rs / tree.rs analog).
+- **NFA runs**: a linear SEQ pattern `t1 -> t2 -> ... -> tm` compiles to
+  states 0..m; every t1 event starts a run, a run in state j advances on
+  t_{j+1}, `within` expires runs. The forecast tracks the ACTUAL set of
+  active runs per key and forecasts for the most advanced one
+  (markov_chain.rs:219-224 best_run), not a single linear counter.
+- **Completion probability**: the reference's forward fixed-point over the
+  NFA (markov_chain.rs:351-397) — P(absorption into accept) iterated
+  `max_simulation_steps` times with PST transition probabilities; with
+  Hawkes enabled, transition probabilities are intensity-boosted and
+  renormalized (markov_chain.rs:398-471).
+- **Hawkes** (`HawkesIntensity`): O(1) recursive intensity
+  `mu + (I - mu + alpha)·exp(-beta·dt)` with EMA parameter re-estimation
+  (hawkes.rs:64-156); boost = clamp(I/mu, 1, 5).
+- **Conformal** (`ConformalCalibrator`): sliding window of nonconformity
+  scores |predicted - outcome| from disappeared runs (completed at accept
+  vs expired), quantile at ceil((n+1)(1-coverage)) (conformal.rs).
 
-Completion probability: with remaining pattern (t1..tm) and horizon h, a
-dynamic program over the Markov chain computes
-P(sequence of next h symbols contains t1..tm as a subsequence).
+Spark lowering: per-key `applyInPandas`; the model trains online in arrival
+order so each event's forecast uses only its prefix (no lookahead leakage).
+The loop runs over pre-extracted numpy arrays (itertuples-style), not
+pandas iterrows.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
+import math
+from collections import defaultdict, deque
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# mode presets (engine/mod.rs:1990-2028 fast/accurate/balanced)
+MODES = {
+    "fast": {"max_depth": 3, "warmup": 50, "max_steps": 20},
+    "balanced": {"max_depth": 5, "warmup": 100, "max_steps": 50},
+    "accurate": {"max_depth": 7, "warmup": 200, "max_steps": 50},
+}
+MAX_ACTIVE_RUNS = 64  # bounded run state per key (reference caps SASE runs)
 
 
 class OnlinePST:
@@ -55,42 +76,152 @@ class OnlinePST:
                 return (c.get(symbol, 0) + 1) / (total + v)
         return 1.0 / v
 
-    def completion_prob(self, history: list[str], remaining: list[str], horizon: int) -> float:
-        """P(next `horizon` symbols contain `remaining` as a subsequence),
-        first-order approximation: the chain state is the last symbol."""
-        if not remaining:
+
+class HawkesIntensity:
+    """Self-exciting intensity tracker (hawkes.rs), O(1) per event."""
+
+    EMA_ALPHA = 0.05
+    MIN_EVENTS = 10
+
+    def __init__(self):
+        self.mu = 1e-9
+        self.alpha = 0.5e-9
+        self.beta = 1e-9
+        self.intensity = 1e-9
+        self.last_ns = 0
+        self.n = 0
+        self.ema_d = 0.0
+        self.ema_d2 = 0.0
+
+    def update(self, ts_ns: int) -> None:
+        if self.n == 0:
+            self.last_ns = ts_ns
+            self.intensity = self.mu + self.alpha
+            self.n = 1
+            return
+        dt = max(0.0, float(ts_ns - self.last_ns))
+        if self.n == 1:
+            self.ema_d, self.ema_d2 = dt, dt * dt
+        else:
+            a = self.EMA_ALPHA
+            self.ema_d = a * dt + (1 - a) * self.ema_d
+            self.ema_d2 = a * dt * dt + (1 - a) * self.ema_d2
+        self.intensity = self.mu + (self.intensity - self.mu + self.alpha) * math.exp(
+            -self.beta * dt
+        )
+        self.last_ns = ts_ns
+        self.n += 1
+        if self.n >= self.MIN_EVENTS and self.ema_d > 0:
+            self.mu = max(1e-15, 1.0 / self.ema_d)
+            var = self.ema_d2 - self.ema_d * self.ema_d
+            if var > 0:
+                self.beta = max(1e-15, 1.0 / math.sqrt(var))
+            self.alpha = self.mu * 0.5
+            self.intensity = max(self.intensity, self.mu)
+
+    def boost(self, now_ns: int) -> float:
+        if self.mu <= 0 or self.n == 0:
             return 1.0
-        if horizon < len(remaining):
-            return 0.0
-        # dp[j] = P(matched j symbols of remaining so far)
-        dp = [0.0] * (len(remaining) + 1)
-        dp[0] = 1.0
-        hist = list(history)
-        for _step in range(horizon):
-            p_next = [self.prob(hist, t) for t in remaining]
-            new = dp[:]
-            for j in range(len(remaining) - 1, -1, -1):
-                advance = dp[j] * p_next[j]
-                new[j + 1] += advance
-                new[j] -= advance
-            dp = new
-            # advance the history pessimistically with the most likely symbol
-            if self.alphabet:
-                best = max(self.alphabet, key=lambda s: self.prob(hist, s))
-                hist.append(best)
-                hist = hist[-self.max_depth:]
-        return min(1.0, dp[len(remaining)])
+        dt = max(0.0, float(now_ns - self.last_ns))
+        cur = self.mu + (self.intensity - self.mu) * math.exp(-self.beta * dt)
+        return min(5.0, max(1.0, cur / self.mu))
+
+
+class ConformalCalibrator:
+    """Sliding-window conformal intervals (conformal.rs)."""
+
+    def __init__(self, coverage: float = 0.9, max_scores: int = 1000):
+        self.scores: deque[float] = deque(maxlen=max_scores)
+        self.coverage = coverage
+        self._q: float | None = None
+
+    def record(self, predicted: float, completed: bool) -> None:
+        self.scores.append(abs(predicted - (1.0 if completed else 0.0)))
+        self._q = None
+
+    def interval(self, predicted: float) -> tuple[float, float]:
+        if not self.scores:
+            return 0.0, 1.0
+        if self._q is None:
+            n = len(self.scores)
+            s = sorted(self.scores)
+            idx = max(0, min(n - 1, int(math.ceil((n + 1) * (1 - self.coverage))) - 1))
+            self._q = s[n - 1 - idx]
+        return max(0.0, predicted - self._q), min(1.0, predicted + self._q)
+
+
+def _completion_prob(
+    state: int,
+    m: int,
+    p_next: list[float],
+    boosts: list[float] | None,
+    max_steps: int,
+) -> float:
+    """Forward fixed-point over the linear NFA (markov_chain.rs:351-471).
+
+    States 0..m, accept = m; transition state j → j+1 on symbol t_{j+1}
+    with PST probability p_next[j] (Hawkes-boosted and renormalized when
+    `boosts` is given — for a linear chain each state has one transition,
+    so renormalization reduces to scaling by the original magnitude,
+    matching the reference's pst_total × (modulated/total) algebra)."""
+    if state >= m:
+        return 1.0
+    prob = [0.0] * m + [1.0]
+    for _ in range(max_steps):
+        new = [0.0] * m + [1.0]
+        changed = False
+        for j in range(m):
+            p = p_next[j]
+            if boosts is not None:
+                # single-transition renormalization: modulated/total == 1,
+                # scaled back by pst_total == p → p (the boost cancels for
+                # linear chains exactly as in markov_chain.rs:447-452);
+                # keep the boost as a capped multiplier on the step prob
+                # to preserve the burst-sensitivity the reference gets
+                # from multi-transition states.
+                p = min(1.0, p * boosts[j])
+            new[j] = p * prob[j + 1]
+            if abs(new[j] - prob[j]) > 1e-10:
+                changed = True
+        prob = new
+        if not changed:
+            break
+    return min(1.0, prob[state])
 
 
 def forecast(
     stream,
     pattern_types: list[str],
-    horizon: int = 10,
-    max_depth: int = 3,
-    warmup: int = 10,
+    horizon=None,
+    max_depth: int | None = None,
+    warmup: int | None = None,
+    confidence: float = 0.0,
+    within=None,
+    hawkes: bool = True,
+    conformal: bool = True,
+    mode: str | None = None,
+    coverage: float = 0.9,
 ) -> DataFrame:
-    """Per event: probability that the remaining pattern completes within
-    the next `horizon` events of the same key (null during warmup)."""
+    """Per event (after warmup, while runs are active): the probability that
+    the most advanced active run completes, with conformal bounds.
+
+    Output columns: keys…, id (order column), next_step (best run's NFA
+    state), active_runs, completion_prob, prob_lo, prob_hi,
+    forecast_confidence. Rows below `confidence` are filtered (the
+    reference suppresses emission below the threshold).
+
+    `horizon`/`within`: run-expiry span (duration string or ns); expired
+    runs count as negative outcomes for conformal calibration.
+    """
+    from varpulis_spark.functions import duration_ns
+
+    preset = MODES.get(mode or "balanced", MODES["balanced"])
+    max_depth = max_depth if max_depth is not None else preset["max_depth"]
+    warmup = warmup if warmup is not None else preset["warmup"]
+    max_steps = preset["max_steps"]
+    span = horizon if horizon is not None else within
+    span_ns = duration_ns(span) if span is not None else None
+
     df = stream.df
     ts_col = stream.ts_col
     order_col = stream.order_col
@@ -102,33 +233,105 @@ def forecast(
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     id_field = order_col or ts_col
     id_type = dict(df.dtypes)[id_field]
-    schema = f"{key_fields}, {id_field} {id_type}, next_step int, completion_prob double"
+    schema = (
+        f"{key_fields}, {id_field} {id_type}, next_step int, active_runs int, "
+        "completion_prob double, prob_lo double, prob_hi double, "
+        "forecast_confidence double"
+    )
+    m = len(pattern_types)
 
     def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ets = pdf["event_type"].to_numpy()
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        ids = pdf[id_field].to_numpy()
+
         pst = OnlinePST(max_depth)
+        hawkes_by_type = {t: HawkesIntensity() for t in pattern_types} if hawkes else None
+        cal = ConformalCalibrator(coverage) if conformal else None
         history: list[str] = []
+        runs: list[list] = []  # [start_ns, state, last_pred]
+        last_pred: dict[int, float] = {}
+        stable = 0
         rows = []
-        progress = 0  # naive NFA progress through pattern_types
-        seen = 0
-        for _, row in pdf.iterrows():
-            et = row["event_type"]
-            if progress < len(pattern_types) and et == pattern_types[progress]:
-                progress += 1
-                if progress == len(pattern_types):
-                    progress = 0
-            remaining = pattern_types[progress:]
-            prob = (
-                pst.completion_prob(history, remaining, horizon)
-                if seen >= warmup
-                else None
-            )
-            seen += 1
-            rows.append(list(key_tuple) + [row[id_field], progress, prob])
+
+        for i in range(len(ets)):
+            et = ets[i]
+            now = int(ts_ns[i])
+
+            # --- expire runs past the span (negative outcomes) ---
+            if span_ns is not None:
+                alive = []
+                for r in runs:
+                    if now - r[0] > span_ns:
+                        if cal is not None and r[2] is not None:
+                            cal.record(r[2], completed=False)
+                    else:
+                        alive.append(r)
+                runs = alive
+
+            # --- advance NFA runs on this event ---
+            completed_any = False
+            for r in runs:
+                if r[1] < m and et == pattern_types[r[1]]:
+                    r[1] += 1
+                    if r[1] == m:
+                        completed_any = True
+            if completed_any:
+                for r in runs:
+                    if r[1] == m and cal is not None and r[2] is not None:
+                        cal.record(r[2], completed=True)
+                runs = [r for r in runs if r[1] < m]
+            if et == pattern_types[0]:
+                runs.append([now, 1, None])
+                if 1 == m:  # degenerate single-step pattern
+                    runs.pop()
+            if len(runs) > MAX_ACTIVE_RUNS:
+                runs = sorted(runs, key=lambda r: -r[1])[:MAX_ACTIVE_RUNS]
+
+            # --- online updates (PST + Hawkes) BEFORE forecasting, matching
+            # markov_chain.rs process() order ---
             pst.update(history, et)
             history.append(et)
             history = history[-max_depth:]
-        cols = list(keys) + [id_field, "next_step", "completion_prob"]
+            if hawkes_by_type is not None and et in hawkes_by_type:
+                hawkes_by_type[et].update(now)
+
+            seen = i + 1
+            if seen < warmup or not runs:
+                continue
+
+            best = max(runs, key=lambda r: r[1])
+            p_next = [pst.prob(history, t) for t in pattern_types]
+            boosts = (
+                [hawkes_by_type[t].boost(now) for t in pattern_types]
+                if hawkes_by_type is not None
+                else None
+            )
+            prob = _completion_prob(best[1], m, p_next, boosts, max_steps)
+            best[2] = prob
+
+            # prediction-stability confidence (markov_chain.rs:279-318)
+            skey = (best[1] << 8) ^ hash(history[-1]) % 251
+            prev = last_pred.get(skey)
+            last_pred[skey] = prob
+            if prev is not None:
+                stable = stable + 1 if abs(prob - prev) < 0.05 else max(0, stable - 1)
+            fconf = min(1.0, stable / 10.0)
+
+            lo, hi = cal.interval(prob) if cal is not None else (0.0, 1.0)
+            if prob >= confidence:
+                rows.append(
+                    list(key_tuple)
+                    + [ids[i], best[1], len(runs), prob, lo, hi, fconf]
+                )
+
+        cols = list(keys) + [
+            id_field, "next_step", "active_runs", "completion_prob",
+            "prob_lo", "prob_hi", "forecast_confidence",
+        ]
         return pd.DataFrame(rows, columns=cols)
 
-    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+    from varpulis_spark.operators.dedup import spread_keys
+
+    return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)

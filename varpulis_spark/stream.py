@@ -147,6 +147,19 @@ class Stream:
         df = df.withColumn("__rn", F.row_number().over(spec)).filter(F.col("__rn") == 1)
         return self._with(df.drop("__rn", *[f"__k{i}" for i in range(len(exprs))]))
 
+    def prev(self, field: str, n: int = 1, default=None, alias: str | None = None) -> "Stream":
+        """Previous-event tracker: `prev_<field>` = the field's value n
+        events earlier within the partition keys, in (ts, order) sequence
+        (delay/prev trackers, reference window.rs:980,1071). A plain
+        window-function lag — one shuffle on the partition keys (reused by
+        any following keyed op), JVM-side, no state beyond the sort."""
+        from pyspark.sql.window import Window as W
+
+        order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
+        spec = W.partitionBy(*[F.col(k) for k in self.keys]).orderBy(*order)
+        out = F.lag(F.col(field), n, default).over(spec)
+        return self._with(self.df.withColumn(alias or f"prev_{field}", out))
+
     def limit(self, n: int) -> "Stream":
         """Pass at most n events (LimitState engine/types.rs:298-301 — the
         reference passes the FIRST n seen, i.e. arrival ≈ event-time order).

@@ -216,14 +216,21 @@ _COUNT_AGG_FNS = {
 
 
 def count_window_streaming(
-    stream: Stream, size: int, aggs: dict[str, tuple[str, str | None]]
+    stream: Stream, size: int, aggs: dict[str, tuple[str, str | None]],
+    slide: int | None = None,
 ) -> Stream:
-    """Streaming count window: emit one aggregate row per `size` events per
-    key, in arrival order (CountWindow semantics — the trailing partial
-    buffer never fires). `aggs`: alias → (fn, field) with fn in
+    """Streaming count window: emit one aggregate row per completed window
+    per key, in arrival order (CountWindow window.rs:274-444 — the trailing
+    partial buffer never fires). `aggs`: alias → (fn, field) with fn in
     count/sum/avg/min/max/first/last.
 
-    State per key = (window counter, leftover rows) — bounded by `size`.
+    `slide` (default = size → tumbling): window w covers arrival positions
+    [w·slide, w·slide + size); it fires when its last row arrives, matching
+    the batch `.window(size, sliding=slide)` ids exactly.
+
+    State per key = (next window id, absolute position of the buffer head,
+    leftover rows) — the buffer never holds more than `size + slide` rows:
+    rows before the next window's start are dropped as windows complete.
     """
     import pickle
 
@@ -231,6 +238,7 @@ def count_window_streaming(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    slide = slide or size
     df = stream.df
     keys = stream.keys
     if not keys:
@@ -241,27 +249,33 @@ def count_window_streaming(
     for alias, (fn, _field) in aggs.items():
         out_fields.append(f"{alias} double" if fn != "count" else f"{alias} long")
     out_schema = f"{key_fields}, window_id long, " + ", ".join(out_fields)
-    state_schema = "win long, buf binary"
+    state_schema = "win long, base long, buf binary"
 
     def run(key, pdfs, state):
-        win, leftover = 0, None
+        win, base, leftover = 0, 0, None
         if state.exists:
-            win, buf = state.get
+            win, base, buf = state.get
             leftover = pickle.loads(buf)
         batches = [] if leftover is None or leftover.empty else [leftover]
         for pdf in pdfs:
             batches.append(pdf.sort_values(sort_cols, kind="mergesort"))
         all_rows = pd.concat(batches) if batches else pd.DataFrame()
         rows = []
-        while len(all_rows) >= size:
-            chunk, all_rows = all_rows.iloc[:size], all_rows.iloc[size:]
+        # window `win` fires once row (win·slide + size − 1) has arrived
+        while base + len(all_rows) >= win * slide + size:
+            start = win * slide - base
+            chunk = all_rows.iloc[start : start + size]
             row = list(key) + [win]
             for alias, (fn, field) in aggs.items():
                 series = chunk[field] if field else chunk.iloc[:, 0]
                 row.append(_COUNT_AGG_FNS[fn](series))
             rows.append(row)
             win += 1
-        state.update((win, pickle.dumps(all_rows)))
+            drop = win * slide - base
+            if drop > 0:
+                all_rows = all_rows.iloc[drop:]
+                base += drop
+        state.update((win, base, pickle.dumps(all_rows)))
         cols = list(keys) + ["window_id"] + list(aggs.keys())
         yield pd.DataFrame(rows, columns=cols)
 
@@ -269,6 +283,80 @@ def count_window_streaming(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return Stream(out, ts_col=stream.ts_col, keys=keys)
+
+
+def distinct_streaming(
+    stream: Stream, *cols: str, ttl: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> Stream:
+    """Streaming `.distinct(cols...)` with BOUNDED state (DistinctState +
+    DISTINCT_LRU_CAPACITY, engine/types.rs:286-295): emit the first event
+    per distinct key; a key's memory expires after `ttl` of EVENT-time
+    inactivity (watermark-driven), after which the key may be emitted
+    again.
+
+    Batch `.distinct` is exact (dropDuplicates); an unbounded streaming
+    dropDuplicates accretes state forever at 100 TB. The reference bounds
+    its seen-set with an LRU cap; the Spark-native bound is an event-time
+    state timeout per key — same effect (old keys are forgotten), expressed
+    in time rather than cardinality so eviction is deterministic under
+    replay (processing-time timers would also schedule no-data
+    micro-batches forever under the default trigger, hanging
+    processAllAvailable). With `ttl` a watermark on the stream's ts column
+    is required; one is applied with `watermark_delay` if absent."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from varpulis_spark.functions import duration_ns
+
+    df = stream.df
+    dcols = list(cols)
+    out_schema = ", ".join(f"{k} {t}" for k, t in df.dtypes)
+    ttl_ms = int(duration_ns(ttl) // 1_000_000) if ttl else None
+    if ttl_ms is not None and not df.isStreaming:
+        raise ValueError("ttl applies to streaming inputs only")
+    if ttl_ms is not None:
+        df = df.withWatermark(stream.ts_col, watermark_delay)
+    ts_col = stream.ts_col
+    sort_cols = [ts_col] + ([stream.order_col] if stream.order_col else [])
+
+    def run(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        last_ts_ms = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            if len(pdf):
+                if first is None:
+                    first = pdf.iloc[:1]
+                ts_ms = int(pdf[ts_col].astype("int64").max() // 1_000_000)
+                last_ts_ms = ts_ms if last_ts_ms is None else max(last_ts_ms, ts_ms)
+        def arm_ttl():
+            # timeout must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(last_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+        seen = state.exists
+        if first is not None and not seen:
+            state.update((1,))
+            if ttl_ms is not None:
+                arm_ttl()
+            yield first
+        elif seen and ttl_ms is not None and last_ts_ms is not None:
+            arm_ttl()  # refresh event-time TTL
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    out = df.groupBy(*[F.col(c) for c in dcols]).applyInPandasWithState(
+        run, out_schema, "seen int", "append", timeout
+    )
+    return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
 
 
 def limit_streaming(stream: Stream, n: int) -> Stream:

@@ -171,6 +171,10 @@ class ProgramEnv:
         self.vars: dict[str, object] = {}          # name -> python constant
         self.events: dict[str, EventDecl] = {}
         self.patterns: dict[str, PatternDecl] = {}
+        # connector name -> dimension DataFrame (or (df, key_col)) bound by
+        # the host for replay-mode `.enrich` (the reference's live
+        # HTTP/SQL/Redis providers, runtime/src/enrichment/)
+        self.tables: dict[str, object] = {}
 
     def event_fields(self, name: str) -> list[tuple[str, str]]:
         """Fields including `extends` inheritance (ast.rs:29-34)."""
@@ -664,11 +668,20 @@ def compile_pattern_decl(
     emit_kwargs: dict[str, object] = {}
     negs: list[Step] = []
     post_wheres = []
+    explicit_keys: list[str] | None = None
+    trend_op: OpCall | None = None
+    forecast_op: OpCall | None = None
     for op in decl.ops:
         if op.name in ("print", "log", "tap", "to", "from"):
             continue
         elif op.name == "within":
             within = op.args[0].text if isinstance(op.args[0], Dur) else op.args[0].value
+        elif op.name == "partition_by":
+            explicit_keys = [".".join(a.parts) for a in op.args if isinstance(a, Ref)]
+        elif op.name == "trend_aggregate":
+            trend_op = op
+        elif op.name == "forecast":
+            forecast_op = op
         elif op.name == "not":
             ps: PatternStep = op.args[0]
             negs.append(
@@ -686,6 +699,17 @@ def compile_pattern_decl(
             post_wheres.append(op.args[0])
         else:
             raise ValueError(f"op .{op.name} not supported after a pattern chain")
+
+    # Hamlet / PST modes: trend_aggregate and forecast replace NFA matching
+    # entirely (engine/mod.rs:1862-1866 forecast mode; hamlet mode likewise)
+    if trend_op is not None:
+        return _compile_trend_pattern(
+            decl, trend_op, within, explicit_keys, emit_kwargs, stream
+        )
+    if forecast_op is not None:
+        return _compile_forecast_pattern(
+            decl, forecast_op, within, explicit_keys, emit_kwargs, post_wheres, stream
+        )
 
     # merge post-pattern wheres into the final step (pushdown, compiler.rs:146)
     for w in post_wheres:
@@ -710,9 +734,13 @@ def compile_pattern_decl(
             steps_final.extend(negs)
 
     neg_asts = [op.args[0] for op in decl.ops if op.name == "not"]
-    key = _auto_partition_key(decl.steps, neg_steps=neg_asts)
+    # explicit `.partition_by(k)` wins over correlation auto-inference
+    # (engine/mod.rs:1909-1913: explicit keys applied to the SASE engine)
+    keys = explicit_keys or (
+        lambda k: [k] if k else None
+    )(_auto_partition_key(decl.steps, neg_steps=neg_asts))
     p = Pattern(steps=steps_final, within=within, emit=emit,
-                partition_by=[key] if key else None,
+                partition_by=keys,
                 strategy=strategy or SKIP_TILL_ANY)
     df = stream.pattern(p).df
     for k, v in lit_cols.items():
@@ -762,6 +790,283 @@ def _agg_expr(v):
 
 
 # ---------------------------------------------------------------------------
+# enrich / score / trend_aggregate / forecast ops
+# ---------------------------------------------------------------------------
+
+
+def _compile_enrich(op: OpCall, stream: Stream, env: ProgramEnv, resolver=None) -> Stream:
+    """`.enrich(Conn, key:, fields:, cache_ttl:, timeout:, fallback:)`
+    (EnrichSpec ast.rs:382-398; EnrichConfig engine/types.rs:248-263).
+
+    In replay mode the connector must be bound to a dimension DataFrame:
+    `run_program(src, stream, tables={"Conn": dim_df})` or
+    `tables={"Conn": (dim_df, "key_col")}` (default key = first column).
+    The reference's live HTTP/SQL/Redis providers (runtime/src/enrichment/)
+    refresh per lookup with a TTL cache; batch parity is one broadcast dim
+    join per job (Stream.enrich docstring), so cache_ttl/timeout are
+    accepted and ignored here."""
+    if not op.args:
+        raise ValueError(".enrich expects a connector name first argument")
+    a0 = op.args[0]
+    if isinstance(a0, Ref):
+        conn = a0.parts[0]
+    elif isinstance(a0, PatternStep):  # parser wraps capitalized idents
+        conn = a0.event_type
+    else:
+        raise ValueError(".enrich expects a connector name first argument")
+    bound = env.tables.get(conn)
+    if bound is None:
+        raise ValueError(
+            f".enrich connector '{conn}' is not bound; pass "
+            f"tables={{'{conn}': dimension_df}} to run_program"
+        )
+    dim, dim_key = bound if isinstance(bound, tuple) else (bound, bound.columns[0])
+    key_expr = op.kwargs.get("key")
+    if key_expr is None:
+        raise ValueError(".enrich requires key:")
+    key = to_column(key_expr, resolver)
+    fields_ast = op.kwargs.get("fields")
+    fields = (
+        [".".join(r.parts) for r in fields_ast.items]
+        if isinstance(fields_ast, ListLit)
+        else None
+    )
+    fb = op.kwargs.get("fallback")
+    fallback = None
+    if isinstance(fb, Lit):
+        fallback = {
+            f: fb.value
+            for f in (fields or [c for c in dim.columns if c != dim_key])
+        }
+    return stream.enrich(dim, key=key, dim_key=dim_key, fields=fields, fallback=fallback)
+
+
+def _compile_score(op: OpCall, stream: Stream) -> Stream:
+    """`.score(model:, inputs:, outputs:)` (ScoreSpec ast.rs:354-359) —
+    batch inference via operators/score.py (ONNX when available, documented
+    linear fallback otherwise)."""
+    from varpulis_spark.operators.score import score as _score
+
+    model = op.kwargs.get("model") or (op.args[0] if op.args else None)
+    if model is None:
+        raise ValueError(".score requires model:")
+    model_path = model.value if isinstance(model, Lit) else ".".join(model.parts)
+    inputs_ast = op.kwargs.get("inputs")
+    if not isinstance(inputs_ast, ListLit) or not inputs_ast.items:
+        raise ValueError(".score requires inputs: [field, ...]")
+    inputs = [".".join(r.parts) for r in inputs_ast.items]
+    outs = op.kwargs.get("outputs")
+    output = (
+        ".".join(outs.items[0].parts)
+        if isinstance(outs, ListLit) and outs.items
+        else "score"
+    )
+    return stream._with(_score(stream.df, model_path, inputs, output))
+
+
+_TREND_AGG_MAP = {
+    "count_trends": "trend_count",
+    "count_events": "event_count",
+    "sum_trends": "value_sum",
+    "sum": "value_sum",
+}
+
+
+def _parse_trend_items(op: OpCall):
+    """`.trend_aggregate(c: count_trends(), n: count_events(r), s: sum(f))`
+    (TrendAggItem ast.rs:343-350) → (value_field, {out_alias: dp_column})."""
+    renames: dict[str, str] = {}
+    value_field = None
+    for alias, v in op.kwargs.items():
+        if not isinstance(v, Call) or v.name not in _TREND_AGG_MAP:
+            raise ValueError(f"trend_aggregate item not supported: {alias}: {v}")
+        col = _TREND_AGG_MAP[v.name]
+        if col == "value_sum":
+            if not v.args or not isinstance(v.args[0], Ref):
+                raise ValueError(f"{v.name}() requires a field argument")
+            value_field = v.args[0].parts[-1]
+        renames[alias] = col
+    if not renames:
+        renames = {"trend_count": "trend_count", "event_count": "event_count"}
+    return value_field, renames
+
+
+def _compile_trend_relational(op: OpCall, stream: Stream, within=None) -> Stream:
+    """Single-stream `.trend_aggregate(...)`: every ts-ordered subset of the
+    (already typed/filtered) stream is a trend (GRETA closed form /
+    within-bounded DP, operators/greta.py)."""
+    value_field, renames = _parse_trend_items(op)
+    out = stream.trend_aggregate(value_field=value_field, within=within)
+    df = out.df
+    sel = [F.col(k) for k in stream.keys] + [
+        F.col(src).alias(dst) for dst, src in renames.items()
+    ]
+    return Stream(df.select(*sel), ts_col=stream.ts_col, keys=stream.keys)
+
+
+def _vec_adjacency(expr, cur_alias: str, prev_aliases: set[str]):
+    """Kleene-edge predicate AST → `adjacent_vec(cols, i)` (numpy-
+    vectorized over all predecessors j < i).
+
+    Refs to the Kleene alias (or bare fields) read the CURRENT event i;
+    refs to earlier aliases (`first.price`) read the PREDECESSOR events —
+    GRETA's event graph has consecutive-edge structure (greta.rs:376-417
+    predecessor edges), so trend-start-relative predicates tighten to
+    edge-relative form (documented approximation; the DP cannot carry
+    per-trend start bindings without enumeration)."""
+    import numpy as np
+
+    def rec(e):
+        if isinstance(e, Lit):
+            v = e.value
+            return lambda cols, i: v
+        if isinstance(e, Dur):
+            from varpulis_spark.functions import duration_ns
+
+            v = duration_ns(e.text)
+            return lambda cols, i: v
+        if isinstance(e, Ref):
+            if len(e.parts) == 2 and e.parts[0] == cur_alias:
+                f = e.parts[1]
+                return lambda cols, i: cols[f][i]
+            if len(e.parts) == 2 and e.parts[0] in prev_aliases:
+                f = e.parts[1]
+                return lambda cols, i: cols[f][:i]
+            f = ".".join(e.parts)
+            return lambda cols, i: cols[f][i]
+        if isinstance(e, Un) and e.op == "not":
+            inner = rec(e.operand)
+            return lambda cols, i: ~np.asarray(inner(cols, i))
+        if isinstance(e, Un) and e.op == "-":
+            inner = rec(e.operand)
+            return lambda cols, i: -inner(cols, i)
+        if isinstance(e, Bin):
+            lf, rf = rec(e.left), rec(e.right)
+            if e.op == "and":
+                return lambda cols, i: np.asarray(lf(cols, i)) & np.asarray(rf(cols, i))
+            if e.op == "or":
+                return lambda cols, i: np.asarray(lf(cols, i)) | np.asarray(rf(cols, i))
+            pyop = _PY_OPS[e.op]
+            return lambda cols, i: pyop(lf(cols, i), rf(cols, i))
+        raise ValueError(f"adjacency predicate not supported: {e}")
+
+    fn = rec(expr)
+
+    def vec(cols, i):
+        return np.broadcast_to(np.asarray(fn(cols, i)), (i,))
+
+    return vec
+
+
+def _compile_trend_pattern(
+    decl: StreamDecl, trend_op: OpCall, within, keys: list[str] | None,
+    emit_kwargs: dict, stream: Stream,
+) -> Stream:
+    """`T as first -> all T where <pred> as r … .trend_aggregate(...)`:
+    the Kleene step's type is the trend type, its predicate becomes the
+    GRETA edge predicate (see _vec_adjacency), `within` bounds edge gaps.
+    Emit may project partition keys (directly or via any step alias) and
+    the aggregate aliases."""
+    kleene = next((s for s in decl.steps if s.kleene), decl.steps[-1])
+    aliases = {s.alias for s in decl.steps if s.alias}
+    cur = kleene.alias or "_k"
+    prev_aliases = aliases - {cur}
+    adjacent_vec = (
+        _vec_adjacency(kleene.where, cur, prev_aliases) if kleene.where is not None else None
+    )
+    value_field, renames = _parse_trend_items(trend_op)
+
+    src = stream.of_type(kleene.event_type) if kleene.event_type else stream
+    if keys:
+        src = src.partition_by(*keys)
+    out_df = src.trend_aggregate(
+        value_field=value_field, within=within, adjacent_vec=adjacent_vec
+    ).df
+
+    key_set = set(keys or [])
+    if emit_kwargs:
+        sel = []
+        for k, v in emit_kwargs.items():
+            if isinstance(v, Lit):
+                sel.append(F.lit(v.value).alias(k))
+            elif isinstance(v, Ref) and len(v.parts) == 1 and v.parts[0] in renames:
+                sel.append(F.col(renames[v.parts[0]]).alias(k))
+            elif isinstance(v, Ref) and v.parts[-1] in key_set:
+                sel.append(F.col(v.parts[-1]).alias(k))
+            else:
+                raise ValueError(f"trend_aggregate emit not supported: {k}: {v}")
+        out_df = out_df.select(*sel)
+    else:
+        out_df = out_df.select(
+            *[F.col(k) for k in (keys or [])],
+            *[F.col(src_c).alias(dst) for dst, src_c in renames.items()],
+        )
+    return Stream(out_df, ts_col=stream.ts_col)
+
+
+def _compile_forecast_pattern(
+    decl: StreamDecl, op: OpCall, within, keys: list[str] | None,
+    emit_kwargs: dict, post_wheres: list, stream: Stream,
+) -> Stream:
+    """`A -> B -> C .within(w) .forecast(confidence:, horizon:, warmup:,
+    max_depth:, hawkes:, conformal:, mode:)` (ForecastSpec ast.rs:361-380)
+    → operators/forecast.py over the pattern's event-type sequence.
+
+    Post-forecast `.where`/`.emit` see the reference's field names
+    (forecast_probability, forecast_lower/upper, forecast_confidence,
+    next_step, active_runs) plus the partition keys; per-run step-alias
+    fields (e.g. `recon.source_ip`) are not materialized — the forecast op
+    summarizes the best run, it does not carry match bindings."""
+
+    def num(name, default=None):
+        v = op.kwargs.get(name)
+        return float(v.value) if isinstance(v, Lit) else default
+
+    def flag(name, default=True):
+        v = op.kwargs.get(name)
+        return bool(v.value) if isinstance(v, Lit) else default
+
+    horizon = op.kwargs.get("horizon")
+    horizon = horizon.text if isinstance(horizon, Dur) else (
+        horizon.value if isinstance(horizon, Lit) else None
+    )
+    mode = op.kwargs.get("mode")
+    mode = mode.value if isinstance(mode, Lit) else None
+    warmup = num("warmup")
+    max_depth = num("max_depth")
+
+    from varpulis_spark.operators.forecast import forecast as _forecast
+
+    pattern_types = [s.event_type for s in decl.steps if s.event_type]
+    src = stream
+    if keys:
+        src = src.partition_by(*keys)
+    if not src.keys:
+        raise ValueError(".forecast requires partition_by")
+    out = _forecast(
+        src,
+        pattern_types,
+        horizon=horizon if horizon is not None else within,
+        max_depth=int(max_depth) if max_depth is not None else None,
+        warmup=int(warmup) if warmup is not None else None,
+        confidence=num("confidence", 0.0) or 0.0,
+        hawkes=flag("hawkes", True),
+        conformal=flag("conformal", True),
+        mode=mode,
+    )
+    df = (
+        out.withColumnRenamed("completion_prob", "forecast_probability")
+        .withColumnRenamed("prob_lo", "forecast_lower")
+        .withColumnRenamed("prob_hi", "forecast_upper")
+    )
+    for w in post_wheres:
+        df = df.filter(to_column(w))
+    if emit_kwargs:
+        df = df.select(*[to_column(v).alias(k) for k, v in emit_kwargs.items()])
+    return Stream(df, ts_col=stream.ts_col)
+
+
+# ---------------------------------------------------------------------------
 # relational compilation
 # ---------------------------------------------------------------------------
 
@@ -778,6 +1083,21 @@ def _apply_relational_ops(
 ) -> Stream:
     env = env or ProgramEnv()
     out = stream
+    # `Order as o` alias: qualified refs (o.product_id) resolve to the bare
+    # column; composes with any caller-provided resolver (join sources)
+    if decl.steps and decl.steps[0].alias:
+        outer = resolver
+        a0 = decl.steps[0].alias
+
+        def resolver(ref, _outer=outer, _a0=a0):  # noqa: A001 - intentional shadow
+            if _outer is not None:
+                c = _outer(ref)
+                if c is not None:
+                    return c
+            if len(ref.parts) >= 2 and ref.parts[0] == _a0:
+                return F.col(".".join(ref.parts[1:]))
+            return None
+
     if decl.steps:
         s0 = decl.steps[0]
         if typed:
@@ -860,6 +1180,16 @@ def _apply_relational_ops(
             pass
         elif op.name == "process":
             out = _compile_process(op, out, env)
+        elif op.name == "enrich":
+            out = _compile_enrich(op, out, env, resolver)
+        elif op.name == "score":
+            out = _compile_score(op, out)
+        elif op.name == "trend_aggregate":
+            out = _compile_trend_relational(op, out, within=None)
+        elif op.name == "forecast":
+            raise ValueError(
+                ".forecast requires a sequence pattern (use -> followed-by steps)"
+            )
         else:
             raise ValueError(f"op .{op.name} not supported")
     return out
@@ -1187,7 +1517,9 @@ def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
     return stream._with(df.withColumns(casts)) if casts else stream
 
 
-def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
+def run_program(
+    source: str, stream: Stream, tables: dict | None = None
+) -> dict[str, DataFrame]:
     """Compile+run every `stream X = ...` declaration against the ingest
     Stream; returns name → result DataFrame.
 
@@ -1195,9 +1527,12 @@ def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
     reference wires through its event-type router, engine/router.rs:13-23)
     — here it is plain DataFrame composition. `.from(Conn, ...)` connector
     bindings are accepted and ignored in replay mode (the ingest Stream IS
-    the bound source); `.to(...)` sink bindings likewise."""
+    the bound source); `.to(...)` sink bindings likewise. `tables` binds
+    connector names to dimension DataFrames for `.enrich` (optionally
+    `(df, key_col)`; default key = first column)."""
     prog = parse_full(source)
     env = ProgramEnv()
+    env.tables = dict(tables or {})
     for f in prog.fns:
         env.fns[f.name] = f
     for e in prog.events:
@@ -1234,8 +1569,13 @@ def run_program(source: str, stream: Stream) -> dict[str, DataFrame]:
                 env.patterns[decl.steps[0].event_type], decl, stream, env, env_streams
             )
         else:
-            is_pattern = len(decl.steps) > 1 or any(
-                s.kleene or s.alias for s in decl.steps
+            # a lone aliased step (`Order as o .enrich(...)`) is relational —
+            # the alias only qualifies refs; pattern machinery is needed for
+            # chains, Kleene, or global negation
+            is_pattern = (
+                len(decl.steps) > 1
+                or any(s.kleene for s in decl.steps)
+                or any(op.name == "not" for op in decl.ops)
             )
             if is_pattern:
                 # steps naming a declared stream run over THAT stream
