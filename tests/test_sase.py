@@ -220,3 +220,51 @@ def test_spark_negation_vs_duckdb(spark, sf_dir):
             ORDER BY 1,2,3"""
     ).fetchall()
     assert got == exp
+
+
+def test_global_negation_arrival_time_bindings(spark):
+    """ADVICE r2 (sase.py:277): a global-negation predicate referencing an
+    alias bound AFTER the negated event arrives must NOT veto — the
+    reference evaluates negation predicates at neg-event arrival against
+    the run's partially captured events (check_global_negations,
+    run.captured). Here C arrives between A and B; its predicate
+    references b (unbound at C's arrival), so the match survives."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "A", 10.0),
+        (2, t0 + timedelta(seconds=1), 7, "C", 99.0),
+        (3, t0 + timedelta(seconds=2), 7, "B", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    s = Stream(df, ts_col="ts", order_col="event_id").partition_by("user_id")
+
+    # predicate reads b.value — would veto (99 > 5) if evaluated with the
+    # final bindings, but b is unbound when C arrives
+    p = Pattern(
+        steps=[
+            step("A", "a"),
+            not_step("C", where=lambda ev, b: ev.get("value") > b["b"].get("value")),
+            step("B", "b"),
+        ],
+        within="1h",
+        emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
+    )
+    got = s.pattern(p).df.collect()
+    assert [(r.a_id, r.b_id) for r in got] == [(1, 3)]
+
+    # control: the same predicate over the ALREADY-bound alias a still
+    # vetoes (99 > 10 at C's arrival)
+    p2 = Pattern(
+        steps=[
+            step("A", "a"),
+            not_step("C", where=lambda ev, b: ev.get("value") > b["a"].get("value")),
+            step("B", "b"),
+        ],
+        within="1h",
+        emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
+    )
+    assert s.pattern(p2).df.count() == 0

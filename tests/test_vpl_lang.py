@@ -675,3 +675,51 @@ stream F = Login as a
     # and the PST has learned Purchase follows -> probabilities are high
     late = sorted(r.p for r in rows)[len(rows) // 2 :]
     assert min(late) > 0.5
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 regressions: sub-second precision, process schema probe
+# ---------------------------------------------------------------------------
+
+
+def test_join_window_subsecond_precision(spark):
+    """A 500ms join window must keep a pair 400ms apart straddling a whole
+    second (a cast-to-seconds bound read it as 1s and dropped it) and drop
+    a pair 700ms apart inside the same second (read as 0s and kept)."""
+    res = run_inline(spark, """
+stream A = Tick .where(side == "a") .emit(k: k, av: v)
+stream B = Tick .where(side == "b") .emit(k: k, bv: v)
+
+stream J = join(A, B)
+    .on(A.k == B.k)
+    .window(500ms)
+    .select(k: A.k, av: A.av, bv: B.bv)
+""", """
+@900ms Tick { k: "x", side: "a", v: 1.0 }
+@1300ms Tick { k: "x", side: "b", v: 2.0 }
+@100ms Tick { k: "y", side: "a", v: 3.0 }
+@800ms Tick { k: "y", side: "b", v: 4.0 }
+""")
+    rows = {(r.k, r.av, r.bv) for r in res["J"].collect()}
+    assert ("x", 1.0, 2.0) in rows      # 400ms apart, crosses the boundary
+    assert ("y", 3.0, 4.0) not in rows  # 700ms apart, same second
+
+
+def test_process_probe_with_event_field_range(spark):
+    """The .process schema probe runs with typed sentinels for event
+    fields — a for-range bound taken from an event field must not crash
+    compilation (the empty-scope probe crashed with int(None))."""
+    res = run_inline(spark, """
+fn explode_qty(q: int, v: float):
+    for i in 0..q:
+        emit Part(idx: i, share: v / q)
+
+stream Parts = Order
+    .process(explode_qty(qty, total))
+""", """
+Order { qty: 3, total: 30.0 }
+Order { qty: 2, total: 10.0 }
+""")
+    rows = sorted((r.idx, r.share) for r in res["Parts"].collect())
+    assert rows == [(0, 5.0), (0, 10.0), (1, 5.0), (1, 10.0), (2, 10.0)]
+    assert isinstance(rows[0][0], int)  # inferred long, not string

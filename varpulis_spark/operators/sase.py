@@ -244,7 +244,13 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
     def span_clear(neg: Step, lo_idx: int, hi_idx: int, b: dict) -> bool:
         """True when NO negated-type event satisfying pred has arrival index
         in (lo_idx, hi_idx] — the global-negation veto span. Index order IS
-        arrival order (caller sorts by (ts, order))."""
+        arrival order (caller sorts by (ts, order)).
+
+        The predicate is evaluated against the bindings AS CAPTURED WHEN
+        the negated event arrived (reference check_global_negations uses
+        run.captured at arrival time): aliases bound to events at or after
+        the negated event's index are withheld — a predicate referencing
+        them cannot veto (pred_ok's KeyError path)."""
         ni = cand(neg)
         a = int(np.searchsorted(ni, lo_idx, side="right"))
         z = int(np.searchsorted(ni, hi_idx, side="right"))
@@ -253,7 +259,16 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
         if neg.where is None:
             return False
         for j in ni[a:z]:
-            if pred_ok(neg, int(j), b):
+            j = int(j)
+            jb = {}
+            for al, v in b.items():
+                if isinstance(v, list):
+                    before = [x for x in v if x.i < j]
+                    if before:
+                        jb[al] = before
+                elif v.i < j:
+                    jb[al] = v
+            if pred_ok(neg, j, jb):
                 return False
         return True
 

@@ -448,13 +448,31 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
     arg_exprs = list(call.args)
     params = [p for p, _t in fn.params]
 
-    # static shape probe: run once with event fields absent to derive the
-    # output schema (declared event fields override inferred types)
-    probe_scope = {p: _eval_expr(a, {}, env) for p, a in zip(params, arg_exprs)}
+    # static shape probe: run once with the event fields seeded as TYPED
+    # sentinels from the input schema (ADVICE r2: an empty scope resolved
+    # field refs to None, crashing int(None) range bounds at compile time
+    # and degrading inferred types to string)
+    # numeric sentinel is 1, not 0: a 0 bound makes `for i in 0..n` probe
+    # zero iterations (no emits → empty schema) and 0 divisors crash
+    _SENTINELS = {
+        "bigint": 1, "int": 1, "smallint": 1, "tinyint": 1, "long": 1,
+        "double": 1.0, "float": 1.0, "boolean": False,
+    }
+    sentinel_scope = {
+        c: _SENTINELS.get(t, "") for c, t in stream.df.dtypes
+    }
+    probe_scope = dict(sentinel_scope)
+    probe_scope.update(
+        {p: _eval_expr(a, dict(sentinel_scope), env) for p, a in zip(params, arg_exprs)}
+    )
     probe: list = []
-    _exec_stmts(fn.body, dict(probe_scope), env, probe)
+    try:
+        _exec_stmts(fn.body, dict(probe_scope), env, probe)
+    except Exception:
+        probe = []  # fall back to declared event-field types below
     declared: dict[str, str] = {}
-    for etype, fields in probe:
+    probe_types = {e for e, _f in probe} or set(env.events)
+    for etype in probe_types:
         for fname, ftype in env.event_fields(etype):
             st = _spark_type(ftype)
             if st:
@@ -473,6 +491,9 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
                     out_fields[k] = "double"
                 else:
                     out_fields[k] = "string"
+    if not probe:
+        # probe crashed: schema from declared event fields only
+        out_fields = dict(declared)
     ts_col = stream.ts_col
     schema = ", ".join(
         ["event_type string"] + [f"{k} {t}" for k, t in out_fields.items()] + [f"{ts_col} timestamp"]
@@ -1282,9 +1303,12 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
         for x in now:
             c = c & to_column(x, qualified)
         if win_ns is not None:
-            lt = F.col(f"{base_name}.{base.ts_col}").cast("long")
-            rt = F.col(f"{n}.{dfs[n].ts_col}").cast("long")
-            c = c & (F.abs(lt - rt) * F.lit(1_000_000_000) <= F.lit(win_ns))
+            # µs precision (unix_micros), matching pos() in sase.py — a
+            # whole-second cast drops sub-second pairs straddling a
+            # second boundary and keeps out-of-window ones
+            lt = F.unix_micros(F.col(f"{base_name}.{base.ts_col}"))
+            rt = F.unix_micros(F.col(f"{n}.{dfs[n].ts_col}"))
+            c = c & (F.abs(lt - rt) * F.lit(1_000) <= F.lit(win_ns))
         joined = joined.join(dfs[n].df.alias(n), c, "inner")
 
     out = Stream(joined, ts_col=base.ts_col)
@@ -1323,8 +1347,11 @@ def _compile_timer(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
         d = src.initial_delay
         delay_ns = duration_ns(d.text if isinstance(d, Dur) else d.value)
     ts_col = stream.ts_col
+    # µs-precision bounds (ADVICE r2: cast('long') truncated to whole
+    # seconds, misaligning sub-second event times / intervals)
     bounds = stream.df.select(
-        F.min(ts_col).cast("long").alias("lo"), F.max(ts_col).cast("long").alias("hi")
+        F.unix_micros(F.min(ts_col)).alias("lo"),
+        F.unix_micros(F.max(ts_col)).alias("hi"),
     ).collect()[0]
     spark = stream.df.sparkSession
     if bounds.lo is None:
@@ -1332,12 +1359,13 @@ def _compile_timer(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
             F.lit("Timer").alias("event_type"), F.lit(None).cast("timestamp").alias(ts_col)
         )
     else:
-        lo_ns = bounds.lo * 1_000_000_000 + delay_ns
-        hi_ns = bounds.hi * 1_000_000_000
-        n = max(0, (hi_ns - lo_ns) // iv_ns + 1)
+        iv_us = max(1, iv_ns // 1_000)
+        lo_us = bounds.lo + delay_ns // 1_000
+        hi_us = bounds.hi
+        n = max(0, (hi_us - lo_us) // iv_us + 1)
         ticks = spark.range(int(n)).select(
             F.lit("Timer").alias("event_type"),
-            ((F.lit(lo_ns) + F.col("id") * F.lit(iv_ns)) / 1e9).cast("timestamp").alias(ts_col),
+            F.timestamp_micros(F.lit(lo_us) + F.col("id") * F.lit(iv_us)).alias(ts_col),
         )
     out = Stream(ticks, ts_col=ts_col)
     synth = StreamDecl(decl.name, [], decl.ops)
