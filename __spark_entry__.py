@@ -265,6 +265,30 @@ def q_greta_rising(spark, sf):
     return out.df.select("user_id", "trend_count", "value_sum")
 
 
+def q_trend_multi(spark, sf):
+    """Hamlet multi-query trend aggregation: 10 queries (5 event types ×
+    {count, value-sum} variants) answered in ONE pass — shared scan,
+    shuffle, sort, and per-sub-pattern graphlet counts (greta.py
+    trend_aggregate_multi; reference runtime/src/hamlet/). Counts are
+    closed-form (2^n−1, n·2^(n−1)) so the oracle is exact; value sums are
+    computed (shared DP matrix columns) but projected out (power-of-two
+    scaled float sums differ in final ulps across engines)."""
+    from varpulis_spark.operators.greta import trend_aggregate_multi
+
+    types = ["purchase", "view", "error", "login", "signup"]
+    queries_spec = {}
+    for t in types:
+        queries_spec[f"{t}_count"] = {"event_type": t}
+        queries_spec[f"{t}_val"] = {"event_type": t, "value_field": "value"}
+    s = Stream.events(spark, sf).partition_by("user_id")
+    out = trend_aggregate_multi(s, queries_spec)
+    # zero-count rows are suppressed like the reference's flush()
+    # (greta.rs flush: filter(count > 0))
+    return out.filter(F.col("trend_count") > 0).select(
+        "user_id", "query", "trend_count", "event_count"
+    )
+
+
 def q_lag_delta(spark, sf):
     """Previous-event tracker (delay/prev, reference window.rs:980,1071):
     per-user value delta vs the previous event."""
@@ -355,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kleene_purchases": q_kleene_purchases,
         "greta_trend_count": q_greta_trend_count,
         "greta_rising": q_greta_rising,
+        "trend_multi": q_trend_multi,
         "lag_delta": q_lag_delta,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
@@ -529,6 +554,22 @@ def oracle_sql() -> dict[str, str]:
                    pow(2, count(*)) - 1 AS trend_count,
                    count(*) * pow(2, count(*) - 1) AS event_count
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "trend_multi": """
+            WITH per_type AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events
+              WHERE event_type IN ('purchase','view','error','login','signup')
+              GROUP BY 1, 2)
+            SELECT user_id, event_type || '_count' AS query,
+                   pow(2, n) - 1 AS trend_count,
+                   n * pow(2, n - 1) AS event_count
+            FROM per_type
+            UNION ALL
+            SELECT user_id, event_type || '_val' AS query,
+                   pow(2, n) - 1 AS trend_count,
+                   n * pow(2, n - 1) AS event_count
+            FROM per_type
         """,
         "lag_delta": """
             SELECT user_id, event_id, value, round(value - pv, 6) AS delta

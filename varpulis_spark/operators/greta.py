@@ -59,20 +59,31 @@ def _greta_dp(
     adjacent: Callable | None,
     adjacent_vec: Callable | None,
     within_ns: int | None,
-) -> tuple[float, float, float]:
+) -> tuple[float, float, np.ndarray]:
     """Run the GRETA DP over one sorted group; returns
-    (trend_count, event_count, value_sum)."""
+    (trend_count, event_count, value_sums).
+
+    `vals` may be an (n, F) matrix — one column per value field. The count
+    and length propagations are query-independent (the shared graphlet
+    counts of Hamlet, hamlet/graphlet.rs:40-67: count = coeff·snapshot +
+    local_sum with query-independent coefficients); every value column
+    rides the SAME masked reductions, so F queries over the same Kleene
+    sub-pattern cost one DP, not F."""
+    nf = 0 if vals is None else (vals.shape[1] if vals.ndim == 2 else 1)
+    if vals is not None and vals.ndim == 1:
+        vals = vals.reshape(-1, 1)
     n = len(ts)
+    zf = np.zeros(nf)
     if n == 0:
-        return 0.0, 0.0, 0.0
+        return 0.0, 0.0, zf
     if adjacent is None and adjacent_vec is None and within_ns is None:
         # closed form: every pair is adjacent
         p = float(2.0 ** (n - 1))
-        return 2.0 * p - 1.0, n * p, (float(vals.sum()) * p if vals is not None else 0.0)
+        return 2.0 * p - 1.0, n * p, (vals.sum(axis=0) * p if nf else zf)
 
     cnt = np.zeros(n)
     len_sum = np.zeros(n)
-    val_sum = np.zeros(n)
+    val_sum = np.zeros((n, nf)) if nf else None
     lo_all = (
         np.searchsorted(ts, ts - within_ns, side="left")
         if within_ns is not None
@@ -86,28 +97,34 @@ def _greta_dp(
     for i in range(n):
         lo = int(lo_all[i])
         if lo >= i:
-            c, ls, vs = 1.0, 0.0, 0.0
+            c, ls, vs = 1.0, 0.0, zf
         elif adjacent_vec is not None:
             m = np.asarray(adjacent_vec(cols, i))[lo:i]
             c = 1.0 + float(cnt[lo:i][m].sum())
             ls = float(len_sum[lo:i][m].sum())
-            vs = float(val_sum[lo:i][m].sum())
+            vs = val_sum[lo:i][m].sum(axis=0) if nf else zf
         elif adjacent is not None:
-            c, ls, vs = 1.0, 0.0, 0.0
+            c, ls, vs = 1.0, 0.0, np.zeros(nf)
             ei = events[i]
             for j in range(lo, i):
                 if adjacent(events[j], ei):
                     c += cnt[j]
                     ls += len_sum[j]
-                    vs += val_sum[j]
+                    if nf:
+                        vs = vs + val_sum[j]
         else:
             c = 1.0 + float(cnt[lo:i].sum())
             ls = float(len_sum[lo:i].sum())
-            vs = float(val_sum[lo:i].sum())
+            vs = val_sum[lo:i].sum(axis=0) if nf else zf
         cnt[i] = c
         len_sum[i] = ls + c  # every trend ending at i gains event i
-        val_sum[i] = vs + (vals[i] * c if vals is not None else 0.0)
-    return float(cnt.sum()), float(len_sum.sum()), float(val_sum.sum())
+        if nf:
+            val_sum[i] = vs + vals[i] * c
+    return (
+        float(cnt.sum()),
+        float(len_sum.sum()),
+        val_sum.sum(axis=0) if nf else zf,
+    )
 
 
 def _group_arrays(pdf: pd.DataFrame, ts_col: str, value_field: str | None):
@@ -136,6 +153,15 @@ def trend_aggregate_multi(
     `queries`: name → {event_type?, adjacent?, adjacent_vec?, value_field?,
     within?}. Output: one row per (key, query) with the same aggregates as
     `trend_aggregate`.
+
+    Cross-query graphlet-count sharing (hamlet/optimizer.rs semantics):
+    queries are grouped by their Kleene sub-pattern identity (event_type,
+    adjacency, within) — the graphlet counts (cnt / len_sum propagations)
+    are query-independent within a group, so the group runs ONE DP with all
+    of its queries' value fields stacked as matrix columns. N queries over
+    K distinct sub-patterns cost K DPs (K ≤ N), not N. No benefit model is
+    needed here: the batch DP has no snapshot-propagation overhead (the
+    reference's sp term), so sharing is always a win.
     """
     df = stream.df
     ts_col = stream.ts_col
@@ -145,16 +171,30 @@ def trend_aggregate_multi(
     if None not in types:
         df = df.filter(F.col("event_type").isin(sorted(t for t in types if t)))
     sort_cols = [ts_col] + ([order_col] if order_col else [])
-    specs = {
-        name: (
-            q.get("event_type"),
-            q.get("adjacent"),
-            q.get("adjacent_vec"),
-            q.get("value_field"),
-            duration_ns(q["within"]) if q.get("within") is not None else None,
+
+    # group by Kleene sub-pattern: (etype, adjacency identity, within)
+    groups: dict[tuple, dict] = {}
+    for name, q in queries.items():
+        within_ns = duration_ns(q["within"]) if q.get("within") is not None else None
+        gk = (q.get("event_type"), id(q.get("adjacent")), id(q.get("adjacent_vec")), within_ns)
+        g = groups.setdefault(
+            gk,
+            {
+                "etype": q.get("event_type"),
+                "adjacent": q.get("adjacent"),
+                "adjacent_vec": q.get("adjacent_vec"),
+                "within_ns": within_ns,
+                "fields": [],   # distinct value fields, DP matrix columns
+                "members": [],  # (query name, field index or None)
+            },
         )
-        for name, q in queries.items()
-    }
+        vf = q.get("value_field")
+        if vf is None:
+            g["members"].append((name, None))
+        else:
+            if vf not in g["fields"]:
+                g["fields"].append(vf)
+            g["members"].append((name, g["fields"].index(vf)))
 
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     schema = (key_fields + ", " if keys else "") + (
@@ -164,17 +204,23 @@ def trend_aggregate_multi(
     def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")  # shared sort
         rows = []
-        # share one DP across queries with the same (type, adjacency, within)
-        dp_cache: dict = {}
-        for name, (etype, adjacent, adjacent_vec, value_field, within_ns) in specs.items():
-            ck = (etype, id(adjacent), id(adjacent_vec), value_field, within_ns)
-            got = dp_cache.get(ck)
-            if got is None:
-                sub = pdf[pdf["event_type"] == etype] if etype else pdf
-                ts, vals, cols = _group_arrays(sub, ts_col, value_field)
-                got = _greta_dp(ts, vals, cols, adjacent, adjacent_vec, within_ns)
-                dp_cache[ck] = got
-            rows.append(list(key_tuple) + [name, got[0], got[1], got[2]])
+        for g in groups.values():
+            sub = pdf[pdf["event_type"] == g["etype"]] if g["etype"] else pdf
+            ts = sub[ts_col].astype("int64").to_numpy()
+            vals = (
+                np.column_stack([sub[f].to_numpy(dtype=np.float64) for f in g["fields"]])
+                if g["fields"]
+                else None
+            )
+            cols = {c: sub[c].to_numpy() for c in sub.columns}
+            tc, ec, vs = _greta_dp(
+                ts, vals, cols, g["adjacent"], g["adjacent_vec"], g["within_ns"]
+            )
+            for name, fi in g["members"]:
+                rows.append(
+                    list(key_tuple)
+                    + [name, tc, ec, float(vs[fi]) if fi is not None else 0.0]
+                )
         out_cols = list(keys) + ["query", "trend_count", "event_count", "value_sum"]
         return pd.DataFrame(rows, columns=out_cols)
 
@@ -237,7 +283,7 @@ def trend_aggregate(
         tc, ec, vs = _greta_dp(ts, vals, cols, adjacent, adjacent_vec, within_ns)
         row = list(key_tuple) + [tc, ec]
         if has_value:
-            row.append(vs)
+            row.append(float(vs[0]))
         out_cols = list(keys) + ["trend_count", "event_count"] + (
             ["value_sum"] if has_value else []
         )
