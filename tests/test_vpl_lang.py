@@ -723,3 +723,104 @@ Order { qty: 2, total: 10.0 }
     rows = sorted((r.idx, r.share) for r in res["Parts"].collect())
     assert rows == [(0, 5.0), (0, 10.0), (1, 5.0), (1, 10.0), (2, 10.0)]
     assert isinstance(rows[0][0], int)  # inferred long, not string
+
+
+# ---------------------------------------------------------------------------
+# expression tail: lambdas/array methods, slices, maps, ranges, bitwise/**
+# (ast.rs:473-610; evaluator.rs:1376-1545) — all lowered to Catalyst HOFs
+# ---------------------------------------------------------------------------
+
+
+def test_lambda_filter_map_in_emit(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(
+        big: [1, 2, 3, 4, 5].filter(x => x > 2),
+        doubled: [1, 2, 3].map(x => x * 2.0),
+        nested: [[1, 2], [3]].flatten(),
+        n: [9, 9, 9].len(),
+        total: [1.5, 2.5].sum()
+    )
+""", """
+Reading { v: 1.0 }
+""")
+    r = res["T"].collect()[0]
+    assert r.big == [3, 4, 5]
+    assert r.doubled == [2.0, 4.0, 6.0]
+    assert r.nested == [1, 2, 3]
+    assert r.n == 3 and r.total == 4.0
+
+
+def test_lambda_references_event_field(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(above: [1, 2, 3, 4].filter(x => x > v), v: v)
+""", """
+Reading { v: 2 }
+Reading { v: 3 }
+""")
+    rows = sorted((r.v, tuple(r.above)) for r in res["T"].collect())
+    assert rows == [(2, (3, 4)), (3, (4,))]
+
+
+def test_slice_index_range(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(
+        first_two: [10, 20, 30][0:2],
+        tail: [10, 20, 30][1:],
+        third: [10, 20, 30][2],
+        seq: 1..4,
+        seq_inc: 1..=3
+    )
+""", """
+Reading { v: 1.0 }
+""")
+    r = res["T"].collect()[0]
+    assert r.first_two == [10, 20]
+    assert r.tail == [20, 30]
+    assert r.third == 30
+    assert r.seq == [1, 2, 3] and r.seq_inc == [1, 2, 3]
+
+
+def test_map_literal_and_lookup(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(grade: {low: "ok", high: "alert"}["high"],
+          m: {a: 1, b: 2}["b"])
+""", """
+Reading { v: 1.0 }
+""")
+    r = res["T"].collect()[0]
+    assert r.grade == "alert" and r.m == 2
+
+
+def test_bitwise_power_xor(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(
+        band: 12 & 10,
+        bor: 12 | 3,
+        bxor: 12 ^ 10,
+        shl: 1 << 4,
+        shr: 32 >> 2,
+        pw: 2 ** 10,
+        lx: (v > 0.0) xor (v > 5.0)
+    )
+""", """
+Reading { v: 1.0 }
+""")
+    r = res["T"].collect()[0]
+    assert (r.band, r.bor, r.bxor, r.shl, r.shr) == (8, 15, 6, 16, 8)
+    assert r.pw == 1024.0
+    assert r.lx is True
+
+
+def test_sliding_pairs(spark):
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(deltas: [1.0, 4.0, 9.0].sliding_pairs().map((a, b) => b - a))
+""", """
+Reading { v: 1.0 }
+""")
+    assert res["T"].collect()[0].deltas == [3.0, 5.0]

@@ -64,11 +64,15 @@ from varpulis_spark.vpl.parser import (
     FnDecl,
     ForStmt,
     If,
+    Index,
     JoinSource,
+    Lambda,
     ListLit,
     Lit,
+    MapLit,
     MergeSource,
     OpCall,
+    Range,
     PatAnd,
     PatNot,
     PatOr,
@@ -77,6 +81,7 @@ from varpulis_spark.vpl.parser import (
     PatternStep,
     Ref,
     SequenceSource,
+    Slice,
     StreamDecl,
     TimerSource,
     Un,
@@ -140,6 +145,10 @@ _PY_OPS = {
     "and": lambda a, b: bool(a) and bool(b), "or": lambda a, b: bool(a) or bool(b),
     "??": lambda a, b: b if a is None else a,
     "in": lambda a, b: a in b,
+    "**": lambda a, b: a ** b,
+    "xor": lambda a, b: bool(a) != bool(b),
+    "&": lambda a, b: a & b, "|": lambda a, b: a | b, "^": lambda a, b: a ^ b,
+    "<<": lambda a, b: a << b, ">>": lambda a, b: a >> b,
 }
 
 # VPL type name → Spark SQL type (event decl casts)
@@ -197,6 +206,29 @@ def _map_expr(e, f):
         e = If(_map_expr(e.cond, f), _map_expr(e.then, f), _map_expr(e.other, f))
     elif isinstance(e, ListLit):
         e = ListLit([_map_expr(x, f) for x in e.items])
+    elif isinstance(e, MapLit):
+        e = MapLit([(_map_expr(k, f), _map_expr(v, f)) for k, v in e.items])
+    elif isinstance(e, Lambda):
+        # lambda params shadow outer names: rewrite the body with the
+        # params protected from substitution
+        params = set(e.params)
+
+        def guard(node):
+            if isinstance(node, Ref) and len(node.parts) >= 1 and node.parts[0] in params:
+                return node
+            return f(node)
+
+        return Lambda(e.params, _map_expr(e.body, guard))
+    elif isinstance(e, Index):
+        e = Index(_map_expr(e.obj, f), _map_expr(e.index, f))
+    elif isinstance(e, Slice):
+        e = Slice(
+            _map_expr(e.obj, f),
+            _map_expr(e.lo, f) if e.lo is not None else None,
+            _map_expr(e.hi, f) if e.hi is not None else None,
+        )
+    elif isinstance(e, Range):
+        e = Range(_map_expr(e.lo, f), _map_expr(e.hi, f), e.inclusive)
     return f(e)
 
 
@@ -239,9 +271,16 @@ def _const_eval(e, env: ProgramEnv):
 
 def to_column(e, resolver=None) -> Column:
     """Lower to a Spark Column. `resolver(Ref) -> Column | None` overrides
-    reference resolution (join sources, pattern emit post-projection)."""
+    reference resolution (join sources, pattern emit post-projection).
 
-    def rec(e):
+    Lambdas appear only as arguments to the array higher-order methods
+    (`.filter(x => ...)`, `.map(...)`, evaluator.rs:1376-1545); they lower
+    to Spark's native higher-order functions (F.filter/F.transform/...),
+    with the lambda parameter bound in a lexical scope — everything stays
+    in Catalyst, no Python UDF."""
+
+    def rec(e, scope: dict | None = None):
+        scope = scope or {}
         if isinstance(e, Lit):
             return F.lit(e.value)
         if isinstance(e, Dur):
@@ -249,38 +288,91 @@ def to_column(e, resolver=None) -> Column:
 
             return F.lit(duration_ns(e.text))
         if isinstance(e, Ref):
+            if e.parts[0] in scope:
+                c = scope[e.parts[0]]
+                for part in e.parts[1:]:
+                    c = c[part]
+                return c
             if resolver is not None:
                 c = resolver(e)
                 if c is not None:
                     return c
             return F.col(".".join(e.parts))
         if isinstance(e, Un):
-            c = rec(e.operand)
-            return ~c if e.op == "not" else -c
+            c = rec(e.operand, scope)
+            if e.op == "not":
+                return ~c
+            if e.op == "~":
+                return F.bitwise_not(c)
+            return -c
         if isinstance(e, If):
-            return F.when(rec(e.cond), rec(e.then)).otherwise(rec(e.other))
+            return F.when(rec(e.cond, scope), rec(e.then, scope)).otherwise(
+                rec(e.other, scope)
+            )
         if isinstance(e, ListLit):
-            return F.array(*[rec(x) for x in e.items])
+            return F.array(*[rec(x, scope) for x in e.items])
+        if isinstance(e, MapLit):
+            pairs = []
+            for k, v in e.items:
+                pairs.append(rec(k, scope))
+                pairs.append(rec(v, scope))
+            return F.create_map(*pairs)
+        if isinstance(e, Index):
+            # 0-based indexing (reference arrays); F.get is 0-based and
+            # null-safe; also serves map lookup via getItem
+            obj = rec(e.obj, scope)
+            if isinstance(e.index, Lit) and isinstance(e.index.value, str):
+                return obj.getItem(e.index.value)
+            return F.get(obj, rec(e.index, scope))
+        if isinstance(e, Slice):
+            obj = rec(e.obj, scope)
+            lo = rec(e.lo, scope) if e.lo is not None else F.lit(0)
+            length = (
+                (rec(e.hi, scope) - lo) if e.hi is not None else (F.size(obj) - lo)
+            )
+            return F.slice(obj, lo + F.lit(1), F.greatest(length, F.lit(0)))
+        if isinstance(e, Range):
+            hi = rec(e.hi, scope)
+            return F.sequence(rec(e.lo, scope), hi if e.inclusive else hi - F.lit(1))
         if isinstance(e, Bin):
             if e.op == "in":
                 if isinstance(e.right, ListLit) and all(
                     isinstance(x, Lit) for x in e.right.items
                 ):
-                    return rec(e.left).isin([x.value for x in e.right.items])
-                return F.array_contains(rec(e.right), rec(e.left))
+                    return rec(e.left, scope).isin([x.value for x in e.right.items])
+                return F.array_contains(rec(e.right, scope), rec(e.left, scope))
             if e.op == "??":
-                return F.coalesce(rec(e.left), rec(e.right))
-            left, right = rec(e.left), rec(e.right)
+                return F.coalesce(rec(e.left, scope), rec(e.right, scope))
+            left, right = rec(e.left, scope), rec(e.right, scope)
             if e.op == "and":
                 return left & right
             if e.op == "or":
                 return left | right
+            if e.op == "xor":
+                return left.cast("boolean") != right.cast("boolean")
+            if e.op == "**":
+                return F.pow(left, right)
+            if e.op == "&":
+                return left.bitwiseAND(right)
+            if e.op == "|":
+                return left.bitwiseOR(right)
+            if e.op == "^":
+                return left.bitwiseXOR(right)
+            if e.op in ("<<", ">>"):
+                if not isinstance(e.right, Lit):
+                    raise ValueError("shift amount must be a literal")
+                bits = int(e.right.value)
+                fn = F.shiftleft if e.op == "<<" else F.shiftright
+                return fn(left.cast("long"), bits)
             return _PY_OPS[e.op](left, right) if e.op in ("+", "-", "*", "/", "%") else {
                 "==": left == right, "!=": left != right, "<": left < right,
                 "<=": left <= right, ">": left > right, ">=": left >= right,
             }[e.op]
         if isinstance(e, Call):
-            args = [rec(a) for a in e.args]
+            hof = _lower_array_method(e, rec, scope)
+            if hof is not None:
+                return hof
+            args = [rec(a, scope) for a in e.args]
             if e.name in _SCALAR_MULTI and len(args) >= 2:
                 return _SCALAR_MULTI[e.name](*args)
             if e.name in _SCALAR_FNS:
@@ -292,6 +384,73 @@ def to_column(e, resolver=None) -> Column:
         raise ValueError(f"cannot lower to Column: {e}")
 
     return rec(e)
+
+
+def _lower_array_method(e: Call, rec, scope: dict) -> Column | None:
+    """Array higher-order methods (evaluator.rs:1376-1545) → Spark HOFs.
+    Method-call syntax parses as Call(name, [receiver, extra...])."""
+    name, args = e.name, e.args
+    lam = args[1] if len(args) > 1 and isinstance(args[1], Lambda) else None
+
+    def bind(*cols):
+        inner = dict(scope)
+        for p, c in zip(lam.params, cols):
+            inner[p] = c
+        return rec(lam.body, inner)
+
+    # Spark HOFs introspect the callback arity — build fixed-arity shims
+    lam_fn = None
+    if lam is not None:
+        if len(lam.params) >= 2:
+            def lam_fn(a, b):  # noqa: ANN001
+                return bind(a, b)
+        else:
+            def lam_fn(a):  # noqa: ANN001
+                return bind(a)
+
+    if name == "filter" and lam is not None:
+        return F.filter(rec(args[0], scope), lam_fn)
+    if name == "map" and lam is not None:
+        if len(lam.params) >= 2:
+            # multi-param lambda destructures array pairs —
+            # `.sliding_pairs().map((a, b) => ...)` (evaluator.rs:1408-1420)
+            return F.transform(
+                rec(args[0], scope),
+                lambda el: bind(el.getItem(0), el.getItem(1)),
+            )
+        return F.transform(rec(args[0], scope), lam_fn)
+    if name == "flatten" and len(args) == 1:
+        return F.flatten(rec(args[0], scope))
+    if name == "size" and len(args) == 1:
+        return F.size(rec(args[0], scope))
+    if name in ("len", "count") and len(args) == 1 and _looks_arrayish(args[0]):
+        return F.size(rec(args[0], scope))
+    if name == "sum" and len(args) == 1 and _looks_arrayish(args[0]):
+        return F.aggregate(
+            rec(args[0], scope),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+    if name == "sliding_pairs" and len(args) == 1:
+        # [a,b,c] -> [[a,b],[b,c]] (evaluator.rs sliding_pairs)
+        arr = rec(args[0], scope)
+        n = F.size(arr)
+        return F.zip_with(
+            F.slice(arr, F.lit(1), F.greatest(n - F.lit(1), F.lit(0))),
+            F.slice(arr, F.lit(2), F.greatest(n - F.lit(1), F.lit(0))),
+            lambda x, y: F.array(x, y),
+        )
+    return None
+
+
+def _looks_arrayish(node) -> bool:
+    """Heuristic: method receivers that are array-typed expressions —
+    list literals, slices, ranges, or HOF results. Plain refs keep the
+    legacy scalar lowering (`len(s)` = string length)."""
+    return isinstance(node, (ListLit, Slice, Range)) or (
+        isinstance(node, Call)
+        and node.name in ("filter", "map", "flatten", "split", "sliding_pairs")
+    )
 
 
 def to_python(e, aliases: set[str]):
@@ -407,9 +566,59 @@ def _eval_expr(e, scope: dict, env: ProgramEnv):
         )
     if isinstance(e, ListLit):
         return [_eval_expr(x, scope, env) for x in e.items]
+    if isinstance(e, MapLit):
+        return {
+            _eval_expr(k, scope, env): _eval_expr(v, scope, env) for k, v in e.items
+        }
+    if isinstance(e, Index):
+        obj = _eval_expr(e.obj, scope, env)
+        idx = _eval_expr(e.index, scope, env)
+        try:
+            return obj[idx]
+        except (IndexError, KeyError):
+            return None
+    if isinstance(e, Slice):
+        obj = _eval_expr(e.obj, scope, env)
+        lo = int(_eval_expr(e.lo, scope, env)) if e.lo is not None else None
+        hi = int(_eval_expr(e.hi, scope, env)) if e.hi is not None else None
+        return obj[lo:hi]
+    if isinstance(e, Range):
+        lo = int(_eval_expr(e.lo, scope, env))
+        hi = int(_eval_expr(e.hi, scope, env))
+        return list(range(lo, hi + 1 if e.inclusive else hi))
     if isinstance(e, Bin):
         return _PY_OPS[e.op](_eval_expr(e.left, scope, env), _eval_expr(e.right, scope, env))
     if isinstance(e, Call):
+        # array higher-order methods over python values (evaluator.rs:1376+)
+        if e.args and e.name in ("filter", "map", "flatten", "sum", "len", "count",
+                                 "size", "sliding_pairs"):
+            recv = _eval_expr(e.args[0], scope, env)
+            if isinstance(recv, list):
+                lam = e.args[1] if len(e.args) > 1 and isinstance(e.args[1], Lambda) else None
+
+                def apply(item):
+                    inner = dict(scope)
+                    if len(lam.params) >= 2 and isinstance(item, (list, tuple)):
+                        for p, v in zip(lam.params, item):
+                            inner[p] = v
+                    else:
+                        inner[lam.params[0]] = item
+                    return _eval_expr(lam.body, inner, env)
+
+                if e.name == "filter" and lam is not None:
+                    return [x for x in recv if apply(x)]
+                if e.name == "map" and lam is not None:
+                    return [apply(x) for x in recv]
+                if e.name == "flatten":
+                    return [
+                        y for x in recv for y in (x if isinstance(x, list) else [x])
+                    ]
+                if e.name == "sum":
+                    return sum(recv)
+                if e.name in ("len", "count", "size"):
+                    return len(recv)
+                if e.name == "sliding_pairs":
+                    return [[a, b] for a, b in zip(recv, recv[1:])]
         if e.name in env.fns and not isinstance(env.fns[e.name].body, list):
             fn = env.fns[e.name]
             inner = {p: _eval_expr(a, scope, env) for (p, _t), a in zip(fn.params, e.args)}

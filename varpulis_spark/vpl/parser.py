@@ -85,6 +85,37 @@ class ListLit:
 
 
 @dataclass
+class MapLit:
+    items: list[tuple[object, object]]  # (key expr/str, value expr)
+
+
+@dataclass
+class Lambda:
+    params: list[str]
+    body: object
+
+
+@dataclass
+class Index:
+    obj: object
+    index: object
+
+
+@dataclass
+class Slice:
+    obj: object
+    lo: object | None
+    hi: object | None
+
+
+@dataclass
+class Range:
+    lo: object
+    hi: object
+    inclusive: bool = False
+
+
+@dataclass
 class PatternStep:
     event_type: str
     alias: str | None
@@ -225,7 +256,7 @@ TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*|//[^\n]*)
   | (?P<arrow>->)
-  | (?P<op>==|!=|<=|>=|\?\?|\?\.|:=|\.\.|[=<>+\-*/%().,:\[\]{}?])
+  | (?P<op>==|!=|<=|>=|\?\?|\?\.|:=|=>|\.\.=|\.\.|\*\*|<<|>>|[=<>+\-*/%().,:\[\]{}?&|^~])
   | (?P<dur>\d+(?:\.\d+)?(?:ns|us|ms|s|m|h|d|w)\b)
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
@@ -647,9 +678,16 @@ class Parser:
         return left
 
     def and_expr(self):
-        left = self.not_expr()
+        left = self.xor_expr()
         while self.accept("and"):
-            left = Bin("and", left, self.not_expr())
+            left = Bin("and", left, self.xor_expr())
+        return left
+
+    def xor_expr(self):
+        # logical xor keyword (pattern_xor_expr, varpulis.pest:193)
+        left = self.not_expr()
+        while self.accept("ident", "xor"):
+            left = Bin("xor", left, self.not_expr())
         return left
 
     def not_expr(self):
@@ -658,15 +696,55 @@ class Parser:
         return self.comparison()
 
     def comparison(self):
-        left = self.coalesce()
+        left = self.range_expr()
         k, tx = self.peek()
         if k == "op" and tx in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            return Bin(tx, left, self.coalesce())
+            return Bin(tx, left, self.range_expr())
         if k == "in":
             self.next()
-            return Bin("in", left, self.coalesce())
+            return Bin("in", left, self.range_expr())
         return left
+
+    def range_expr(self):
+        # `a..b` / `a..=b` (ast.rs Range)
+        left = self.bitor()
+        k, tx = self.peek()
+        if k == "op" and tx in ("..", "..="):
+            self.next()
+            return Range(left, self.bitor(), inclusive=(tx == "..="))
+        return left
+
+    def bitor(self):
+        left = self.bitxor()
+        while self.peek() == ("op", "|"):
+            self.next()
+            left = Bin("|", left, self.bitxor())
+        return left
+
+    def bitxor(self):
+        left = self.bitand()
+        while self.peek() == ("op", "^"):
+            self.next()
+            left = Bin("^", left, self.bitand())
+        return left
+
+    def bitand(self):
+        left = self.shift()
+        while self.peek() == ("op", "&"):
+            self.next()
+            left = Bin("&", left, self.shift())
+        return left
+
+    def shift(self):
+        left = self.coalesce()
+        while True:
+            k, tx = self.peek()
+            if k == "op" and tx in ("<<", ">>"):
+                self.next()
+                left = Bin(tx, left, self.coalesce())
+            else:
+                return left
 
     def coalesce(self):
         left = self.additive()
@@ -685,18 +763,28 @@ class Parser:
                 return left
 
     def multiplicative(self):
-        left = self.unary()
+        left = self.power()
         while True:
             k, tx = self.peek()
             if k == "op" and tx in ("*", "/", "%"):
                 self.next()
-                left = Bin(tx, left, self.unary())
+                left = Bin(tx, left, self.power())
             else:
                 return left
+
+    def power(self):
+        # right-associative ** (power_expr, varpulis.pest:426)
+        left = self.unary()
+        if self.peek() == ("op", "**"):
+            self.next()
+            return Bin("**", left, self.power())
+        return left
 
     def unary(self):
         if self.accept("op", "-"):
             return Un("-", self.unary())
+        if self.accept("op", "~"):
+            return Un("~", self.unary())
         return self.postfix()
 
     def postfix(self):
@@ -705,6 +793,22 @@ class Parser:
             k, tx = self.peek()
             if self.i in self.nl_before:
                 return node  # `.op(...)` on a fresh line is a stream op
+            if k == "op" and tx == "[":
+                # index a[i] / slice a[lo:hi] (ast.rs Index/Slice)
+                self.next()
+                lo = None
+                if self.peek() != ("op", ":"):
+                    lo = self.expr()
+                if self.accept("op", ":"):
+                    hi = None
+                    if self.peek() != ("op", "]"):
+                        hi = self.expr()
+                    self.expect("op", "]")
+                    node = Slice(node, lo, hi)
+                else:
+                    self.expect("op", "]")
+                    node = Index(node, lo)
+                continue
             if k == "op" and tx in (".", "?.") and self.peek(1)[0] == "ident":
                 # member access only when node is a Ref/Call chain
                 self.next()
@@ -761,8 +865,32 @@ class Parser:
                         break
                     self.expect("op", ",")
             return ListLit(items)
+        if k == "op" and tx == "{":
+            # map literal {k: v, ...} (ast.rs Map) — keys are idents/strings
+            self.next()
+            items: list[tuple[object, object]] = []
+            if not self.accept("op", "}"):
+                while True:
+                    kk, ktx = self.peek()
+                    if kk == "ident":
+                        self.next()
+                        key = Lit(ktx)
+                    elif kk == "str":
+                        self.next()
+                        key = Lit(ktx[1:-1])
+                    else:
+                        key = self.expr()
+                    self.expect("op", ":")
+                    items.append((key, self.expr()))
+                    if self.accept("op", "}"):
+                        break
+                    self.expect("op", ",")
+            return MapLit(items)
         if k == "ident":
             name = self.next()[1]
+            if self.peek() == ("op", "=>"):  # single-param lambda x => e
+                self.next()
+                return Lambda([name], self.expr())
             if self.peek() == ("op", "("):  # function call fn(args)
                 self.next()
                 args = []
@@ -774,7 +902,28 @@ class Parser:
                         self.expect("op", ",")
                 return Call(name, args)
             return Ref([name])
-        if self.accept("op", "("):
+        if self.peek() == ("op", "("):
+            # lookahead: `(a, b) => body` multi-param lambda
+            j = self.i + 1
+            params = []
+            ok = False
+            while j < len(self.toks):
+                kk, ktx = self.toks[j]
+                if kk == "ident":
+                    params.append(ktx)
+                    j += 1
+                    kk2, ktx2 = self.toks[j]
+                    if (kk2, ktx2) == ("op", ","):
+                        j += 1
+                        continue
+                    if (kk2, ktx2) == ("op", ")"):
+                        ok = self.toks[j + 1] == ("op", "=>")
+                    break
+                break
+            if ok and params:
+                self.i = j + 2  # past ') =>'
+                return Lambda(params, self.expr())
+            self.next()
             e = self.expr()
             self.expect("op", ")")
             return e
