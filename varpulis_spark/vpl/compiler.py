@@ -1050,11 +1050,9 @@ def _compile_enrich(op: OpCall, stream: Stream, env: ProgramEnv, resolver=None) 
             f".enrich connector '{conn}' is not bound; pass "
             f"tables={{'{conn}': dimension_df}} to run_program"
         )
-    dim, dim_key = bound if isinstance(bound, tuple) else (bound, bound.columns[0])
     key_expr = op.kwargs.get("key")
     if key_expr is None:
         raise ValueError(".enrich requires key:")
-    key = to_column(key_expr, resolver)
     fields_ast = op.kwargs.get("fields")
     fields = (
         [".".join(r.parts) for r in fields_ast.items]
@@ -1062,6 +1060,29 @@ def _compile_enrich(op: OpCall, stream: Stream, env: ProgramEnv, resolver=None) 
         else None
     )
     fb = op.kwargs.get("fallback")
+
+    if hasattr(bound, "lookup"):
+        # live provider binding (EnrichmentProvider analog) — per-row
+        # lookups with a worker-local TTL cache (varpulis_spark.enrichment)
+        from varpulis_spark.enrichment import enrich_with_provider
+
+        if fields is None:
+            raise ValueError(".enrich with a provider requires fields: [...]")
+        if not (isinstance(key_expr, Ref)):
+            raise ValueError(".enrich provider key must be a field reference")
+        key_name = key_expr.parts[-1]
+        ttl = op.kwargs.get("cache_ttl")
+        ttl = ttl.text if isinstance(ttl, Dur) else "5m"
+        tmo = op.kwargs.get("timeout")
+        tmo = tmo.text if isinstance(tmo, Dur) else None
+        fallback = {f: fb.value for f in fields} if isinstance(fb, Lit) else None
+        return enrich_with_provider(
+            stream, bound, key=key_name, fields=fields,
+            cache_ttl=ttl, timeout=tmo, fallback=fallback,
+        )
+
+    dim, dim_key = bound if isinstance(bound, tuple) else (bound, bound.columns[0])
+    key = to_column(key_expr, resolver)
     fallback = None
     if isinstance(fb, Lit):
         fallback = {
