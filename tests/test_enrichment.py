@@ -111,3 +111,36 @@ stream W = Trip as t
         ("oslo", "snow", "ok"),
         ("atlantis", "unavailable", "fallback"),
     }
+
+
+def test_reference_enrich_refdata_program(spark):
+    """The reference's examples/enrich_refdata.vpl runs unmodified with
+    provider bindings — chained enrichments, post-enrich .where over
+    enriched fields, enrich_status in emit."""
+    from varpulis_spark.sources.event_file import load_evt
+    from varpulis_spark.vpl.compiler import run_program
+
+    with open("/root/reference/examples/enrich_refdata.vpl") as f:
+        src = f.read()
+    products = StaticProvider({
+        "p1": {"name": "Laptop", "category": "electronics", "price": 999.0,
+               "supplier": "Acme"},
+        "p2": {"name": "Desk", "category": "furniture", "price": 200.0,
+               "supplier": "Woodco"},
+    })
+    users = StaticProvider({
+        "u1": {"user_tier": "premium", "country": "FR"},
+        "u2": {"user_tier": "basic", "country": "DE"},
+    })
+    stream = Stream(load_evt(spark, """
+Order { order_id: "o1", user_id: "u1", product_id: "p1", quantity: 2 }
+Order { order_id: "o2", user_id: "u2", product_id: "p1", quantity: 1 }
+Order { order_id: "o3", user_id: "u1", product_id: "p2", quantity: 3 }
+"""), ts_col="ts", order_col="event_id")
+    res = run_program(src, stream, tables={"ProductDB": products, "UserCache": users})
+    rows = {r.order_id: r for r in res["OrdersWithProducts"].collect()}
+    assert rows["o1"].product == "Laptop" and rows["o3"].category == "furniture"
+    # FullOrders filters premium + electronics -> only o1
+    full = res["FullOrders"].collect()
+    assert [r.order_id for r in full] == ["o1"]
+    assert full[0].user_tier == "premium" and full[0].status == "ok"

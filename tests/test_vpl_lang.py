@@ -824,3 +824,92 @@ stream T = Reading
 Reading { v: 1.0 }
 """)
     assert res["T"].collect()[0].deltas == [3.0, 5.0]
+
+
+def test_reference_trend_aggregation_program(spark):
+    """The reference's apama-comparison 13_trend_aggregation.vpl runs
+    UNMODIFIED: mode 1 (SASE+ detection) and mode 2/3 (Hamlet trend
+    aggregation with shared Kleene sub-patterns)."""
+    with open(
+        "/root/reference/benchmarks/apama-comparison/varpulis/13_trend_aggregation.vpl"
+    ) as f:
+        src = f.read()
+    evts = []
+    import random
+
+    rng = random.Random(5)
+    for i in range(40):
+        sym = rng.choice(["AAPL", "MSFT"])
+        exch = "NYSE" if sym == "AAPL" else "NASDAQ"
+        evts.append(
+            f'@{i}s StockTick {{ symbol: "{sym}", exchange: "{exch}", '
+            f"price: {50 + rng.randrange(50)}.0 }}"
+        )
+    stream = Stream(load_evt(spark, "\n".join(evts)), ts_col="ts", order_col="event_id")
+    res = run_program(src, stream)
+    assert set(res) == {"RisingPriceDetected", "RisingTrendCount", "TrendsBySymbol",
+                        "TrendsByExchange"}
+    # detection mode yields concrete matches with captured fields
+    det = res["RisingPriceDetected"].collect()
+    assert det and {"symbol", "start_price", "end_price"} <= set(det[0].asDict())
+    # aggregation modes yield per-key trend counts > 0
+    for name in ("TrendsBySymbol", "TrendsByExchange"):
+        rows = res[name].collect()
+        assert rows and all(r["count"] > 0 for r in rows)
+
+
+def test_reference_forecast_fraud_program(spark):
+    """examples/forecast_fraud.vpl (6 PST forecast patterns + merge fan-in,
+    13 streams) compiles and runs UNMODIFIED: declared-but-unfed event
+    fields surface as typed nulls, forecast emits resolve first-step alias
+    fields / forecast_* outputs, merge unions the forecast streams.
+    (Forecast rows are empty at this corpus size — the program's warmup
+    is 500-1500 events by design.)"""
+    import random
+
+    with open("/root/reference/examples/forecast_fraud.vpl") as f:
+        src = f.read()
+    rng = random.Random(3)
+    evts, i = [], 0
+    for cyc in range(40):
+        u, ip = f"u{cyc % 4}", f"ip{cyc % 3}"
+        evts.append(f'@{i}s Login {{ user_id: "{u}", ip_address: "{ip}", country: "FR", device_fingerprint: "d1" }}'); i += 1
+        evts.append(f'@{i}s PasswordChange {{ user_id: "{u}", method: "recovery" }}'); i += 1
+        evts.append(f'@{i}s Transaction {{ user_id: "{u}", amount: {6000 + rng.randrange(9000)}.0, category: "wire_transfer", destination: "intl", merchant: "m1" }}'); i += 1
+        if cyc % 3 == 0:
+            evts.append(f'@{i}s LoginFailed {{ user_id: "{u}", ip_address: "{ip}", reason: "pw" }}'); i += 1
+            evts.append(f'@{i}s CardAdded {{ user_id: "{u}", issuer_country: "FR", card_type: "visa" }}'); i += 1
+            evts.append(f'@{i}s AccountInfoUpdate {{ user_id: "{u}", field_changed: "email" }}'); i += 1
+    stream = Stream(load_evt(spark, "\n".join(evts)), ts_col="ts", order_col="event_id")
+    res = run_program(src, stream)
+    assert {"AccountTakeoverForecast", "CredentialStuffingForecast",
+            "CardTestingForecast", "MoneyMuleForecast", "SimSwapForecast",
+            "CrossBorderForecast", "AllFraudForecasts"} <= set(res)
+    assert res["Logins"].count() == 40
+    assert res["Transactions"].count() == 40
+    for name in ("AccountTakeoverForecast", "AllFraudForecasts"):
+        assert res[name].count() >= 0  # runs; empty below warmup
+
+
+def test_forecast_emit_first_alias_fields(spark):
+    """Forecast emits can project the first step's captured fields and
+    forecast_time (expected completion delay)."""
+    evts = "\n".join(
+        f'@{i}s {"Login" if i % 2 == 0 else "Purchase"} {{ user: "u1", origin: "web{i % 2}" }}'
+        for i in range(40)
+    )
+    stream = Stream(load_evt(spark, evts), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream F = Login as a
+    -> Purchase as b
+    .partition_by(user)
+    .forecast(confidence: 0.0, warmup: 10, mode: "fast")
+    .emit(user: user, origin: a.origin, p: forecast_probability,
+          eta_us: forecast_time, missing: b.origin)
+""", stream)
+    rows = res["F"].collect()
+    assert rows
+    for r in rows:
+        assert r.origin == "web0"      # first-step capture (Login events)
+        assert r.eta_us is not None and r.eta_us >= 0
+        assert r.missing is None       # later alias unbound at forecast time

@@ -147,6 +147,10 @@ def enrich_with_provider(
     from varpulis_spark.functions import duration_seconds
 
     df = stream.df if hasattr(stream, "df") else stream
+    if status_col in df.columns:
+        # chained enrichments: the trailing op's status wins (reference
+        # keeps a single enrich_status field)
+        df = df.drop(status_col)
     ftypes = dict(fields) if isinstance(fields, dict) else {f: "string" for f in fields}
     fnames = list(ftypes)
     ttl_s = duration_seconds(cache_ttl)

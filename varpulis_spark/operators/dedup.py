@@ -274,24 +274,41 @@ def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 4
     return _sig
 
 
+def _simhash_batch(texts: pd.Series, shingle_k: int) -> np.ndarray:
+    """Vectorized SimHash over a batch: ONE unpackbits + reduceat instead
+    of a per-document python loop (the loop was the 2nd-slowest stage of
+    the near-dup suite). Bit j of the signature is the sign of the summed
+    j-th hash bits over the doc's distinct shingles; the bit→position
+    mapping is a fixed permutation of the scalar form (Hamming distances
+    are permutation-invariant, which is all SimHash uses)."""
+    powers = _powers(shingle_k)
+    hashes = [_shingle_hash_row(t, shingle_k, powers) for t in _normalize(texts)]
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    nonzero = lens > 0
+    if not nonzero.any():
+        return out
+    cat = np.concatenate([h for h in hashes if len(h)])
+    # (total_shingles, 64) bit matrix in one C call; uint16 so the
+    # per-doc reduceat sums can't overflow (docs are capped far below 64K
+    # shingles; uint8 would wrap at 255)
+    bits = np.unpackbits(cat.view(np.uint8).reshape(-1, 8), axis=1).astype(np.uint16)
+    starts = np.zeros(int(nonzero.sum()), dtype=np.int64)
+    np.cumsum(lens[nonzero][:-1], out=starts[1:])
+    sums = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
+    votes = (2 * sums) > lens[nonzero, None]  # majority bit per position
+    packed = np.packbits(votes.astype(np.uint8), axis=1)  # (docs, 8 bytes)
+    out[nonzero] = packed.reshape(-1).view(np.uint64).astype(np.int64)
+    return out
+
+
 def simhash_udf(shingle_k: int = 5):
     """pandas UDF: text → 64-bit SimHash (long)."""
-    powers = _powers(shingle_k)
-    bits = np.arange(64, dtype=np.uint64)
-    weights = (np.uint64(1) << bits).astype(np.uint64)
 
     @pandas_udf("long")
     def _sim(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(_normalize(texts)):
-            h = _shingle_hash_row(t, shingle_k, powers)
-            if len(h) == 0:
-                continue
-            bitvals = ((h.reshape(-1, 1) >> bits) & np.uint64(1)).astype(np.int64)
-            score = bitvals.sum(axis=0) * 2 - len(h)
-            sig = (weights[score > 0]).sum(dtype=np.uint64)
-            out[i] = sig.astype(np.int64)
-        return pd.Series(out)
+        return pd.Series(_simhash_batch(texts, shingle_k))
 
     return _sim
 

@@ -233,10 +233,15 @@ def forecast(
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     id_field = order_col or ts_col
     id_type = dict(df.dtypes)[id_field]
+    # the best run's FIRST event is re-emitted as __first_* columns so
+    # emit projections can reference the pattern's first-step alias
+    # (later aliases are unbound at forecast time, reference semantics)
+    first_fields = ", ".join(f"__first_{c} {t}" for c, t in df.dtypes)
+    in_cols = [c for c, _t in df.dtypes]
     schema = (
         f"{key_fields}, {id_field} {id_type}, next_step int, active_runs int, "
         "completion_prob double, prob_lo double, prob_hi double, "
-        "forecast_confidence double"
+        "forecast_confidence double, expected_time_us long, " + first_fields
     )
     m = len(pattern_types)
 
@@ -250,14 +255,20 @@ def forecast(
         hawkes_by_type = {t: HawkesIntensity() for t in pattern_types} if hawkes else None
         cal = ConformalCalibrator(coverage) if conformal else None
         history: list[str] = []
-        runs: list[list] = []  # [start_ns, state, last_pred]
+        runs: list[list] = []  # [start_ns, state, last_pred, start_row_idx]
         last_pred: dict[int, float] = {}
         stable = 0
+        avg_dt = 0.0  # EMA of inter-event ns (markov_chain.rs:186-196)
+        prev_now = None
         rows = []
 
         for i in range(len(ets)):
             et = ets[i]
             now = int(ts_ns[i])
+            if prev_now is not None:
+                d = max(0.0, float(now - prev_now))
+                avg_dt = d if avg_dt == 0.0 else 0.95 * avg_dt + 0.05 * d
+            prev_now = now
 
             # --- expire runs past the span (negative outcomes) ---
             if span_ns is not None:
@@ -282,10 +293,8 @@ def forecast(
                     if r[1] == m and cal is not None and r[2] is not None:
                         cal.record(r[2], completed=True)
                 runs = [r for r in runs if r[1] < m]
-            if et == pattern_types[0]:
-                runs.append([now, 1, None])
-                if 1 == m:  # degenerate single-step pattern
-                    runs.pop()
+            if et == pattern_types[0] and m > 1:
+                runs.append([now, 1, None, i])
             if len(runs) > MAX_ACTIVE_RUNS:
                 runs = sorted(runs, key=lambda r: -r[1])[:MAX_ACTIVE_RUNS]
 
@@ -321,15 +330,29 @@ def forecast(
 
             lo, hi = cal.interval(prob) if cal is not None else (0.0, 1.0)
             if prob >= confidence:
+                # expected waiting time: E[transitions remaining] with
+                # per-step geometric waits × EMA inter-event gap
+                # (deterministic analog of estimate_waiting_time's Monte
+                # Carlo, markov_chain.rs:472+)
+                exp_steps = sum(
+                    1.0 / max(p_next[j], 1e-3) for j in range(best[1], m)
+                )
+                exp_us = int(min(exp_steps * avg_dt, 9e17) / 1_000)
+                first_row = pdf.iloc[best[3]]
                 rows.append(
                     list(key_tuple)
-                    + [ids[i], best[1], len(runs), prob, lo, hi, fconf]
+                    + [ids[i], best[1], len(runs), prob, lo, hi, fconf, exp_us]
+                    + [first_row[c] for c in in_cols]
                 )
 
-        cols = list(keys) + [
-            id_field, "next_step", "active_runs", "completion_prob",
-            "prob_lo", "prob_hi", "forecast_confidence",
-        ]
+        cols = (
+            list(keys)
+            + [
+                id_field, "next_step", "active_runs", "completion_prob",
+                "prob_lo", "prob_hi", "forecast_confidence", "expected_time_us",
+            ]
+            + [f"__first_{c}" for c in in_cols]
+        )
         return pd.DataFrame(rows, columns=cols)
 
     from varpulis_spark.operators.dedup import spread_keys

@@ -1290,10 +1290,22 @@ def _compile_forecast_pattern(
 
     pattern_types = [s.event_type for s in decl.steps if s.event_type]
     src = stream
-    if keys:
-        src = src.partition_by(*keys)
-    if not src.keys:
-        raise ValueError(".forecast requires partition_by")
+    drop_cols: list[str] = []
+    if not keys:
+        # no explicit partition_by: fall back to correlation inference
+        # (SASEXT), else a single global model (the reference's default —
+        # one PMC per stream when unpartitioned)
+        auto = _auto_partition_key(decl.steps)
+        if auto:
+            keys = [auto]
+        else:
+            src = Stream(
+                stream.df.withColumn("__g", F.lit(0)),
+                ts_col=stream.ts_col, order_col=stream.order_col,
+            )
+            keys = ["__g"]
+            drop_cols = ["__g"]
+    src = src.partition_by(*keys)
     out = _forecast(
         src,
         pattern_types,
@@ -1309,11 +1321,36 @@ def _compile_forecast_pattern(
         out.withColumnRenamed("completion_prob", "forecast_probability")
         .withColumnRenamed("prob_lo", "forecast_lower")
         .withColumnRenamed("prob_hi", "forecast_upper")
+        .withColumnRenamed("expected_time_us", "forecast_time")
     )
+    for c in drop_cols:
+        df = df.drop(c)
+
+    first_alias = decl.steps[0].alias
+    aliases = {s.alias for s in decl.steps if s.alias}
+
+    def fc_resolver(ref):
+        # first-step alias fields ride along as __first_* columns; later
+        # aliases are unbound at forecast time → null (reference: the run
+        # hasn't captured them yet when the forecast fires)
+        if len(ref.parts) == 1 and ref.parts[0] in (
+            "forecast_expected_time", "forecast_eta",
+        ):
+            return F.col("forecast_time")
+        if len(ref.parts) == 2 and ref.parts[0] == first_alias:
+            return F.col(f"__first_{ref.parts[1]}")
+        if len(ref.parts) == 2 and ref.parts[0] in aliases:
+            return F.lit(None)
+        return None
+
     for w in post_wheres:
-        df = df.filter(to_column(w))
+        df = df.filter(to_column(w, fc_resolver))
     if emit_kwargs:
-        df = df.select(*[to_column(v).alias(k) for k, v in emit_kwargs.items()])
+        df = df.select(
+            *[to_column(v, fc_resolver).alias(k) for k, v in emit_kwargs.items()]
+        )
+    else:
+        df = df.drop(*[c for c in df.columns if c.startswith("__first_")])
     return Stream(df, ts_col=stream.ts_col)
 
 
@@ -1772,6 +1809,13 @@ def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
         for c, t in wanted.items()
         if c in cur_types and cur_types[c] not in (t, "timestamp")
     }
+    # declared fields absent from the replay frame surface as typed nulls
+    # (the reference's event decl defines the full schema; a feed may not
+    # populate every field)
+    missing = {
+        c: F.lit(None).cast(t) for c, t in wanted.items() if c not in cur_types
+    }
+    casts.update(missing)
     return stream._with(df.withColumns(casts)) if casts else stream
 
 
