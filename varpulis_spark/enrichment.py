@@ -156,11 +156,13 @@ def enrich_with_provider(
     ttl_s = duration_seconds(cache_ttl)
     timeout_s = duration_seconds(timeout) if timeout is not None else None
     op_id = uuid.uuid4().hex
+    if "enrich_latency_ms" in df.columns:
+        df = df.drop("enrich_latency_ms")
     schema = (
         ", ".join(f"{c} {t}" for c, t in df.dtypes)
         + ", "
         + ", ".join(f"{n} {t}" for n, t in ftypes.items())
-        + f", {status_col} string"
+        + f", {status_col} string, enrich_latency_ms double"
     )
     fb = fallback or {}
 
@@ -174,22 +176,25 @@ def enrich_with_provider(
         prov, cache = state
         for pdf in batches:
             keys = pdf[key]
-            resolved: dict[object, tuple[dict | None, str]] = {}
+            resolved: dict[object, tuple[dict | None, str, float]] = {}
             for k in keys.drop_duplicates():
                 ck = str(k)
                 val, hit = cache.get(ck)
                 if hit:
-                    resolved[k] = (val, "cached")
+                    resolved[k] = (val, "cached", 0.0)
                     continue
                 t0 = time.monotonic()
                 try:
                     val = prov.lookup(k, fnames)
                 except Exception:
                     val = None
-                if timeout_s is not None and time.monotonic() - t0 > timeout_s:
+                latency_ms = (time.monotonic() - t0) * 1000.0
+                if timeout_s is not None and latency_ms > timeout_s * 1000.0:
                     val = None  # EnrichmentError::Timeout → miss
                 cache.put(ck, val)
-                resolved[k] = (val, "ok" if val is not None else "fallback")
+                resolved[k] = (
+                    val, "ok" if val is not None else "fallback", latency_ms
+                )
             out = pdf.copy()
             for fname in fnames:
                 vals = [
@@ -206,6 +211,7 @@ def enrich_with_provider(
                 "fallback" if resolved[k][0] is None else resolved[k][1]
                 for k in keys
             ]
+            out["enrich_latency_ms"] = [resolved[k][2] for k in keys]
             yield out
 
     out_df = df.mapInPandas(run, schema)

@@ -238,10 +238,15 @@ def forecast(
     # (later aliases are unbound at forecast time, reference semantics)
     first_fields = ", ".join(f"__first_{c} {t}" for c, t in df.dtypes)
     in_cols = [c for c, _t in df.dtypes]
+    # the triggering event's time rides along (forecast events are
+    # windowable/mergeable downstream like any other event)
+    carry_ts = order_col is not None and ts_col != id_field
+    ts_part = f"{ts_col} timestamp, " if carry_ts else ""
     schema = (
-        f"{key_fields}, {id_field} {id_type}, next_step int, active_runs int, "
-        "completion_prob double, prob_lo double, prob_hi double, "
-        "forecast_confidence double, expected_time_us long, " + first_fields
+        f"{key_fields}, {id_field} {id_type}, {ts_part}next_step int, "
+        "active_runs int, completion_prob double, prob_lo double, "
+        "prob_hi double, forecast_confidence double, expected_time_us long, "
+        + first_fields
     )
     m = len(pattern_types)
 
@@ -249,6 +254,7 @@ def forecast(
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ets = pdf["event_type"].to_numpy()
         ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        ts_vals = pdf[ts_col].to_numpy()
         ids = pdf[id_field].to_numpy()
 
         pst = OnlinePST(max_depth)
@@ -341,14 +347,18 @@ def forecast(
                 first_row = pdf.iloc[best[3]]
                 rows.append(
                     list(key_tuple)
-                    + [ids[i], best[1], len(runs), prob, lo, hi, fconf, exp_us]
+                    + [ids[i]]
+                    + ([ts_vals[i]] if carry_ts else [])
+                    + [best[1], len(runs), prob, lo, hi, fconf, exp_us]
                     + [first_row[c] for c in in_cols]
                 )
 
         cols = (
             list(keys)
+            + [id_field]
+            + ([ts_col] if carry_ts else [])
             + [
-                id_field, "next_step", "active_runs", "completion_prob",
+                "next_step", "active_runs", "completion_prob",
                 "prob_lo", "prob_hi", "forecast_confidence", "expected_time_us",
             ]
             + [f"__first_{c}" for c in in_cols]

@@ -77,6 +77,9 @@ class Step:
     kleene: str | None = None  # '+', '*', '?'
     negated: bool = False
     where_sql: str | None = None
+    gap_ns: int | None = None  # per-edge `.within` between this step and
+    # its predecessor (mid-chain within, e.g. hvac_demo.vpl
+    # CompressorShortCycle `A -> B .within(5m) -> C .within(5m)`)
 
 
 def step(event_type, alias, where=None, kleene=None, where_sql=None):
@@ -321,6 +324,11 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
 
         s = steps[si]
         deadline = (first_ts + within) if (within is not None and first_ts is not None) else None
+        # per-edge within: this step must arrive within gap_ns of the
+        # previous bound event
+        if s.gap_ns is not None and first_ts is not None:
+            edge = prev_ts + s.gap_ns
+            deadline = edge if deadline is None else min(deadline, edge)
 
         if s.kleene:
             advance_kleene(s, si, min_i, b, first_ts, first_idx, prev_ts, prev_idx)
@@ -540,6 +548,10 @@ def compile_pattern_to_joins(stream, pattern: Pattern) -> DataFrame:
             t1, _ = pos(first_alias)
             ti, _ = pos(s.alias)
             cond = cond & (ti <= t1 + F.lit(within_us))
+        if s.gap_ns is not None:
+            tp, _ = pos(prev_alias)
+            ti, _ = pos(s.alias)
+            cond = cond & (ti <= tp + F.lit(s.gap_ns // 1000))
         if s.where_sql:
             cond = cond & _qualify_sql(s.where_sql, seen + [s.alias], df.columns)
         joined = joined.join(nxt, cond, "inner")

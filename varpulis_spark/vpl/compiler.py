@@ -105,6 +105,7 @@ _SCALAR_FNS = {
     "contains": F.contains, "starts_with": F.startswith,
     "ends_with": F.endswith, "replace": F.replace, "split": F.split,
     "concat": F.concat, "substring": F.substring,
+    "now": F.current_timestamp,
     "to_int": lambda c: c.cast("long"), "to_float": lambda c: c.cast("double"),
     "to_str": lambda c: c.cast("string"), "to_bool": lambda c: c.cast("boolean"),
 }
@@ -867,16 +868,32 @@ def compile_pattern_decl(
     kleene_aliases = set()
 
     # fold per-step interleaved ops: `.where` binds to its step,
-    # `.print`/`.log` are diagnostics (no-ops)
+    # `.within` is the per-edge gap bound for THAT step (mid-chain
+    # within, CompressorShortCycle-style), `.print`/`.log` are
+    # diagnostics (no-ops)
+    gap_of: dict[int, object] = {}
     for s in decl.steps:
         for op in s.ops:
             if op.name in ("print", "log", "tap"):
                 continue
             if op.name == "where":
                 s.where = _and_exprs(s.where, op.args[0])
+            elif op.name == "within":
+                a = op.args[0]
+                gap_of[id(s)] = a.text if isinstance(a, Dur) else a.value
             else:
                 raise ValueError(f"op .{op.name} not supported between pattern steps")
         s.ops = []
+    # `A -> B .within(x) -> C .within(y)`: the trailing within parses into
+    # decl.ops, but when earlier edges carry their own within the author
+    # means per-edge bounds throughout — move it onto the last step
+    if gap_of and decl.steps and id(decl.steps[-1]) not in gap_of:
+        for op in decl.ops:
+            if op.name == "within":
+                a = op.args[0]
+                gap_of[id(decl.steps[-1])] = a.text if isinstance(a, Dur) else a.value
+                decl.ops = [o for o in decl.ops if o is not op]
+                break
 
     for s in decl.steps:
         alias = s.alias or f"_s{auto_alias}"
@@ -884,6 +901,9 @@ def compile_pattern_decl(
         aliases.add(alias)
         if s.kleene:
             kleene_aliases.add(alias)
+        from varpulis_spark.functions import duration_ns
+
+        gap = gap_of.get(id(s))
         sase_steps.append(
             Step(
                 s.event_type,
@@ -891,6 +911,7 @@ def compile_pattern_decl(
                 where=to_python(s.where, aliases) if s.where else None,
                 where_sql=_try_sql(s.where, alias, aliases),
                 kleene=s.kleene,
+                gap_ns=duration_ns(gap) if gap is not None else None,
             )
         )
 
@@ -972,6 +993,12 @@ def compile_pattern_decl(
     p = Pattern(steps=steps_final, within=within, emit=emit,
                 partition_by=keys,
                 strategy=strategy or SKIP_TILL_ANY)
+    # every emitted event carries its timestamp (the match's last event —
+    # detection time, reference event model); needed for downstream
+    # windows/sequences over this derived stream
+    ts_name = stream.ts_col
+    if ts_name not in emit and ts_name not in emit_kwargs:
+        emit[ts_name] = (last_alias, ts_name)
     df = stream.pattern(p).df
     for k, v in lit_cols.items():
         df = df.withColumn(k, F.lit(v))
@@ -979,7 +1006,10 @@ def compile_pattern_decl(
         df = df.withColumn(k, to_column(expr))
     # final projection in emit order (hidden columns dropped)
     if emit_kwargs:
-        df = df.select(*emit_kwargs.keys())
+        keep = list(emit_kwargs.keys())
+        if ts_name not in keep and ts_name in df.columns:
+            keep.append(ts_name)
+        df = df.select(*keep)
     return Stream(df, ts_col=stream.ts_col)
 
 
@@ -1329,6 +1359,8 @@ def _compile_forecast_pattern(
     first_alias = decl.steps[0].alias
     aliases = {s.alias for s in decl.steps if s.alias}
 
+    out_cols = set(df.columns)
+
     def fc_resolver(ref):
         # first-step alias fields ride along as __first_* columns; later
         # aliases are unbound at forecast time → null (reference: the run
@@ -1341,14 +1373,25 @@ def _compile_forecast_pattern(
             return F.col(f"__first_{ref.parts[1]}")
         if len(ref.parts) == 2 and ref.parts[0] in aliases:
             return F.lit(None)
+        if (
+            len(ref.parts) == 1
+            and ref.parts[0] not in out_cols
+            and f"__first_{ref.parts[0]}" in out_cols
+        ):
+            # bare event-field ref (e.g. `ts`): the run-start capture
+            return F.col(f"__first_{ref.parts[0]}")
         return None
 
     for w in post_wheres:
         df = df.filter(to_column(w, fc_resolver))
     if emit_kwargs:
-        df = df.select(
-            *[to_column(v, fc_resolver).alias(k) for k, v in emit_kwargs.items()]
-        )
+        sel = [to_column(v, fc_resolver).alias(k) for k, v in emit_kwargs.items()]
+        # keep the event-time column so forecast events stay windowable /
+        # mergeable downstream (forecast_iot.vpl merges forecast streams
+        # into a windowed aggregate)
+        if stream.ts_col in df.columns and stream.ts_col not in emit_kwargs:
+            sel.append(F.col(stream.ts_col))
+        df = df.select(*sel)
     else:
         df = df.drop(*[c for c in df.columns if c.startswith("__first_")])
     return Stream(df, ts_col=stream.ts_col)
@@ -1357,6 +1400,93 @@ def _compile_forecast_pattern(
 # ---------------------------------------------------------------------------
 # relational compilation
 # ---------------------------------------------------------------------------
+
+
+def _contains_agg(e) -> bool:
+    found = False
+
+    def walk(n):
+        nonlocal found
+        if isinstance(n, Call) and n.name in _AGG_FNS:
+            found = True
+        return n
+
+    _map_expr(e, walk)
+    return found
+
+
+def _compile_windowed_emit(
+    windowed, out: Stream, emit_op: OpCall, havings: list, resolver
+) -> Stream:
+    """`.window(n) .where(first(x) < first(y)) .emit(a: last(x), b: "lit")`
+    — aggregate expressions directly in where/emit over a pending window
+    (financial_markets.vpl GoldenCross): every aggregate sub-call becomes
+    a hidden aggregation column; the where conjuncts filter post-agg
+    (HAVING) and the emit projects Catalyst expressions over them."""
+    hidden: dict[str, tuple[str, object]] = {}
+
+    def rewrite(e):
+        def rw(n):
+            if isinstance(n, Call) and n.name in _AGG_FNS:
+                key = repr(n)
+                name = hidden.setdefault(key, (f"__wagg_{len(hidden)}", n))[0]
+                return Ref([name])
+            return n
+
+        return _map_expr(e, rw)
+
+    havings_rw = [rewrite(h) for h in havings]
+    emit_rw = {k: rewrite(v) for k, v in emit_op.kwargs.items()}
+    aggs = {name: _agg_expr(node) for name, node in hidden.values()}
+    res = windowed.aggregate(**aggs)
+    df = res.df
+    for h in havings_rw:
+        df = df.filter(to_column(h, resolver))
+    etype = None
+    if emit_op.args and isinstance(emit_op.args[0], (Lit, Ref)):
+        a0 = emit_op.args[0]
+        etype = a0.value if isinstance(a0, Lit) else a0.parts[0]
+    sel = [to_column(v, resolver).alias(k) for k, v in emit_rw.items()]
+    if etype is not None:
+        sel.insert(0, F.lit(etype).alias("event_type"))
+    # keep the window's event time for downstream windowing/joins
+    if res.ts_col in df.columns and res.ts_col not in emit_rw:
+        sel.append(F.col(res.ts_col))
+    return Stream(df.select(*sel), ts_col=res.ts_col, keys=out.keys)
+
+
+def _compile_window_pattern_op(windowed, out: Stream, op: OpCall) -> Stream:
+    """`.window(d) .pattern(alias: events => pred)` (sase_patterns.vpl
+    VelocityAlert): the window's collected event list is bound to the
+    lambda parameter; windows where the predicate holds emit one event
+    with `alias` = true. Lowered as collect_list(struct(*)) + a Catalyst
+    HOF predicate — the lambda stays JVM-side."""
+    if not op.kwargs:
+        raise ValueError(".pattern expects alias: lambda")
+    alias, lam = next(iter(op.kwargs.items()))
+    if not isinstance(lam, Lambda):
+        raise ValueError(".pattern expects a lambda (events => ...)")
+    res = windowed.aggregate(__events=F.collect_list(F.struct("*")))
+    df = res.df
+    param = lam.params[0]
+
+    def force_array(n):
+        # `events.len()` — the param is known array-typed here, so len/count
+        # dispatch to the array form regardless of the receiver heuristic
+        if (
+            isinstance(n, Call) and n.name in ("len", "count") and n.args
+            and isinstance(n.args[0], Ref) and n.args[0].parts == [param]
+        ):
+            return Call("size", n.args)
+        return n
+
+    body = _map_expr(lam.body, force_array)
+    pred = to_column(
+        body,
+        resolver=lambda ref: F.col("__events") if ref.parts == [param] else None,
+    )
+    df = df.filter(pred).withColumn(alias, F.lit(True)).drop("__events")
+    return Stream(df, ts_col=res.ts_col, keys=out.keys)
 
 
 def compile_relational_decl(
@@ -1407,17 +1537,37 @@ def _apply_relational_ops(
             norm.append(op)
     ops = norm
     windowed = None
+    pending_havings: list = []
     for op in ops:
         if op.name in ("print", "log", "tap", "to", "from", "context"):
             continue  # diagnostics / sink-bindings: no-ops in replay mode
         elif op.name in ("where", "filter", "having"):
+            if windowed is not None and _contains_agg(op.args[0]):
+                # HAVING over a pending window: resolved when the
+                # aggregate-bearing emit arrives (_compile_windowed_emit)
+                pending_havings.append(op.args[0])
+                continue
             cond = to_column(op.args[0], resolver)
             out = out.having(cond) if op.name == "having" else out.where(cond)
+        elif op.name == "pattern":
+            if windowed is None:
+                raise ValueError(".pattern(lambda) requires a window")
+            out = _compile_window_pattern_op(windowed, out, op)
+            windowed = None
         elif op.name == "select":
             cols = [".".join(a.parts) for a in op.args if isinstance(a, Ref)]
             named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
             out = out.select(*cols, **named)
         elif op.name == "emit":
+            if windowed is not None and (
+                pending_havings or any(_contains_agg(v) for v in op.kwargs.values())
+            ):
+                out = _compile_windowed_emit(
+                    windowed, out, op, pending_havings, resolver
+                )
+                windowed = None
+                pending_havings = []
+                continue
             named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
             etype = None
             if op.args and isinstance(op.args[0], Lit):
@@ -1441,7 +1591,20 @@ def _apply_relational_ops(
             windowed = out.window(size, sliding=sliding, session=session)
         elif op.name == "aggregate":
             aggs = {k: _agg_expr(v) for k, v in op.kwargs.items()}
-            out = (windowed or out).aggregate(**aggs)
+            # `zone: last(zone)` with partition_by(zone): the reference's
+            # aggregate output holds ONE field per alias — the alias
+            # shadows the auto-included group key (hvac_demo.vpl:89)
+            shadowed = [k for k in aggs if k in (out.keys or [])]
+            renames = {}
+            for k in shadowed:
+                tmp = f"__agg__{k}"
+                aggs[tmp] = aggs.pop(k)
+                renames[tmp] = k
+            res = (windowed or out).aggregate(**aggs)
+            df2 = res.df
+            for tmp, k in renames.items():
+                df2 = df2.drop(k).withColumnRenamed(tmp, k)
+            out = res._with(df2) if renames else res
             windowed = None
         elif op.name == "distinct":
             out = out.distinct(*[".".join(a.parts) for a in op.args if isinstance(a, Ref)])
@@ -1536,7 +1699,25 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
 
     def qualified(e: Ref):
         if len(e.parts) == 2 and e.parts[0] in names:
-            return F.col(f"{e.parts[0]}.{e.parts[1]}")
+            n, f = e.parts
+            if f in dfs[n].df.columns:
+                return F.col(f"{n}.{f}")
+            if f == "ts":
+                # `.ts` is the event-time accessor; an aggregate stream's
+                # event time lives in window_end (WindowedStream)
+                return F.col(f"{n}.{dfs[n].ts_col}")
+            # the reference is dynamically typed: a field the upstream
+            # emit didn't produce reads as null, not an analysis error
+            return F.lit(None)
+        if len(e.parts) == 1:
+            # bare ref over a join: both sides may carry the column
+            # (join keys, envelope cols) — resolve to the FIRST source
+            # that has it, in declaration order (the reference's scope
+            # resolution), instead of Spark's ambiguity error
+            f = e.parts[0]
+            for n in names:
+                if f in dfs[n].df.columns:
+                    return F.col(f"{n}.{f}")
         return None
 
     def conjuncts(e):
@@ -1655,11 +1836,20 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
     if pdecl.within is not None:
         within = pdecl.within.text if isinstance(pdecl.within, Dur) else pdecl.within.value
 
-    def steps_of(n) -> list[PatternStep]:
+    def steps_of(n) -> tuple[list[PatternStep], list[OpCall]]:
+        """Positive steps + synthesized `.not` ops for SEQ-embedded
+        negations (`SEQ(A, NOT B, C)` ≡ the global-negation guard the
+        chain compiler already models for `.not()`)."""
         if isinstance(n, PatSeq):
-            return [dc_replace(s) for s in n.items]
+            steps, negs = [], []
+            for s in n.items:
+                if isinstance(s, PatNot):
+                    negs.append(OpCall("not", [dc_replace(s.operand)]))
+                else:
+                    steps.append(dc_replace(s))
+            return steps, negs
         if isinstance(n, PatternStep):
-            return [dc_replace(n)]
+            return [dc_replace(n)], []
         raise ValueError(f"pattern form not supported here: {n}")
 
     def resolve_sources(steps: list[PatternStep]) -> Stream:
@@ -1679,9 +1869,9 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
         extra_ops.append(OpCall("within", [Dur(within) if isinstance(within, str) else Lit(within)]))
 
     if isinstance(node, (PatSeq, PatternStep)):
-        steps = steps_of(node)
+        steps, neg_ops = steps_of(node)
         src = resolve_sources(steps)
-        synth = StreamDecl(use.name, steps, extra_ops + use.ops)
+        synth = StreamDecl(use.name, steps, extra_ops + neg_ops + use.ops)
         if pdecl.partition_by:
             src = src.partition_by(pdecl.partition_by)
         return compile_pattern_decl(synth, src, env)
@@ -1698,9 +1888,9 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
         flatten(node)
         outs = []
         for b in branches:
-            steps = steps_of(b)
+            steps, neg_ops = steps_of(b)
             src = resolve_sources(steps)
-            synth = StreamDecl(use.name, steps, extra_ops + use.ops)
+            synth = StreamDecl(use.name, steps, extra_ops + neg_ops + use.ops)
             if pdecl.partition_by:
                 src = src.partition_by(pdecl.partition_by)
             outs.append(compile_pattern_decl(synth, src, env))
@@ -1880,26 +2070,71 @@ def run_program(
                 or any(op.name == "not" for op in decl.ops)
             )
             if is_pattern:
-                # steps naming a declared stream run over THAT stream
-                # (wildcard type); all steps must reference the same
-                # upstream for now.
+                # steps naming declared streams run over those streams
+                # (wildcard type). Multiple upstreams union with each
+                # stream's NAME as the event-type tag — the event-type
+                # router analog (engine/router.rs): a step matching
+                # `LoginStream` matches exactly the rows that stream
+                # produced.
                 refs = {s.event_type for s in decl.steps if s.event_type in env_streams}
                 src = stream
-                if refs:
-                    if len(refs) > 1:
-                        raise ValueError("pattern over multiple upstream streams not supported")
+                if len(refs) == 1:
                     src = env_streams[next(iter(refs))]
                     for s in decl.steps:
                         if s.event_type in env_streams:
                             s.event_type = None
+                elif len(refs) > 1:
+                    from varpulis_spark.operators.joins import merge_frames
+
+                    parts = [
+                        env_streams[r].df.withColumn("event_type", F.lit(r))
+                        for r in sorted(refs)
+                    ]
+                    # steps naming raw event types still read the ingest
+                    plain = {
+                        s.event_type for s in decl.steps
+                        if s.event_type and s.event_type not in env_streams
+                    }
+                    if plain:
+                        parts.append(
+                            stream.df.filter(F.col("event_type").isin(sorted(plain)))
+                        )
+                    oc = stream.order_col
+                    if not all(oc in p.columns for p in parts if oc):
+                        oc = None
+                    src = Stream(
+                        merge_frames(*parts), ts_col=stream.ts_col, order_col=oc
+                    )
                 out = compile_pattern_decl(decl, src, env)
             else:
                 s0 = decl.steps[0]
                 if s0.event_type in env_streams:
                     src = env_streams[s0.event_type]
-                    out = _apply_relational_ops(decl, src, typed=False, env=env)
+                    cols = set(src.df.columns)
+
+                    def null_missing(ref, _cols=cols):
+                        # derived streams are dynamically typed in the
+                        # reference: a field the upstream emit didn't
+                        # produce reads as null, not an analysis error
+                        if len(ref.parts) == 1 and ref.parts[0] not in _cols:
+                            return F.lit(None)
+                        if len(ref.parts) == 2 and ref.parts[1] not in _cols:
+                            return F.lit(None)  # alias-qualified missing field
+                        return None
+
+                    out = _apply_relational_ops(
+                        decl, src, typed=False, env=env, resolver=null_missing
+                    )
                 else:
                     out = compile_relational_decl(decl, stream, env)
+        # normalize: derived events always expose the envelope ts column
+        # (aggregates carry window_end; the reference's events all have ts)
+        ts_name = stream.ts_col
+        if ts_name not in out.df.columns and out.ts_col in out.df.columns:
+            out = Stream(
+                out.df.withColumn(ts_name, F.col(out.ts_col)),
+                ts_col=ts_name, keys=out.keys,
+            )
         env_streams[decl.name] = out
         results[decl.name] = out.df
     return results

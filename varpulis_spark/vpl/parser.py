@@ -133,6 +133,35 @@ class OpCall:
     kwargs: dict[str, object] = field(default_factory=dict)
 
 
+def _subst_ref(e, name: str, repl):
+    """Substitute Ref([name]) with `repl` (let-binding desugar)."""
+    s = lambda x: _subst_ref(x, name, repl)  # noqa: E731
+    if isinstance(e, Ref) and e.parts == [name]:
+        return repl
+    if isinstance(e, Bin):
+        return Bin(e.op, s(e.left), s(e.right))
+    if isinstance(e, Un):
+        return Un(e.op, s(e.operand))
+    if isinstance(e, Call):
+        return Call(e.name, [s(a) for a in e.args])
+    if isinstance(e, If):
+        return If(s(e.cond), s(e.then), s(e.other))
+    if isinstance(e, ListLit):
+        return ListLit([s(x) for x in e.items])
+    if isinstance(e, MapLit):
+        return MapLit([(s(k), s(v)) for k, v in e.items])
+    if isinstance(e, Lambda):
+        return e if name in e.params else Lambda(e.params, s(e.body))
+    if isinstance(e, Index):
+        return Index(s(e.obj), s(e.index))
+    if isinstance(e, Slice):
+        return Slice(s(e.obj), s(e.lo) if e.lo is not None else None,
+                     s(e.hi) if e.hi is not None else None)
+    if isinstance(e, Range):
+        return Range(s(e.lo), s(e.hi), e.inclusive)
+    return e
+
+
 # -- stream sources ---------------------------------------------------------
 
 
@@ -272,7 +301,7 @@ KEYWORDS = {
 }
 
 # keyword tokens that may still be used as `.method(...)` names
-_OP_NAME_KEYWORDS = {"not", "all", "where", "emit", "for", "in", "if", "else"}
+_OP_NAME_KEYWORDS = {"not", "all", "where", "emit", "for", "in", "if", "else", "pattern"}
 
 
 def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int]]:
@@ -563,7 +592,17 @@ class Parser:
         if self.peek()[0] in ("for", "emit"):
             body = self.stmts()
         else:
+            # `let name = expr` prelude lines desugar by substitution into
+            # the final expression (Block exprs, ast.rs:562-566)
+            lets: list[tuple[str, object]] = []
+            while self.peek() == ("ident", "let"):
+                self.next()
+                lname = self.expect("ident")[1]
+                self.expect("op", "=")
+                lets.append((lname, self.expr()))
             body = self.expr()
+            for lname, lexpr in reversed(lets):
+                body = _subst_ref(body, lname, lexpr)
         return FnDecl(name, params, ret, body)
 
     def stmts(self) -> list[object]:
@@ -655,7 +694,13 @@ class Parser:
             self.next()
             items = []
             while True:
-                items.append(self.pattern_step())
+                # `NOT Logout` inside SEQ — embedded negation
+                # (reusable_patterns.vpl pattern 6)
+                if self.peek() == ("ident", "NOT"):
+                    self.next()
+                    items.append(PatNot(self.pattern_step()))
+                else:
+                    items.append(self.pattern_step())
                 if self.accept("op", ")"):
                     break
                 self.expect("op", ",")
