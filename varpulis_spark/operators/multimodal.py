@@ -161,16 +161,22 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                buf = bytes(row[content_col])
-                n_frames = max(1, len(buf) // frame_bytes)
-                for fi in range(0, n_frames, every_n):
-                    d = dict(row)
-                    d["frame_index"] = fi
-                    d[content_col] = buf[fi * frame_bytes : (fi + 1) * frame_bytes]
-                    rows.append(d)
-            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["frame_index"])
+            # row-expansion via index repeat + per-row frame slicing
+            # (itertuples beats iterrows ~10x; the heavy column stays bytes)
+            bufs = [bytes(b) for b in pdf[content_col]]
+            counts = [
+                len(range(0, max(1, len(b) // frame_bytes), every_n)) for b in bufs
+            ]
+            out = pdf.loc[pdf.index.repeat(counts)].reset_index(drop=True)
+            frame_idx: list[int] = []
+            frames: list[bytes] = []
+            for b in bufs:
+                for fi in range(0, max(1, len(b) // frame_bytes), every_n):
+                    frame_idx.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            out["frame_index"] = frame_idx
+            out[content_col] = frames
+            yield out
 
     out_schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + ", frame_index int"
     return df.mapInPandas(run, out_schema)
