@@ -79,3 +79,46 @@ def test_late_split(spark):
     # allowed_lateness widens the acceptance band
     on_time2, late2 = s.late_split("60s", allowed_lateness="10m")
     assert late2.count() == 0
+
+
+def test_lag_single_shuffle(spark, sf_dir):
+    """prev/lag: one hash exchange on the partition key feeding one window
+    sort — no extra shuffles, no Python."""
+    df = E.queries()["lag_delta"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_trend_multi_single_pass(spark, sf_dir):
+    """Hamlet multi-query: ONE scan of events and ONE keyed exchange feed
+    all 10 queries (shared scan/shuffle/sort + grouped DPs)."""
+    df = E.queries()["trend_multi"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    # the single pinned repartition for the keyed python stage
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_exchanges_carry_no_text(spark, sf_dir):
+    """Near-dup pipeline: document text reaches only the signature UDF;
+    every exchange carries ids/buckets/signatures."""
+    from varpulis_spark.operators import dedup as D
+    from varpulis_spark.engine import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.minhash_near_dup_pairs(docs, threshold=0.4)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", explained):
+        section = m.group(1)
+        if "RoundRobinPartitioning" in section:
+            # spread()'s pre-UDF fan-out: only exists when the local input
+            # arrives as fewer splits than cores — a no-op on a real
+            # cluster (dedup.spread docstring), so it may carry text here
+            continue
+        assert "text#" not in section and "__t#" not in section, section
+    D.release_caches()
