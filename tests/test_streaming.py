@@ -275,3 +275,34 @@ def test_streaming_distinct_ttl_bounds_state(spark, sf_dir, replay_dir):
         )
     }
     assert set(got) == exp  # every distinct key surfaced
+
+
+def test_streaming_forecast_matches_batch(spark, sf_dir, replay_dir):
+    """Streaming forecast (engine pickled into the state store across
+    micro-batches) must reproduce the batch operator exactly on replay —
+    the PST/Hawkes/conformal state carries over batch boundaries."""
+    from varpulis_spark.operators.forecast import forecast
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1, order_col="event_id"
+    )
+    out = S.forecast_streaming(
+        src.partition_by("user_id"), ["signup", "purchase"],
+        warmup=20, mode="fast",
+    )
+    S.run_to_memory(out, "fc_stream")
+    got = sorted(
+        (r.user_id, r.event_id, r.next_step, round(r.completion_prob, 9))
+        for r in spark.sql(
+            "SELECT user_id, event_id, next_step, completion_prob FROM fc_stream"
+        ).collect()
+    )
+    exp = sorted(
+        (r.user_id, r.event_id, r.next_step, round(r.completion_prob, 9))
+        for r in forecast(
+            Stream.events(spark, sf_dir).partition_by("user_id"),
+            ["signup", "purchase"], warmup=20, mode="fast",
+        ).select("user_id", "event_id", "next_step", "completion_prob").collect()
+    )
+    assert got == exp and len(got) > 0

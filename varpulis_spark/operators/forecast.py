@@ -33,7 +33,7 @@ pandas iterrows.
 from __future__ import annotations
 
 import math
-from collections import defaultdict, deque
+from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -51,11 +51,12 @@ MAX_ACTIVE_RUNS = 64  # bounded run state per key (reference caps SASE runs)
 
 
 class OnlinePST:
-    """Variable-order Markov with back-off over contexts up to max_depth."""
+    """Variable-order Markov with back-off over contexts up to max_depth.
+    Plain-dict state (picklable — streaming snapshots the whole model)."""
 
     def __init__(self, max_depth: int = 3):
         self.max_depth = max_depth
-        self.counts: dict[tuple, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        self.counts: dict[tuple, dict[str, int]] = {}
         self.alphabet: set[str] = set()
 
     def update(self, history: list[str], symbol: str) -> None:
@@ -63,7 +64,8 @@ class OnlinePST:
         for d in range(0, self.max_depth + 1):
             ctx = tuple(history[-d:]) if d else ()
             if d <= len(history):
-                self.counts[ctx][symbol] += 1
+                c = self.counts.setdefault(ctx, {})
+                c[symbol] = c.get(symbol, 0) + 1
 
     def prob(self, history: list[str], symbol: str) -> float:
         """Back-off: deepest context with data wins; +1 smoothing."""
@@ -189,6 +191,124 @@ def _completion_prob(
     return min(1.0, prob[state])
 
 
+class ForecastEngine:
+    """Resumable per-key forecasting state: PST, Hawkes trackers, conformal
+    calibrator, active NFA runs, stability counters. One `process()` call
+    per event in arrival order; picklable, so the streaming path snapshots
+    it in the state store between micro-batches (the batch path holds one
+    per group for the whole group)."""
+
+    def __init__(
+        self, pattern_types, max_depth, warmup, confidence,
+        hawkes, conformal, coverage, max_steps, span_ns,
+    ):
+        self.pattern_types = pattern_types
+        self.m = len(pattern_types)
+        self.max_depth = max_depth
+        self.warmup = warmup
+        self.confidence = confidence
+        self.max_steps = max_steps
+        self.span_ns = span_ns
+        self.pst = OnlinePST(max_depth)
+        self.hawkes = {t: HawkesIntensity() for t in pattern_types} if hawkes else None
+        self.cal = ConformalCalibrator(coverage) if conformal else None
+        self.history: list[str] = []
+        # runs hold the START EVENT's row values (streaming can't reach
+        # back into previous batches): [start_ns, state, last_pred, row]
+        self.runs: list[list] = []
+        self.last_pred: dict[int, float] = {}
+        self.stable = 0
+        self.avg_dt = 0.0  # EMA inter-event ns (markov_chain.rs:186-196)
+        self.prev_now: int | None = None
+        self.seen = 0
+
+    def process(self, et: str, now: int, row) -> tuple | None:
+        """Feed one event; returns (next_step, active_runs, prob, lo, hi,
+        fconf, expected_us, first_row) when a forecast fires, else None."""
+        m, types = self.m, self.pattern_types
+        if self.prev_now is not None:
+            d = max(0.0, float(now - self.prev_now))
+            self.avg_dt = d if self.avg_dt == 0.0 else 0.95 * self.avg_dt + 0.05 * d
+        self.prev_now = now
+
+        # expire runs past the span (negative outcomes for conformal)
+        if self.span_ns is not None:
+            alive = []
+            for r in self.runs:
+                if now - r[0] > self.span_ns:
+                    if self.cal is not None and r[2] is not None:
+                        self.cal.record(r[2], completed=False)
+                else:
+                    alive.append(r)
+            self.runs = alive
+
+        # advance NFA runs
+        completed_any = False
+        for r in self.runs:
+            if r[1] < m and et == types[r[1]]:
+                r[1] += 1
+                if r[1] == m:
+                    completed_any = True
+        if completed_any:
+            for r in self.runs:
+                if r[1] == m and self.cal is not None and r[2] is not None:
+                    self.cal.record(r[2], completed=True)
+            self.runs = [r for r in self.runs if r[1] < m]
+        if et == types[0] and m > 1:
+            self.runs.append([now, 1, None, row])
+        if len(self.runs) > MAX_ACTIVE_RUNS:
+            self.runs = sorted(self.runs, key=lambda r: -r[1])[:MAX_ACTIVE_RUNS]
+
+        # online updates BEFORE forecasting (markov_chain.rs process order)
+        self.pst.update(self.history, et)
+        self.history.append(et)
+        self.history = self.history[-self.max_depth:]
+        if self.hawkes is not None and et in self.hawkes:
+            self.hawkes[et].update(now)
+
+        self.seen += 1
+        if self.seen < self.warmup or not self.runs:
+            return None
+
+        best = max(self.runs, key=lambda r: r[1])
+        p_next = [self.pst.prob(self.history, t) for t in types]
+        boosts = (
+            [self.hawkes[t].boost(now) for t in types]
+            if self.hawkes is not None else None
+        )
+        prob = _completion_prob(best[1], m, p_next, boosts, self.max_steps)
+        best[2] = prob
+
+        # prediction-stability confidence (markov_chain.rs:279-318)
+        skey = (best[1] << 8) ^ hash(self.history[-1]) % 251
+        prev = self.last_pred.get(skey)
+        self.last_pred[skey] = prob
+        if prev is not None:
+            self.stable = (
+                self.stable + 1 if abs(prob - prev) < 0.05 else max(0, self.stable - 1)
+            )
+        fconf = min(1.0, self.stable / 10.0)
+        lo, hi = self.cal.interval(prob) if self.cal is not None else (0.0, 1.0)
+        if prob < self.confidence:
+            return None
+        # expected waiting time: per-step geometric waits × EMA gap
+        # (deterministic analog of estimate_waiting_time, markov_chain.rs)
+        exp_steps = sum(1.0 / max(p_next[j], 1e-3) for j in range(best[1], m))
+        exp_us = int(min(exp_steps * self.avg_dt, 9e17) / 1_000)
+        return best[1], len(self.runs), prob, lo, hi, fconf, exp_us, best[3]
+
+
+def _resolve_params(mode, max_depth, warmup, horizon, within):
+    from varpulis_spark.functions import duration_ns
+
+    preset = MODES.get(mode or "balanced", MODES["balanced"])
+    max_depth = max_depth if max_depth is not None else preset["max_depth"]
+    warmup = warmup if warmup is not None else preset["warmup"]
+    span = horizon if horizon is not None else within
+    span_ns = duration_ns(span) if span is not None else None
+    return max_depth, warmup, preset["max_steps"], span_ns
+
+
 def forecast(
     stream,
     pattern_types: list[str],
@@ -213,14 +333,9 @@ def forecast(
     `horizon`/`within`: run-expiry span (duration string or ns); expired
     runs count as negative outcomes for conformal calibration.
     """
-    from varpulis_spark.functions import duration_ns
-
-    preset = MODES.get(mode or "balanced", MODES["balanced"])
-    max_depth = max_depth if max_depth is not None else preset["max_depth"]
-    warmup = warmup if warmup is not None else preset["warmup"]
-    max_steps = preset["max_steps"]
-    span = horizon if horizon is not None else within
-    span_ns = duration_ns(span) if span is not None else None
+    max_depth, warmup, max_steps, span_ns = _resolve_params(
+        mode, max_depth, warmup, horizon, within
+    )
 
     df = stream.df
     ts_col = stream.ts_col
@@ -248,110 +363,31 @@ def forecast(
         "prob_hi double, forecast_confidence double, expected_time_us long, "
         + first_fields
     )
-    m = len(pattern_types)
-
     def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ets = pdf["event_type"].to_numpy()
         ts_ns = pdf[ts_col].astype("int64").to_numpy()
         ts_vals = pdf[ts_col].to_numpy()
         ids = pdf[id_field].to_numpy()
+        row_vals = list(pdf[in_cols].itertuples(index=False, name=None))
 
-        pst = OnlinePST(max_depth)
-        hawkes_by_type = {t: HawkesIntensity() for t in pattern_types} if hawkes else None
-        cal = ConformalCalibrator(coverage) if conformal else None
-        history: list[str] = []
-        runs: list[list] = []  # [start_ns, state, last_pred, start_row_idx]
-        last_pred: dict[int, float] = {}
-        stable = 0
-        avg_dt = 0.0  # EMA of inter-event ns (markov_chain.rs:186-196)
-        prev_now = None
+        eng = ForecastEngine(
+            pattern_types, max_depth, warmup, confidence,
+            hawkes, conformal, coverage, max_steps, span_ns,
+        )
         rows = []
-
         for i in range(len(ets)):
-            et = ets[i]
-            now = int(ts_ns[i])
-            if prev_now is not None:
-                d = max(0.0, float(now - prev_now))
-                avg_dt = d if avg_dt == 0.0 else 0.95 * avg_dt + 0.05 * d
-            prev_now = now
-
-            # --- expire runs past the span (negative outcomes) ---
-            if span_ns is not None:
-                alive = []
-                for r in runs:
-                    if now - r[0] > span_ns:
-                        if cal is not None and r[2] is not None:
-                            cal.record(r[2], completed=False)
-                    else:
-                        alive.append(r)
-                runs = alive
-
-            # --- advance NFA runs on this event ---
-            completed_any = False
-            for r in runs:
-                if r[1] < m and et == pattern_types[r[1]]:
-                    r[1] += 1
-                    if r[1] == m:
-                        completed_any = True
-            if completed_any:
-                for r in runs:
-                    if r[1] == m and cal is not None and r[2] is not None:
-                        cal.record(r[2], completed=True)
-                runs = [r for r in runs if r[1] < m]
-            if et == pattern_types[0] and m > 1:
-                runs.append([now, 1, None, i])
-            if len(runs) > MAX_ACTIVE_RUNS:
-                runs = sorted(runs, key=lambda r: -r[1])[:MAX_ACTIVE_RUNS]
-
-            # --- online updates (PST + Hawkes) BEFORE forecasting, matching
-            # markov_chain.rs process() order ---
-            pst.update(history, et)
-            history.append(et)
-            history = history[-max_depth:]
-            if hawkes_by_type is not None and et in hawkes_by_type:
-                hawkes_by_type[et].update(now)
-
-            seen = i + 1
-            if seen < warmup or not runs:
+            fired = eng.process(ets[i], int(ts_ns[i]), row_vals[i])
+            if fired is None:
                 continue
-
-            best = max(runs, key=lambda r: r[1])
-            p_next = [pst.prob(history, t) for t in pattern_types]
-            boosts = (
-                [hawkes_by_type[t].boost(now) for t in pattern_types]
-                if hawkes_by_type is not None
-                else None
+            step, nruns, prob, lo, hi, fconf, exp_us, first_row = fired
+            rows.append(
+                list(key_tuple)
+                + [ids[i]]
+                + ([ts_vals[i]] if carry_ts else [])
+                + [step, nruns, prob, lo, hi, fconf, exp_us]
+                + list(first_row)
             )
-            prob = _completion_prob(best[1], m, p_next, boosts, max_steps)
-            best[2] = prob
-
-            # prediction-stability confidence (markov_chain.rs:279-318)
-            skey = (best[1] << 8) ^ hash(history[-1]) % 251
-            prev = last_pred.get(skey)
-            last_pred[skey] = prob
-            if prev is not None:
-                stable = stable + 1 if abs(prob - prev) < 0.05 else max(0, stable - 1)
-            fconf = min(1.0, stable / 10.0)
-
-            lo, hi = cal.interval(prob) if cal is not None else (0.0, 1.0)
-            if prob >= confidence:
-                # expected waiting time: E[transitions remaining] with
-                # per-step geometric waits × EMA inter-event gap
-                # (deterministic analog of estimate_waiting_time's Monte
-                # Carlo, markov_chain.rs:472+)
-                exp_steps = sum(
-                    1.0 / max(p_next[j], 1e-3) for j in range(best[1], m)
-                )
-                exp_us = int(min(exp_steps * avg_dt, 9e17) / 1_000)
-                first_row = pdf.iloc[best[3]]
-                rows.append(
-                    list(key_tuple)
-                    + [ids[i]]
-                    + ([ts_vals[i]] if carry_ts else [])
-                    + [best[1], len(runs), prob, lo, hi, fconf, exp_us]
-                    + [first_row[c] for c in in_cols]
-                )
 
         cols = (
             list(keys)

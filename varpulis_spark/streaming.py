@@ -70,6 +70,7 @@ def file_source(
     ts_col: str = "ts",
     max_files_per_trigger: int | None = None,
     ns_timestamp_cols: list[str] | None = None,
+    order_col: str | None = None,
 ) -> Stream:
     """Directory replay source (S3/file connector analog, connector/s3.rs).
 
@@ -101,7 +102,7 @@ def file_source(
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
-    return Stream(df, ts_col=ts_col)
+    return Stream(df, ts_col=ts_col, order_col=order_col)
 
 
 def kafka_source(
@@ -283,6 +284,102 @@ def count_window_streaming(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return Stream(out, ts_col=stream.ts_col, keys=keys)
+
+
+def forecast_streaming(
+    stream: Stream,
+    pattern_types: list[str],
+    horizon=None,
+    max_depth: int | None = None,
+    warmup: int | None = None,
+    confidence: float = 0.0,
+    within=None,
+    hawkes: bool = True,
+    conformal: bool = True,
+    mode: str | None = None,
+    coverage: float = 0.9,
+) -> Stream:
+    """Streaming `.forecast(...)` — the reference's native mode (the PST
+    trains as events arrive). The per-key `ForecastEngine` (PST + Hawkes +
+    conformal + active runs) is pickled into the state store between
+    micro-batches, so restarts resume the model from the checkpoint.
+    Output schema matches the batch operator (operators/forecast.py)."""
+    import pickle
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from varpulis_spark.operators.forecast import ForecastEngine, _resolve_params
+
+    max_depth, warmup, max_steps, span_ns = _resolve_params(
+        mode, max_depth, warmup, horizon, within
+    )
+    df = stream.df
+    keys = stream.keys
+    if not keys:
+        raise ValueError("forecast requires partition_by (per-key model)")
+    ts_col = stream.ts_col
+    order_col = stream.order_col
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    id_field = order_col or ts_col
+    id_type = dict(df.dtypes)[id_field]
+    in_cols = [c for c, _t in df.dtypes]
+    carry_ts = order_col is not None and ts_col != id_field
+    ts_part = f"{ts_col} timestamp, " if carry_ts else ""
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    first_fields = ", ".join(f"__first_{c} {t}" for c, t in df.dtypes)
+    out_schema = (
+        f"{key_fields}, {id_field} {id_type}, {ts_part}next_step int, "
+        "active_runs int, completion_prob double, prob_lo double, "
+        "prob_hi double, forecast_confidence double, expected_time_us long, "
+        + first_fields
+    )
+    out_cols = (
+        list(keys)
+        + [id_field]
+        + ([ts_col] if carry_ts else [])
+        + ["next_step", "active_runs", "completion_prob", "prob_lo", "prob_hi",
+           "forecast_confidence", "expected_time_us"]
+        + [f"__first_{c}" for c in in_cols]
+    )
+
+    def run(key, pdfs, state):
+        eng = (
+            pickle.loads(state.get[0])
+            if state.exists
+            else ForecastEngine(
+                pattern_types, max_depth, warmup, confidence,
+                hawkes, conformal, coverage, max_steps, span_ns,
+            )
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            ts_vals = pdf[ts_col].to_numpy()
+            ets = pdf["event_type"].to_numpy()
+            ids = pdf[id_field].to_numpy()
+            row_vals = list(pdf[in_cols].itertuples(index=False, name=None))
+            for i in range(len(ets)):
+                fired = eng.process(ets[i], int(ts_ns[i]), row_vals[i])
+                if fired is None:
+                    continue
+                step, nruns, prob, lo, hi, fconf, exp_us, first_row = fired
+                rows.append(
+                    list(key)
+                    + [ids[i]]
+                    + ([ts_vals[i]] if carry_ts else [])
+                    + [step, nruns, prob, lo, hi, fconf, exp_us]
+                    + list(first_row)
+                )
+        state.update((pickle.dumps(eng),))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        run, out_schema, "eng binary", "append", GroupStateTimeout.NoTimeout
+    )
+    return Stream(out, ts_col=ts_col, keys=keys)
 
 
 def distinct_streaming(
