@@ -16,8 +16,9 @@ to hash-match:
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
 Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
-`kleene_purchases`) are non-SQL-expressible (LSH banding / exhaustive SASE+
-Kleene closures); the driver records rows-only checks for them.
+`kleene_purchases`, `greta_rising`) are non-SQL-expressible (LSH banding /
+exhaustive SASE+ Kleene closures / predicate-gated GRETA DP); the driver
+records rows-only checks for them.
 """
 
 from __future__ import annotations
