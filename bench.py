@@ -65,6 +65,9 @@ def main() -> None:
                 rows[name] = fn(spark, sf_dir).count()
                 samples.append(time.time() - t0)
                 spark.catalog.clearCache()
+                from varpulis_spark.operators.dedup import release_caches
+
+                release_caches()  # drop registry refs alongside the cache
             samples.sort()
             times[name] = round(samples[len(samples) // 2], 3)
             spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
