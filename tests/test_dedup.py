@@ -172,7 +172,9 @@ def test_exact_dedup_fingerprint_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     raw = sorted(
         (r.doc_id, r.dup_count)
-        for r in D.exact_dedup(docs, on="text", id_col="doc_id").select("doc_id", "dup_count").collect()
+        for r in D.exact_dedup(docs, on="text", id_col="doc_id", fingerprint=False)
+        .select("doc_id", "dup_count")
+        .collect()
     )
     fp = sorted(
         (r.doc_id, r.dup_count)
@@ -212,3 +214,56 @@ def test_exact_dedup_null_key(spark):
             for r in D.exact_dedup(df, on="t", id_col="id", fingerprint=fp).collect()
         }
         assert out == {(1, 2), (3, 2), (5, 1)}
+
+
+def test_exact_dedup_fingerprint_injective(spark):
+    """Constructable preimage collisions must NOT merge: field-boundary
+    shifts around the separator byte, and NULL vs a literal NUL sentinel.
+    Each key column is hashed individually before combining (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a\x1f", "b"),
+            (2, "a", "\x1fb"),  # same concat_ws('\x1f') image as row 1
+            (3, None, "z"),
+            (4, "\x00", "z"),  # old NULL sentinel as a literal value
+            (5, "a\x1f", "b"),  # true duplicate of row 1
+        ],
+        ["id", "k1", "k2"],
+    )
+    out = {
+        (r.id, r.dup_count)
+        for r in D.exact_dedup(df, on=["k1", "k2"], id_col="id").collect()
+    }
+    assert out == {(1, 2), (2, 1), (3, 1), (4, 1)}
+
+
+def test_exact_dedup_auto_fingerprint_default(spark, sf_dir):
+    """String keys auto-route through md5 (fingerprint=None default): the
+    DEFAULT call must keep text out of every exchange, with one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.exact_dedup(docs, on="text", id_col="doc_id").select("doc_id", "dup_count")
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", explained):
+        assert "text#" not in m.group(1), f"exchange carries text:\n{m.group(1)}"
+    assert "Exchange" in explained
+    # one-scan plan: the window formulation must not scan the source twice
+    assert len(re.findall(r"\(\d+\) Scan parquet", explained)) == 1
+
+
+def test_no_rdd_access_in_package():
+    """`.rdd` materializes the plan and breaks under Spark Connect — banned
+    from the package (VERDICT r3 task 7)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(D.__file__).resolve().parents[1]
+    hits = []
+    for p in root.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.rdd\b", line):
+                hits.append(f"{p}:{i}: {line.strip()}")
+    assert not hits, "\n".join(hits)

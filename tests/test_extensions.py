@@ -119,6 +119,15 @@ def test_forecast_spark_periodic(spark):
         assert r.active_runs >= 1
 
 
+def test_forecast_single_step_pattern_rejected():
+    """A 1-type pattern completes on arrival — nothing to forecast. The
+    engine raises instead of silently emitting nothing (ADVICE r3)."""
+    from varpulis_spark.operators.forecast import ForecastEngine
+
+    with pytest.raises(ValueError, match="at least|>= 2|2 event types"):
+        ForecastEngine(["A"], 5, 10, 0.0, True, True, 0.9, None, None)
+
+
 def test_forecast_no_run_no_emission(spark):
     """Events that never start the pattern produce no forecasts — the
     NFA-run tracker (not a linear counter) gates emission."""

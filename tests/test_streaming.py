@@ -231,6 +231,50 @@ def test_streaming_sliding_count_window(spark, sf_dir, replay_dir):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_multi_chunk_group_order(spark, tmp_path):
+    """A key whose micro-batch spans several Arrow chunks must feed the
+    stateful ops in GLOBAL event-time order (ADVICE r3: chunks were sorted
+    independently, so cross-chunk scrambles corrupted order-sensitive
+    state). Forces ≤8-row chunks and a shuffled 100-row single-key batch;
+    limit(5) must return the globally-earliest 5, count windows must match
+    batch."""
+    import random
+    from datetime import datetime, timedelta
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        t0 = datetime(2024, 1, 1)
+        rows = [(i, t0 + timedelta(seconds=i), 1, "e", float(i)) for i in range(100)]
+        random.Random(3).shuffle(rows)
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        src_dir = os.path.join(str(tmp_path), "in")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+        sschema = spark.read.parquet(src_dir).schema
+
+        src = S.file_source(spark, src_dir, sschema)
+        out = S.limit_streaming(src.partition_by("user_id"), 5)
+        S.run_to_memory(out, "chunk_lim")
+        got = sorted(r.event_id for r in spark.sql("SELECT * FROM chunk_lim").collect())
+        assert got == [0, 1, 2, 3, 4]
+
+        src = S.file_source(spark, src_dir, sschema)
+        out = S.count_window_streaming(
+            src.partition_by("user_id"), 20, {"first_id": ("first", "event_id")}
+        )
+        S.run_to_memory(out, "chunk_cw")
+        got = sorted(
+            (r.window_id, r.first_id)
+            for r in spark.sql("SELECT * FROM chunk_cw").collect()
+        )
+        assert got == [(w, float(w * 20)) for w in range(5)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_streaming_distinct_matches_batch(spark, sf_dir, replay_dir):
     """Without TTL, streaming distinct equals batch distinct-earliest."""
     schema = Stream.events(spark, sf_dir).df.schema

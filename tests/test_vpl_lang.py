@@ -783,6 +783,23 @@ Reading { v: 1.0 }
     assert r.seq == [1, 2, 3] and r.seq_inc == [1, 2, 3]
 
 
+def test_empty_range_is_empty(spark):
+    """`a..a` (exclusive) is []: Spark's sequence() would default to step
+    -1 and yield a descending 2-element array without the guard (ADVICE
+    r3) — and `x in a..a` must be false, matching the Python evaluator."""
+    res = run_inline(spark, """
+stream T = Reading
+    .emit(e: 5..5, rev_guard: 3..1, hit: 2 in 2..2, ok: 2 in 2..=2)
+""", """
+Reading { v: 1.0 }
+""")
+    r = res["T"].collect()[0]
+    assert r.e == []
+    assert r.rev_guard == []
+    assert r.hit is False
+    assert r.ok is True
+
+
 def test_map_literal_and_lookup(spark):
     res = run_inline(spark, """
 stream T = Reading

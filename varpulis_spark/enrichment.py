@@ -120,8 +120,13 @@ class HttpProvider:
 
 
 # per-python-worker provider/cache instances, keyed by operator id —
-# worker reuse keeps them alive across Arrow batches and micro-batches
-_WORKER_STATE: dict[str, tuple[object, TTLCache]] = {}
+# worker reuse keeps them alive across Arrow batches and micro-batches.
+# LRU-bounded: each enrich call mints a fresh operator id, so an unbounded
+# dict would leak one provider+cache per call for the worker's lifetime.
+from collections import OrderedDict
+
+_WORKER_STATE: "OrderedDict[str, tuple[object, TTLCache]]" = OrderedDict()
+_MAX_WORKER_STATE = 64
 
 
 def enrich_with_provider(
@@ -139,8 +144,11 @@ def enrich_with_provider(
     the reference's implicit enrich_status field).
 
     `fields` may be a dict name→spark-type (default: all string).
-    `timeout` bounds each lookup wall-clock (reference EnrichmentError::
-    Timeout): a lookup exceeding it records a miss for the key.
+    `timeout` is a POST-HOC bound (reference EnrichmentError::Timeout): it
+    is checked after the lookup returns, so a lookup that took longer is
+    recorded as a miss — but a provider that HANGS still blocks the worker
+    unless the provider enforces its own deadline (HttpProvider does, via
+    the socket timeout; custom providers should too).
     """
     import uuid
 
@@ -173,6 +181,10 @@ def enrich_with_provider(
         if state is None:
             state = (provider, TTLCache(ttl_s))
             _WORKER_STATE[op_id] = state
+            while len(_WORKER_STATE) > _MAX_WORKER_STATE:
+                _WORKER_STATE.popitem(last=False)  # evict least-recently-used
+        else:
+            _WORKER_STATE.move_to_end(op_id)
         prov, cache = state
         for pdf in batches:
             keys = pdf[key]

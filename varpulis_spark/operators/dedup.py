@@ -62,15 +62,33 @@ def release_caches() -> None:
         _PERSISTED.pop().unpersist()
 
 
+def _parallelism(df: DataFrame) -> int:
+    """Target partition count for CPU-heavy UDF stages, without touching
+    the RDD API (Spark Connect has no sparkContext)."""
+    spark = df.sparkSession
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: fall back to the shuffle width
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before a CPU-heavy UDF.
 
     Small local files arrive as one input split, serializing Arrow-UDF work;
-    on a real cluster with many input splits this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    on a real cluster the scan already yields many splits and this is a
+    no-op. The split count is estimated from the scan's file list
+    (`inputFiles()`, plan-only — no job runs and no RDD conversion, so it
+    works under Spark Connect); files can split further by
+    maxPartitionBytes, so this undercounts only in the direction that
+    skips the extra shuffle."""
+    target = _parallelism(df)
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 def spread_keys(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -82,8 +100,7 @@ def spread_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     happily coalesces them onto 1-2 tasks. An explicit repartition(N, keys)
     pins the partition count; it is the SAME hash distribution the keyed op
     needs, so no extra shuffle is introduced."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(_parallelism(df), *[F.col(k) for k in keys])
 
 
 # ---------------------------------------------------------------------------
@@ -91,47 +108,65 @@ def spread_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fingerprint_col(df: DataFrame, on: list[str]) -> "F.Column":
+    """Injective 128-bit fingerprint over the key columns.
+
+    Each column is hashed INDIVIDUALLY before combining (md5 per field,
+    then md5 over the '\\x1f'-joined digests), so the encoding is injective:
+    separator bytes or NUL sentinels inside a value cannot collide with
+    field boundaries (['a\\x1f','b'] vs ['a','\\x1fb'] fingerprint
+    differently, as do NULL vs a literal '\\x00'). NULL hashes to a 1-char
+    marker that no 32-hex digest can equal; all-NULL keys therefore group
+    together, matching null-safe-equality dedup semantics."""
+    dtypes = dict(df.dtypes)
+    parts = [
+        F.coalesce(
+            F.md5(F.col(c) if dtypes.get(c) == "binary" else F.col(c).cast("string")),
+            F.lit("-"),
+        )
+        for c in on
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts)) if len(parts) > 1 else parts[0]
+
+
 def exact_dedup(
-    df: DataFrame, on: list[str] | str, id_col: str, fingerprint: bool = False
+    df: DataFrame, on: list[str] | str, id_col: str, fingerprint: bool | None = None
 ) -> DataFrame:
     """Keep the lowest-id row per duplicate group; adds `dup_count`.
 
-    One shuffle keyed by `on`; resolved via min/count agg (no sort/window).
+    ONE scan and ONE exchange: min/count window over the key (an agg +
+    join-back would scan the source twice and shuffle twice — at 100 TB the
+    second full scan dominates). The window's local sort is on the grouping
+    key only (32-char fingerprints), spillable and partition-local.
 
-    With ``fingerprint=True`` the grouping key is md5 over the key columns,
-    so a wide key (the full document text) never enters an exchange — both
-    the aggregation and the join-back shuffle carry a 32-char key, and
-    Catalyst prunes the text column entirely when the caller doesn't select
-    it. 128-bit fingerprints are collision-safe at any realistic corpus
-    size (p ≈ n²/2¹²⁹)."""
+    With ``fingerprint=True`` the grouping key is an injective md5 over the
+    key columns (`fingerprint_col`), so a wide key (the full document text)
+    never enters an exchange — the shuffle carries a 32-char key and
+    Catalyst prunes the text column when the caller doesn't select it.
+    128-bit fingerprints are collision-safe at any realistic corpus size
+    (p ≈ n²/2¹²⁹). Default (None): auto-fingerprint whenever any key
+    column is a string/binary — unbounded-width keys should never ride an
+    exchange raw. `fingerprint=False` forces raw keys (window partitionBy
+    groups NULLs together, same as null-safe equality)."""
     on = [on] if isinstance(on, str) else list(on)
+    dtypes = dict(df.dtypes)
+    if fingerprint is None:
+        fingerprint = any(dtypes.get(c) in ("string", "binary") for c in on)
+    from pyspark.sql.window import Window
+
     if fingerprint:
-        fp = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in on],
-            )
-        )
-        keyed = df.withColumn("__fp", fp)
-        keep = keyed.groupBy("__fp").agg(
-            F.min(F.col(id_col)).alias("__keep_id"),
-            F.count(F.lit(1)).alias("dup_count"),
-        )
-        return (
-            keyed.join(keep, "__fp")
-            .filter(F.col(id_col) == F.col("__keep_id"))
-            .drop("__fp", "__keep_id")
-        )
-    keep = (
-        df.groupBy(*[F.col(c) for c in on])
-        .agg(
-            F.min(F.col(id_col)).alias("__keep_id"),
-            F.count(F.lit(1)).alias("dup_count"),
-        )
+        keyed = df.withColumn("__fp", fingerprint_col(df, on))
+        part_cols, drop_cols = ["__fp"], ["__fp", "__keep_id"]
+    else:
+        keyed = df
+        part_cols, drop_cols = on, ["__keep_id"]
+    w = Window.partitionBy(*part_cols)
+    return (
+        keyed.withColumn("__keep_id", F.min(F.col(id_col)).over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop(*drop_cols)
     )
-    return df.join(
-        keep, [df[c].eqNullSafe(keep[c]) for c in on], "inner"
-    ).filter(F.col(id_col) == F.col("__keep_id")).drop("__keep_id", *[keep[c] for c in on])
 
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,12 @@ class ForecastEngine:
         self, pattern_types, max_depth, warmup, confidence,
         hawkes, conformal, coverage, max_steps, span_ns,
     ):
+        if len(pattern_types) < 2:
+            raise ValueError(
+                "forecast requires a pattern of >= 2 event types; got "
+                f"{pattern_types!r} — a single-step pattern completes on "
+                "arrival, so there is nothing to forecast"
+            )
         self.pattern_types = pattern_types
         self.m = len(pattern_types)
         self.max_depth = max_depth

@@ -257,9 +257,15 @@ def count_window_streaming(
         if state.exists:
             win, base, buf = state.get
             leftover = pickle.loads(buf)
-        batches = [] if leftover is None or leftover.empty else [leftover]
-        for pdf in pdfs:
-            batches.append(pdf.sort_values(sort_cols, kind="mergesort"))
+        # applyInPandasWithState gives no cross-chunk ordering guarantee:
+        # concat ALL Arrow chunks of the group first, then sort once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        new = (
+            pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            if chunks
+            else None
+        )
+        batches = [b for b in (leftover, new) if b is not None and not b.empty]
         all_rows = pd.concat(batches) if batches else pd.DataFrame()
         rows = []
         # window `win` fires once row (win·slide + size − 1) has arrived
@@ -354,8 +360,12 @@ def forecast_streaming(
             )
         )
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # concat ALL Arrow chunks first, then sort once — per-chunk sorting
+        # would feed the online PST/NFA out of event-time order whenever a
+        # key's micro-batch spans multiple chunks
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
             ts_ns = pdf[ts_col].astype("int64").to_numpy()
             ts_vals = pdf[ts_col].to_numpy()
             ets = pdf["event_type"].to_numpy()
@@ -422,15 +432,15 @@ def distinct_streaming(
         if state.hasTimedOut:
             state.remove()
             return
+        # concat ALL chunks, sort once — the event-time-first row may sit in
+        # any chunk, not necessarily the first
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         first = None
         last_ts_ms = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            if len(pdf):
-                if first is None:
-                    first = pdf.iloc[:1]
-                ts_ms = int(pdf[ts_col].astype("int64").max() // 1_000_000)
-                last_ts_ms = ts_ms if last_ts_ms is None else max(last_ts_ms, ts_ms)
+        if chunks:
+            all_rows = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            first = all_rows.iloc[:1]
+            last_ts_ms = int(all_rows[ts_col].astype("int64").max() // 1_000_000)
         def arm_ttl():
             # timeout must sit strictly above the current watermark
             state.setTimeoutTimestamp(
@@ -476,17 +486,20 @@ def limit_streaming(stream: Stream, n: int) -> Stream:
 
     def run(key, pdfs, state):
         seen = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            if "__g" in pdf.columns:
-                pdf = pdf.drop(columns="__g")
+        # concat ALL chunks, sort once — taking the head of each chunk
+        # independently would pass rows that are not the n earliest
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = None
+        if chunks:
+            all_rows = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            if "__g" in all_rows.columns:
+                all_rows = all_rows.drop(columns="__g")
             take = max(0, n - seen)
             if take:
-                out.append(pdf.iloc[:take])
-                seen += min(take, len(pdf))
+                out = all_rows.iloc[:take]
+            seen += min(max(0, n - seen), len(all_rows))
         state.update((seen,))
-        yield pd.concat(out) if out else pd.DataFrame(columns=out_cols)
+        yield out if out is not None else pd.DataFrame(columns=out_cols)
 
     out = gdf.groupBy(*[F.col(k) for k in gkeys]).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -333,8 +333,14 @@ def to_column(e, resolver=None) -> Column:
             )
             return F.slice(obj, lo + F.lit(1), F.greatest(length, F.lit(0)))
         if isinstance(e, Range):
+            lo = rec(e.lo, scope)
             hi = rec(e.hi, scope)
-            return F.sequence(rec(e.lo, scope), hi if e.inclusive else hi - F.lit(1))
+            top = hi if e.inclusive else hi - F.lit(1)
+            # guard the empty range: Spark's sequence(lo, hi) defaults to
+            # step -1 when lo > hi, so `a..a` would yield a descending
+            # 2-element array instead of [] (the Python _eval_expr yields [])
+            empty = F.filter(F.array(lo), lambda _x: F.lit(False))
+            return F.when(lo <= top, F.sequence(lo, top)).otherwise(empty)
         if isinstance(e, Bin):
             if e.op == "in":
                 if isinstance(e.right, ListLit) and all(
