@@ -100,6 +100,40 @@ def test_trend_multi_single_pass(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_lang_distribution_single_tokenization(spark, sf_dir):
+    """The 4 per-language scores must derive from ONE materialized token
+    array — CollapseProject must not re-inline the split into each score
+    (VERDICT r3 #2: a 4x token-split recompute)."""
+    df = E.queries()["lang_distribution"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("split(") == 1, plan
+
+
+def test_unpartitioned_pattern_and_trend_warn(spark, sf_dir):
+    """The single-universe fallback is the one user-triggerable scale
+    killer — it must announce itself (VERDICT r3 task 6)."""
+    import warnings
+
+    from varpulis_spark.operators.greta import trend_aggregate
+    from varpulis_spark.operators.sase import Pattern, apply_pattern_batch, step
+
+    ev = Stream.events(spark, sf_dir)
+    pat = Pattern(steps=[step("signup", "a"), step("purchase", "b")])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        apply_pattern_batch(ev, pat)
+        assert any("unpartitioned pattern" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trend_aggregate(ev, event_type="purchase")
+        assert any("unpartitioned trend" in str(x.message) for x in w)
+    # the partitioned paths stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trend_aggregate(ev.partition_by("user_id"), event_type="purchase")
+        assert not any("unpartitioned" in str(x.message) for x in w)
+
+
 def test_minhash_exchanges_carry_no_text(spark, sf_dir):
     """Near-dup pipeline: document text reaches only the signature UDF;
     every exchange carries ids/buckets/signatures."""

@@ -228,10 +228,22 @@ def trend_aggregate_multi(
         from varpulis_spark.operators.dedup import spread_keys
 
         return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+    _warn_single_universe()
     return (
         df.withColumn("__g", F.lit(0))
         .groupBy("__g")
         .applyInPandas(lambda k, pdf: run((), pdf.drop(columns="__g")), schema)
+    )
+
+
+def _warn_single_universe() -> None:
+    import warnings
+
+    warnings.warn(
+        "unpartitioned trend aggregation: all events funnel into ONE task "
+        "(a single GRETA graph, reference parity). This serializes at "
+        "scale — add partition_by to distribute the DP across keys.",
+        stacklevel=4,
     )
 
 
@@ -293,6 +305,7 @@ def trend_aggregate(
         from varpulis_spark.operators.dedup import spread_keys
 
         return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+    _warn_single_universe()
     return (
         df.withColumn("__g", F.lit(0))
         .groupBy("__g")

@@ -684,6 +684,15 @@ def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
         )
     # single NFA universe — serial, parity with an unpartitioned reference
     # pattern; avoid on large inputs.
+    import warnings
+
+    warnings.warn(
+        "unpartitioned pattern: all events funnel into ONE task (a single "
+        "NFA universe, reference parity). This serializes at scale — add "
+        "partition by (e.g. Pattern(..., partition_by=['user_id']) or the "
+        "VPL `partition by` clause) to distribute matching.",
+        stacklevel=3,
+    )
     return (
         df.withColumn("__g", F.lit(0))
         .groupBy("__g")
