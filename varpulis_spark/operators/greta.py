@@ -84,6 +84,36 @@ def _greta_dp(
     cnt = np.zeros(n)
     len_sum = np.zeros(n)
     val_sum = np.zeros((n, nf)) if nf else None
+    _greta_dp_extend(
+        ts, vals, cols, adjacent, adjacent_vec, within_ns, cnt, len_sum, val_sum
+    )
+    return (
+        float(cnt.sum()),
+        float(len_sum.sum()),
+        val_sum.sum(axis=0) if nf else zf,
+    )
+
+
+def _greta_dp_extend(
+    ts: np.ndarray,
+    vals: np.ndarray | None,
+    cols: dict | None,
+    adjacent: Callable | None,
+    adjacent_vec: Callable | None,
+    within_ns: int | None,
+    cnt: np.ndarray,
+    len_sum: np.ndarray,
+    val_sum: np.ndarray | None,
+    start: int = 0,
+) -> None:
+    """Fill the DP rows for i in [start, n) in place; rows [0, start) are
+    PRIOR state (the streaming incremental extension: a new event's trends
+    extend only earlier events, so append-only arrival lets each event be
+    processed exactly once — the reference's push-loop shape,
+    engine/pattern_analyzer.rs:1-80)."""
+    n = len(ts)
+    nf = 0 if val_sum is None else val_sum.shape[1]
+    zf = np.zeros(nf)
     lo_all = (
         np.searchsorted(ts, ts - within_ns, side="left")
         if within_ns is not None
@@ -94,7 +124,7 @@ def _greta_dp(
         from varpulis_spark.operators.sase import _EventView
 
         events = [_EventView(cols, i) for i in range(n)]
-    for i in range(n):
+    for i in range(start, n):
         lo = int(lo_all[i])
         if lo >= i:
             c, ls, vs = 1.0, 0.0, zf
@@ -120,11 +150,6 @@ def _greta_dp(
         len_sum[i] = ls + c  # every trend ending at i gains event i
         if nf:
             val_sum[i] = vs + vals[i] * c
-    return (
-        float(cnt.sum()),
-        float(len_sum.sum()),
-        val_sum.sum(axis=0) if nf else zf,
-    )
 
 
 def _group_arrays(pdf: pd.DataFrame, ts_col: str, value_field: str | None):

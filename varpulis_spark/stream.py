@@ -304,7 +304,18 @@ class Stream:
         """GRETA trend aggregation (.trend_aggregate, ast.rs:321-323;
         greta.rs) — aggregates over all Kleene trends without enumeration.
         `adjacent_vec(cols, i) -> bool[i]` is the vectorized predicate form
-        (preferred: one numpy comparison per event instead of per pair)."""
+        (preferred: one numpy comparison per event instead of per pair).
+
+        On a streaming input this dispatches to the incremental push-loop
+        form (streaming.trend_aggregate_streaming): a running per-key
+        aggregate row per micro-batch, plus a monotonic `n_events`."""
+        if self.df.isStreaming:
+            from varpulis_spark.streaming import trend_aggregate_streaming
+
+            return trend_aggregate_streaming(
+                self, event_type, adjacent, value_field, within,
+                adjacent_vec=adjacent_vec,
+            )
         from varpulis_spark.operators.greta import trend_aggregate as _ta
 
         out = _ta(self, event_type, adjacent, value_field, within,

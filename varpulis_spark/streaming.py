@@ -392,6 +392,158 @@ def forecast_streaming(
     return Stream(out, ts_col=ts_col, keys=keys)
 
 
+def trend_aggregate_streaming(
+    stream: Stream,
+    event_type: str | None = None,
+    adjacent=None,
+    value_field: str | None = None,
+    within=None,
+    adjacent_vec=None,
+) -> Stream:
+    """Streaming `.trend_aggregate` — GRETA in the push loop (the
+    reference runs trend aggregation per arriving event,
+    engine/pattern_analyzer.rs:1-80; GRETA VLDB'17).
+
+    Emits the RUNNING per-key aggregate once per micro-batch (an update
+    stream): `n_events` (monotonic — the latest row per key is the one
+    with the max), `trend_count`, `event_count`, and `value_sum` when
+    `value_field` is given. Draining the stream and taking each key's
+    max-`n_events` row equals the batch `trend_aggregate` result.
+
+    Incremental DP: a new event's trends only EXTEND earlier events, so
+    append-only arrival lets each event be processed exactly once. Per-key
+    state carries (a) the within-horizon tail of events with their
+    propagated cnt/len/val DP rows and (b) the running totals; with
+    `within` the tail is bounded by the horizon, without it (and with a
+    predicate) state grows with key history — a warning says so. The
+    predicate-free unbounded case needs only (n, Σvalue) — O(1) state via
+    the closed form.
+
+    Events arriving out of event-time order ACROSS micro-batches (ts
+    before the key's max seen ts) cannot be retro-inserted into a
+    propagated DP and are dropped; replay order within a micro-batch is
+    handled by the global chunk sort."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from varpulis_spark.functions import duration_ns
+    from varpulis_spark.operators.greta import _greta_dp_extend
+
+    df = stream.df
+    keys = stream.keys
+    if not keys:
+        raise ValueError("streaming trend_aggregate requires partition_by")
+    if within is None and (adjacent is not None or adjacent_vec is not None):
+        import warnings
+
+        warnings.warn(
+            "streaming trend_aggregate with a predicate but no `within`: "
+            "per-key state grows with the full key history — set `within` "
+            "to bound the adjacency horizon."
+        )
+    if event_type is not None:
+        df = df.filter(F.col("event_type") == event_type)
+    within_ns = duration_ns(within) if within is not None else None
+    ts_col = stream.ts_col
+    sort_cols = [ts_col] + ([stream.order_col] if stream.order_col else [])
+    closed_form = adjacent is None and adjacent_vec is None and within_ns is None
+    has_value = value_field is not None
+
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    out_schema = f"{key_fields}, n_events long, trend_count double, event_count double"
+    if has_value:
+        out_schema += ", value_sum double"
+    out_cols = list(keys) + ["n_events", "trend_count", "event_count"] + (
+        ["value_sum"] if has_value else []
+    )
+
+    def run(key, pdfs, state):
+        st = pickle.loads(state.get[0]) if state.exists else None
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if st is not None:
+                state.update((pickle.dumps(st),))
+            return
+        pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+        if closed_form:
+            n0, sv0 = st if st is not None else (0, 0.0)
+            n = n0 + len(pdf)
+            sv = sv0 + (float(pdf[value_field].sum()) if has_value else 0.0)
+            state.update((pickle.dumps((n, sv)),))
+            p = float(2.0 ** (n - 1))
+            row = list(key) + [n, 2.0 * p - 1.0, n * p]
+            if has_value:
+                row.append(sv * p)
+            yield pd.DataFrame([row], columns=out_cols)
+            return
+
+        if st is None:
+            st = {
+                "tail": None, "cnt": np.zeros(0), "len": np.zeros(0),
+                "val": np.zeros((0, 1)) if has_value else None,
+                "tc": 0.0, "ec": 0.0, "vs": 0.0, "n": 0, "max_ts": None,
+            }
+        ts_new = pdf[ts_col].astype("int64")
+        if st["max_ts"] is not None:
+            live = ts_new >= st["max_ts"]  # drop cross-batch late arrivals
+            pdf, ts_new = pdf[live], ts_new[live]
+        if not len(pdf):
+            state.update((pickle.dumps(st),))
+            return
+        tail: pd.DataFrame | None = st["tail"]
+        start = 0 if tail is None else len(tail)
+        full = pdf if tail is None else pd.concat([tail, pdf])
+        ts = full[ts_col].astype("int64").to_numpy()
+        vals = (
+            full[value_field].to_numpy(dtype=np.float64).reshape(-1, 1)
+            if has_value
+            else None
+        )
+        cols = {c: full[c].to_numpy() for c in full.columns}
+        n = len(full)
+        cnt = np.concatenate([st["cnt"], np.zeros(n - start)])
+        len_sum = np.concatenate([st["len"], np.zeros(n - start)])
+        val_sum = (
+            np.concatenate([st["val"], np.zeros((n - start, 1))])
+            if has_value
+            else None
+        )
+        _greta_dp_extend(
+            ts, vals, cols, adjacent, adjacent_vec, within_ns,
+            cnt, len_sum, val_sum, start=start,
+        )
+        st["tc"] += float(cnt[start:].sum())
+        st["ec"] += float(len_sum[start:].sum())
+        if has_value:
+            st["vs"] += float(val_sum[start:].sum())
+        st["n"] += n - start
+        st["max_ts"] = int(ts[-1])
+        # evict beyond the adjacency horizon: future events have
+        # ts >= max_ts, so only ts >= max_ts - within can still be extended
+        keep = (
+            ts >= st["max_ts"] - within_ns
+            if within_ns is not None
+            else np.ones(n, dtype=bool)
+        )
+        st["tail"] = full[keep]
+        st["cnt"], st["len"] = cnt[keep], len_sum[keep]
+        st["val"] = val_sum[keep] if has_value else None
+        state.update((pickle.dumps(st),))
+        row = list(key) + [st["n"], st["tc"], st["ec"]]
+        if has_value:
+            row.append(st["vs"])
+        yield pd.DataFrame([row], columns=out_cols)
+
+    out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        run, out_schema, "st binary", "append", GroupStateTimeout.NoTimeout
+    )
+    return Stream(out, ts_col=ts_col, keys=keys)
+
+
 def distinct_streaming(
     stream: Stream, *cols: str, ttl: str | None = None,
     watermark_delay: str = "0 seconds",
