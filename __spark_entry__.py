@@ -16,9 +16,13 @@ to hash-match:
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
 Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
-`kleene_purchases`, `greta_rising`) are non-SQL-expressible (LSH banding /
-exhaustive SASE+ Kleene closures / predicate-gated GRETA DP); the driver
-records rows-only checks for them.
+`greta_rising`) are non-SQL-expressible (LSH banding / predicate-gated
+GRETA DP); the driver records rows-only checks for them.
+`kleene_purchases` checks the exhaustive Kleene enumeration through the
+binomial identity C(k, m) per anchor pair — full-row enumeration runs
+underneath, aggregated to a SQL-checkable shape. `multimodal_meta` runs
+the binary encode→decode→frame-sample plumbing end-to-end against a
+closed-form oracle (the fake image is a pure function of the row).
 """
 
 from __future__ import annotations
@@ -229,15 +233,23 @@ def q_seq_no_error(spark, sf):
 
 
 def q_kleene_purchases(spark, sf):
-    """Exhaustive Kleene closure (all combinations, reference caps) — not
-    SQL-expressible; rows-only check."""
+    """Exhaustive Kleene closure, aggregated to an oracle-checkable form:
+    the NFA enumerates EVERY non-empty purchase subset between each
+    (signup, error) anchor pair; grouping the enumerated matches by subset
+    size m must yield exactly C(k, m) per anchor (k = purchases in the
+    window) — a combinatorial identity DuckDB can compute without
+    enumeration. Full-row enumeration is exercised underneath; the binomial
+    check fails if the closure over- or under-enumerates ANY subset size."""
     p = Pattern(
         steps=[step("signup", "a"), step("purchase", "bs", kleene="+"), step("error", "c")],
         within="48h",
         emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
               "n_purchases": ("bs", "__count"), "c_id": ("c", "event_id")},
     )
-    return Stream.events(spark, sf).partition_by("user_id").pattern(p).df
+    matches = Stream.events(spark, sf).partition_by("user_id").pattern(p).df
+    return matches.groupBy("user_id", "a_id", "c_id", "n_purchases").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
 
 
 def q_greta_trend_count(spark, sf):
@@ -334,6 +346,24 @@ def q_exact_dedup_docs(spark, sf):
     )
 
 
+def q_multimodal_meta(spark, sf):
+    """Multimodal plumbing end-to-end, oracle-checked: documents → fake
+    image encode (mapInPandas, binary column) → header decode_metadata →
+    video-style frame sampling with row expansion → per-doc metadata row.
+    The image is a pure function of (doc_id, text), so DuckDB reproduces
+    width/height/channels/frame-count without touching binary."""
+    from varpulis_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    enc = MM.encode_fake_images(docs)
+    meta = MM.decode_metadata(enc).select("doc_id", "width", "height", "channels")
+    frames = MM.sample_frames(
+        enc.select("doc_id", "content"), every_n=10, frame_bytes=64
+    )
+    n_frames = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return meta.join(n_frames, "doc_id")
+
+
 def q_knn_cosine(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -385,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
         "exact_dedup_docs": q_exact_dedup_docs,
+        "multimodal_meta": q_multimodal_meta,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
@@ -550,6 +581,31 @@ def oracle_sql() -> dict[str, str]:
                 AND (c.ts > a.ts OR (c.ts = a.ts AND c.event_id > a.event_id))
                 AND (c.ts < b.ts OR (c.ts = b.ts AND c.event_id <= b.event_id)))
         """,
+        "kleene_purchases": """
+            -- exhaustive Kleene closure checked via the binomial identity:
+            -- per (signup, error) anchor with k purchases strictly between,
+            -- the NFA must emit exactly C(k, m) matches of subset size m.
+            -- within=48h is inclusive of the deadline (µs integer bound).
+            WITH pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+                 anchors AS (
+                   SELECT s.user_id, s.event_id AS a_id, e.event_id AS c_id,
+                          (SELECT count(*) FROM pur p
+                            WHERE p.user_id = s.user_id
+                              AND p.ts > s.ts AND p.ts < e.ts) AS k
+                   FROM events s JOIN events e ON e.user_id = s.user_id
+                    AND s.event_type = 'signup' AND e.event_type = 'error'
+                    AND e.ts > s.ts
+                    AND epoch_us(e.ts) <= epoch_us(s.ts) + 172800000000
+                 ),
+                 expanded AS (
+                   SELECT user_id, a_id, c_id, k,
+                          UNNEST(range(1, k::INT + 1)) AS m
+                   FROM anchors WHERE k >= 1
+                 )
+            SELECT user_id, a_id, c_id, CAST(m AS INT) AS n_purchases,
+                   CAST(factorial(k::INT) / (factorial(m::INT) * factorial((k - m)::INT)) AS BIGINT) AS n_matches
+            FROM expanded
+        """,
         "greta_trend_count": """
             SELECT user_id,
                    pow(2, count(*)) - 1 AS trend_count,
@@ -619,6 +675,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "multimodal_meta": """
+            -- the fake image is a pure function of (doc_id, text):
+            -- header dims from doc_id arithmetic; the frame sampler sees
+            -- 12 header bytes + the utf-8 payload and keeps every 10th
+            -- 64-byte frame -> ceil(max(1, len/64) / 10) rows per doc
+            SELECT doc_id,
+                   CAST(16 + doc_id % 32 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+                   CAST(1 + doc_id % 3 AS INT) AS channels,
+                   CAST(ceil(greatest(1, (12 + octet_length(encode(text))) // 64) / 10.0) AS BIGINT) AS n_frames
+            FROM documents
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),

@@ -18,6 +18,26 @@ def images_df(spark):
     return spark.createDataFrame(rows, "img_id long, content binary")
 
 
+def test_encode_fake_images_roundtrip(spark):
+    """encode_fake_images is a pure function of the row: decode must
+    recover the doc_id-derived dims, and frame sampling the closed-form
+    frame count (the multimodal_meta oracle's contract)."""
+    rows = [(i, "word " * (i * 20)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    enc = M.encode_fake_images(df)
+    meta = {r.doc_id: (r.width, r.height, r.channels)
+            for r in M.decode_metadata(enc).collect()}
+    for i, t in rows:
+        assert meta[i] == (16 + i % 32, 16 + (i * 7) % 32, 1 + i % 3)
+    frames = M.sample_frames(enc.select("doc_id", "content"),
+                             every_n=10, frame_bytes=64)
+    got = {r[0]: r[1] for r in frames.groupBy("doc_id").count().collect()}
+    import math
+    for i, t in rows:
+        m = max(1, (12 + len(t.encode())) // 64)
+        assert got[i] == math.ceil(m / 10)
+
+
 def test_decode_metadata(spark, images_df):
     out = M.decode_metadata(images_df).collect()
     assert len(out) == 20

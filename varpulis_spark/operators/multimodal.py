@@ -47,6 +47,34 @@ def make_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -
     return b"FKI" + bytes([channels]) + struct.pack(">II", width, height) + payload.tobytes()
 
 
+def encode_fake_images(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    content_col: str = "content",
+) -> DataFrame:
+    """Derive a deterministic fake-image binary column from a text table —
+    the fixture generator for driver-checkable multimodal queries (no media
+    table ships in the test corpus, so the image is a pure function of the
+    row: width = 16 + id % 32, height = 16 + 7·id % 32,
+    channels = 1 + id % 3, payload = the utf-8 text bytes). Runs as the
+    same Arrow-batched mapInPandas shape a real transcoder would."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                w, h, c = 16 + int(i) % 32, 16 + (int(i) * 7) % 32, 1 + int(i) % 3
+                bufs.append(
+                    b"FKI" + bytes([c]) + struct.pack(">II", w, h)
+                    + str(t).encode("utf-8")
+                )
+            out = pdf.copy()
+            out[content_col] = bufs
+            yield out
+
+    out_schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + f", {content_col} binary"
+    return df.mapInPandas(run, out_schema)
+
+
 def _decode_fake(buf: bytes) -> tuple[np.ndarray, int, int, int]:
     if buf[:3] != b"FKI":
         raise ValueError("not a fake image")
