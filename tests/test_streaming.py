@@ -299,6 +299,88 @@ def test_streaming_trend_aggregate_matches_batch(spark, sf_dir, replay_dir):
     assert got == exp and len(got) > 0
 
 
+def test_circuit_breaker_state_machine():
+    """Closed → Open after N consecutive failures; Open rejects; after the
+    reset timeout one half-open probe; probe success closes, probe failure
+    reopens with a fresh timer (circuit_breaker.rs:6-12)."""
+    now = [0.0]
+    cb = S.CircuitBreaker(failure_threshold=3, reset_timeout_s=30.0, clock=lambda: now[0])
+    for _ in range(2):
+        assert cb.allow()
+        cb.record(False)
+    assert cb.state == "closed"  # 2 < threshold
+    assert cb.allow()
+    cb.record(False)  # 3rd consecutive failure
+    assert cb.state == "open" and not cb.allow()
+    now[0] = 29.9
+    assert not cb.allow()
+    now[0] = 30.0
+    assert cb.allow() and cb.state == "half_open"  # the probe
+    cb.record(False)  # failed probe → reopen, timer restarts
+    assert cb.state == "open" and not cb.allow()
+    now[0] = 59.9
+    assert not cb.allow()
+    now[0] = 60.0
+    assert cb.allow()
+    cb.record(True)
+    assert cb.state == "closed" and cb.allow()
+    # success resets the consecutive count
+    cb.record(False)
+    cb.record(False)
+    assert cb.state == "closed"
+
+
+def test_resilient_sink_dlq_and_recovery(spark, sf_dir, replay_dir, tmp_path):
+    """Flaky sink through 4 replayed micro-batches with threshold 2:
+    batches 0-1 fail (DLQ'd, circuit opens), batch 2 is rejected while
+    open (DLQ'd untouched), clock advance lets batch 3 probe and deliver.
+    No batch is dropped: delivered + DLQ'd rows == source rows."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    now = [0.0]
+    breaker = S.CircuitBreaker(failure_threshold=2, reset_timeout_s=30.0, clock=lambda: now[0])
+    delivered = []
+
+    def sink(df, epoch):
+        if epoch <= 1:
+            raise RuntimeError("downstream unavailable")
+        delivered.append((epoch, df.count()))
+        if epoch == 2:  # batch 2 must never reach the sink (circuit open)
+            raise AssertionError("circuit-open batch reached the sink")
+
+    dlq = os.path.join(str(tmp_path), "dlq")
+    wrapped = S.resilient_sink_fn(
+        sink, dlq, connector="flaky", breaker=breaker
+    )
+
+    def clocked(df, epoch):
+        if epoch == 3:
+            now[0] = 31.0  # reset timeout elapses before the last batch
+        wrapped(df, epoch)
+
+    q = S.foreach_batch(src, clocked)
+    q.processAllAvailable()
+    q.stop()
+
+    assert [e for e, _ in delivered] == [3]
+    rows = S.read_dlq(spark, dlq).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+        assert r.connector == "flaky"
+    assert sorted(by_epoch) == [0, 1, 2]
+    assert all("downstream unavailable" in r.error for r in by_epoch[0] + by_epoch[1])
+    assert all(r.error == "circuit open" for r in by_epoch[2])
+    # conservation: every source row was delivered or dead-lettered
+    total_src = Stream.events(spark, sf_dir).df.count()
+    assert len(rows) + sum(n for _, n in delivered) == total_src
+    # payload is replayable JSON carrying the original columns
+    import json
+
+    p = json.loads(rows[0].payload)
+    assert "event_id" in p and "event_type" in p
+
+
 def test_streaming_multi_chunk_group_order(spark, tmp_path):
     """A key whose micro-batch spans several Arrow chunks must feed the
     stateful ops in GLOBAL event-time order (ADVICE r3: chunks were sorted

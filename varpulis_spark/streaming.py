@@ -200,6 +200,134 @@ def multi_sink(stream: Stream, *fns: Callable[[DataFrame, int], None], checkpoin
     return foreach_batch(stream, fan_out, checkpoint)
 
 
+class CircuitBreaker:
+    """Sink circuit breaker (circuit_breaker.rs:1-130):
+
+    - Closed → Open after `failure_threshold` CONSECUTIVE failures
+    - Open rejects immediately (no downstream call)
+    - Open → HalfOpen once `reset_timeout_s` elapses: ONE probe allowed
+    - HalfOpen → Closed on probe success; → Open (timer restarts) on failure
+
+    Driver-side in-memory state, like the reference's (a restart resets the
+    breaker to Closed; durable delivery state is the checkpoint's job).
+    `clock` is injectable for deterministic tests."""
+
+    def __init__(
+        self,
+        failure_threshold: int = 5,
+        reset_timeout_s: float = 30.0,
+        clock: Callable[[], float] = None,
+    ):
+        import time
+
+        self.failure_threshold = failure_threshold
+        self.reset_timeout_s = reset_timeout_s
+        self._clock = clock or time.monotonic
+        self.state = "closed"
+        self._consecutive_failures = 0
+        self._opened_at: float | None = None
+
+    def allow(self) -> bool:
+        if self.state == "open":
+            if self._clock() - self._opened_at >= self.reset_timeout_s:
+                self.state = "half_open"
+                return True  # the probe
+            return False
+        return True  # closed or half_open (probe in flight)
+
+    def record(self, ok: bool) -> None:
+        if ok:
+            self.state = "closed"
+            self._consecutive_failures = 0
+            self._opened_at = None
+            return
+        if self.state == "half_open":
+            self.state = "open"  # failed probe reopens, timer restarts
+            self._opened_at = self._clock()
+            return
+        self._consecutive_failures += 1
+        if self._consecutive_failures >= self.failure_threshold:
+            self.state = "open"
+            self._opened_at = self._clock()
+
+
+def _write_dlq(df: DataFrame, epoch: int, connector: str, error: str, path: str) -> None:
+    """Append the failed micro-batch to the DLQ table (dead_letter.rs:31-94:
+    connector + error + serialized events; parquet instead of JSONL so the
+    DLQ is itself a queryable, replayable table)."""
+    (
+        df.select(
+            F.lit(connector).alias("connector"),
+            F.lit(error).alias("error"),
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.current_timestamp().alias("dlq_ts"),
+            F.to_json(F.struct(*df.columns)).alias("payload"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def resilient_sink_fn(
+    fn: Callable[[DataFrame, int], None],
+    dlq_path: str,
+    connector: str = "sink",
+    failure_threshold: int = 5,
+    reset_timeout: str = "30s",
+    breaker: CircuitBreaker | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch callback with circuit breaker + dead letter
+    queue (ResilientSink, sink.rs:538-620): a failing batch lands in the
+    DLQ (never dropped) and counts toward opening the circuit; while open,
+    batches are DLQ'd without touching the sink; after the reset timeout a
+    single probe batch tests recovery. Composable with `multi_sink` (wrap
+    each consumer independently)."""
+    from varpulis_spark.functions import duration_seconds
+
+    cb = breaker or CircuitBreaker(failure_threshold, duration_seconds(reset_timeout))
+
+    def wrapped(df: DataFrame, epoch: int) -> None:
+        if not cb.allow():
+            _write_dlq(df, epoch, connector, "circuit open", dlq_path)
+            return
+        try:
+            fn(df, epoch)
+        except Exception as e:  # noqa: BLE001 - any sink failure goes to DLQ
+            cb.record(False)
+            _write_dlq(df, epoch, connector, repr(e), dlq_path)
+        else:
+            cb.record(True)
+
+    wrapped.breaker = cb
+    return wrapped
+
+
+def resilient_sink(
+    stream: Stream,
+    fn: Callable[[DataFrame, int], None],
+    dlq_path: str,
+    connector: str = "sink",
+    failure_threshold: int = 5,
+    reset_timeout: str = "30s",
+    checkpoint: str | None = None,
+    breaker: CircuitBreaker | None = None,
+):
+    """`.to(sink, resilient: true)` analog — see resilient_sink_fn."""
+    return foreach_batch(
+        stream,
+        resilient_sink_fn(
+            fn, dlq_path, connector, failure_threshold, reset_timeout, breaker
+        ),
+        checkpoint,
+    )
+
+
+def read_dlq(spark, dlq_path: str) -> DataFrame:
+    """Load the DLQ as a DataFrame (connector, error, epoch, dlq_ts,
+    payload-JSON) for inspection or replay."""
+    return spark.read.parquet(dlq_path)
+
+
 # ---------------------------------------------------------------------------
 # stateful count windows / limit (no Spark built-in; CountWindow
 # window.rs:274-359, LimitState engine/types.rs:298-301)
