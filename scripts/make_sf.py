@@ -1,0 +1,201 @@
+"""Generate a larger local scale factor from the driver's sf0.1 tables.
+
+The driver ships sf{0.001,0.01,0.1}; proving the scale story (VERDICT r3
+task 1) needs a 10x step. This derives `localdata/sf1` (gitignored) from
+/root/testdata/sf0.1 deterministically (seed 42), preserving the
+distributions that drive engine work:
+
+- events: 10 copies, USER IDS SHIFTED per copy (15k users at the same
+  per-user event density — TPC-H SF semantics: more keys, not denser
+  keys; denser keys would inflate the exponential trend/Kleene outputs,
+  measuring the data, not the engine). event_ids globally unique; ts kept
+  (more concurrent users over the same month).
+- documents: resampled bag-of-words from the sf0.1 EMPIRICAL per-language
+  word frequencies and length distribution (plain 10x replication would
+  make every doc a 10-way exact+near duplicate, quadratically inflating
+  LSH candidate pairs — a data artifact, not scaling). A small planted
+  dup (0.2%) and near-dup (0.5%) population keeps the dedup pipelines'
+  match stages exercised, matching sf0.1's density.
+- embeddings: 10 copies, ids shifted, deterministic small rotation per
+  copy (knn work is GEMM over the corpus — linear either way).
+- orders/customer/lineitem: 10 copies with consistent key shifts so the
+  orders->customer enrich join and lineitem aggregation keep their shape;
+  region/nation/supplier/part are fixed dimensions, copied as-is.
+
+Run: python scripts/make_sf.py [--force]   (~1 min, ~100 MB)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(REPO, "localdata", "sf1")
+COPIES = 10
+SEED = 42
+
+
+def _read(name: str) -> pa.Table:
+    return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+
+
+def _write(name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(DST, f"{name}.parquet"))
+
+
+def _shift_copies(table: pa.Table, shifts: dict[str, int]) -> pa.Table:
+    """Concatenate COPIES copies, adding k*shift to each listed int column."""
+    parts = []
+    for k in range(COPIES):
+        arrays = []
+        for col in table.column_names:
+            a = table.column(col)
+            if col in shifts and k > 0:
+                a = pa.chunked_array(
+                    [pa.compute.add(c, shifts[col] * k) for c in a.chunks]
+                )
+            arrays.append(a)
+        parts.append(pa.table(dict(zip(table.column_names, arrays))))
+    return pa.concat_tables(parts)
+
+
+def make_events() -> None:
+    t = _read("events")
+    n = t.num_rows
+    n_users = int(pa.compute.max(t.column("user_id")).as_py()) + 1
+    _write("events", _shift_copies(t, {"event_id": n, "user_id": n_users}))
+
+
+def make_documents() -> None:
+    t = _read("documents")
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    sources = sorted(set(t.column("source").to_pylist()))
+    rng = np.random.default_rng(SEED)
+
+    # empirical per-language unigram tables + per-language word-count dist
+    by_lang: dict[str, dict[str, int]] = {}
+    lens_by_lang: dict[str, list[int]] = {}
+    for txt, lg in zip(texts, langs):
+        words = txt.split()
+        lens_by_lang.setdefault(lg, []).append(len(words))
+        freq = by_lang.setdefault(lg, {})
+        for w in words:
+            freq[w] = freq.get(w, 0) + 1
+    tables = {}
+    for lg, freq in by_lang.items():
+        ws = np.array(list(freq.keys()))
+        ps = np.array(list(freq.values()), dtype=np.float64)
+        tables[lg] = (ws, ps / ps.sum(), np.array(lens_by_lang[lg]))
+
+    n_out = t.num_rows * COPIES
+    lang_choices = rng.choice(langs, size=n_out)  # empirical lang mix
+    out_texts: list[str] = []
+    for i in range(n_out):
+        ws, ps, ls = tables[lang_choices[i]]
+        nw = int(rng.choice(ls))
+        out_texts.append(" ".join(rng.choice(ws, size=max(1, nw), p=ps)) + " ")
+    # planted exact dups (0.2%) and near-dups (0.5%), like the source corpus
+    for _ in range(n_out // 500):
+        i, j = rng.integers(0, n_out, 2)
+        out_texts[j] = out_texts[i]
+    for _ in range(n_out // 200):
+        i, j = rng.integers(0, n_out, 2)
+        words = out_texts[i].split()
+        ws, ps, _ = tables[lang_choices[i]]
+        for p in rng.integers(0, max(1, len(words)), max(1, len(words) // 10)):
+            words[p] = str(rng.choice(ws))
+        out_texts[j] = " ".join(words) + " "
+    _write(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_out), type=pa.int64()),
+                "text": pa.array(out_texts),
+                "lang": pa.array(lang_choices.tolist()),
+                "source": pa.array(
+                    [sources[i % len(sources)] for i in range(n_out)]
+                ),
+                "n_chars": pa.array(
+                    [len(s) for s in out_texts], type=pa.int64()
+                ),
+            }
+        ),
+    )
+
+
+def make_embeddings() -> None:
+    t = _read("embeddings")
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.array(t.column("label").to_pylist())
+    n, d = vecs.shape
+    rng = np.random.default_rng(SEED)
+    out_vecs, out_ids, out_labels = [], [], []
+    for k in range(COPIES):
+        if k == 0:
+            v = vecs
+        else:
+            # deterministic rotation: roll + small noise keeps the metric
+            # structure (cluster geometry) without exact cross-copy dups
+            v = np.roll(vecs, k, axis=1) + rng.normal(0, 0.05, size=(n, d)).astype(
+                np.float32
+            )
+        out_vecs.append(v)
+        out_ids.append(np.arange(n, dtype=np.int64) + k * n)
+        out_labels.append(labels)
+    flat = np.concatenate(out_vecs)
+    _write(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_ids)),
+                "embedding": pa.array(
+                    flat.tolist(), type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    np.concatenate(out_labels), type=pa.int32()
+                ),
+            }
+        ),
+    )
+
+
+def make_tpch() -> None:
+    orders = _read("orders")
+    customer = _read("customer")
+    lineitem = _read("lineitem")
+    n_ord = int(pa.compute.max(orders.column("o_orderkey")).as_py()) + 1
+    n_cust = int(pa.compute.max(customer.column("c_custkey")).as_py()) + 1
+    _write("orders", _shift_copies(orders, {"o_orderkey": n_ord, "o_custkey": n_cust}))
+    _write("customer", _shift_copies(customer, {"c_custkey": n_cust}))
+    _write("lineitem", _shift_copies(lineitem, {"l_orderkey": n_ord}))
+    for name in ("region", "nation", "supplier", "part"):
+        _write(name, _read(name))
+
+
+def ensure(force: bool = False) -> str:
+    """Generate localdata/sf1 if absent; returns the directory."""
+    marker = os.path.join(DST, ".complete")
+    if os.path.exists(marker) and not force:
+        return DST
+    os.makedirs(DST, exist_ok=True)
+    make_events()
+    make_documents()
+    make_embeddings()
+    make_tpch()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return DST
+
+
+if __name__ == "__main__":
+    path = ensure(force="--force" in sys.argv)
+    for f in sorted(os.listdir(path)):
+        full = os.path.join(path, f)
+        print(f"{f}: {os.path.getsize(full) // 1024} KiB")
