@@ -252,6 +252,24 @@ def q_kleene_purchases(spark, sf):
     )
 
 
+def q_greta_windowed(spark, sf):
+    """Whole-span `within` via pane composition (GRETA §5): purchase trends
+    per user per 6h tumbling pane. Predicate-free closed form per pane
+    (2^n − 1) gives the SQL oracle; the pane boundary is the span bound."""
+    out = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+        .window("6h")
+        .trend_aggregate(event_type="purchase")
+    )
+    return out.df.select(
+        "user_id",
+        F.unix_micros(F.col("window_start")).alias("w_start_us"),
+        "trend_count",
+        "event_count",
+    )
+
+
 def q_greta_trend_count(spark, sf):
     """GRETA: per-user count of ALL purchase trends (every non-empty ordered
     subset) — closed form 2^n − 1 gives the SQL oracle."""
@@ -409,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_no_error": q_seq_no_error,
         "kleene_purchases": q_kleene_purchases,
         "greta_trend_count": q_greta_trend_count,
+        "greta_windowed": q_greta_windowed,
         "greta_rising": q_greta_rising,
         "trend_multi": q_trend_multi,
         "lag_delta": q_lag_delta,
@@ -611,6 +630,15 @@ def oracle_sql() -> dict[str, str]:
                    pow(2, count(*)) - 1 AS trend_count,
                    count(*) * pow(2, count(*) - 1) AS event_count
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "greta_windowed": """
+            -- pane composition: 6h epoch-aligned buckets, closed form per
+            -- pane (integer µs arithmetic matches Spark's unix_micros)
+            SELECT user_id,
+                   CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT) AS w_start_us,
+                   pow(2, count(*)) - 1 AS trend_count,
+                   count(*) * pow(2, count(*) - 1) AS event_count
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         """,
         "trend_multi": """
             WITH per_type AS (

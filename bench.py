@@ -97,9 +97,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     idle_waited = wait_for_idle()
+    load_start = os.getloadavg()  # before session startup self-load
     spark = get_spark("varpulis-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    load_start = os.getloadavg()
     n_events = warmup(spark, sf_dir)
 
     # median-of-N with a warm session (matches the baseline's 'preloaded

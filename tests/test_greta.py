@@ -197,3 +197,66 @@ def test_multi_query_graphlet_sharing_10q(spark, sf_dir):
     # 10 queries / 4 sub-patterns + one shared scan/shuffle/sort vs 10 jobs:
     # demand a conservative 1.8x (VERDICT gate is 2x, measured in bench)
     assert t_indep / t_shared >= 1.8, (t_shared, t_indep)
+
+
+# ---------------------------------------------------------------------------
+# whole-span within via pane composition (GRETA §5)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_trend_whole_span(spark):
+    """Pane composition bounds the WHOLE trend span: per 4s tumbling pane
+    the closed form holds per pane, and no trend crosses a boundary."""
+    vals = list(range(10))  # one event per second, ts = 0..9s
+    s = _mk_stream(spark, vals)
+    rows = (
+        s.window("4s").trend_aggregate().df
+        .select("window_start", "trend_count", "event_count")
+        .collect()
+    )
+    got = sorted((r.window_start.isoformat(), r.trend_count, r.event_count) for r in rows)
+    # panes [0,4) [4,8) [8,12): 4,4,2 events -> 2^n-1 trends, n*2^(n-1) events
+    assert [(t, e) for _, t, e in got] == [(15.0, 32.0), (15.0, 32.0), (3.0, 4.0)]
+
+
+def test_windowed_trend_sliding_vs_brute(spark):
+    """Sliding panes: every pane aggregates exactly its members; compare
+    with the brute-force enumeration per pane (rising predicate)."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    rising = lambda a, b: b["value"] > a["value"]  # noqa: E731
+    rising_vec = lambda cols, i: cols["value"][:i] < cols["value"][i]  # noqa: E731
+    s = _mk_stream(spark, vals)
+    rows = (
+        s.window("4s", sliding="2s")
+        .trend_aggregate(adjacent_vec=rising_vec, value_field="value")
+        .df.collect()
+    )
+    got = {
+        int(r.window_start.timestamp()): (r.trend_count, r.event_count, r.value_sum)
+        for r in rows
+    }
+    t0 = datetime(2024, 1, 1).timestamp()
+    # reproduce pane membership: start k*2s, span 4s (relative to epoch)
+    import math
+
+    starts = sorted(got)
+    assert starts  # sanity
+    for st in starts:
+        members = [
+            v for i, v in enumerate(vals) if st <= t0 + i < st + 4
+        ]
+        evs = [{"value": float(v)} for v in members]
+        nt = tl = tv = 0.0
+        n = len(evs)
+        for r in range(1, n + 1):
+            for idxs in combinations(range(n), r):
+                if all(evs[b]["value"] > evs[a]["value"] for a, b in zip(idxs, idxs[1:])):
+                    nt += 1
+                    tl += r
+                    tv += sum(evs[i]["value"] for i in idxs)
+        assert got[st] == (nt, tl, pytest.approx(tv)), st
+
+
+def test_windowed_trend_rejects_non_time_windows(spark):
+    with pytest.raises(ValueError, match="time windows"):
+        _mk_stream(spark, [1, 2, 3]).window(2).trend_aggregate()

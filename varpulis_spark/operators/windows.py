@@ -69,6 +69,43 @@ def time_window_cols(
     return df, wcol
 
 
+def explode_time_windows(
+    df: DataFrame,
+    ts_col: str,
+    size,
+    slide=None,
+    align: str = "epoch",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Row-level window assignment: one output row per (row, containing
+    window), with `window_start`/`window_end` columns.
+
+    F.window only materializes inside groupBy; non-aggregating composites
+    (GRETA pane composition, VLDB'17 §5: whole-span `within` = run the
+    trend DP per window pane) need the assignment as plain rows. Window k
+    covers [k·slide, k·slide + size); a row at t belongs to every k with
+    k·slide ≤ t < k·slide + size — identical window set to F.window.
+    Tumbling (slide None) emits exactly one row per input row."""
+    from varpulis_spark.functions import duration_ns
+
+    size_us = duration_ns(size) // 1000
+    slide_us = duration_ns(slide) // 1000 if slide else size_us
+    t = F.unix_micros(F.col(ts_col))
+    if align == "first_event":
+        spec = W.partitionBy(*[F.col(k) for k in (keys or [])])
+        t = t - F.min(t).over(spec)
+    k_lo = F.floor((t - size_us) / slide_us) + 1
+    k_hi = F.floor(t / slide_us)
+    df = df.withColumn("__wk", F.explode(F.sequence(k_lo, k_hi)))
+    return (
+        df.withColumn("window_start", F.timestamp_micros(F.col("__wk") * slide_us))
+        .withColumn(
+            "window_end", F.timestamp_micros(F.col("__wk") * slide_us + size_us)
+        )
+        .drop("__wk")
+    )
+
+
 def session_window_col(ts_col: str, gap) -> Column:
     return F.session_window(F.col(ts_col), duration_interval_str(gap))
 

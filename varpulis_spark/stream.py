@@ -374,6 +374,41 @@ class WindowedStream:
         self.gap = gap
         self.align = align
 
+    def trend_aggregate(
+        self,
+        event_type: str | None = None,
+        adjacent: Callable | None = None,
+        value_field: str | None = None,
+        within=None,
+        adjacent_vec: Callable | None = None,
+    ) -> Stream:
+        """Whole-span `within` for trend aggregation via pane composition
+        (GRETA VLDB'17 §5; the reference composes span windows through
+        window panes before the trend DP, engine/mod.rs window→analyzer
+        chain): every trend is confined to one window pane, so the pane
+        size IS the first→last span bound. `within` (if also given) still
+        bounds CONSECUTIVE gaps inside the pane. Output: one aggregate row
+        per (keys, window_start, window_end)."""
+        s = self.stream
+        if self.kind != "time":
+            raise ValueError(
+                "trend_aggregate composes with time windows (whole-span "
+                "bound); use plain .trend_aggregate(within=...) for "
+                "consecutive-gap bounds"
+            )
+        from varpulis_spark.operators.greta import trend_aggregate as _ta
+
+        df = win_mod.explode_time_windows(
+            s.df, s.ts_col, self.size, self.slide, self.align, s.keys
+        )
+        sub = Stream(
+            df, ts_col=s.ts_col, order_col=s.order_col,
+            keys=list(s.keys) + ["window_start", "window_end"],
+        )
+        out = _ta(sub, event_type, adjacent, value_field, within,
+                  adjacent_vec=adjacent_vec)
+        return Stream(out, ts_col="window_end", keys=s.keys)
+
     def aggregate(self, **aggs) -> Stream:
         s = self.stream
         cols = agg_mod.compile_aggs(aggs, s.ts_col, s.order_col)
