@@ -223,3 +223,69 @@ def test_first_event_aligned_window(spark, sf_dir, duck):
     got_counts = sorted((r.user_id, r.n) for r in got.collect())
     exp_counts = sorted((u, n) for u, _w, n in exp)
     assert got_counts == exp_counts
+
+
+def test_custom_udaf(spark, sf_dir, duck):
+    """AggregateFunc-trait analog (aggregation.rs:104): vectorized
+    (Series) and ordered (ts-ordered list) custom aggregates vs SQL."""
+    rng = A.udaf(lambda s: float(s.max() - s.min()), "value")
+    swing = A.udaf(lambda vs: float(vs[-1] - vs[0]), "value", ordered=True)
+    out = (
+        Stream.events(spark, sf_dir)
+        .partition_by("user_id")
+        .aggregate(value_range=rng, swing=swing)
+    )
+    exp = {
+        u: (round(r, 6), round(s, 6))
+        for u, r, s in duck.execute(
+            """SELECT user_id, max(value) - min(value),
+                      last(value ORDER BY ts, event_id)
+                        - first(value ORDER BY ts, event_id)
+               FROM events GROUP BY 1"""
+        ).fetchall()
+    }
+    got = {
+        r.user_id: (round(r.value_range, 6), round(r.swing, 6))
+        for r in out.df.collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_custom_udaf_arithmetic_and_window(spark, sf_dir, duck):
+    """UDAFs compose with aggregate arithmetic and windowed aggregation
+    like built-ins."""
+    rel = A.udaf(lambda s: float(s.max() - s.min()), "value") / A.max("value")
+    out = (
+        Stream.events(spark, sf_dir)
+        .partition_by("user_id")
+        .window("6h")
+        .aggregate(rel_range=rel)
+    )
+    exp = {
+        (u, int(w)): round(v, 9)
+        for u, w, v in duck.execute(
+            """SELECT user_id,
+                      floor(epoch_us(ts) / 21600000000) w,
+                      (max(value) - min(value)) / max(value)
+               FROM events GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    got = {
+        (r.user_id, int(r.window_start.timestamp() // 21600)): round(r.rel_range, 9)
+        for r in out.df.collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_custom_udaf_vectorized(spark, sf_dir, duck):
+    """The Arrow grouped-agg path (vectorized=True, all-pandas agg)."""
+    rng = A.udaf(lambda s: float(s.max() - s.min()), "value", vectorized=True)
+    out = Stream.events(spark, sf_dir).partition_by("user_id").aggregate(value_range=rng)
+    exp = {
+        u: round(v, 6)
+        for u, v in duck.execute(
+            "SELECT user_id, max(value) - min(value) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    got = {r.user_id: round(r.value_range, 6) for r in out.df.collect()}
+    assert got == exp and len(got) > 0

@@ -115,7 +115,55 @@ class AggSpec(AggBase):
             return F.median(f)
         if k == "percentile":
             return F.percentile(f, self.params["p"])
+        if k == "udaf":
+            return self._udaf(ts_col, order_col)
         raise ValueError(f"unknown aggregate: {self.kind}")
+
+    def _udaf(self, ts_col: str, order_col: str | None) -> Column:
+        """Custom aggregate (AggregateFunc trait, aggregation.rs:104-148).
+
+        Default: collect_list (map-side partial list building) + ONE
+        scalar-UDF call per group — `fn` gets a pandas Series (unordered)
+        or a ts-ordered python list (ordered=True, the trait's
+        apply(events) contract). Python cost is per-GROUP, and the spec
+        mixes freely with built-in aggregates. A black-box fn cannot
+        partial-aggregate, so every path must ship the group's values;
+        vectorized=True uses a grouped-agg Pandas UDF instead (Arrow
+        transfer, no JVM array materialization) but Spark forbids mixing
+        those with non-pandas aggregates in one .aggregate()."""
+        fn = self.params["fn"]
+        rt = self.params.get("return_type", "double")
+        f = self._field_col()
+        if self.params.get("vectorized"):
+            import pandas as pd
+
+            from pyspark.sql.functions import pandas_udf
+
+            py = {"double": float, "float": float, "int": int, "long": int,
+                  "bigint": int, "string": str, "boolean": bool}.get(rt, float)
+
+            def w(s):
+                return fn(s)
+
+            w.__annotations__ = {"s": pd.Series, "return": py}
+            return pandas_udf(w, rt)(f)
+        from pyspark.sql.functions import udf
+
+        if self.params.get("ordered"):
+            pairs = F.sort_array(
+                F.collect_list(
+                    F.struct(self._order(ts_col, order_col).alias("o"), f.alias("v"))
+                )
+            )
+            vals = F.transform(pairs, lambda s: s.getField("v"))
+            return udf(fn, rt)(vals)
+
+        def on_series(arr):
+            import pandas as pd
+
+            return fn(pd.Series(arr))
+
+        return udf(on_series, rt)(F.collect_list(f))
 
     def _ema(self, ts_col: str, order_col: str | None) -> Column:
         """EMA over ts-ordered values: seed = first value, then
@@ -213,6 +261,28 @@ def median(field: str | Column) -> AggSpec:
 
 def percentile(field: str | Column, p: float) -> AggSpec:
     return AggSpec("percentile", field, {"p": p})
+
+
+def udaf(
+    fn,
+    field: str | Column,
+    return_type: str = "double",
+    ordered: bool = False,
+    vectorized: bool = False,
+) -> AggSpec:
+    """Custom aggregate (AggregateFunc trait, aggregation.rs:104-148):
+    `fn(values) -> scalar` over each group/window, one Python call per
+    GROUP. Default: fn gets a pandas Series (unordered), mix-safe with
+    built-ins. ordered=True: a ts-ordered list (the apply(events)
+    contract). vectorized=True: grouped-agg Pandas UDF (Arrow path; Spark
+    forbids mixing it with non-pandas aggregates). Composes with aggregate
+    arithmetic like any built-in."""
+    return AggSpec(
+        "udaf",
+        field,
+        {"fn": fn, "return_type": return_type, "ordered": ordered,
+         "vectorized": vectorized},
+    )
 
 
 def compile_aggs(
