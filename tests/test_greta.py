@@ -260,3 +260,87 @@ def test_windowed_trend_sliding_vs_brute(spark):
 def test_windowed_trend_rejects_non_time_windows(spark):
     with pytest.raises(ValueError, match="time windows"):
         _mk_stream(spark, [1, 2, 3]).window(2).trend_aggregate()
+
+
+# ---------------------------------------------------------------------------
+# Hamlet dynamic benefit model (hamlet/optimizer.rs; SIGMOD'21 §6)
+# ---------------------------------------------------------------------------
+
+
+def test_hamlet_benefit_model():
+    """b = g²·(ks − sp) − ks·sp: sharing wins with many queries and few
+    snapshots, loses when snapshots dominate (optimizer.rs:75-92)."""
+    from varpulis_spark.operators.hamlet_optimizer import KleeneStats
+
+    st = KleeneStats(num_queries=3)
+    for _ in range(20):
+        st.update(graphlet_size=10, num_snapshots=1)  # ks=3 > sp=1
+    assert st.sharing_benefit() > 0 and st.should_share()
+    st2 = KleeneStats(num_queries=2)
+    for _ in range(20):
+        st2.update(graphlet_size=3, num_snapshots=5)  # sp=5 > ks=2
+    assert st2.sharing_benefit() < 0 and not st2.should_share()
+    # single query never shares (optimizer.rs:88-91)
+    st3 = KleeneStats(num_queries=1)
+    st3.update(100, 0)
+    assert not st3.should_share()
+
+
+def test_hamlet_optimizer_split_merge_hysteresis():
+    """Shared → Split only when benefit < −threshold; NonShared → Merge
+    only when benefit > +threshold (optimizer.rs:184-214)."""
+    from varpulis_spark.operators import hamlet_optimizer as H
+
+    opt = H.HamletOptimizer(H.OptimizerConfig(reevaluate_interval=5))
+    opt.register_kleene("A", num_queries=3)
+    assert opt.decision("A") == H.SHARED  # >= min_queries starts shared
+    opt.register_kleene("B", num_queries=1)
+    assert opt.decision("B") == H.NON_SHARED
+    # healthy sharing: large graphlets, few snapshots -> stays shared
+    for _ in range(10):
+        opt.report_graphlet("A", graphlet_size=20, num_snapshots=1)
+    assert opt.decision("A") == H.SHARED
+    # snapshot storm: benefit goes strongly negative -> Split (one
+    # reevaluation), then settles NonShared on the next
+    opt.stats["A"] = H.KleeneStats(num_queries=3)
+    for _ in range(5):
+        opt.report_graphlet("A", graphlet_size=2, num_snapshots=50)
+    assert opt.decision("A") == H.SPLIT
+    for _ in range(5):
+        opt.report_graphlet("A", graphlet_size=2, num_snapshots=50)
+    assert opt.decision("A") == H.NON_SHARED
+    # recovery: +threshold benefit -> Merge, then settles Shared
+    opt.stats["A"] = H.KleeneStats(num_queries=3)
+    for _ in range(5):
+        opt.report_graphlet("A", graphlet_size=30, num_snapshots=0)
+    assert opt.decision("A") == H.MERGE
+    opt.reevaluate()
+    assert opt.decision("A") == H.SHARED
+
+
+def test_multi_query_split_preserves_results(spark, sf_dir):
+    """A forced Split must not change ANY result — per-query DPs and the
+    shared matrix DP are the same math (what makes adaptive switching
+    safe)."""
+    from varpulis_spark.operators import hamlet_optimizer as H
+    from varpulis_spark.operators.greta import trend_aggregate_multi
+
+    s = Stream.events(spark, sf_dir).partition_by("user_id")
+    queries = {
+        "p_cnt": {"event_type": "purchase"},
+        "p_val": {"event_type": "purchase", "value_field": "value"},
+        "v_val": {"event_type": "view", "value_field": "value"},
+    }
+    shared = {
+        (r.user_id, r.query): (r.trend_count, r.event_count, r.value_sum)
+        for r in trend_aggregate_multi(s, queries).collect()
+    }
+    opt = H.HamletOptimizer(H.OptimizerConfig(adaptive=False))
+    out = trend_aggregate_multi(s, queries, optimizer=opt)  # registers keys
+    for k in list(opt.decisions):
+        opt.force_decision(k, H.NON_SHARED)
+    split = {
+        (r.user_id, r.query): (r.trend_count, r.event_count, r.value_sum)
+        for r in trend_aggregate_multi(s, queries, optimizer=opt).collect()
+    }
+    assert shared == split and len(shared) > 0

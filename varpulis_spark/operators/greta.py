@@ -162,6 +162,7 @@ def _group_arrays(pdf: pd.DataFrame, ts_col: str, value_field: str | None):
 def trend_aggregate_multi(
     stream,
     queries: dict[str, dict],
+    optimizer=None,
 ) -> DataFrame:
     """Hamlet-style MULTI-QUERY trend aggregation (runtime/src/hamlet/,
     SIGMOD'21): N concurrent trend queries answered in ONE pass per key.
@@ -184,9 +185,16 @@ def trend_aggregate_multi(
     adjacency, within) — the graphlet counts (cnt / len_sum propagations)
     are query-independent within a group, so the group runs ONE DP with all
     of its queries' value fields stacked as matrix columns. N queries over
-    K distinct sub-patterns cost K DPs (K ≤ N), not N. No benefit model is
-    needed here: the batch DP has no snapshot-propagation overhead (the
-    reference's sp term), so sharing is always a win.
+    K distinct sub-patterns cost K DPs (K ≤ N), not N.
+
+    `optimizer` (HamletOptimizer, operators/hamlet_optimizer.py): the
+    dynamic benefit model b = g²·(ks − sp) − ks·sp deciding Shared vs
+    NonShared per sub-pattern. In this batch lowering sharing has no
+    snapshot term (sp = 0 — value columns ride the same reductions), so
+    the default decision is Shared; a NonShared/Split decision is honored
+    by splitting the group into per-query DPs (identical results, K → N
+    DPs), which is what makes the reference's adaptive switching safe to
+    apply here.
     """
     df = stream.df
     ts_col = stream.ts_col
@@ -220,6 +228,23 @@ def trend_aggregate_multi(
             if vf not in g["fields"]:
                 g["fields"].append(vf)
             g["members"].append((name, g["fields"].index(vf)))
+
+    if optimizer is not None:
+        # consult the benefit model per sub-pattern; a NonShared/Split
+        # decision splits the group into singleton per-query DPs
+        split_groups: dict[tuple, dict] = {}
+        for gk, g in groups.items():
+            if gk not in optimizer.stats:
+                optimizer.register_kleene(gk, len(g["members"]))
+            if optimizer.is_shared(gk) or len(g["members"]) == 1:
+                split_groups[gk] = g
+            else:
+                for idx, (name, fi) in enumerate(g["members"]):
+                    solo = dict(g)
+                    solo["fields"] = [g["fields"][fi]] if fi is not None else []
+                    solo["members"] = [(name, 0 if fi is not None else None)]
+                    split_groups[gk + (idx,)] = solo
+        groups = split_groups
 
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     schema = (key_fields + ", " if keys else "") + (
