@@ -15,14 +15,17 @@ to hash-match:
   results are rounded to 6 decimals on both sides;
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
-Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
-`greta_rising`) are non-SQL-expressible (LSH banding / predicate-gated
-GRETA DP); the driver records rows-only checks for them.
-`kleene_purchases` checks the exhaustive Kleene enumeration through the
-binomial identity C(k, m) per anchor pair — full-row enumeration runs
-underneath, aggregated to a SQL-checkable shape. `multimodal_meta` runs
-the binary encode→decode→frame-sample plumbing end-to-end against a
-closed-form oracle (the fake image is a pure function of the row).
+Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`)
+are non-SQL-expressible (LSH banding: the bucketing depends on the hash
+family, not the data relation); the driver records rows-only checks for
+them — their recall is pinned against exact Jaccard in
+tests/test_dedup.py instead. Every other query is oracle-checked,
+including the three non-obvious ones: `kleene_purchases` verifies the
+exhaustive Kleene enumeration through the binomial identity C(k, m) per
+anchor pair; `greta_rising` verifies the predicate-gated GRETA DP via a
+recursive CTE carrying the per-user DP arrays; `multimodal_meta` runs the
+binary encode→decode→frame-sample plumbing against a closed-form oracle
+(the fake image is a pure function of the row).
 """
 
 from __future__ import annotations
@@ -282,8 +285,12 @@ def q_greta_trend_count(spark, sf):
 
 
 def q_greta_rising(spark, sf):
-    """GRETA with a rising adjacency predicate — no closed form (rows-only).
-    Uses the vectorized adjacency mask (one numpy comparison per event)."""
+    """GRETA with a rising adjacency predicate — no closed form, but the
+    DP recurrence itself is SQL-expressible as a recursive CTE carrying
+    the per-user (value, cnt, val) arrays, so the predicate-gated path is
+    oracle-checked too. Uses the vectorized adjacency mask (one numpy
+    comparison per event); value_sum rounded (order-dependent float
+    accumulation differs between numpy pairwise and SQL sequential sums)."""
     out = (
         Stream.events(spark, sf)
         .partition_by("user_id")
@@ -293,7 +300,9 @@ def q_greta_rising(spark, sf):
             value_field="value",
         )
     )
-    return out.df.select("user_id", "trend_count", "value_sum")
+    return out.df.select(
+        "user_id", "trend_count", F.round("value_sum", 6).alias("value_sum")
+    )
 
 
 def q_trend_multi(spark, sf):
@@ -630,6 +639,47 @@ def oracle_sql() -> dict[str, str]:
                    pow(2, count(*)) - 1 AS trend_count,
                    count(*) * pow(2, count(*) - 1) AS event_count
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "greta_rising": """
+            -- the GRETA DP as a recursive CTE: one iteration appends each
+            -- user's next purchase, carrying (values, cnt, val) arrays;
+            -- cnt_i = 1 + sum cnt[j] over j<i with v[j] < v[i], etc.
+            WITH RECURSIVE ev AS (
+              SELECT user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'purchase'
+            ),
+            dp AS (
+              SELECT user_id, 0 AS i,
+                     CAST([] AS DOUBLE[]) AS vs,
+                     CAST([] AS DOUBLE[]) AS cnts,
+                     CAST([] AS DOUBLE[]) AS vals,
+                     CAST(0.0 AS DOUBLE) AS tc, CAST(0.0 AS DOUBLE) AS vsum
+              FROM (SELECT DISTINCT user_id FROM ev)
+              UNION ALL
+              SELECT d.user_id, d.i + 1,
+                     list_append(d.vs, e.value),
+                     list_append(d.cnts,
+                       1.0 + coalesce(list_sum(list_transform(list_zip(d.vs, d.cnts),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0)),
+                     list_append(d.vals,
+                       e.value * (1.0 + coalesce(list_sum(list_transform(list_zip(d.vs, d.cnts),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0))
+                       + coalesce(list_sum(list_transform(list_zip(d.vs, d.vals),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0)),
+                     d.tc + 1.0 + coalesce(list_sum(list_transform(list_zip(d.vs, d.cnts),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0),
+                     d.vsum + e.value * (1.0 + coalesce(list_sum(list_transform(list_zip(d.vs, d.cnts),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0))
+                       + coalesce(list_sum(list_transform(list_zip(d.vs, d.vals),
+                         x -> CASE WHEN x[1] < e.value THEN x[2] ELSE 0.0 END)), 0.0)
+              FROM dp d JOIN ev e ON e.user_id = d.user_id AND e.rn = d.i + 1
+            )
+            SELECT user_id, tc AS trend_count, round(vsum, 6) AS value_sum
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY i DESC) rk FROM dp)
+            WHERE rk = 1
         """,
         "greta_windowed": """
             -- pane composition: 6h epoch-aligned buckets, closed form per
