@@ -1,0 +1,251 @@
+"""AWS Kinesis connector bridge (connector/kinesis.rs:25-102 KinesisConfig,
+:216-386 KinesisSourceImpl shard polling, :389-462 KinesisSinkImpl,
+:465-488 json_to_event_from_json).
+
+Same bridge shape as MQTT/NATS (sources/spool.py): records spool to
+JSON-lines files and replay as micro-batches. The boto3 AWS SDK is NOT
+installed in this container: `connect` is import-gated with a clear error;
+record parsing, spool replay, Stream wiring, and sink batching are real and
+tested through `ingest()` / an injected fake client.
+
+Parsing parity (json_to_event_from_json + the raw fallback,
+kinesis.rs:347-369):
+- a JSON payload parses like the other brokers (`event_type` key, else
+  `type`), but the default type is "WebhookEvent", not a topic segment
+  (Kinesis records carry no subject); a nested `data` object wins;
+- a NON-JSON payload becomes a "KinesisRecord" event carrying the raw
+  bytes in `raw_data` plus the record's `partition_key`
+  (kinesis.rs:355-369). The typed bridge always emits both columns
+  (null for parsed rows) — the reference's dynamic events behave the same
+  when the fields are absent.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from varpulis_spark.sources.spool import SpooledSource, iso_micros
+
+PUT_RECORDS_MAX = 500  # Kinesis PutRecords API batch limit (public AWS docs)
+
+
+@dataclass
+class KinesisConfig:
+    """Mirror of KinesisConfig (kinesis.rs:25-102): stream/region/iterator/
+    batch/poll/partition-key/consumer/profile; constructor clamps match the
+    reference's builder clamps."""
+
+    stream_name: str
+    region: str
+    shard_iterator_type: str = "LATEST"  # TRIM_HORIZON | LATEST | AT_TIMESTAMP
+    batch_size: int = 100
+    poll_interval_ms: int = 200
+    partition_key: str | None = None
+    consumer_name: str | None = None
+    profile: str | None = None
+
+    def __post_init__(self):
+        self.batch_size = min(max(self.batch_size, 1), 10000)  # kinesis.rs:75
+        if self.shard_iterator_type not in (
+            "TRIM_HORIZON", "LATEST", "AT_TIMESTAMP"
+        ):  # unknown types fall back to LATEST (kinesis.rs:311-315)
+            self.shard_iterator_type = "LATEST"
+
+
+def parse_kinesis_events(df: DataFrame, value_schema: str) -> DataFrame:
+    """Lower the record parser (kinesis.rs:347-369 + 465-488) to Catalyst.
+
+    `try_parse_json` distinguishes valid JSON from raw data; JSON objects
+    parse into the typed fields (data-object precedence), everything else
+    lands as a KinesisRecord with raw_data + partition_key."""
+    is_json = F.try_parse_json(F.col("payload")).isNotNull()
+    top = F.from_json(F.col("payload"), value_schema)
+    nested = F.from_json(F.col("payload"), f"data struct<{value_schema}>")
+    types = F.from_json(F.col("payload"), "event_type string, type string")
+    event_type = F.when(
+        is_json,
+        F.coalesce(
+            types.getField("event_type"), types.getField("type"),
+            F.lit("WebhookEvent"),  # kinesis.rs:470
+        ),
+    ).otherwise(F.lit("KinesisRecord"))  # kinesis.rs:357
+    field_names = [f.name for f in StructType.fromDDL(value_schema).fields]
+    has_data = nested.getField("data").isNotNull()
+    cols = [
+        F.when(has_data, nested.getField("data").getField(n))
+        .otherwise(top.getField(n))
+        .alias(n)
+        for n in field_names
+    ]
+    return df.select(
+        F.col("kinesis_ts").alias("ts"),
+        event_type.alias("event_type"),
+        *cols,
+        F.when(~is_json, F.col("payload")).alias("raw_data"),
+        F.col("partition_key"),
+    )
+
+
+class KinesisSource(SpooledSource):
+    """KinesisSource (kinesis.rs:216-386): poll shards → parse → feed.
+
+    `ingest()` is the transport-independent entry (the shard-polling loop
+    routes GetRecords results here; tests call it directly)."""
+
+    RECORD_SCHEMA = (
+        "partition_key string, sequence_number string, payload string, "
+        "kinesis_ts timestamp"
+    )
+
+    def __init__(self, name: str, config: KinesisConfig, spool_dir: str):
+        super().__init__(name, spool_dir)
+        self.config = config
+        self._running = False
+
+    # -- transport ---------------------------------------------------------
+    def connect(self, client=None):
+        """Start the shard-polling loop.
+
+        Connectivity is validated SYNCHRONOUSLY (client construction +
+        describe_stream) so missing credentials / unreachable endpoints
+        raise here, not silently inside the polling thread — the
+        reference's start() surfaces ConnectionFailed the same way
+        (kinesis.rs:256-276). Requires boto3 unless a pre-built `client`
+        (anything speaking the Kinesis API) is injected."""
+        if client is None:
+            try:
+                import boto3  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "Kinesis transport needs the 'boto3' package (not "
+                    "present in this environment). The spool/parse/stream "
+                    "plumbing is fully functional via ingest(); plug any "
+                    "client into it."
+                ) from e
+            session = (
+                boto3.Session(profile_name=self.config.profile)
+                if self.config.profile
+                else boto3.Session()
+            )
+            client = session.client("kinesis", region_name=self.config.region)
+        desc = client.describe_stream(StreamName=self.config.stream_name)
+
+        import threading  # noqa: PLC0415
+
+        def _poll():
+            for shard in desc["StreamDescription"]["Shards"]:
+                it = client.get_shard_iterator(
+                    StreamName=self.config.stream_name,
+                    ShardId=shard["ShardId"],
+                    ShardIteratorType=self.config.shard_iterator_type,
+                )["ShardIterator"]
+                while self._running and it:
+                    out = client.get_records(
+                        ShardIterator=it, Limit=self.config.batch_size
+                    )
+                    for rec in out["Records"]:
+                        self.ingest(
+                            rec["Data"].decode("utf-8", "replace"),
+                            partition_key=rec.get("PartitionKey", ""),
+                            sequence_number=rec.get("SequenceNumber"),
+                        )
+                    if out["Records"]:
+                        self.flush()
+                    it = out.get("NextShardIterator")
+                    time.sleep(self.config.poll_interval_ms / 1000.0)
+
+        self._running = True
+        self._thread = threading.Thread(target=_poll, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        """Signal the polling loop to exit (kinesis.rs:279-283)."""
+        self._running = False
+
+    # -- spool -------------------------------------------------------------
+    def ingest(
+        self,
+        data: str,
+        partition_key: str = "",
+        sequence_number: str | None = None,
+        ts: float | None = None,
+    ) -> None:
+        """Buffer one record (arrival-stamped; Kinesis' own
+        ApproximateArrivalTimestamp can be passed as `ts`)."""
+        t = ts if ts is not None else time.time()
+        self._buffer({
+            "partition_key": partition_key,
+            "sequence_number": sequence_number,
+            "payload": data,
+            "kinesis_ts": iso_micros(t),
+        })
+
+    def _parse(self, df: DataFrame, value_schema: str) -> DataFrame:
+        return parse_kinesis_events(df, value_schema)
+
+
+class KinesisSink:
+    """KinesisSink (kinesis.rs:389-462): put each event as a JSON record.
+
+    Partition key: the configured fixed key, else a fresh UUID per record
+    (kinesis.rs:435-439) — random keys spread writes across shards.
+
+    `client` (test/driver mode): any object with
+    put_record(StreamName=, PartitionKey=, Data=); rows iterate on the
+    driver. `client_factory` (production mode): called once per PARTITION
+    on the executors, records batched through put_records in chunks of 500
+    (the API limit) — no driver bottleneck."""
+
+    def __init__(
+        self,
+        name: str,
+        config: KinesisConfig,
+        client=None,
+        client_factory: Callable[[], object] | None = None,
+    ):
+        self.name = name
+        self.config = config
+        self._client = client
+        self._factory = client_factory
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        """foreachBatch callback (compose with resilient_sink_fn for
+        circuit-breaker + DLQ protection, sink.rs:489-620)."""
+        stream, fixed_key = self.config.stream_name, self.config.partition_key
+        payloads = df.select(F.to_json(F.struct(*df.columns)).alias("p"))
+        if self._factory is not None:
+            factory = self._factory
+
+            def put_partition(rows: Iterable) -> None:
+                client = factory()
+                batch = []
+                for r in rows:
+                    batch.append({
+                        "Data": r.p.encode("utf-8"),
+                        "PartitionKey": fixed_key or str(uuid.uuid4()),
+                    })
+                    if len(batch) >= PUT_RECORDS_MAX:
+                        client.put_records(StreamName=stream, Records=batch)
+                        batch = []
+                if batch:
+                    client.put_records(StreamName=stream, Records=batch)
+
+            payloads.foreachPartition(put_partition)
+            return
+        client = self._client
+        if client is None:
+            raise ValueError("KinesisSink needs a client or client_factory")
+        for r in payloads.toLocalIterator():
+            client.put_record(
+                StreamName=stream,
+                PartitionKey=fixed_key or str(uuid.uuid4()),
+                Data=r.p.encode("utf-8"),
+            )

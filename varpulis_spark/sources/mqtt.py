@@ -9,7 +9,8 @@ Spark has no DSv2 MQTT source, so the idiomatic bridge is:
   spool as micro-batches (exactly the shape of the reference's
   connector-task → bounded-channel → engine feed, varpulis-cli
   main.rs:1005-1040, with the spool as the durable channel — restarts
-  resume from the checkpoint without message loss).
+  resume from the checkpoint without message loss). The spool machinery is
+  shared with the NATS/Kinesis bridges (sources/spool.py).
 - SINK: a foreachBatch callback publishing each row as JSON. Production
   path: a per-partition client factory (executor-side fan-out, no driver
   bottleneck); test path: one injected client, rows iterated on the driver.
@@ -30,18 +31,19 @@ Payload parsing parity (parse_mqtt_payload, mqtt.rs:356-419):
 
 from __future__ import annotations
 
-import json
-import os
-import threading
 import time
 import uuid
 from dataclasses import dataclass
 from typing import Callable, Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from varpulis_spark.stream import Stream
+from varpulis_spark.sources.spool import (
+    SpooledSource,
+    iso_micros,
+    parse_broker_events,
+)
 
 SPOOL_SCHEMA = "topic string, payload string, mqtt_ts timestamp"
 
@@ -66,37 +68,14 @@ class MqttConfig:
 
 def parse_mqtt_events(df: DataFrame, value_schema: str) -> DataFrame:
     """Lower parse_mqtt_payload (mqtt.rs:356-419) to Catalyst expressions
-    over a spool DataFrame (topic, payload, mqtt_ts).
-
-    `value_schema` is the DDL of the event fields (this engine is typed;
-    the reference's dynamic events read missing fields as null — from_json
-    does the same). Emits event_type + ts + the schema fields; a nested
-    `data` object wins over top-level fields, and a malformed payload
-    yields a row of nulls with the topic-derived type (the reference drops
-    it — kept here so the DLQ can see it)."""
-    top = F.from_json(F.col("payload"), value_schema)
-    nested = F.from_json(F.col("payload"), f"data struct<{value_schema}>")
-    types = F.from_json(F.col("payload"), "event_type string, type string")
-    seg = F.element_at(F.filter(F.split(F.col("topic"), "/"), lambda s: s != ""), -1)
-    event_type = F.coalesce(
-        types.getField("event_type"), types.getField("type"), seg, F.lit("Unknown")
-    )
-    from pyspark.sql.types import StructType
-
-    field_names = [f.name for f in StructType.fromDDL(value_schema).fields]
-    has_data = nested.getField("data").isNotNull()
-    cols = [
-        F.when(has_data, nested.getField("data").getField(n))
-        .otherwise(top.getField(n))
-        .alias(n)
-        for n in field_names
-    ]
-    return df.select(
-        F.col("mqtt_ts").alias("ts"), event_type.alias("event_type"), *cols
+    over a spool DataFrame (topic, payload, mqtt_ts). Topic segments split
+    on '/'; see parse_broker_events for the shared precedence rules."""
+    return parse_broker_events(
+        df, value_schema, topic_col="topic", separator="/", ts_col="mqtt_ts"
     )
 
 
-class MqttSource:
+class MqttSource(SpooledSource):
     """MqttSource (mqtt.rs:88-241): subscribe → parse → feed the engine.
 
     `ingest()` is the transport-independent entry (the paho on_message
@@ -104,16 +83,13 @@ class MqttSource:
     `flush()` atomically lands the buffered messages as one spool file ==
     one replay micro-batch."""
 
+    RECORD_SCHEMA = SPOOL_SCHEMA
+
     def __init__(self, name: str, config: MqttConfig, spool_dir: str):
-        self.name = name
+        super().__init__(name, spool_dir)
         self.config = config
-        self.spool_dir = spool_dir
-        os.makedirs(spool_dir, exist_ok=True)
-        self._buf: list[tuple[str, str, float]] = []
-        self._lock = threading.Lock()
         self._client = None
         self._topics = [config.topic]
-        self._seq = 0
 
     # -- transport ---------------------------------------------------------
     def connect(self, flush_every: int = 100):
@@ -153,49 +129,11 @@ class MqttSource:
     # -- spool -------------------------------------------------------------
     def ingest(self, topic: str, payload: str, ts: float | None = None) -> None:
         """Buffer one message (arrival-stamped)."""
-        with self._lock:
-            self._buf.append((topic, payload, ts if ts is not None else time.time()))
+        t = ts if ts is not None else time.time()
+        self._buffer({"topic": topic, "payload": payload, "mqtt_ts": iso_micros(t)})
 
-    def flush(self) -> str | None:
-        """Atomically land the buffer as one spool file (write-then-rename:
-        the streaming reader never sees a partial file). Returns the path."""
-        with self._lock:
-            buf, self._buf = self._buf, []
-            if not buf:
-                return None
-            self._seq += 1
-            name = f"{int(time.time() * 1e6):016d}_{self._seq:06d}.jsonl"
-        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
-        dst = os.path.join(self.spool_dir, name)
-        with open(tmp, "w") as f:
-            for topic, payload, ts in buf:
-                f.write(json.dumps({
-                    "topic": topic,
-                    "payload": payload,
-                    "mqtt_ts": time.strftime(
-                        "%Y-%m-%dT%H:%M:%S", time.gmtime(ts)
-                    ) + f".{int(ts % 1 * 1e6):06d}Z",
-                }) + "\n")
-        os.replace(tmp, dst)
-        return dst
-
-    # -- Spark wiring ------------------------------------------------------
-    def stream(
-        self, spark: SparkSession, value_schema: str,
-        max_files_per_trigger: int | None = None,
-    ) -> Stream:
-        """Streaming Stream over the spool (one file == one micro-batch
-        with max_files_per_trigger=1)."""
-        reader = spark.readStream.schema(SPOOL_SCHEMA)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        df = reader.json(self.spool_dir)
-        return Stream(parse_mqtt_events(df, value_schema), ts_col="ts")
-
-    def batch(self, spark: SparkSession, value_schema: str) -> Stream:
-        """Batch view of the spool (replay/debug)."""
-        df = spark.read.schema(SPOOL_SCHEMA).json(self.spool_dir)
-        return Stream(parse_mqtt_events(df, value_schema), ts_col="ts")
+    def _parse(self, df: DataFrame, value_schema: str) -> DataFrame:
+        return parse_mqtt_events(df, value_schema)
 
 
 class MqttSink:
