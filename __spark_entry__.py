@@ -255,6 +255,54 @@ def q_kleene_purchases(spark, sf):
     )
 
 
+def q_kleene_maximal(spark, sf):
+    """Reference RUN semantics (kleene_emit='maximal', sase.rs:2691-2735 —
+    runs never fork): one run per signup, purchases accumulate greedily,
+    the FIRST error after ≥1 purchase closes and consumes the run. The
+    oracle computes each run deterministically: p1 = first purchase after
+    the signup, e = first error after p1 (both inside the 48h deadline),
+    n = purchases strictly between signup and e (capped at the reference's
+    20-event accumulation limit, sase.rs:36-39)."""
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "bs", kleene="+"),
+               step("error", "c")],
+        within="48h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "c_id": ("c", "event_id"), "n_purchases": ("bs", "__count")},
+        kleene_emit="maximal",
+    )
+    return Stream.events(spark, sf).partition_by("user_id").pattern(p).df
+
+
+def q_kleene_deferred(spark, sf):
+    """Deferred (postponed, SIGMOD'14) Kleene predicate through the ZDD
+    capture: accumulation is type-only; at completion the non-empty
+    purchase combinations where EVERY value < the closing error's value
+    are enumerated (CompleteMulti → enumerate_with_filter,
+    operators/zdd.py). Aggregated by subset size m, the counts must equal
+    C(k', m) where k' = qualifying purchases in the run's window — the
+    binomial identity over the PREDICATE-FILTERED candidate set (a
+    predicate evaluated against completion-time bindings, which no inline
+    check could express)."""
+    p = Pattern(
+        steps=[
+            step("signup", "a"),
+            step("purchase", "bs", kleene="+", deferred=True,
+                 where=lambda evs, b: all(
+                     e["value"] < b["c"]["value"] for e in evs)),
+            step("error", "c"),
+        ],
+        within="48h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "c_id": ("c", "event_id"), "n_purchases": ("bs", "__count")},
+        kleene_emit="maximal",
+    )
+    matches = Stream.events(spark, sf).partition_by("user_id").pattern(p).df
+    return matches.groupBy("user_id", "a_id", "c_id", "n_purchases").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
 def q_greta_windowed(spark, sf):
     """Whole-span `within` via pane composition (GRETA §5): purchase trends
     per user per 6h tumbling pane. Predicate-free closed form per pane
@@ -435,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_signup_purchase": q_seq_signup_purchase,
         "seq_no_error": q_seq_no_error,
         "kleene_purchases": q_kleene_purchases,
+        "kleene_maximal": q_kleene_maximal,
+        "kleene_deferred": q_kleene_deferred,
         "greta_trend_count": q_greta_trend_count,
         "greta_windowed": q_greta_windowed,
         "greta_rising": q_greta_rising,
@@ -633,6 +683,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, a_id, c_id, CAST(m AS INT) AS n_purchases,
                    CAST(factorial(k::INT) / (factorial(m::INT) * factorial((k - m)::INT)) AS BIGINT) AS n_matches
             FROM expanded
+        """,
+        "kleene_maximal": """
+            -- reference RUN semantics, computed deterministically: per
+            -- signup, p1 = first purchase after it, e = first error after
+            -- p1 (both within the 48h inclusive deadline); the closure is
+            -- every purchase strictly between signup and e, capped at the
+            -- 20-event accumulation limit.
+            WITH pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+                 err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+                 runs AS (
+                   SELECT s.user_id, s.event_id AS a_id, s.ts AS s_ts,
+                          (SELECT min(p.ts) FROM pur p
+                            WHERE p.user_id = s.user_id AND p.ts > s.ts
+                              AND epoch_us(p.ts) <= epoch_us(s.ts) + 172800000000) AS p1_ts
+                   FROM events s WHERE s.event_type = 'signup'
+                 ),
+                 closed AS (
+                   SELECT r.user_id, r.a_id, r.s_ts,
+                          (SELECT min(e.ts) FROM err e
+                            WHERE e.user_id = r.user_id AND e.ts > r.p1_ts
+                              AND epoch_us(e.ts) <= epoch_us(r.s_ts) + 172800000000) AS e_ts
+                   FROM runs r WHERE r.p1_ts IS NOT NULL
+                 )
+            SELECT c.user_id, c.a_id,
+                   (SELECT min(e.event_id) FROM err e
+                     WHERE e.user_id = c.user_id AND e.ts = c.e_ts) AS c_id,
+                   LEAST((SELECT count(*) FROM pur p
+                           WHERE p.user_id = c.user_id
+                             AND p.ts > c.s_ts AND p.ts < c.e_ts), 20) AS n_purchases
+            FROM closed c WHERE c.e_ts IS NOT NULL
+        """,
+        "kleene_deferred": """
+            -- deferred-predicate enumeration checked via the binomial
+            -- identity over the FILTERED candidate set: per closed run,
+            -- k' = purchases among the first 20 accumulated whose value is
+            -- below the closing error's value; subset size m must appear
+            -- exactly C(k', m) times.
+            WITH pur AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+                 err AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'error'),
+                 runs AS (
+                   SELECT s.user_id, s.event_id AS a_id, s.ts AS s_ts,
+                          (SELECT min(p.ts) FROM pur p
+                            WHERE p.user_id = s.user_id AND p.ts > s.ts
+                              AND epoch_us(p.ts) <= epoch_us(s.ts) + 172800000000) AS p1_ts
+                   FROM events s WHERE s.event_type = 'signup'
+                 ),
+                 closed AS (
+                   SELECT r.user_id, r.a_id, r.s_ts,
+                          (SELECT min(e.ts) FROM err e
+                            WHERE e.user_id = r.user_id AND e.ts > r.p1_ts
+                              AND epoch_us(e.ts) <= epoch_us(r.s_ts) + 172800000000) AS e_ts
+                   FROM runs r WHERE r.p1_ts IS NOT NULL
+                 ),
+                 runinfo AS (
+                   SELECT c.user_id, c.a_id, c.s_ts, c.e_ts,
+                          (SELECT min(e.event_id) FROM err e
+                            WHERE e.user_id = c.user_id AND e.ts = c.e_ts) AS c_id,
+                          (SELECT min(e.value) FROM err e
+                            WHERE e.user_id = c.user_id AND e.ts = c.e_ts) AS e_val
+                   FROM closed c WHERE c.e_ts IS NOT NULL
+                 ),
+                 qual AS (
+                   SELECT r.user_id, r.a_id, r.c_id,
+                          (SELECT count(*) FROM (
+                             SELECT p.value,
+                                    row_number() OVER (ORDER BY p.ts) AS rn
+                             FROM pur p
+                             WHERE p.user_id = r.user_id
+                               AND p.ts > r.s_ts AND p.ts < r.e_ts) q
+                            WHERE q.rn <= 20 AND q.value < r.e_val) AS kq
+                   FROM runinfo r
+                 )
+            SELECT user_id, a_id, c_id, CAST(m AS BIGINT) AS n_purchases,
+                   CAST(factorial(kq::INT) / (factorial(m::INT) * factorial((kq - m)::INT)) AS BIGINT) AS n_matches
+            FROM (SELECT *, UNNEST(range(1, kq::INT + 1)) AS m
+                  FROM qual WHERE kq >= 1)
         """,
         "greta_trend_count": """
             SELECT user_id,

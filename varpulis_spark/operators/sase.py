@@ -80,10 +80,17 @@ class Step:
     gap_ns: int | None = None  # per-edge `.within` between this step and
     # its predecessor (mid-chain within, e.g. hvac_demo.vpl
     # CompressorShortCycle `A -> B .within(5m) -> C .within(5m)`)
+    deferred: bool = False  # Kleene-only, maximal mode: postponed predicate
+    # (SIGMOD'14) — `where` is NOT checked at accumulation; it is applied
+    # per-COMBINATION at run completion via the ZDD capture
+    # (enumerate_with_filter, sase.rs:3121-3124) with signature
+    # (closure_event_list, bindings) -> bool.
 
 
-def step(event_type, alias, where=None, kleene=None, where_sql=None):
-    return Step(event_type, alias, where=where, kleene=kleene, where_sql=where_sql)
+def step(event_type, alias, where=None, kleene=None, where_sql=None,
+         deferred=False):
+    return Step(event_type, alias, where=where, kleene=kleene,
+                where_sql=where_sql, deferred=deferred)
 
 
 def not_step(event_type, alias="_not", where=None, where_sql=None):
@@ -104,6 +111,18 @@ class Pattern:
     emit: dict[str, tuple[str, str]] = dc_field(default_factory=dict)
     max_matches: int = MAX_MATCHES_PER_GROUP
     force_nfa: bool = False  # disable join compilation (testing/debug)
+    # Kleene emission mode:
+    # - "combinations" (default): exhaustive SASE+ — every valid closure
+    #   subset is its own match (our oracle-checked batch semantic).
+    # - "maximal": reference RUN semantics (sase.rs:2691-2735 — runs never
+    #   fork): one run per initial event, the closure accumulates greedily,
+    #   the first next-step event completes and CONSUMES the run
+    #   (complete_run, sase.rs:3120-3131) → one match with the maximal
+    #   closure; a trailing closure emits one match per accumulated prefix
+    #   (CompleteAndContinue, sase.rs:3195-3201); a `deferred` predicate
+    #   enumerates passing combinations from the ZDD capture at completion
+    #   (CompleteMulti → enumerate_with_filter).
+    kleene_emit: str = "combinations"
     # AND(A,B): conjunction in ANY order (AndState sase.rs:738-772) — the
     # pattern matches every ts-order permutation of its positive steps.
     # Lowered as the union of the per-permutation sequences (each event set
@@ -183,6 +202,19 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
     strategy = pattern.strategy
     max_matches = pattern.max_matches
     et = cols.get("event_type")
+    maximal = pattern.kleene_emit == "maximal"
+    if maximal and strategy == STRICT and any(s.kleene for s in steps):
+        raise ValueError(
+            "kleene_emit='maximal' is not defined for strict_contiguous "
+            "closures; use the default 'combinations' mode"
+        )
+    if any(s.deferred and not s.kleene for s in steps):
+        raise ValueError("deferred=True is only valid on a Kleene step")
+    if any(s.deferred for s in steps) and not maximal:
+        raise ValueError(
+            "deferred Kleene predicates require kleene_emit='maximal' "
+            "(the default exhaustive mode evaluates predicates inline)"
+        )
 
     idx_cache: dict = {}
     cts_cache: dict = {}
@@ -304,7 +336,7 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
                     return
         emit_match(b)
 
-    def emit_match(b: dict) -> None:
+    def emit_row(b: dict) -> None:
         row = {}
         for out_col, (alias, fld) in pattern.emit.items():
             v = b[alias]
@@ -313,6 +345,36 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
             else:
                 row[out_col] = v.get(fld)
         out.append(row)
+
+    def emit_match(b: dict) -> None:
+        captures = [(k, v) for k, v in b.items() if k.startswith("__dc_")]
+        if not captures:
+            emit_row(b)
+            return
+        # deferred Kleene capture(s): one output row per predicate-passing
+        # combination (CompleteMulti path, enumerate_with_filter sase.rs)
+        def expand(rest: list, bound: dict) -> None:
+            if len(out) >= max_matches:
+                return
+            if not rest:
+                emit_row(bound)
+                return
+            key, kc = rest[0]
+            alias = key[len("__dc_"):]
+            raw = getattr(kc, "_raw_pred", None)
+            kc.deferred_predicate = (
+                (lambda evs, _b=bound, _p=raw: bool(_p(evs, _b)))
+                if raw is not None else None
+            )
+            for combo in kc.enumerate_with_filter(max_matches - len(out)):
+                b2 = dict(bound)
+                b2[alias] = combo
+                expand(rest[1:], b2)
+                if len(out) >= max_matches:
+                    return
+
+        clean = {k: v for k, v in b.items() if not k.startswith("__dc_")}
+        expand(captures, clean)
 
     def advance(si: int, min_i: int, b: dict, first_ts: int | None,
                 first_idx: int, prev_ts: int, prev_idx: int) -> None:
@@ -331,7 +393,12 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
             deadline = edge if deadline is None else min(deadline, edge)
 
         if s.kleene:
-            advance_kleene(s, si, min_i, b, first_ts, first_idx, prev_ts, prev_idx)
+            if maximal:
+                advance_kleene_maximal(s, si, min_i, b, first_ts, first_idx,
+                                       prev_ts, prev_idx)
+            else:
+                advance_kleene(s, si, min_i, b, first_ts, first_idx,
+                               prev_ts, prev_idx)
             return
 
         if strategy == STRICT and first_ts is not None:
@@ -428,6 +495,158 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
                     return
 
         extend([], min_i, prev_idx)
+
+    def advance_kleene_maximal(s: Step, si: int, min_i: int, b: dict,
+                               first_ts: int | None, first_idx: int,
+                               prev_ts: int, prev_idx: int) -> None:
+        """Reference RUN semantics for a Kleene step (kleene_emit='maximal'):
+        one greedy accumulation per prefix binding — runs never fork
+        (process_runs_shared, sase.rs:2691-2735).
+
+        - trailing closure (epsilon-to-accept): emit one match per
+          accumulated prefix (CompleteAndContinue, sase.rs:3195-3201);
+        - mid-pattern: the FIRST viable next-step event closes the closure
+          with everything accumulated so far and CONSUMES the run
+          (Complete, sase.rs:3120-3131) — one match per prefix binding;
+        - `deferred` predicate: accumulation is type-only into a ZDD
+          KleeneCapture; combinations are enumerated and filtered at
+          completion (CompleteMulti, enumerate_with_filter).
+        """
+        if len(out) >= max_matches:
+            return
+        min_needed = 1 if s.kleene == "+" else 0
+        max_take = 1 if s.kleene == "?" else MAX_KLEENE_EVENTS
+        trailing = si == len(steps) - 1
+        nxt = steps[si + 1] if not trailing else None
+        if nxt is not None and nxt.kleene:
+            raise ValueError(
+                "kleene_emit='maximal' does not support adjacent Kleene "
+                "steps (the closure is closed by its successor step)"
+            )
+        deadline0 = (first_ts + within) if (within is not None and first_ts is not None) else None
+
+        def deadline_for(chosen: list[int]) -> int | None:
+            d = deadline0
+            if d is None and within is not None and chosen:
+                # closure opened the match: its first chosen event starts
+                # the within clock
+                d = int(ts[chosen[0]]) + within
+            return d
+
+        kc = None
+        if s.deferred:
+            from varpulis_spark.operators.zdd import KleeneCapture
+
+            kc = KleeneCapture()
+            # the two-arg predicate binds at COMPLETION time (emit_match),
+            # so it sees every alias bound by then — parity with
+            # evaluate_deferred_predicate(&pred, combo, &run.captured)
+            kc._raw_pred = s.where
+            kc.needs_zdd = s.where is not None
+
+        chosen: list[int] = []
+
+        def accept_kleene(i: int) -> bool:
+            if len(chosen) >= max_take:
+                return False
+            if not type_at(s, i):
+                return False
+            if s.deferred:
+                return True  # predicate postponed to enumeration
+            b_probe = dict(b)
+            b_probe[s.alias] = [view(j) for j in chosen]
+            return pred_ok(s, i, b_probe)
+
+        def close_and_continue(c_idx: int) -> None:
+            """Bind the closure (maximal-so-far) + the next step's event,
+            then continue the pattern after them; the run is consumed."""
+            b2 = dict(b)
+            b2[s.alias] = [view(j) for j in chosen]
+            if kc is not None:
+                b2["__dc_" + s.alias] = kc
+            b2[nxt.alias] = view(c_idx)
+            f_ts = first_ts
+            f_idx = first_idx
+            if f_ts is None:
+                anchor = chosen[0] if chosen else c_idx
+                f_ts, f_idx = int(ts[anchor]), anchor
+            advance(si + 2, c_idx + 1, b2, f_ts, f_idx, int(ts[c_idx]), c_idx)
+
+        def emit_prefix(last_i: int) -> None:
+            b2 = dict(b)
+            b2[s.alias] = [view(j) for j in chosen]
+            f_ts = first_ts
+            f_idx = first_idx
+            if f_ts is None:
+                f_ts, f_idx = int(ts[chosen[0]]), chosen[0]
+            finish(b2, f_ts, f_idx, last_i)
+
+        if trailing:
+            if s.deferred:
+                raise ValueError(
+                    "deferred Kleene predicates require a successor step "
+                    "(the reference accumulates for deferred emission only "
+                    "in SEQ(..., K+, next), sase.rs:3204-3206)"
+                )
+            if min_needed == 0 and first_ts is not None:
+                # A B*: the run may complete with an empty closure
+                b2 = dict(b)
+                b2[s.alias] = []
+                finish(b2, first_ts, first_idx, prev_idx)
+            ci, cts = cand(s), cand_ts(s)
+            start = int(np.searchsorted(ci, min_i, side="left"))
+            for p in range(start, len(ci)):
+                i = int(ci[p])
+                d = deadline_for(chosen)
+                if d is not None and ts[i] > d:
+                    break
+                if not accept_kleene(i):
+                    continue
+                chosen.append(i)
+                emit_prefix(i)  # CompleteAndContinue per accumulated event
+                if len(out) >= max_matches or len(chosen) >= max_take:
+                    return
+            return
+
+        # mid-pattern: walk the merged candidate order; kleene accumulation
+        # is checked BEFORE the closing transition (self-loop priority,
+        # sase.rs:3178-3186)
+        ci = cand(s)
+        ni = cand(nxt)
+        a = int(np.searchsorted(ci, min_i, side="left"))
+        z = int(np.searchsorted(ni, min_i, side="left"))
+        while True:
+            i_k = int(ci[a]) if a < len(ci) else None
+            i_n = int(ni[z]) if z < len(ni) else None
+            if i_k is None and i_n is None:
+                return
+            take_k = i_n is None or (i_k is not None and i_k <= i_n)
+            i = i_k if take_k else i_n
+            d = deadline_for(chosen)
+            if d is not None and ts[i] > d:
+                return
+            if take_k:
+                a += 1
+                if i_n is not None and i_k == i_n:
+                    z += 1  # one event, one consumption (self-loop wins,
+                    # sase.rs:3178-3186 checks Kleene before transitions)
+                if accept_kleene(i):
+                    chosen.append(i)
+                    if kc is not None:
+                        kc.extend(view(i), s.alias)
+            else:
+                z += 1
+                if len(chosen) < min_needed:
+                    continue  # closure not yet enterable; event ignored
+                if nxt.gap_ns is not None:
+                    last_ts = int(ts[chosen[-1]]) if chosen else prev_ts
+                    if ts[i] > last_ts + nxt.gap_ns:
+                        return  # per-edge within expired; run dead
+                b_probe = dict(b)
+                b_probe[s.alias] = [view(j) for j in chosen]
+                if pred_ok(nxt, i, b_probe):
+                    close_and_continue(i)
+                    return  # run consumed (Complete)
 
     advance(0, 0, {}, None, -1, int(ts[0]) - 1 if n else 0, -1)
     return out
