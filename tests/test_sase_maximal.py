@@ -244,3 +244,38 @@ def test_shared_type_closure_and_successor():
     )
     # every B accumulates; no event is left to close the run
     assert run(events, p) == []
+
+
+def test_vpl_kleene_emit_maximal(spark):
+    """`.kleene_emit("maximal")` from the VPL front-end: one run per Login,
+    closed by the first Logout with the maximal purchase closure."""
+    from varpulis_spark import Stream
+    from varpulis_spark.sources.event_file import load_evt
+    from varpulis_spark.vpl import run_program
+
+    src = load_evt(spark, """
+Login { user_id: 1 }
+Purchase { user_id: 1 }
+Purchase { user_id: 1 }
+Purchase { user_id: 1 }
+Logout { user_id: 1 }
+Logout { user_id: 1 }
+""")
+    stream = Stream(src, ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream Runs = Login as a
+    -> all Purchase where user_id == a.user_id as ps
+    -> Logout where user_id == a.user_id as c
+    .kleene_emit("maximal")
+    .emit(user: a.user_id, n: len(ps))
+""", stream)
+    rows = res["Runs"].collect()
+    assert len(rows) == 1 and rows[0].n == 3
+    # default mode on the same program: 2 Logouts x subsets
+    res2 = run_program("""
+stream Runs = Login as a
+    -> all Purchase where user_id == a.user_id as ps
+    -> Logout where user_id == a.user_id as c
+    .emit(user: a.user_id, n: len(ps))
+""", stream)
+    assert len(res2["Runs"].collect()) == 2 * (2 ** 3 - 1)

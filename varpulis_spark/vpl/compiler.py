@@ -928,6 +928,7 @@ def compile_pattern_decl(
     explicit_keys: list[str] | None = None
     trend_op: OpCall | None = None
     forecast_op: OpCall | None = None
+    kleene_emit = "combinations"
     for op in decl.ops:
         if op.name in ("print", "log", "tap", "to", "from"):
             continue
@@ -954,6 +955,17 @@ def compile_pattern_decl(
             emit_kwargs = op.kwargs
         elif op.name == "where":
             post_wheres.append(op.args[0])
+        elif op.name == "kleene_emit":
+            # `.kleene_emit("maximal")` — reference RUN semantics for
+            # closures (complete_run sase.rs:3120-3131); default stays
+            # "combinations" (exhaustive SASE+)
+            arg = op.args[0]
+            kleene_emit = arg.value if hasattr(arg, "value") else str(arg)
+            if kleene_emit not in ("combinations", "maximal"):
+                raise ValueError(
+                    f".kleene_emit expects 'combinations' or 'maximal', "
+                    f"got {kleene_emit!r}"
+                )
         else:
             raise ValueError(f"op .{op.name} not supported after a pattern chain")
 
@@ -998,7 +1010,8 @@ def compile_pattern_decl(
     )(_auto_partition_key(decl.steps, neg_steps=neg_asts))
     p = Pattern(steps=steps_final, within=within, emit=emit,
                 partition_by=keys,
-                strategy=strategy or SKIP_TILL_ANY)
+                strategy=strategy or SKIP_TILL_ANY,
+                kleene_emit=kleene_emit)
     # every emitted event carries its timestamp (the match's last event —
     # detection time, reference event model); needed for downstream
     # windows/sequences over this derived stream
