@@ -500,3 +500,55 @@ def test_streaming_forecast_matches_batch(spark, sf_dir, replay_dir):
         ).select("user_id", "event_id", "next_step", "completion_prob").collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_maximal_kleene_matches_batch(spark, sf_dir, replay_dir):
+    """kleene_emit='maximal' through the streaming state store: runs whose
+    closure spans micro-batches close identically to batch (the buffer
+    re-enumerates per batch; match-identity dedupe keeps emission
+    incremental)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "bs", kleene="+"),
+               step("error", "c")],
+        within="48h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "c_id": ("c", "event_id"), "n": ("bs", "__count")},
+        kleene_emit="maximal",
+    )
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.apply_pattern_streaming(src.partition_by("user_id"), p)
+    S.run_to_memory(out, "sase_max_stream")
+    got = {
+        (r.user_id, r.a_id, r.c_id, r.n)
+        for r in spark.sql("SELECT * FROM sase_max_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.a_id, r.c_id, r.n)
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_streaming_trailing_maximal_prefixes(spark, sf_dir, replay_dir):
+    """Trailing closure (CompleteAndContinue): per-prefix matches arrive
+    incrementally across micro-batches without duplicates."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "bs", kleene="+")],
+        within="48h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "n": ("bs", "__count")},
+        kleene_emit="maximal",
+    )
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.apply_pattern_streaming(src.partition_by("user_id"), p)
+    S.run_to_memory(out, "sase_max_trail")
+    rows = spark.sql("SELECT * FROM sase_max_trail").collect()
+    got = sorted((r.user_id, r.a_id, r.n) for r in rows)
+    assert len(got) == len(set(got))  # no duplicate emissions
+    exp = sorted(
+        (r.user_id, r.a_id, r.n)
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
+    )
+    assert got == exp
