@@ -1,0 +1,325 @@
+"""Minimal pure-numpy ONNX inference — real `.onnx` files without
+onnxruntime.
+
+The reference scores events through `ort` (runtime/src/scoring.rs:10-97,
+feature `scoring`; a stub raises otherwise, :100-120). This container has
+no onnxruntime, so instead of stopping at a stub this module implements the
+slice of ONNX an event-scoring MLP actually needs:
+
+- a generic protobuf wire-format reader (varint / 64-bit / length-delimited
+  / 32-bit — the public protobuf encoding, developers.google.com/
+  protocol-buffers/docs/encoding),
+- the ONNX message schema for ModelProto/GraphProto/NodeProto/TensorProto/
+  AttributeProto (field numbers from the public onnx.proto3),
+- a topological executor over a dense-op subset: MatMul, Gemm, Add, Sub,
+  Mul, Div, Relu, Sigmoid, Tanh, Softmax, Flatten, Identity, Constant,
+  Cast, Clip. Anything else raises NotImplementedError naming the op.
+
+`score()` (operators/score.py) prefers onnxruntime when installed and
+falls back here, so the same `.onnx` artifact works in both environments.
+
+Scoring batches stay inside one Arrow batch on one executor — the model
+weights broadcast with the closure; nothing here crosses a shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+# -- protobuf wire format ----------------------------------------------------
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def parse_message(buf: bytes) -> dict[int, list]:
+    """Decode one protobuf message into {field_number: [raw values]}.
+    Length-delimited fields stay as bytes (caller interprets: nested
+    message, string, or packed scalars)."""
+    out: dict[int, list] = {}
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+        elif wire == 1:
+            v = buf[i:i + 8]
+            i += 8
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            v = buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            v = buf[i:i + 4]
+            i += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        out.setdefault(field, []).append(v)
+    return out
+
+
+def _packed_or_repeated_varints(vals: list) -> list[int]:
+    """A repeated int field arrives either packed (one bytes blob) or as
+    separate varint entries."""
+    out: list[int] = []
+    for v in vals:
+        if isinstance(v, bytes):
+            i = 0
+            while i < len(v):
+                x, i = _read_varint(v, i)
+                out.append(x)
+        else:
+            out.append(v)
+    return out
+
+
+def _signed(v: int) -> int:
+    """Protobuf int64 fields are two's-complement varints."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# -- ONNX schema (field numbers from the public onnx.proto3) -----------------
+
+FLOAT, INT64, DOUBLE, INT32 = 1, 7, 11, 6  # TensorProto.DataType
+
+
+def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    t = parse_message(buf)
+    dims = [_signed(d) for d in _packed_or_repeated_varints(t.get(1, []))]
+    dtype = _packed_or_repeated_varints(t.get(2, [0]))[0]
+    name = t.get(8, [b""])[0].decode()
+    if 9 in t:  # raw_data: little-endian per data_type
+        raw = b"".join(t[9])
+        if dtype == FLOAT:
+            arr = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif dtype == DOUBLE:
+            arr = np.frombuffer(raw, dtype="<f8")
+        elif dtype == INT64:
+            arr = np.frombuffer(raw, dtype="<i8").astype(np.float64)
+        elif dtype == INT32:
+            arr = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        else:
+            raise NotImplementedError(f"ONNX tensor data_type {dtype}")
+    elif 4 in t:  # float_data (packed fixed32)
+        raw = b"".join(t[4])
+        arr = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif 13 in t:  # double_data
+        raw = b"".join(t[13])
+        arr = np.frombuffer(raw, dtype="<f8")
+    elif 7 in t:  # int64_data (packed varints)
+        arr = np.array(
+            [_signed(x) for x in _packed_or_repeated_varints(t[7])],
+            dtype=np.float64,
+        )
+    else:
+        arr = np.zeros(0)
+    return name, arr.reshape(dims) if dims else arr
+
+
+def _parse_attributes(bufs: list) -> dict[str, object]:
+    attrs: dict[str, object] = {}
+    for buf in bufs:
+        a = parse_message(buf)
+        name = a.get(1, [b""])[0].decode()
+        if 2 in a:  # f (fixed32 float)
+            attrs[name] = struct.unpack("<f", a[2][0])[0]
+        elif 3 in a:  # i
+            attrs[name] = _signed(_packed_or_repeated_varints(a[3])[0])
+        elif 4 in a:  # s
+            attrs[name] = a[4][0].decode(errors="replace")
+        elif 5 in a:  # t (tensor)
+            attrs[name] = _parse_tensor(a[5][0])[1]
+        elif 7 in a:  # floats
+            attrs[name] = list(np.frombuffer(b"".join(a[7]), dtype="<f4"))
+        elif 8 in a:  # ints
+            attrs[name] = [_signed(x) for x in _packed_or_repeated_varints(a[8])]
+    return attrs
+
+
+class MiniOnnxModel:
+    """Parsed graph ready for batch inference."""
+
+    def __init__(self, data: bytes):
+        model = parse_message(data)
+        if 7 not in model:
+            raise ValueError("not an ONNX ModelProto (no graph field)")
+        g = parse_message(model[7][0])
+        self.initializers: dict[str, np.ndarray] = {}
+        for tb in g.get(5, []):
+            name, arr = _parse_tensor(tb)
+            self.initializers[name] = arr
+        self.nodes = []
+        for nb in g.get(1, []):
+            nd = parse_message(nb)
+            self.nodes.append({
+                "inputs": [x.decode() for x in nd.get(1, [])],
+                "outputs": [x.decode() for x in nd.get(2, [])],
+                "op": nd.get(4, [b""])[0].decode(),
+                "attrs": _parse_attributes(nd.get(5, [])),
+            })
+        def _names(field):
+            out = []
+            for vb in g.get(field, []):
+                vi = parse_message(vb)
+                out.append(vi.get(1, [b""])[0].decode())
+            return out
+        self.graph_inputs = [
+            n for n in _names(11) if n not in self.initializers
+        ]
+        self.graph_outputs = _names(12)
+
+    # -- execution --------------------------------------------------------
+    def run(self, feeds: dict[str, np.ndarray]) -> list[np.ndarray]:
+        env: dict[str, np.ndarray] = dict(self.initializers)
+        env.update({k: np.asarray(v, dtype=np.float64) for k, v in feeds.items()})
+        for nd in self.nodes:
+            op, ins, outs, attrs = (nd["op"], nd["inputs"], nd["outputs"],
+                                    nd["attrs"])
+            x = [env[i] for i in ins if i]
+            if op == "MatMul":
+                r = x[0] @ x[1]
+            elif op == "Gemm":
+                a, b = x[0], x[1]
+                if attrs.get("transA", 0):
+                    a = a.T
+                if attrs.get("transB", 0):
+                    b = b.T
+                r = attrs.get("alpha", 1.0) * (a @ b)
+                if len(x) > 2:
+                    r = r + attrs.get("beta", 1.0) * x[2]
+            elif op == "Add":
+                r = x[0] + x[1]
+            elif op == "Sub":
+                r = x[0] - x[1]
+            elif op == "Mul":
+                r = x[0] * x[1]
+            elif op == "Div":
+                r = x[0] / x[1]
+            elif op == "Relu":
+                r = np.maximum(x[0], 0.0)
+            elif op == "Sigmoid":
+                r = 1.0 / (1.0 + np.exp(-x[0]))
+            elif op == "Tanh":
+                r = np.tanh(x[0])
+            elif op == "Softmax":
+                ax = attrs.get("axis", -1)
+                e = np.exp(x[0] - np.max(x[0], axis=ax, keepdims=True))
+                r = e / np.sum(e, axis=ax, keepdims=True)
+            elif op == "Flatten":
+                ax = attrs.get("axis", 1)
+                lead = int(np.prod(x[0].shape[:ax])) if ax else 1
+                r = x[0].reshape(lead, -1)
+            elif op in ("Identity", "Cast"):
+                r = x[0]  # all numerics run as float64 here
+            elif op == "Constant":
+                r = np.asarray(attrs["value"], dtype=np.float64)
+            elif op == "Clip":
+                lo = x[1] if len(x) > 1 else attrs.get("min", -np.inf)
+                hi = x[2] if len(x) > 2 else attrs.get("max", np.inf)
+                r = np.clip(x[0], lo, hi)
+            else:
+                raise NotImplementedError(
+                    f"ONNX op '{op}' is outside the mini-runtime subset; "
+                    "install onnxruntime for full coverage"
+                )
+            env[outs[0]] = r
+        return [env[o] for o in self.graph_outputs]
+
+
+def load_model(path_or_bytes) -> MiniOnnxModel:
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return MiniOnnxModel(bytes(path_or_bytes))
+    with open(path_or_bytes, "rb") as f:
+        return MiniOnnxModel(f.read())
+
+
+# -- fixture encoder ---------------------------------------------------------
+# A minimal protobuf WRITER so tests (and users without the onnx package)
+# can produce a valid single-hidden-layer MLP .onnx artifact.
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint(num << 3 | wire) + payload
+
+
+def _ld(num: int, payload: bytes) -> bytes:  # length-delimited
+    return _field(num, 2, _varint(len(payload)) + payload)
+
+
+def _tensor(name: str, arr: np.ndarray) -> bytes:
+    body = b"".join(_field(1, 0, _varint(d)) for d in arr.shape)
+    body += _field(2, 0, _varint(FLOAT))
+    body += _ld(8, name.encode())
+    body += _ld(9, arr.astype("<f4").tobytes())
+    return body
+
+
+def _node(op: str, inputs: list[str], outputs: list[str],
+          attrs: dict | None = None) -> bytes:
+    body = b"".join(_ld(1, i.encode()) for i in inputs)
+    body += b"".join(_ld(2, o.encode()) for o in outputs)
+    body += _ld(4, op.encode())
+    for name, val in (attrs or {}).items():
+        a = _ld(1, name.encode())
+        if isinstance(val, float):
+            a += _field(2, 5, struct.pack("<f", val)) + _field(20, 0, _varint(1))
+        else:
+            a += _field(3, 0, _varint(val & (1 << 64) - 1)) + _field(20, 0, _varint(2))
+        body += _ld(5, a)
+    return body
+
+
+def _value_info(name: str) -> bytes:
+    return _ld(1, name.encode())
+
+
+def make_mlp_onnx(
+    w1: np.ndarray, b1: np.ndarray, w2: np.ndarray, b2: np.ndarray,
+    activation: str = "Relu", out_activation: str | None = "Sigmoid",
+) -> bytes:
+    """Serialize x @ w1 + b1 → act → @ w2 + b2 [→ out_act] as a valid ONNX
+    ModelProto (input 'x', output 'y')."""
+    nodes = [
+        _node("MatMul", ["x", "w1"], ["h0"]),
+        _node("Add", ["h0", "b1"], ["h1"]),
+        _node(activation, ["h1"], ["h2"]),
+        _node("MatMul", ["h2", "w2"], ["o0"]),
+        _node("Add", ["o0", "b2"], ["o1" if out_activation else "y"]),
+    ]
+    if out_activation:
+        nodes.append(_node(out_activation, ["o1"], ["y"]))
+    graph = b"".join(_ld(1, n) for n in nodes)
+    for name, arr in (("w1", w1), ("b1", b1), ("w2", w2), ("b2", b2)):
+        graph += _ld(5, _tensor(name, np.asarray(arr)))
+    graph += _ld(2, b"mini_mlp")
+    graph += _ld(11, _value_info("x"))
+    graph += _ld(12, _value_info("y"))
+    model = _field(1, 0, _varint(8))  # ir_version
+    model += _ld(7, graph)
+    return model

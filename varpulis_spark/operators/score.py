@@ -6,10 +6,10 @@ via ort). Spark lowering: an Arrow-batched pandas iterator (mapInPandas) so
 the model is loaded ONCE per executor python worker and scored per batch —
 the `predict_batch_udf` shape, never per-row dispatch.
 
-onnxruntime is not installed in this container: real .onnx models raise a
-clear ImportError at call time; the deterministic fallback model
-(`model="linear:<w0,w1,...,b>"`) exercises identical plumbing and is what
-the tests drive.
+Model resolution: `linear:<w0,w1,...,b>` is a deterministic inline model;
+`.onnx` paths run through onnxruntime when installed, else through the
+pure-numpy mini runtime (operators/onnx_mini.py — protobuf decode + dense
+MLP ops), so real model artifacts score in both environments.
 """
 
 from __future__ import annotations
@@ -33,12 +33,19 @@ def _load_model(model: str):
         return predict
     try:
         import onnxruntime  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "onnxruntime is not available in this environment; use a "
-            "'linear:<weights,bias>' model spec or deploy with onnxruntime "
-            "installed"
-        ) from e
+    except ImportError:
+        # pure-numpy fallback: real .onnx files still run for the dense-op
+        # subset (operators/onnx_mini.py); unsupported ops raise
+        # NotImplementedError naming the op
+        from varpulis_spark.operators.onnx_mini import load_model
+
+        mini = load_model(model)
+        in_name = mini.graph_inputs[0] if mini.graph_inputs else "x"
+
+        def predict(x: np.ndarray) -> np.ndarray:
+            return np.asarray(mini.run({in_name: x})[0]).reshape(len(x))
+
+        return predict
     sess = onnxruntime.InferenceSession(model)
 
     def predict(x: np.ndarray) -> np.ndarray:
