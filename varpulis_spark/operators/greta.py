@@ -246,6 +246,53 @@ def trend_aggregate_multi(
                     split_groups[gk + (idx,)] = solo
         groups = split_groups
 
+    if (
+        keys
+        and optimizer is None
+        and all(
+            g["adjacent"] is None and g["adjacent_vec"] is None
+            and g["within_ns"] is None
+            for g in groups.values()
+        )
+    ):
+        # Every sub-pattern is predicate-free and unbounded → each query is
+        # the closed form over a per-(key, event_type) count/sum. ONE JVM
+        # aggregation computes all groups' inputs (map-side partial agg,
+        # no Python); the per-query projections then run over the tiny
+        # aggregated relation. Key universe re-joined so keys with zero
+        # events of a query's type still emit the zero row (Python-path
+        # parity).
+        from functools import reduce
+
+        all_fields = sorted({f for g in groups.values() for f in g["fields"]})
+        aggs = [F.count(F.lit(1)).cast("double").alias("__n")] + [
+            F.sum(F.col(f)).alias(f"__s_{f}") for f in all_fields
+        ]
+        base = df.groupBy(*[F.col(k) for k in keys], F.col("event_type")).agg(*aggs)
+        keys_df = df.select(*keys).distinct()
+        outs = []
+        for g in groups.values():
+            if g["etype"] is not None:
+                src = base.filter(F.col("event_type") == g["etype"]).drop("event_type")
+            else:
+                src = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+            src = keys_df.join(src, on=list(keys), how="left")
+            n = F.coalesce(F.col("__n"), F.lit(0.0))
+            p = F.pow(F.lit(2.0), n - F.lit(1.0))
+            for name, fi in g["members"]:
+                vs = (
+                    F.coalesce(F.col(f"__s_{g['fields'][fi]}"), F.lit(0.0)) * p
+                    if fi is not None else F.lit(0.0)
+                )
+                outs.append(src.select(
+                    *keys,
+                    F.lit(name).alias("query"),
+                    (F.lit(2.0) * p - F.lit(1.0)).alias("trend_count"),
+                    (n * p).alias("event_count"),
+                    vs.alias("value_sum"),
+                ))
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     schema = (key_fields + ", " if keys else "") + (
         "query string, trend_count double, event_count double, value_sum double"
@@ -329,6 +376,30 @@ def trend_aggregate(
     if event_type is not None:
         df = df.filter(F.col("event_type") == event_type)
     within_ns = duration_ns(within) if within is not None else None
+
+    if adjacent is None and adjacent_vec is None and within_ns is None:
+        # Predicate-free, unbounded: the closed form (count = 2^n − 1,
+        # events = n·2^(n−1), Σf = (Σf)·2^(n−1)) is a plain aggregation —
+        # lower it to a JVM groupBy (map-side partial agg, whole-stage
+        # codegen, no Arrow/pandas per group). This is what makes windowed
+        # trend aggregation viable with many small (key, pane) groups:
+        # 190k groups at sf1 cost one shuffle, not 190k Python calls.
+        # Powers of two are exact in double, so results are bit-identical
+        # to the numpy closed form. (Divergence: an EMPTY unkeyed input
+        # yields one zero row here vs none from the Python path.)
+        n = F.count(F.lit(1)).cast("double")
+        p = F.pow(F.lit(2.0), n - F.lit(1.0))
+        aggs = [
+            (F.lit(2.0) * p - F.lit(1.0)).alias("trend_count"),
+            (n * p).alias("event_count"),
+        ]
+        if value_field is not None:
+            aggs.append(
+                (F.coalesce(F.sum(value_field), F.lit(0.0)) * p)
+                .alias("value_sum")
+            )
+        grouped = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+        return grouped.agg(*aggs)
 
     sort_cols = [ts_col] + ([order_col] if order_col else [])
     has_value = value_field is not None
