@@ -92,12 +92,14 @@ def test_lag_single_shuffle(spark, sf_dir):
 
 def test_trend_multi_single_pass(spark, sf_dir):
     """Hamlet multi-query: ONE scan of events and ONE keyed exchange feed
-    all 10 queries (shared scan/shuffle/sort + grouped DPs)."""
+    all 10 queries — and since r4's closed-form lowering the whole plan is
+    JVM-side (conditional aggregation + struct explode, no Python stage)."""
     df = E.queries()["trend_multi"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1
-    # the single pinned repartition for the keyed python stage
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_lang_distribution_single_tokenization(spark, sf_dir):
@@ -125,12 +127,16 @@ def test_unpartitioned_pattern_and_trend_warn(spark, sf_dir):
         assert any("unpartitioned pattern" in str(x.message) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        trend_aggregate(ev, event_type="purchase")
+        # within forces the DP path — that is the single-universe hazard
+        trend_aggregate(ev, event_type="purchase", within="1h")
         assert any("unpartitioned trend" in str(x.message) for x in w)
     # the partitioned paths stay silent
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         trend_aggregate(ev.partition_by("user_id"), event_type="purchase")
+        # predicate-free unkeyed lowering is a plain JVM aggregation
+        # (distributed partial agg) — no hazard, no warning
+        trend_aggregate(ev, event_type="purchase")
         assert not any("unpartitioned" in str(x.message) for x in w)
 
 

@@ -256,42 +256,45 @@ def trend_aggregate_multi(
         )
     ):
         # Every sub-pattern is predicate-free and unbounded → each query is
-        # the closed form over a per-(key, event_type) count/sum. ONE JVM
-        # aggregation computes all groups' inputs (map-side partial agg,
-        # no Python); the per-query projections then run over the tiny
-        # aggregated relation. Key universe re-joined so keys with zero
-        # events of a query's type still emit the zero row (Python-path
-        # parity).
-        from functools import reduce
-
-        all_fields = sorted({f for g in groups.values() for f in g["fields"]})
-        aggs = [F.count(F.lit(1)).cast("double").alias("__n")] + [
-            F.sum(F.col(f)).alias(f"__s_{f}") for f in all_fields
-        ]
-        base = df.groupBy(*[F.col(k) for k in keys], F.col("event_type")).agg(*aggs)
-        keys_df = df.select(*keys).distinct()
-        outs = []
-        for g in groups.values():
-            if g["etype"] is not None:
-                src = base.filter(F.col("event_type") == g["etype"]).drop("event_type")
-            else:
-                src = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-            src = keys_df.join(src, on=list(keys), how="left")
-            n = F.coalesce(F.col("__n"), F.lit(0.0))
+        # the closed form over a per-(key, type) count/sum. ONE conditional
+        # JVM aggregation (sum(when(type==T, ...))) computes every group's
+        # inputs in a single scan + single keyed exchange (map-side partial
+        # agg, whole-stage codegen, no Python); the per-query rows then
+        # explode from an in-row struct array. Keys with zero events of a
+        # query's type emit the zero row naturally (n_T = 0).
+        agg_exprs = []
+        for i, g in enumerate(groups.values()):
+            cond = (
+                F.col("event_type") == g["etype"]
+                if g["etype"] is not None else F.lit(True)
+            )
+            agg_exprs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                .cast("double").alias(f"__n_{i}")
+            )
+            for f in g["fields"]:
+                agg_exprs.append(
+                    F.sum(F.when(cond, F.col(f))).alias(f"__s_{i}_{f}")
+                )
+        base = df.groupBy(*[F.col(k) for k in keys]).agg(*agg_exprs)
+        structs = []
+        for i, g in enumerate(groups.values()):
+            n = F.col(f"__n_{i}")
             p = F.pow(F.lit(2.0), n - F.lit(1.0))
             for name, fi in g["members"]:
                 vs = (
-                    F.coalesce(F.col(f"__s_{g['fields'][fi]}"), F.lit(0.0)) * p
+                    F.coalesce(F.col(f"__s_{i}_{g['fields'][fi]}"), F.lit(0.0)) * p
                     if fi is not None else F.lit(0.0)
                 )
-                outs.append(src.select(
-                    *keys,
+                structs.append(F.struct(
                     F.lit(name).alias("query"),
                     (F.lit(2.0) * p - F.lit(1.0)).alias("trend_count"),
                     (n * p).alias("event_count"),
                     vs.alias("value_sum"),
                 ))
-        return reduce(lambda a, b: a.unionByName(b), outs)
+        return base.select(
+            *keys, F.explode(F.array(*structs)).alias("__q")
+        ).select(*keys, "__q.*")
 
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
     schema = (key_fields + ", " if keys else "") + (
