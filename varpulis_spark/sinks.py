@@ -1,0 +1,555 @@
+"""Concrete connector sinks (and the webhook/database sources) —
+database / Redis / HTTP / Elasticsearch parity with
+`runtime/src/connector/{database,redis,http,elasticsearch}.rs`.
+
+Every sink exposes ``write_batch(df, epoch)`` — the foreachBatch shape that
+composes with `streaming.resilient_sink_fn` (circuit breaker + DLQ,
+sink.rs:489-620) and with any `Stream.to(...)` wiring. Transports are pure
+stdlib (sqlite3, socket, urllib), so everything here is integration-tested
+in-sandbox against real servers (sqlite files, a fake RESP endpoint,
+http.server) rather than stubbed.
+
+Row encoding matches the reference's `event.to_sink_payload()`: one JSON
+object per event with every emitted column.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import time
+import urllib.request
+from dataclasses import dataclass
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _payloads(df: DataFrame):
+    return df.select(F.to_json(F.struct(*df.columns)).alias("p"))
+
+
+# ---------------------------------------------------------------------------
+# Database (database.rs)
+# ---------------------------------------------------------------------------
+
+
+def validate_table_name(table: str) -> None:
+    """Reject SQL-unsafe table names (database.rs:11-35): the table is
+    interpolated into statements, so it must match
+    ``[a-zA-Z_][a-zA-Z0-9_.]*``."""
+    ok = bool(table) and all(
+        (c.isalpha() or c == "_") if i == 0 else (c.isalnum() or c in "_.")
+        for i, c in enumerate(table)
+    )
+    if not ok:
+        raise ValueError(
+            f"Invalid table name '{table}': must match [a-zA-Z_][a-zA-Z0-9_.]*"
+        )
+
+
+@dataclass
+class DatabaseConfig:
+    """DatabaseConfig (database.rs:37-66): connection string + table;
+    the constructor validates the table name."""
+
+    connection_string: str
+    table: str
+    max_connections: int = 5
+
+    def __post_init__(self):
+        validate_table_name(self.table)
+
+
+class DatabaseSink:
+    """DatabaseSink (database.rs:182-245): INSERT each event as
+    ``(event_type, data, timestamp)`` — data is the full JSON payload.
+
+    sqlite connection strings (``sqlite:<path>``) run on the stdlib
+    sqlite3 driver (the reference's sqlx ships SQLite support too);
+    ``jdbc:`` URLs delegate to Spark's JDBC writer (cluster path,
+    driver jars required)."""
+
+    def __init__(self, name: str, config: DatabaseConfig):
+        self.name = name
+        self.config = config
+
+    def _ensure_sqlite(self, conn) -> None:
+        conn.execute(
+            f"CREATE TABLE IF NOT EXISTS {self.config.table} "
+            "(id INTEGER PRIMARY KEY AUTOINCREMENT, event_type TEXT, "
+            "data TEXT, timestamp TEXT)"
+        )
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        cs = self.config.connection_string
+        if cs.startswith("jdbc:"):  # pragma: no cover - needs driver jars
+            df.write.mode("append").format("jdbc").option("url", cs).option(
+                "dbtable", self.config.table
+            ).save()
+            return
+        if not cs.startswith("sqlite:"):
+            raise ValueError(
+                f"unsupported connection string '{cs}' (sqlite:<path> or jdbc:...)"
+            )
+        import sqlite3  # noqa: PLC0415
+
+        path = cs[len("sqlite:"):]
+        rows = []
+        ts_iso = time.strftime("%Y-%m-%dT%H:%M:%S+00:00", time.gmtime())
+        for r in _payloads(df).toLocalIterator():
+            d = json.loads(r.p)
+            et = d.get("event_type", "Event")
+            rows.append((et, r.p, ts_iso))
+        with sqlite3.connect(path) as conn:
+            self._ensure_sqlite(conn)
+            conn.executemany(
+                f"INSERT INTO {self.config.table} (event_type, data, timestamp) "
+                "VALUES (?, ?, ?)",
+                rows,
+            )
+
+
+class DatabaseSource:
+    """DatabaseSource (database.rs:73-180): poll
+    ``SELECT * FROM t WHERE id > last ORDER BY id LIMIT 100``, resume from
+    the max seen id; `event_type` column names the type (else
+    'DatabaseEvent'), a `data` JSON column expands into fields.
+
+    Spooled like the broker bridges so streaming replay and checkpoint
+    resume come for free."""
+
+    POLL_LIMIT = 100  # database.rs:119
+
+    def __init__(self, name: str, config: DatabaseConfig, spool_dir: str):
+        from varpulis_spark.sources.spool import SpooledSource
+
+        class _Spool(SpooledSource):
+            RECORD_SCHEMA = "payload string, db_ts timestamp"
+
+            def _parse(self, sdf, value_schema):
+                top = F.from_json(
+                    F.col("payload"), "event_type string, data string"
+                )
+                fields = F.from_json(top.getField("data"), value_schema)
+                from pyspark.sql.types import StructType
+
+                names = [f.name for f in StructType.fromDDL(value_schema).fields]
+                return sdf.select(
+                    F.col("db_ts").alias("ts"),
+                    F.coalesce(
+                        top.getField("event_type"), F.lit("DatabaseEvent")
+                    ).alias("event_type"),
+                    *[fields.getField(n).alias(n) for n in names],
+                )
+
+        self.name = name
+        self.config = config
+        self._spool = _Spool(name, spool_dir)
+        self.last_id = 0
+        self._running = False
+
+    def poll_once(self) -> int:
+        """One polling iteration (the loop body of database.rs:115-165);
+        returns the number of rows ingested. Tests and the polling thread
+        both drive this."""
+        import sqlite3  # noqa: PLC0415
+
+        from varpulis_spark.sources.spool import iso_micros
+
+        cs = self.config.connection_string
+        if not cs.startswith("sqlite:"):
+            raise ValueError("polling source supports sqlite:<path> here")
+        with sqlite3.connect(cs[len("sqlite:"):]) as conn:
+            conn.row_factory = sqlite3.Row
+            rows = conn.execute(
+                f"SELECT * FROM {self.config.table} WHERE id > ? "
+                f"ORDER BY id LIMIT {self.POLL_LIMIT}",
+                (self.last_id,),
+            ).fetchall()
+        for row in rows:
+            d = dict(row)
+            self.last_id = max(self.last_id, int(d.get("id", 0)))
+            self._spool._buffer({
+                "payload": json.dumps({
+                    "event_type": d.get("event_type", "DatabaseEvent"),
+                    "data": d.get("data"),
+                }),
+                "db_ts": iso_micros(time.time()),
+            })
+        if rows:
+            self._spool.flush()
+        return len(rows)
+
+    def start(self, poll_interval_s: float = 0.1):
+        """Background polling thread (database.rs:114-167)."""
+        import threading  # noqa: PLC0415
+
+        self._running = True
+
+        def _loop():  # pragma: no cover - timing-dependent; poll_once tested
+            while self._running:
+                self.poll_once()
+                time.sleep(poll_interval_s)
+
+        self._thread = threading.Thread(target=_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._running = False
+
+    def stream(self, spark, value_schema: str, **kw):
+        return self._spool.stream(spark, value_schema, **kw)
+
+    def batch(self, spark, value_schema: str):
+        return self._spool.batch(spark, value_schema)
+
+
+# ---------------------------------------------------------------------------
+# Redis (redis.rs) — minimal RESP client over a stdlib socket
+# ---------------------------------------------------------------------------
+
+
+def resp_encode(*args: str) -> bytes:
+    """Encode one command as a RESP array of bulk strings (the public
+    Redis serialization protocol)."""
+    out = [f"*{len(args)}\r\n".encode()]
+    for a in args:
+        b = a.encode() if isinstance(a, str) else a
+        out.append(f"${len(b)}\r\n".encode() + b + b"\r\n")
+    return b"".join(out)
+
+
+class RespConnection:
+    """One RESP connection; enough protocol for SET/GET/PUBLISH."""
+
+    def __init__(self, host: str, port: int, timeout_s: float = 5.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout_s)
+        self._buf = b""
+
+    def _read_line(self) -> bytes:
+        while b"\r\n" not in self._buf:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("redis connection closed")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\r\n", 1)
+        return line
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n + 2:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("redis connection closed")
+            self._buf += chunk
+        data, self._buf = self._buf[:n], self._buf[n + 2:]
+        return data
+
+    def command(self, *args):
+        self.sock.sendall(resp_encode(*args))
+        return self._read_reply()
+
+    def _read_reply(self):
+        line = self._read_line()
+        kind, rest = line[:1], line[1:]
+        if kind == b"+":
+            return rest.decode()
+        if kind == b"-":
+            raise ConnectionError(f"redis error: {rest.decode()}")
+        if kind == b":":
+            return int(rest)
+        if kind == b"$":
+            n = int(rest)
+            return None if n < 0 else self._read_exact(n).decode()
+        if kind == b"*":
+            return [self._read_reply() for _ in range(int(rest))]
+        raise ConnectionError(f"unexpected RESP reply {line!r}")
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+@dataclass
+class RedisConfig:
+    """RedisConfig (redis.rs:12-31): url (redis://host:port), pub/sub
+    channel, optional key prefix."""
+
+    url: str
+    channel: str
+    key_prefix: str | None = None
+
+    def host_port(self) -> tuple[str, int]:
+        hp = self.url.split("://", 1)[-1].split("/", 1)[0]
+        host, _, port = hp.partition(":")
+        return host or "localhost", int(port or 6379)
+
+    def full_key(self, key: str) -> str:
+        return f"{self.key_prefix}:{key}" if self.key_prefix else key
+
+
+class RedisSink:
+    """RedisSink (redis.rs:143-222): PUBLISH each event's JSON payload to
+    the channel; `set`/`get` helpers apply the key prefix."""
+
+    def __init__(self, name: str, config: RedisConfig, connection=None):
+        self.name = name
+        self.config = config
+        self._conn = connection
+
+    def _connection(self):
+        if self._conn is None:
+            self._conn = RespConnection(*self.config.host_port())
+        return self._conn
+
+    def set(self, key: str, value: str):
+        return self._connection().command("SET", self.config.full_key(key), value)
+
+    def get(self, key: str):
+        return self._connection().command("GET", self.config.full_key(key))
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        conn = self._connection()
+        for r in _payloads(df).toLocalIterator():
+            conn.command("PUBLISH", self.config.channel, r.p)
+
+
+# ---------------------------------------------------------------------------
+# HTTP sink (http.rs:12-74)
+# ---------------------------------------------------------------------------
+
+
+class HttpSink:
+    """POST each event as JSON (http.rs:44-64); custom headers supported.
+    Posting runs PER PARTITION on the executors — a url + headers closure,
+    no client object to serialize, no driver bottleneck."""
+
+    def __init__(self, name: str, url: str, headers: dict[str, str] | None = None,
+                 timeout_s: float = 10.0):
+        self.name = name
+        self.url = url
+        self.headers = dict(headers or {})
+        self.timeout_s = timeout_s
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        url, headers, timeout_s = self.url, self.headers, self.timeout_s
+
+        def post_partition(rows: Iterable) -> None:
+            for r in rows:
+                req = urllib.request.Request(
+                    url, data=r.p.encode(), method="POST",
+                    headers={"Content-Type": "application/json", **headers},
+                )
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    if resp.status >= 300:  # http.rs warns on non-success
+                        raise ConnectionError(f"HTTP sink got status {resp.status}")
+
+        _payloads(df).foreachPartition(post_partition)
+
+
+# ---------------------------------------------------------------------------
+# Elasticsearch bulk sink (elasticsearch.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ElasticsearchConfig:
+    """ElasticsearchConfig (elasticsearch.rs:24-87): urls, index pattern
+    (supports {yyyy}/{MM}/{dd} date expansion), bulk batch size, auth."""
+
+    urls: str
+    index: str
+    batch_size: int = 100
+    api_key: str | None = None
+    username: str | None = None
+    password: str | None = None
+
+
+class ElasticsearchSink:
+    """Bulk-index each micro-batch (elasticsearch.rs:161-258): NDJSON
+    action/source pairs POSTed to /_bulk in `batch_size` chunks."""
+
+    def __init__(self, name: str, config: ElasticsearchConfig,
+                 timeout_s: float = 10.0):
+        self.name = name
+        self.config = config
+        self.timeout_s = timeout_s
+
+    def expand_index(self) -> str:
+        """{yyyy}/{MM}/{dd} → current UTC date (elasticsearch.rs:211-219)."""
+        now = time.gmtime()
+        return (
+            self.config.index
+            .replace("{yyyy}", time.strftime("%Y", now))
+            .replace("{MM}", time.strftime("%m", now))
+            .replace("{dd}", time.strftime("%d", now))
+        )
+
+    def _headers(self) -> dict[str, str]:
+        h = {"Content-Type": "application/x-ndjson"}
+        if self.config.api_key:
+            h["Authorization"] = f"ApiKey {self.config.api_key}"
+        elif self.config.username:
+            import base64  # noqa: PLC0415
+
+            cred = f"{self.config.username}:{self.config.password or ''}"
+            h["Authorization"] = "Basic " + base64.b64encode(cred.encode()).decode()
+        return h
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        base = self.config.urls.split(",")[0].rstrip("/")
+        index = self.expand_index()
+        headers = self._headers()
+        action = json.dumps({"index": {"_index": index}})
+        buf: list[str] = []
+
+        def flush_chunk():
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode()
+            req = urllib.request.Request(
+                f"{base}/_bulk", data=body, method="POST", headers=headers
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                if resp.status >= 300:
+                    raise ConnectionError(f"Bulk request failed: {resp.status}")
+            buf.clear()
+
+        for r in _payloads(df).toLocalIterator():
+            buf.append(action)
+            buf.append(r.p)
+            if len(buf) >= 2 * self.config.batch_size:
+                flush_chunk()
+        flush_chunk()
+
+
+# ---------------------------------------------------------------------------
+# HTTP webhook source (http.rs:76-380)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HttpWebhookConfig:
+    """HttpWebhookConfig (http.rs:81-136): port/bind/api-key/batch caps;
+    `/event` takes one JSON object, `/events` an array."""
+
+    port: int = 8080
+    bind_address: str = "127.0.0.1"
+    api_key: str | None = None
+    max_batch_size: int = 1000
+    event_path: str = "/event"
+    batch_path: str = "/events"
+
+
+class HttpWebhookSource:
+    """Receive events via HTTP POST and spool them for streaming replay
+    (http.rs:137-380). Auth: `x-api-key` header or `Authorization: Bearer`
+    (http.rs:266-287); oversized batches are rejected with 413."""
+
+    def __init__(self, name: str, config: HttpWebhookConfig, spool_dir: str):
+        from varpulis_spark.sources.spool import SpooledSource, iso_micros
+        from varpulis_spark.sources.kinesis import parse_kinesis_events
+
+        class _Spool(SpooledSource):
+            # same payload semantics as the other JSON bridges: event_type
+            # key else 'WebhookEvent' (helpers json_to_event_from_json)
+            RECORD_SCHEMA = (
+                "partition_key string, sequence_number string, "
+                "payload string, kinesis_ts timestamp"
+            )
+
+            def _parse(self, sdf, value_schema):
+                return parse_kinesis_events(sdf, value_schema).drop(
+                    "raw_data", "partition_key"
+                )
+
+        self._iso = iso_micros
+        self.name = name
+        self.config = config
+        self._spool = _Spool(name, spool_dir)
+        self._server = None
+
+    # -- request handling (transport-independent; the HTTP layer routes
+    # here, tests may call directly) --------------------------------------
+    def handle(self, path: str, body: bytes, headers: dict) -> tuple[int, dict]:
+        cfg = self.config
+        if cfg.api_key is not None:
+            provided = headers.get("x-api-key") or (
+                headers.get("authorization", "").removeprefix("Bearer ").strip()
+                or None
+            )
+            if provided != cfg.api_key:
+                return 401, {"error": "unauthorized"}
+        try:
+            payload = json.loads(body)
+        except ValueError:
+            return 400, {"error": "invalid json"}
+        if path == cfg.event_path:
+            if not isinstance(payload, dict):
+                return 400, {"error": "expected a JSON object"}
+            self._ingest(payload)
+            return 200, {"status": "ok"}
+        if path == cfg.batch_path:
+            if not isinstance(payload, list):
+                return 400, {"error": "expected a JSON array"}
+            if len(payload) > cfg.max_batch_size:
+                return 413, {"error": "batch too large"}
+            for item in payload:
+                self._ingest(item)
+            return 200, {"status": "ok", "count": len(payload)}
+        return 404, {"error": "not found"}
+
+    def _ingest(self, obj: dict) -> None:
+        self._spool._buffer({
+            "partition_key": None,
+            "sequence_number": None,
+            "payload": json.dumps(obj),
+            "kinesis_ts": self._iso(time.time()),
+        })
+
+    def flush(self):
+        return self._spool.flush()
+
+    # -- HTTP server -------------------------------------------------------
+    def start(self):
+        """Serve on (bind_address, port) from a daemon thread."""
+        import http.server  # noqa: PLC0415
+        import threading  # noqa: PLC0415
+
+        source = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                status, reply = source.handle(
+                    self.path, body,
+                    {k.lower(): v for k, v in self.headers.items()},
+                )
+                data = json.dumps(reply).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(
+            (self.config.bind_address, self.config.port), Handler
+        )
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+    def stream(self, spark, value_schema: str, **kw):
+        return self._spool.stream(spark, value_schema, **kw)
+
+    def batch(self, spark, value_schema: str):
+        return self._spool.batch(spark, value_schema)
