@@ -298,3 +298,52 @@ def test_webhook_source_end_to_end(spark, tmp_path):
                        ("WebhookEvent", 3.0), ("WebhookEvent", 4.0)]
     finally:
         src.stop()
+
+
+# ---------------------------------------------------------------------------
+# rest api client
+# ---------------------------------------------------------------------------
+
+def test_rest_api_client_and_sink(spark, capture_http):
+    from varpulis_spark.sinks import RestApiClient, RestApiConfig, RestApiSink
+
+    cfg = RestApiConfig(capture_http.url).with_bearer_token("tk")
+    client = RestApiClient("api", cfg)
+    resp = client.post("/orders", {"id": 1})
+    assert resp["event_type"] == "ApiResponse"
+    assert capture_http.requests[-1]["path"] == "/orders"
+    assert capture_http.requests[-1]["headers"]["authorization"] == "Bearer tk"
+    assert json.loads(capture_http.requests[-1]["body"]) == {"id": 1}
+
+    sink = RestApiSink("api", cfg, "/events")
+    df = spark.createDataFrame([(7,)], "id long")
+    sink.write_batch(df, 0)
+    assert capture_http.requests[-1]["path"] == "/events"
+    assert json.loads(capture_http.requests[-1]["body"])["id"] == 7
+
+
+def test_rest_api_get(spark):
+    import http.server, threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"price": 9.5}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from varpulis_spark.sinks import RestApiClient, RestApiConfig
+
+        h, p = srv.server_address
+        client = RestApiClient("api", RestApiConfig(f"http://{h}:{p}"))
+        out = client.get("/quote")
+        assert out == {"price": 9.5, "event_type": "ApiResponse"}
+    finally:
+        srv.shutdown()

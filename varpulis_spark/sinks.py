@@ -553,3 +553,86 @@ class HttpWebhookSource:
 
     def batch(self, spark, value_schema: str):
         return self._spool.batch(spark, value_schema)
+
+
+# ---------------------------------------------------------------------------
+# REST API client + sink (rest_api.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RestApiConfig:
+    """RestApiConfig (rest_api.rs:11-49): base_url + default headers,
+    bearer-token / api-key sugar, request timeout."""
+
+    base_url: str
+    headers: dict = None
+    timeout_ms: int = 10_000
+
+    def __post_init__(self):
+        self.headers = dict(self.headers or {})
+
+    def with_bearer_token(self, token: str) -> "RestApiConfig":
+        self.headers["Authorization"] = f"Bearer {token}"
+        return self
+
+    def with_api_key(self, key: str, value: str) -> "RestApiConfig":
+        self.headers[key] = value
+        return self
+
+
+class RestApiClient:
+    """GET/POST/PUT/DELETE against a JSON API (rest_api.rs:51-183); JSON
+    responses come back as 'ApiResponse' event dicts. Driver-side helper
+    (enrichment / control flows), not a bulk data path."""
+
+    def __init__(self, name: str, config: RestApiConfig):
+        self.name = name
+        self.config = config
+
+    def _request(self, method: str, path: str, payload: dict | None = None):
+        url = self.config.base_url + path
+        data = json.dumps(payload).encode() if payload is not None else None
+        headers = {"Content-Type": "application/json", **self.config.headers}
+        req = urllib.request.Request(url, data=data, method=method, headers=headers)
+        with urllib.request.urlopen(
+            req, timeout=self.config.timeout_ms / 1000.0
+        ) as resp:
+            if resp.status >= 300:
+                raise ConnectionError(f"HTTP {resp.status}: {url}")
+            if method == "DELETE":
+                return None
+            body = resp.read()
+        out = json.loads(body) if body else {}
+        if isinstance(out, dict):
+            out.setdefault("event_type", "ApiResponse")  # rest_api.rs:107
+        return out
+
+    def get(self, path: str):
+        return self._request("GET", path)
+
+    def post(self, path: str, event: dict):
+        return self._request("POST", path, event)
+
+    def put(self, path: str, event: dict):
+        return self._request("PUT", path, event)
+
+    def delete(self, path: str):
+        return self._request("DELETE", path)
+
+
+class RestApiSink:
+    """RestApiSink (rest_api.rs:186-247): POST each event to
+    base_url + path; per-partition on the executors like HttpSink."""
+
+    def __init__(self, name: str, config: RestApiConfig, path: str):
+        self.name = name
+        self.config = config
+        self.path = path
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        HttpSink(
+            self.name, self.config.base_url + self.path,
+            headers=self.config.headers,
+            timeout_s=self.config.timeout_ms / 1000.0,
+        ).write_batch(df, epoch)
