@@ -347,3 +347,39 @@ def test_rest_api_get(spark):
         assert out == {"price": 9.5, "event_type": "ApiResponse"}
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# VPL .to(Conn) routing
+# ---------------------------------------------------------------------------
+
+def test_vpl_to_routes_to_bound_sink(spark, tmp_path):
+    """`stream X = ... .to(Conn)` routes the result through a bound sink
+    object (sink_factory analog); unbound names stay ignored."""
+    from varpulis_spark import Stream
+    from varpulis_spark.sources.event_file import load_evt
+    from varpulis_spark.vpl import run_program
+
+    src = load_evt(spark, """
+Reading { x: 50.0 }
+Reading { x: 150.0 }
+""")
+    db = str(tmp_path / "alerts.db")
+    sink = DatabaseSink("db", DatabaseConfig(f"sqlite:{db}", "alerts"))
+    res = run_program("""
+stream Hot = Reading
+    .where(x > 100.0)
+    .emit(kind: "Hot", x: x)
+    .to(alert_db)
+
+stream Cold = Reading
+    .where(x <= 100.0)
+    .emit(x: x)
+    .to(unbound_conn)
+""", Stream(src, ts_col="ts", order_col="event_id"),
+        sinks={"alert_db": sink})
+    assert res["Hot"].count() == 1 and res["Cold"].count() == 1
+    rows = sqlite3.connect(db).execute("SELECT data FROM alerts").fetchall()
+    assert len(rows) == 1
+    d = json.loads(rows[0][0])
+    assert d["kind"] == "Hot" and d["x"] == 150.0

@@ -2029,7 +2029,8 @@ def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
 
 
 def run_program(
-    source: str, stream: Stream, tables: dict | None = None
+    source: str, stream: Stream, tables: dict | None = None,
+    sinks: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compile+run every `stream X = ...` declaration against the ingest
     Stream; returns name → result DataFrame.
@@ -2038,9 +2039,15 @@ def run_program(
     reference wires through its event-type router, engine/router.rs:13-23)
     — here it is plain DataFrame composition. `.from(Conn, ...)` connector
     bindings are accepted and ignored in replay mode (the ingest Stream IS
-    the bound source); `.to(...)` sink bindings likewise. `tables` binds
-    connector names to dimension DataFrames for `.enrich` (optionally
-    `(df, key_col)`; default key = first column)."""
+    the bound source). `tables` binds connector names to dimension
+    DataFrames for `.enrich` (optionally `(df, key_col)`; default key =
+    first column).
+
+    `sinks` binds connector names to sink objects (anything with
+    ``write_batch(df, epoch)`` — sinks.py / sources/*, optionally wrapped
+    in resilient_sink_fn): a stream's `.to(Conn)` routes its result there
+    (sink_factory engine/sink_factory.rs); unbound `.to` names are ignored
+    in replay mode as before."""
     prog = parse_full(source)
     env = ProgramEnv()
     env.tables = dict(tables or {})
@@ -2156,4 +2163,12 @@ def run_program(
             )
         env_streams[decl.name] = out
         results[decl.name] = out.df
+        if sinks:
+            for op in decl.ops:
+                if op.name == "to" and op.args:
+                    a = op.args[0]
+                    conn = a.parts[0] if hasattr(a, "parts") else getattr(a, "value", None)
+                    sink = sinks.get(conn)
+                    if sink is not None:
+                        sink.write_batch(out.df, 0)
     return results
