@@ -383,3 +383,28 @@ stream Cold = Reading
     assert len(rows) == 1
     d = json.loads(rows[0][0])
     assert d["kind"] == "Hot" and d["x"] == 150.0
+
+
+def test_vpl_from_binds_source_stream(spark, tmp_path):
+    """`EventType.from(Conn)` reads from the bound source Stream — here an
+    MQTT bridge spool — instead of the ingest stream."""
+    from varpulis_spark import Stream
+    from varpulis_spark.sources.event_file import load_evt
+    from varpulis_spark.sources.mqtt import MqttConfig, MqttSource
+    from varpulis_spark.vpl import run_program
+
+    mqtt = MqttSource("m", MqttConfig("h", "s/#"), str(tmp_path / "spool"))
+    for v in (10.0, 200.0):
+        mqtt.ingest("s/t", json.dumps({"event_type": "Reading", "x": v}))
+    mqtt.flush()
+    ingest = load_evt(spark, "Reading { x: 999.0 }\n")
+    res = run_program("""
+stream Hot = Reading
+    .from(mqtt_conn)
+    .where(x > 100.0)
+    .emit(x: x)
+""", Stream(ingest, ts_col="ts", order_col="event_id"),
+        sources={"mqtt_conn": mqtt.batch(spark, "x double")})
+    rows = res["Hot"].collect()
+    # 200.0 from the spool qualifies; the ingest 999.0 is NOT read
+    assert [r.x for r in rows] == [200.0]

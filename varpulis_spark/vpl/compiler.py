@@ -2030,7 +2030,7 @@ def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
 
 def run_program(
     source: str, stream: Stream, tables: dict | None = None,
-    sinks: dict | None = None,
+    sinks: dict | None = None, sources: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compile+run every `stream X = ...` declaration against the ingest
     Stream; returns name → result DataFrame.
@@ -2047,7 +2047,13 @@ def run_program(
     ``write_batch(df, epoch)`` — sinks.py / sources/*, optionally wrapped
     in resilient_sink_fn): a stream's `.to(Conn)` routes its result there
     (sink_factory engine/sink_factory.rs); unbound `.to` names are ignored
-    in replay mode as before."""
+    in replay mode as before.
+
+    `sources` binds connector names to Streams (e.g. a broker bridge's
+    ``.batch(...)``/``.stream(...)``): a declaration carrying
+    `.from(Conn, ...)` reads from that Stream instead of the ingest
+    Stream (SourceBinding, engine/types.rs:75-81); unbound names keep the
+    replay behavior (ingest IS the source)."""
     prog = parse_full(source)
     env = ProgramEnv()
     env.tables = dict(tables or {})
@@ -2064,8 +2070,17 @@ def run_program(
 
     results: dict[str, DataFrame] = {}
     env_streams: dict[str, Stream] = {}
+    base_stream = stream
     for decl in prog.streams:
-        # drop connector bindings (source already bound in replay mode)
+        # bind `.from(Conn)` when a source Stream is supplied; otherwise
+        # drop it (replay mode: the ingest Stream IS the bound source)
+        stream = base_stream
+        for op in decl.ops:
+            if op.name == "from" and op.args and sources:
+                a = op.args[0]
+                nm = a.parts[0] if hasattr(a, "parts") else getattr(a, "value", None)
+                if nm in sources:
+                    stream = sources[nm]
         decl.ops = [op for op in decl.ops if op.name != "from"]
         _expand_decl(decl, env)
 
