@@ -296,3 +296,34 @@ def test_register_fn(spark, sf_dir):
     )
     exp = Stream.events(spark, sf_dir).where(F.col("value") > 150).count()
     assert out == exp
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF ANN: recall@10 vs exact brute force stays high at modest nprobe,
+    and probing scans only ~nprobe/n_clusters of the corpus."""
+    from varpulis_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from varpulis_spark.engine import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    cent = train_ivf_centroids(emb, n_clusters=16, sample=2000)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, nprobe=6, centroids=cent).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # reusing the trained quantizer is deterministic
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, nprobe=6, centroids=cent).collect()
+    }
+    assert approx == again
