@@ -463,6 +463,26 @@ def q_simhash_near_dup(spark, sf):
     return D.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF ANN (rows-only: the k-means coarse quantizer is not
+    SQL-expressible; recall vs exact top-k is pinned in
+    tests/test_extensions.py). Deterministic: seeded Lloyd iterations,
+    rank ties broken by neighbor_id."""
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return SIM.ivf_topk(emb, queries_df, k=10, n_clusters=32, nprobe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_minshingle_near_dup(spark, sf):
+    """Deterministic near-dup: min-shingle blocking (OPH with the identity
+    permutation) + exact 8-gram Jaccard, pure JVM — the oracle-checkable
+    member of the near-dup family (minhash/simhash are seed-dependent)."""
+    docs = load_table(spark, sf, "documents")
+    return D.ngram_minshingle_pairs(docs, k=8, threshold=0.6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "high_value_filter": q_high_value_filter,
@@ -498,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "minshingle_near_dup": q_minshingle_near_dup,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -891,6 +913,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + doc_id % 3 AS INT) AS channels,
                    CAST(ceil(greatest(1, (12 + octet_length(encode(text))) // 64) / 10.0) AS BIGINT) AS n_frames
             FROM documents
+        """,
+        "minshingle_near_dup": """
+            -- min-shingle blocking (identity-permutation MinHash): both
+            -- engines block on the lexicographic minimum 8-gram of
+            -- lower(text) (ASCII corpus: binary collation agrees), then
+            -- verify exact Jaccard >= 0.6 in integer arithmetic
+            WITH d AS (
+              SELECT doc_id AS id,
+                     list_distinct([substr(lower(text), i, 8)
+                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+              FROM documents
+            ), b AS (
+              SELECT id, sh, list_min(sh) AS blk FROM d
+            )
+            SELECT a.id AS id_a, c.id AS id_b,
+                   CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT) AS inter_size,
+                   CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT) AS union_size
+            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+            WHERE 1000000 * len(list_intersect(a.sh, c.sh))
+                  >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),

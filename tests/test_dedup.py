@@ -98,7 +98,7 @@ def test_minhash_candidate_recall(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {
         (r.id_a, r.id_b)
-        for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect()
+        for r in D.minhash_near_dup_pairs(df, threshold=0.35, shingle_k=5).collect()
     }
     D.release_caches()
     strong = [(a, b) for a, b, j in truth if j >= 0.5]
@@ -113,8 +113,8 @@ def test_minhash_candidate_recall(spark):
 def test_minhash_pairs_distinct_and_stable(spark):
     docs, _ = _seeded_corpus(n_base=40, n_dup=10)
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    r1 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect())
-    r2 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35).collect())
+    r1 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35, shingle_k=5).collect())
+    r2 = sorted((r.id_a, r.id_b) for r in D.minhash_near_dup_pairs(df, threshold=0.35, shingle_k=5).collect())
     D.release_caches()
     assert r1 == r2
     assert len(r1) == len(set(r1))
@@ -267,3 +267,52 @@ def test_no_rdd_access_in_package():
             if re.search(r"\.rdd\b", line):
                 hits.append(f"{p}:{i}: {line.strip()}")
     assert not hits, "\n".join(hits)
+
+
+def test_minshingle_pairs_match_duckdb(spark, sf_dir):
+    """ngram_minshingle_pairs is the deterministic, oracle-checkable member
+    of the near-dup family: the full (blocking + exact-Jaccard) result must
+    hash-match ANSI SQL, not just recall-track it."""
+    import duckdb
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r)
+        for r in D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            WITH d AS (
+              SELECT doc_id AS id,
+                     list_distinct([substr(lower(text), i, 8)
+                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+              FROM documents
+            ), b AS (SELECT id, sh, list_min(sh) AS blk FROM d)
+            SELECT a.id, c.id,
+                   CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT),
+                   CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT)
+            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+            WHERE 1000000 * len(list_intersect(a.sh, c.sh))
+                  >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # planted near-dups must survive blocking
+
+
+def test_minshingle_pairs_all_jvm(spark, sf_dir):
+    """The whole pipeline must stay JVM-side: no Python/pandas UDF stages
+    (BatchEvalPython / ArrowEvalPython) in the physical plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.ngram_minshingle_pairs(docs)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in explained

@@ -26,6 +26,12 @@ north star. Scale design:
 - SimHash: 64-bit sign-of-bit-votes signature from the same shingle hashes;
   near-dup = Hamming ≤ k over 4×16-bit banded exact-match candidates
   (pigeonhole: Hamming ≤ 3 ⇒ at least one identical band).
+- default shingle_k = 7: on small-vocabulary corpora (bag-of-words docs)
+  5-char shingles give a background pairwise Jaccard of ~0.17 (p99 0.26),
+  which sits on the 32×4 banding S-curve and generated ~450K junk
+  candidates per 5K docs; 7-char shingles drop background J to ~0.065
+  (60× fewer candidates) while true near-dups measured J7 ≥ 0.84 — the
+  reported pair set is unchanged, the candidate explosion is gone.
 - verification joins carry only (id, signature/shingle-hash array), never
   the text.
 """
@@ -203,7 +209,7 @@ def _powers(k: int) -> np.ndarray:
     return p
 
 
-def shingle_hashes_udf(k: int = 5):
+def shingle_hashes_udf(k: int = 7):
     """pandas UDF: text → array<long> distinct shingle hashes."""
     powers = _powers(k)
 
@@ -276,7 +282,7 @@ def _oph_signatures(
     return sig
 
 
-def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 5, seed: int = 42):
+def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 7, seed: int = 42):
     """pandas UDF: text → array<long> MinHash signature via One-Permutation
     Hashing.
 
@@ -338,7 +344,7 @@ def _simhash_batch(texts: pd.Series, shingle_k: int) -> np.ndarray:
     return out
 
 
-def simhash_udf(shingle_k: int = 5):
+def simhash_udf(shingle_k: int = 7):
     """pandas UDF: text → 64-bit SimHash (long)."""
 
     @pandas_udf("long")
@@ -359,7 +365,7 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     num_perm: int = 128,
     bands: int = 32,
-    shingle_k: int = 5,
+    shingle_k: int = 7,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
@@ -478,11 +484,72 @@ def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     return out
 
 
+def _char_shingles(text: Column, k: int) -> Column:
+    """Distinct k-char substrings of lower(text), pure JVM (transform over a
+    position sequence). Texts shorter than k yield the single (short) prefix,
+    so every doc has ≥1 shingle and a defined blocking key."""
+    low = F.lower(text)
+    n = F.greatest(F.length(low) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(low, i, k))
+    )
+
+
+def ngram_minshingle_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Deterministic near-dup pairs: min-shingle blocking + exact n-gram
+    Jaccard, 100% JVM-side and ANSI-SQL-expressible (the oracle-checkable
+    member of the near-dup family; `minhash_near_dup_pairs` is the tunable
+    production path).
+
+    Blocking = group by the lexicographic MINIMUM k-shingle — exactly
+    One-Permutation MinHash with the identity permutation, so per-pair
+    recall equals the pair's true Jaccard (J ≥ 0.6 ⇒ ≥ 60% catch rate;
+    both engines block identically, so the *oracle comparison* is exact).
+
+    Scale shape: the block join carries (id, blk, text) — 1× the corpus,
+    not the 8× shingle arrays; shingle sets are re-derived row-locally on
+    the few surviving candidates. Block sizes follow min-hash bucket
+    statistics (≈ unique minima), so no mega-bucket skew guard is needed;
+    a boilerplate-heavy corpus should cap blocks like `_bucket_pairs`.
+
+    Threshold compares in exact integer arithmetic (inter·10⁶ ≥ t·10⁶·union)
+    so the boundary matches any SQL oracle bit-for-bit.
+    """
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    keyed = docs.select(
+        "id", "__t", F.array_min(_char_shingles(F.col("__t"), k)).alias("blk")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"), "blk")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"), "blk")
+    sha = _char_shingles(F.col("__ta"), k)
+    shb = _char_shingles(F.col("__tb"), k)
+    scaled_t = int(round(threshold * 1_000_000))
+    cand = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(sha, shb)).cast("long").alias("inter_size"),
+            F.size(F.array_union(sha, shb)).cast("long").alias("union_size"),
+        )
+    )
+    return cand.filter(
+        F.col("inter_size") * F.lit(1_000_000) >= F.lit(scaled_t) * F.col("union_size")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_k: int = 5,
+    shingle_k: int = 7,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
@@ -513,7 +580,7 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+def with_simhash(df: DataFrame, text_col: str = "text", shingle_k: int = 7) -> DataFrame:
     return df.withColumn("simhash", simhash_udf(shingle_k)(F.col(text_col)))
 
 
@@ -522,7 +589,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    shingle_k: int = 5,
+    shingle_k: int = 7,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
