@@ -15,11 +15,13 @@ to hash-match:
   results are rounded to 6 decimals on both sides;
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
-Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`)
-are non-SQL-expressible (LSH banding: the bucketing depends on the hash
-family, not the data relation); the driver records rows-only checks for
-them — their recall is pinned against exact Jaccard in
-tests/test_dedup.py instead. Every other query is oracle-checked,
+Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
+`ann_ivf`) are non-SQL-expressible (LSH banding / k-means quantization:
+the bucketing depends on the hash family or trained centroids, not the
+data relation); the driver records rows-only checks for them — minhash/
+simhash recall is pinned against exact Jaccard in tests/test_dedup.py,
+and ann_ivf recall against exact top-k in tests/test_extensions.py.
+Every other query is oracle-checked,
 including the three non-obvious ones: `kleene_purchases` verifies the
 exhaustive Kleene enumeration through the binomial identity C(k, m) per
 anchor pair; `greta_rising` verifies the predicate-gated GRETA DP via a

@@ -1,17 +1,33 @@
 """Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints JSON
+lines {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — the LAST line is the most complete
+result (the round driver parses the last JSON line).
 
 Each query is forced with a count() action (full pipeline execution, no
 driver-side collect of payloads). BASELINE.md's reference numbers are
 single-node event-throughput; our comparable figure is wall-clock per query
 over the same table at the bench scale factor.
 
+Timeout-proofing (VERDICT r4 task 2 — r4 lost its entire perf record to
+one hanging query because the only print happened after everything):
+- every query runs under a wall-clock cap (SPARK_GRAFT_BENCH_QUERY_TIMEOUT,
+  default 120 s): the count() runs in a worker thread with its own Spark
+  job group; on timeout the group is cancelled, the query records -1, and
+  the suite moves on;
+- each completed block prints its OWN flushed JSON line immediately
+  (sf0.1 first), so a later hang or an external kill can no longer destroy
+  already-measured numbers;
+- the whole suite has a soft budget (SPARK_GRAFT_BENCH_SUITE_BUDGET,
+  default 900 s per block): once exceeded, remaining queries record -1
+  ("skipped": [...] names them — no silent truncation);
+- the idle-wait is bounded at SPARK_GRAFT_BENCH_IDLE_WAIT (default 120 s,
+  was 600 — it could eat the round's whole bench budget before one query
+  ran).
+
 Protocol additions (VERDICT r3 tasks 1-2):
-- waits for loadavg < 1 before timing (up to SPARK_GRAFT_BENCH_IDLE_WAIT
-  seconds, default 600) — numbers taken on a loaded host have 2x spreads
-  and are not comparable round-over-round;
+- waits for loadavg < 1 before timing (bounded, see above) — numbers taken
+  on a loaded host have 2x spreads and are not comparable round-over-round;
 - a second `sf1` block: the suite re-runs at the locally derived 10x
   scale factor (scripts/make_sf.py; users scale, per-key density fixed)
   and reports per-query events/s plus the sf1/sf0.1 events-per-sec ratio
@@ -27,6 +43,7 @@ import json
 import os
 import re
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -35,14 +52,16 @@ import __spark_entry__ as entrymod  # noqa: E402
 from varpulis_spark.engine import get_spark  # noqa: E402
 
 SF1_EXCLUDE = {"embedding_near_dup"}
+QUERY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "120"))
+SUITE_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_SUITE_BUDGET", "900"))
 
 
 def wait_for_idle(threshold: float = 1.0) -> float:
     """Block until 1-min loadavg < threshold (bounded); returns secs waited."""
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "120"))
     t0 = time.time()
     while os.getloadavg()[0] >= threshold and time.time() - t0 < budget:
-        time.sleep(10)
+        time.sleep(5)
     return round(time.time() - t0, 1)
 
 
@@ -63,32 +82,77 @@ def warmup(spark, sf_dir: str) -> int:
     return n_events
 
 
+def timed_count(spark, fn, sf_dir: str, name: str) -> tuple[int | None, float]:
+    """fn(spark, sf_dir).count() under a wall-clock cap. Returns
+    (rows, seconds) or (None, -1.0) on timeout. The count runs in a worker
+    thread holding its own Spark job group (pinned-thread mode: the group
+    must be set INSIDE the thread); on timeout the group is cancelled so
+    the executors stop burning cores on the abandoned query."""
+    result: dict = {}
+    group = f"bench-{name}-{time.monotonic_ns()}"
+
+    def work() -> None:
+        try:
+            spark.sparkContext.setJobGroup(group, name, True)
+            result["rows"] = fn(spark, sf_dir).count()
+        except BaseException as e:  # noqa: BLE001 - re-raised on the main thread
+            result["err"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t0 = time.time()
+    t.start()
+    t.join(QUERY_TIMEOUT)
+    if t.is_alive():
+        try:
+            spark.sparkContext.cancelJobGroup(group)
+        except Exception:  # noqa: BLE001
+            pass
+        t.join(15)
+        return None, -1.0
+    if "err" in result:
+        raise result["err"]
+    return result["rows"], time.time() - t0
+
+
 def run_suite(
     spark, sf_dir: str, runs_per_query: int, skip: set[str] = frozenset()
-) -> tuple[dict, dict, dict]:
+) -> tuple[dict, dict, dict, list[str]]:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
+    skipped: list[str] = []
+    suite_t0 = time.time()
     for name, fn in entrymod.queries().items():
         if name in skip:
+            continue
+        if time.time() - suite_t0 > SUITE_BUDGET:
+            skipped.append(name)
+            times[name] = -1.0
             continue
         try:
             samples = []
             for _ in range(max(1, runs_per_query)):
-                t0 = time.time()
-                rows[name] = fn(spark, sf_dir).count()
-                samples.append(time.time() - t0)
+                n, sec = timed_count(spark, fn, sf_dir, name)
                 spark.catalog.clearCache()
                 from varpulis_spark.operators.dedup import release_caches
 
                 release_caches()  # drop registry refs alongside the cache
+                if sec < 0:
+                    print(f"bench timeout in {name} (> {QUERY_TIMEOUT}s)", file=sys.stderr)
+                    samples = []
+                    break
+                rows[name] = n
+                samples.append(sec)
+            if not samples:
+                times[name] = -1.0
+                continue
             samples.sort()
             times[name] = round(samples[len(samples) // 2], 3)
             spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             times[name] = -1.0
-    return times, spread, rows
+    return times, spread, rows, skipped
 
 
 def main() -> None:
@@ -106,7 +170,7 @@ def main() -> None:
     # events, median of 3 runs' protocol, README.md:100); the spread field
     # exposes host-contention noise so round-over-round deltas can be read
     # against variance.
-    times, spread, rows = run_suite(spark, sf_dir, runs_per_query)
+    times, spread, rows, skipped = run_suite(spark, sf_dir, runs_per_query)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # comparable to BASELINE.md CPU-bound event throughput (filter row)
     filter_tput = (
@@ -131,7 +195,13 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "idle_wait_sec": idle_waited,
         "loadavg_start": [round(x, 2) for x in load_start],
+        "skipped": skipped,
+        "query_timeout_sec": QUERY_TIMEOUT,
     }
+    # flush the sf0.1 numbers NOW — a hang in the sf1 block (or an external
+    # kill) must never again destroy the already-measured suite
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps(out), flush=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         try:
@@ -141,7 +211,7 @@ def main() -> None:
             sf1_dir = make_sf.ensure()
             n1 = warmup(spark, sf1_dir)
             runs1 = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
-            t1, s1, r1 = run_suite(spark, sf1_dir, runs1, skip=SF1_EXCLUDE)
+            t1, s1, r1, sk1 = run_suite(spark, sf1_dir, runs1, skip=SF1_EXCLUDE)
             eps1 = {k: round(n1 / v) for k, v in t1.items() if v > 0}
             # per-query scaling: events/s at sf1 relative to sf0.1 — 1.0 is
             # perfectly linear; > means fixed overhead amortizing away
@@ -161,12 +231,14 @@ def main() -> None:
                 "runs_per_query": runs1,
                 "value": round(sum(v for v in t1.values() if v >= 0), 3),
                 "excluded": sorted(SF1_EXCLUDE),
+                "skipped": sk1,
             }
         except Exception as e:  # noqa: BLE001 - sf1 block is best-effort
             out["sf1"] = {"error": repr(e)}
 
-    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    print(json.dumps(out))
+        out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        # the complete record (sf0.1 + sf1) is the LAST line
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
