@@ -1,0 +1,185 @@
+"""Kafka connector plumbing tests (VERDICT r4 task 7): no broker exists in
+the sandbox, but everything short of the socket is testable — option
+construction against KafkaConfig semantics (kafka.rs:19-55,180-192) and
+payload lowering parity (kafka.rs:260-285, event.rs:138-155) over local
+DataFrames shaped like the built-in source's output."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from varpulis_spark.sources.kafka import (
+    MAX_EVENT_PAYLOAD_BYTES,
+    KafkaConfig,
+    kafka_reader_options,
+    kafka_sink_frame,
+    kafka_writer_options,
+    parse_kafka_events,
+)
+
+UTC = dt.timezone.utc
+
+
+def _kafka_frame(spark, payloads: list[bytes | None], topic: str = "events"):
+    """A local DataFrame with the built-in Kafka source's output shape."""
+    rows = [
+        Row(
+            key=None,
+            value=p,
+            topic=topic,
+            partition=0,
+            offset=i,
+            timestamp=dt.datetime(2026, 1, 1, 12, 0, i, tzinfo=UTC),
+            timestampType=0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# option construction (KafkaConfig → Spark options)
+# ---------------------------------------------------------------------------
+
+
+def test_reader_options_managed_keys_skipped():
+    """apply_properties (kafka.rs:184-187) skips bootstrap.servers and
+    group.id in the pass-through map — the dedicated config fields own
+    them."""
+    cfg = KafkaConfig(
+        brokers="b1:9092,b2:9092",
+        topic="trades",
+        group_id="cep",
+        properties={
+            "bootstrap.servers": "evil:9092",  # must be ignored
+            "group.id": "evil",  # must be ignored
+            "security.protocol": "SASL_SSL",
+            "max.poll.records": "500",
+        },
+    )
+    opts = kafka_reader_options(cfg, starting_offsets="earliest")
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "trades"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.group.id"] == "cep"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.max.poll.records"] == "500"
+    assert "kafka.kafka.bootstrap.servers" not in opts
+
+
+def test_writer_options_transactional_id():
+    """transactional_id enables exactly-once production
+    (KafkaConfig.transactional_id, kafka.rs:24-26 + managed_kafka's
+    transactional producer)."""
+    cfg = KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1")
+    opts = kafka_writer_options(cfg)
+    assert opts["topic"] == "out"
+    assert opts["kafka.transactional.id"] == "app-1"
+    assert opts["kafka.enable.idempotence"] == "true"
+    plain = kafka_writer_options(KafkaConfig(brokers="b:9092", topic="out"))
+    assert "kafka.transactional.id" not in plain
+
+
+# ---------------------------------------------------------------------------
+# source payload lowering (kafka.rs:260-285)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_event_type_precedence_and_default(spark):
+    """event_type comes from the payload; missing → \"KafkaEvent\"
+    (kafka.rs:273-276). Kafka has NO topic-segment fallback — that rule is
+    MQTT/NATS-only (parse_mqtt_payload vs the kafka source loop)."""
+    payloads = [
+        json.dumps({"event_type": "Trade", "symbol": "ACME", "price": 10.5}).encode(),
+        json.dumps({"symbol": "DUCK", "price": 1.25}).encode(),
+    ]
+    out = parse_kafka_events(
+        _kafka_frame(spark, payloads, topic="md.trades"),
+        "symbol string, price double",
+    ).collect()
+    assert [r.event_type for r in out] == ["Trade", "KafkaEvent"]
+    assert out[0].symbol == "ACME" and out[0].price == 10.5
+    # no topic fallback: default is the literal KafkaEvent, not "trades"
+    assert out[1].event_type == "KafkaEvent"
+
+
+def test_parse_nested_data_object(spark):
+    """A nested `data` OBJECT supplies the fields (shared broker decode
+    shape; json_to_event helpers.rs:10-33)."""
+    payloads = [
+        json.dumps(
+            {"event_type": "Reading", "data": {"symbol": "NEST", "price": 3.5}}
+        ).encode()
+    ]
+    out = parse_kafka_events(
+        _kafka_frame(spark, payloads), "symbol string, price double"
+    ).collect()
+    assert out[0].symbol == "NEST" and out[0].price == 3.5
+
+
+def test_parse_oversize_payload_dropped_and_malformed_kept(spark):
+    """Payloads over MAX_EVENT_PAYLOAD_BYTES are rejected BEFORE JSON
+    parsing (kafka.rs:262-269, limits.rs:8); malformed JSON yields a
+    null-field row with the default type so a DLQ can see it."""
+    big = json.dumps({"symbol": "BIG", "pad": "x" * (MAX_EVENT_PAYLOAD_BYTES + 10)})
+    payloads = [big.encode(), b"not json at all", json.dumps({"symbol": "OK"}).encode()]
+    out = parse_kafka_events(
+        _kafka_frame(spark, payloads), "symbol string, price double"
+    ).collect()
+    assert [r.symbol for r in out] == [None, "OK"]  # oversize row is GONE
+    assert out[0].event_type == "KafkaEvent"  # malformed kept, null fields
+
+
+# ---------------------------------------------------------------------------
+# sink framing (kafka.rs:405-412, event.rs:138-155)
+# ---------------------------------------------------------------------------
+
+
+def test_sink_frame_key_and_payload_shape(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                ts=dt.datetime(2026, 1, 2, 3, 4, 5, 123456, tzinfo=UTC),
+                event_type="Alert",
+                symbol="ACME",
+                price=99.5,
+            )
+        ],
+        "ts timestamp, event_type string, symbol string, price double",
+    )
+    out = kafka_sink_frame(df).collect()[0]
+    assert out.key == "Alert"  # key = event_type (kafka.rs:410-411)
+    payload = json.loads(out.value)
+    assert payload["event_type"] == "Alert"
+    assert payload["symbol"] == "ACME" and payload["price"] == 99.5
+    # RFC3339 with µs precision, UTC (serde DateTime<Utc> parity)
+    assert payload["timestamp"].startswith("2026-01-02T03:04:05.123456")
+    # field order: event_type first, timestamp second (event.rs:144-147)
+    assert list(payload.keys())[:2] == ["event_type", "timestamp"]
+
+
+def test_reader_builds_streaming_source(spark):
+    """kafka_source wires the options into readStream.format('kafka') —
+    building the unresolved plan needs no broker; the options land in the
+    stream's logical plan."""
+    pytest.importorskip("pyspark")
+    from varpulis_spark.sources.kafka import kafka_source
+
+    try:
+        s = kafka_source(
+            spark,
+            KafkaConfig(brokers="localhost:9092", topic="t"),
+            value_schema="symbol string",
+        )
+    except Exception as e:  # pragma: no cover - kafka jars absent
+        pytest.skip(f"kafka format unavailable in this Spark build: {e}")
+    assert s.df.isStreaming
+    assert [f.name for f in s.df.schema.fields[:2]] == ["ts", "event_type"]

@@ -23,12 +23,15 @@ from dataclasses import dataclass, field
 
 @dataclass
 class ConnectorHealthReport:
-    """managed.rs:16-32."""
+    """managed.rs:16-32; `drops` adds the ingest-limit counters
+    (limits.rs parity): reason → count of rejected/truncated payloads at
+    the spool boundary."""
 
     connected: bool = True
     last_error: str | None = None
     messages_received: int = 0
     seconds_since_last_message: int = 0
+    drops: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -184,6 +187,7 @@ class ConnectorRegistry:
                 buffered = len(getattr(src, "_buf", []) or [])
                 seq = getattr(src, "_seq", 0)
                 rep.messages_received = buffered + seq  # flushed files + pending
+                rep.drops = dict(getattr(src, "drops", {}) or {})
                 thread = getattr(src, "_thread", None)
                 if thread is not None:
                     rep.connected = thread.is_alive()

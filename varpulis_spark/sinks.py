@@ -481,6 +481,10 @@ class HttpWebhookSource:
             )
             if provided != cfg.api_key:
                 return 401, {"error": "unauthorized"}
+        # ingest limits (limits.rs parity): reject oversize request bodies
+        # BEFORE JSON parsing — counted, like every other spool boundary
+        if not self._spool.admit(body):
+            return 413, {"error": "payload too large"}
         try:
             payload = json.loads(body)
         except ValueError:
@@ -500,7 +504,20 @@ class HttpWebhookSource:
             return 200, {"status": "ok", "count": len(payload)}
         return 404, {"error": "not found"}
 
+    @property
+    def drops(self) -> dict:
+        """Ingest-limit counters (limits.rs parity) for health reports."""
+        return self._spool.drops
+
     def _ingest(self, obj: dict) -> None:
+        from varpulis_spark.limits import sanitize_event
+
+        # keep-event limits (helpers.rs json_to_event): fields beyond 1024
+        # dropped, values deeper than 32 nulled, oversized strings/arrays
+        # truncated — each counted for the health report
+        obj, fired = sanitize_event(obj)
+        for reason in fired:
+            self._spool._count_drop(reason)
         self._spool._buffer({
             "partition_key": None,
             "sequence_number": None,

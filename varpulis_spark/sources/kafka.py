@@ -1,0 +1,172 @@
+"""Kafka connector plumbing (reference: connector/kafka.rs:1-538,
+managed_kafka.rs).
+
+Spark ships a first-class Kafka source/sink (`format("kafka")`), so unlike
+MQTT/NATS/Kinesis no spool bridge is needed — this module supplies the
+reference-parity pieces AROUND the built-in format:
+
+- `KafkaConfig` mirrors KafkaConfig (kafka.rs:19-55): brokers, topic,
+  optional consumer group, pass-through client properties (internally
+  managed keys are skipped exactly like apply_properties, kafka.rs:180-192),
+  and the transactional id enabling exactly-once production.
+- `kafka_reader_options` / `kafka_writer_options` lower the config to the
+  Spark option maps (client properties get the `kafka.` prefix Spark
+  forwards verbatim to the underlying client).
+- `parse_kafka_events` lowers the source's payload rules (kafka.rs:260-285)
+  to Catalyst expressions: oversize payloads (> 1 MiB,
+  limits.rs MAX_EVENT_PAYLOAD_BYTES) are dropped BEFORE parsing;
+  `event_type` comes from the JSON payload with default "KafkaEvent"
+  (Kafka has no topic-segment fallback — that rule is MQTT/NATS-only);
+  a nested `data` object supplies fields like the other connectors.
+- `kafka_sink_frame` lowers the sink's framing (kafka.rs:405-412):
+  value = to_sink_payload JSON (event_type first, then timestamp, then the
+  payload fields — event.rs:138-155), key = event_type (per-type ordering
+  under Kafka's per-key partitioning, same delivery contract).
+
+All of this is pure DataFrame/option plumbing, unit-testable without a
+broker (tests/test_kafka.py); against a real cluster the same frames plug
+into `readStream`/`writeStream.format("kafka")` unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from varpulis_spark.stream import Stream
+
+MAX_EVENT_PAYLOAD_BYTES = 1_048_576  # limits.rs:8
+
+# keys the config owns; user properties for these are ignored
+# (apply_properties, kafka.rs:184-187)
+_MANAGED_KEYS = {"bootstrap.servers", "group.id"}
+
+
+@dataclass
+class KafkaConfig:
+    brokers: str
+    topic: str
+    group_id: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+    transactional_id: str | None = None
+
+
+def kafka_reader_options(
+    config: KafkaConfig, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """Spark readStream options for the consumer side. Pass-through client
+    properties are prefixed `kafka.`; managed keys are skipped."""
+    opts = {
+        "kafka.bootstrap.servers": config.brokers,
+        "subscribe": config.topic,
+        "startingOffsets": starting_offsets,
+    }
+    if config.group_id:
+        # Spark owns group semantics; groupIdPrefix keeps the reference's
+        # named-group observability without breaking offset management
+        opts["kafka.group.id"] = config.group_id
+    for k, v in config.properties.items():
+        if k in _MANAGED_KEYS:
+            continue
+        opts[f"kafka.{k}"] = v
+    return opts
+
+
+def kafka_writer_options(config: KafkaConfig) -> dict[str, str]:
+    """writeStream options for the producer side; a transactional id turns
+    on idempotent/transactional production (KafkaConfig.transactional_id,
+    kafka.rs:24-26)."""
+    opts = {
+        "kafka.bootstrap.servers": config.brokers,
+        "topic": config.topic,
+    }
+    if config.transactional_id:
+        opts["kafka.transactional.id"] = config.transactional_id
+        opts["kafka.enable.idempotence"] = "true"
+    for k, v in config.properties.items():
+        if k in _MANAGED_KEYS:
+            continue
+        opts[f"kafka.{k}"] = v
+    return opts
+
+
+def parse_kafka_events(df: DataFrame, value_schema: str) -> DataFrame:
+    """Lower the Kafka source's payload rules to Catalyst expressions over
+    the built-in source's output columns (key, value, topic, partition,
+    offset, timestamp, ...).
+
+    kafka.rs:260-285 in order: payload size limit BEFORE JSON parsing;
+    event_type = payload `event_type` else "KafkaEvent" (no topic
+    fallback); fields from a nested `data` object when present, else
+    top-level keys; malformed JSON yields a null-field row with the default
+    type (a DLQ can still see it)."""
+    from pyspark.sql.types import StructType
+
+    df = df.filter(F.length(F.col("value")) <= MAX_EVENT_PAYLOAD_BYTES)
+    payload = F.col("value").cast("string")
+    top = F.from_json(payload, value_schema)
+    nested = F.from_json(payload, f"data struct<{value_schema}>")
+    types = F.from_json(payload, "event_type string")
+    event_type = F.coalesce(types.getField("event_type"), F.lit("KafkaEvent"))
+    field_names = [f.name for f in StructType.fromDDL(value_schema).fields]
+    has_data = nested.getField("data").isNotNull()
+    cols = [
+        F.when(has_data, nested.getField("data").getField(n))
+        .otherwise(top.getField(n))
+        .alias(n)
+        for n in field_names
+    ]
+    return df.select(
+        F.col("timestamp").alias("ts"), event_type.alias("event_type"), *cols
+    )
+
+
+def kafka_sink_frame(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Produce the (key, value) frame the Kafka sink writes.
+
+    value mirrors Event::to_sink_payload (event.rs:138-155): a JSON object
+    with event_type first, then the RFC3339 timestamp, then every payload
+    field except any `timestamp` duplicate. key = event_type
+    (kafka.rs:410-411) so per-type ordering survives partitioning.
+    `to_json(struct(...))` preserves field order, and null fields are kept
+    out of the payload only when absent in the row — same as serde's map
+    serialization of present keys."""
+    payload_cols = [
+        c for c in df.columns if c not in {ts_col, "event_type", "timestamp"}
+    ]
+    value = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias(
+                "timestamp"
+            ),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    return df.select(
+        F.col("event_type").cast("string").alias("key"), value.alias("value")
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    config: KafkaConfig | str,
+    topic: str | None = None,
+    value_schema: str | None = None,
+    starting_offsets: str = "latest",
+) -> Stream:
+    """`EventType.from(Kafka, ...)` → built-in kafka format + payload
+    lowering. Accepts a KafkaConfig or (brokers, topic) for the legacy
+    call shape."""
+    if isinstance(config, str):
+        config = KafkaConfig(brokers=config, topic=topic or "")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(config, starting_offsets).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if value_schema is not None:
+        df = parse_kafka_events(df, value_schema)
+        return Stream(df, ts_col="ts")
+    return Stream(df, ts_col="timestamp")

@@ -179,7 +179,11 @@ class KinesisSource(SpooledSource):
         ts: float | None = None,
     ) -> None:
         """Buffer one record (arrival-stamped; Kinesis' own
-        ApproximateArrivalTimestamp can be passed as `ts`)."""
+        ApproximateArrivalTimestamp can be passed as `ts`). Oversized
+        payloads are rejected and counted (limits.rs
+        MAX_EVENT_PAYLOAD_BYTES)."""
+        if not self.admit(data):
+            return
         t = ts if ts is not None else time.time()
         self._buffer({
             "partition_key": partition_key,

@@ -128,7 +128,11 @@ class MqttSource(SpooledSource):
 
     # -- spool -------------------------------------------------------------
     def ingest(self, topic: str, payload: str, ts: float | None = None) -> None:
-        """Buffer one message (arrival-stamped)."""
+        """Buffer one message (arrival-stamped). Oversized payloads are
+        rejected and counted (limits.rs MAX_EVENT_PAYLOAD_BYTES — the
+        reference enforces it in every connector's receive loop)."""
+        if not self.admit(payload):
+            return
         t = ts if ts is not None else time.time()
         self._buffer({"topic": topic, "payload": payload, "mqtt_ts": iso_micros(t)})
 

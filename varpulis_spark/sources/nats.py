@@ -133,7 +133,7 @@ class NatsSource(SpooledSource):
     def ingest(self, subject: str, payload: str, ts: float | None = None) -> None:
         """Buffer one message (arrival-stamped). Oversized payloads are
         skipped with a warning (nats.rs:127-133)."""
-        if len(payload.encode("utf-8", "replace")) > MAX_EVENT_PAYLOAD_BYTES:
+        if not self.admit(payload):
             self.skipped_oversize += 1
             warnings.warn(
                 f"NATS source {self.name}: payload too large "

@@ -52,10 +52,30 @@ class SpooledSource:
         self._buf: list[dict] = []
         self._lock = threading.Lock()
         self._seq = 0
+        # ingest-limit counters (limits.rs parity), surfaced in registry
+        # health reports: dropped = whole events rejected, truncated =
+        # events kept with fields/values bounded
+        self.drops: dict[str, int] = {}
 
     def _buffer(self, record: dict) -> None:
         with self._lock:
             self._buf.append(record)
+
+    def _count_drop(self, reason: str) -> None:
+        with self._lock:
+            self.drops[reason] = self.drops.get(reason, 0) + 1
+
+    def admit(self, payload: str | bytes) -> bool:
+        """Ingest-limit gate for the RAW payload (limits.rs:8): oversize
+        payloads are rejected BEFORE JSON parsing, counted under
+        'payload_too_large'. Connectors call this at their spool
+        boundary."""
+        from varpulis_spark.limits import payload_too_large
+
+        if payload_too_large(payload):
+            self._count_drop("payload_too_large")
+            return False
+        return True
 
     def flush(self) -> str | None:
         """Atomically land the buffer as one spool file (write-then-rename:

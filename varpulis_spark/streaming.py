@@ -114,22 +114,18 @@ def kafka_source(
 ) -> Stream:
     """Kafka connector source (connector/kafka.rs → built-in format).
 
-    Payloads arrive as JSON in `value`; when `value_schema` is given the
-    fields are unpacked into columns (the reference's typed event decode)."""
-    df = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
+    Thin delegate to `sources.kafka.kafka_source`, which carries the full
+    reference-parity payload rules (size limit, event_type precedence,
+    nested `data` unpacking) and config/option lowering."""
+    from varpulis_spark.sources.kafka import KafkaConfig
+    from varpulis_spark.sources.kafka import kafka_source as _ks
+
+    return _ks(
+        spark,
+        KafkaConfig(brokers=brokers, topic=topic),
+        value_schema=value_schema,
+        starting_offsets=starting_offsets,
     )
-    if value_schema is not None:
-        parsed = df.select(
-            F.col("timestamp").alias("ts"),
-            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        )
-        df = parsed.select("ts", "v.*")
-    return Stream(df, ts_col="ts")
 
 
 # ---------------------------------------------------------------------------
