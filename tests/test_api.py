@@ -1,0 +1,121 @@
+"""REST control plane e2e (VERDICT r4 task 9 — varpulis-cli/src/api.rs):
+deploy a REFERENCE example program over real HTTP, inject events, and
+assert the synchronous outputs, plus auth/limit/error paths via the
+transport-independent handler."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from varpulis_spark.api import PipelineServer
+
+HVAC_VPL = "/root/reference/examples/hvac_quickstart.vpl"
+
+
+def _req(url, method="GET", body=None, headers=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json",
+                                          **(headers or {})})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = PipelineServer(spark).start()
+    yield srv
+    srv.stop()
+
+
+def test_deploy_inject_e2e_over_http(server):
+    """The reference demo workflow: POST the hvac_quickstart example
+    (unmodified), inject TemperatureReading events, read alerts from the
+    synchronous response (handle_inject api.rs:538-600)."""
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    status, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                        {"name": "hvac", "source": source})
+    assert status == 200 and resp["status"] == "running"
+    pid = resp["id"]
+
+    # a cool reading produces no alert
+    status, resp = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/events", "POST",
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "s1", "zone": "lobby", "value": 21.0}})
+    assert status == 200 and resp["accepted"] == 1
+    assert resp["output_events"] == []
+
+    # a hot reading triggers HighTempAlert (and the AllAlerts merge)
+    status, resp = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/events", "POST",
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "s2", "zone": "server_room", "value": 31.5}})
+    assert status == 200
+    alerts = [e for e in resp["output_events"] if e["stream"] == "HighTempAlert"]
+    assert len(alerts) == 1
+    a = alerts[0]["fields"]
+    assert a["alert_type"] == "HIGH_TEMPERATURE"
+    assert a["zone"] == "server_room" and a["temperature"] == 31.5
+    # the delta contract: the cool reading's non-alert did not reappear
+    assert all(e["fields"].get("temperature") != 21.0
+               for e in resp["output_events"])
+
+    # batch endpoint: two readings, one alerting
+    status, resp = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/events-batch", "POST",
+        {"events": [
+            {"event_type": "TemperatureReading",
+             "fields": {"sensor_id": "s3", "zone": "attic", "value": 14.0}},
+            {"event_type": "HumidityReading",
+             "fields": {"sensor_id": "h1", "zone": "attic", "value": 85.0}},
+        ]})
+    assert status == 200 and resp["accepted"] == 2
+    streams = {e["stream"] for e in resp["output_events"]}
+    assert "LowTempAlert" in streams and "HumidityAlert" in streams
+    hum = next(e for e in resp["output_events"] if e["stream"] == "HumidityAlert")
+    assert hum["fields"]["severity"] == "critical"  # 85 > 80
+    assert "processing_time_us" in resp
+
+    # lifecycle: list, get, delete
+    status, resp = _req(f"{server.url}/api/v1/pipelines")
+    assert status == 200 and any(p["id"] == pid for p in resp["pipelines"])
+    status, resp = _req(f"{server.url}/api/v1/pipelines/{pid}")
+    assert status == 200 and resp["events_ingested"] == 4
+    status, resp = _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")
+    assert status == 200
+    status, _ = _req(f"{server.url}/api/v1/pipelines/{pid}")
+    assert status == 404
+
+
+def test_api_key_auth(spark):
+    srv = PipelineServer(spark, api_key="sekrit")
+    status, resp = srv.handle("GET", "/api/v1/pipelines", b"", {})
+    assert status == 401 and resp["error"] == "invalid_api_key"
+    status, _ = srv.handle("GET", "/api/v1/pipelines", b"",
+                           {"x-api-key": "sekrit"})
+    assert status == 200
+
+
+def test_deploy_rejects_bad_source(spark):
+    srv = PipelineServer(spark)
+    status, resp = srv.handle(
+        "POST", "/api/v1/pipelines",
+        json.dumps({"name": "x", "source": "stream ((("}).encode(), {})
+    assert status == 400 and resp["error"] == "parse_error"
+
+
+def test_oversize_body_rejected(spark):
+    from varpulis_spark.limits import MAX_EVENT_PAYLOAD_BYTES
+
+    srv = PipelineServer(spark)
+    big = json.dumps({"name": "x", "source": "y" * (MAX_EVENT_PAYLOAD_BYTES + 10)})
+    status, resp = srv.handle("POST", "/api/v1/pipelines", big.encode(), {})
+    assert status == 413

@@ -1,0 +1,258 @@
+"""REST control plane (reference: varpulis-cli/src/api.rs:1-2299 —
+`varpulis server`, SURVEY §3 entry point 2).
+
+Implements the deploy/inject demo workflow on the stdlib HTTP server:
+
+- `POST /api/v1/pipelines`        {name, source} → {id, name, status}
+  (DeployPipelineRequest/Response, api.rs:25-35; the VPL source is parsed
+  and validated at deploy time, handle_deploy api.rs:347-390)
+- `GET /api/v1/pipelines`         → [{id, name, status, uptime_secs}]
+- `GET /api/v1/pipelines/:id`     → pipeline info incl. source
+- `DELETE /api/v1/pipelines/:id`  → undeploy
+- `POST /api/v1/pipelines/:id/events`        {event_type, fields} →
+  {accepted, output_events} (InjectEventRequest api.rs:62-65,
+  handle_inject api.rs:538-600 — synchronous: the response carries the
+  output events the injection produced)
+- `POST /api/v1/pipelines/:id/events-batch`  {events: [...]} →
+  {accepted, output_events, processing_time_us} (api.rs:68-77)
+
+Auth mirrors with_api_key: when the server is constructed with an
+api_key, requests must carry it in `x-api-key` (401 otherwise). Request
+bodies are bounded by the shared ingest limit (limits.py parity with
+api.rs JSON_BODY_LIMIT).
+
+Execution-model note (documented divergence): the reference engine is
+push-per-event — injection feeds a live NFA and returns the incremental
+outputs. Spark is micro-batch: each injection appends to the pipeline's
+event log and re-runs the compiled program over the log; the response
+returns the DELTA of output rows versus the previous run (multiset diff
+per stream), which for the reference's demo workflows is the same
+observable contract. State is the event log itself — restart-safe and
+exactly re-derivable, the Spark-native equivalent of the engine's NFA
+state. Do not use this path for high-throughput ingest; it exists for the
+reference's deploy/demo/test workflows (the streaming entry points are
+the Kafka/file/webhook sources).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from varpulis_spark.limits import payload_too_large
+
+API_PREFIX = "/api/v1"
+
+
+class _Pipeline:
+    def __init__(self, pid: str, name: str, source: str,
+                 emit_streams: set[str]):
+        self.id = pid
+        self.name = name
+        self.source = source
+        self.emit_streams = emit_streams
+        self.deployed_at = time.time()
+        self.events: list[tuple[float, str, dict]] = []  # (offset_s, type, fields)
+        self.prev_counts: dict[tuple[str, str], int] = {}
+        self.status = "running"
+
+
+class PipelineServer:
+    """Transport-independent handler + optional stdlib HTTP server.
+
+    `handle(method, path, body, headers)` is the whole control plane —
+    tests may drive it directly; `start()` binds it to a ThreadingHTTPServer
+    on (host, port) like the webhook source."""
+
+    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0,
+                 api_key: str | None = None):
+        self.spark = spark
+        self.host = host
+        self.port = port
+        self.api_key = api_key
+        self._pipelines: dict[str, _Pipeline] = {}
+        self._server = None
+
+    # -- routing -----------------------------------------------------------
+    def handle(self, method: str, path: str, body: bytes,
+               headers: dict) -> tuple[int, dict]:
+        if self.api_key is not None:
+            if headers.get("x-api-key") != self.api_key:
+                return 401, {"error": "invalid_api_key",
+                             "message": "Invalid API key"}
+        if body and payload_too_large(body):
+            return 413, {"error": "payload_too_large"}
+        if not path.startswith(API_PREFIX + "/"):
+            return 404, {"error": "not_found"}
+        parts = [p for p in path[len(API_PREFIX):].split("/") if p]
+        try:
+            payload = json.loads(body) if body else None
+        except ValueError:
+            return 400, {"error": "invalid_json"}
+
+        if parts == ["pipelines"]:
+            if method == "POST":
+                return self._deploy(payload)
+            if method == "GET":
+                return 200, {"pipelines": [self._info(p) for p in
+                                           self._pipelines.values()]}
+        elif len(parts) == 2 and parts[0] == "pipelines":
+            p = self._pipelines.get(parts[1])
+            if p is None:
+                return 404, {"error": "pipeline_not_found"}
+            if method == "GET":
+                return 200, self._info(p, with_source=True)
+            if method == "DELETE":
+                del self._pipelines[parts[1]]
+                return 200, {"status": "deleted", "id": parts[1]}
+        elif len(parts) == 3 and parts[0] == "pipelines":
+            p = self._pipelines.get(parts[1])
+            if p is None:
+                return 404, {"error": "pipeline_not_found"}
+            if parts[2] == "events" and method == "POST":
+                if not isinstance(payload, dict) or "event_type" not in payload:
+                    return 400, {"error": "expected {event_type, fields}"}
+                return self._inject(p, [payload])
+            if parts[2] == "events-batch" and method == "POST":
+                evs = (payload or {}).get("events")
+                if not isinstance(evs, list):
+                    return 400, {"error": "expected {events: [...]}"}
+                return self._inject(p, evs)
+        return 404, {"error": "not_found"}
+
+    # -- handlers ----------------------------------------------------------
+    def _deploy(self, payload) -> tuple[int, dict]:
+        if not isinstance(payload, dict) or "source" not in payload:
+            return 400, {"error": "expected {name, source}"}
+        name = payload.get("name", "pipeline")
+        source = payload["source"]
+        from varpulis_spark.vpl.parser import parse_full
+
+        try:
+            prog = parse_full(source)  # validate at deploy (api.rs deploy path)
+        except Exception as e:  # noqa: BLE001
+            return 400, {"error": "parse_error", "message": str(e)}
+        # output events = what `.emit` produces (the reference's output
+        # channel carries emitted events; pass-through/merge/`.to` streams
+        # relay them and would duplicate the response)
+        emit_streams = {
+            d.name for d in prog.streams
+            if any(op.name == "emit" for op in d.ops)
+        }
+        pid = f"{name}-{uuid.uuid4().hex[:8]}"
+        self._pipelines[pid] = _Pipeline(pid, name, source, emit_streams)
+        return 200, {"id": pid, "name": name, "status": "running"}
+
+    def _info(self, p: _Pipeline, with_source: bool = False) -> dict:
+        out = {
+            "id": p.id, "name": p.name, "status": p.status,
+            "uptime_secs": int(time.time() - p.deployed_at),
+            "events_ingested": len(p.events),
+        }
+        if with_source:
+            out["source"] = p.source
+        return out
+
+    def _inject(self, p: _Pipeline, events: list) -> tuple[int, dict]:
+        t0 = time.time()
+        for ev in events:
+            if not isinstance(ev, dict) or "event_type" not in ev:
+                return 400, {"error": "expected {event_type, fields}"}
+            off = time.time() - p.deployed_at
+            p.events.append((off, ev["event_type"], dict(ev.get("fields") or {})))
+        try:
+            new_rows = self._run_delta(p)
+        except Exception as e:  # noqa: BLE001
+            return 500, {"error": "execution_error", "message": str(e)}
+        return 200, {
+            "accepted": len(events),
+            "output_events": new_rows,
+            "processing_time_us": int((time.time() - t0) * 1e6),
+        }
+
+    def _run_delta(self, p: _Pipeline) -> list[dict]:
+        """Re-run the program over the event log; return output rows that
+        are NEW versus the previous run (per-stream multiset diff)."""
+        from varpulis_spark.sources.event_file import events_to_df
+        from varpulis_spark.stream import Stream
+        from varpulis_spark.vpl.compiler import run_program
+
+        df = events_to_df(self.spark, p.events)
+        stream = Stream(df, ts_col="ts", order_col="event_id")
+        results = run_program(p.source, stream)
+        counts: dict[tuple[str, str], int] = {}
+        fresh: list[dict] = []
+        for sname, rdf in results.items():
+            if sname not in p.emit_streams:
+                continue
+            for row in rdf.collect():
+                fields = {k: _jsonable(v) for k, v in row.asDict().items()}
+                etype = fields.get("event_type", sname)
+                key = (sname, json.dumps(fields, sort_keys=True))
+                counts[key] = counts.get(key, 0) + 1
+                if counts[key] > p.prev_counts.get(key, 0):
+                    fresh.append({"event_type": etype, "stream": sname,
+                                  "fields": fields})
+        p.prev_counts = counts
+        return fresh
+
+    # -- HTTP server -------------------------------------------------------
+    def start(self):
+        import http.server
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _do(self, method):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+                status, reply = server.handle(
+                    method, self.path, body,
+                    {k.lower(): v for k, v in self.headers.items()},
+                )
+                data = json.dumps(reply).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):  # noqa: N802
+                self._do("POST")
+
+            def do_GET(self):  # noqa: N802
+                self._do("GET")
+
+            def do_DELETE(self):  # noqa: N802
+                self._do("DELETE")
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(
+            (self.host, self.port), Handler
+        )
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+
+def _jsonable(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v

@@ -69,6 +69,15 @@ def load_evt(spark: SparkSession, path_or_source: str, ts_col: str = "ts") -> Da
         with open(src) as f:
             src = f.read()
     events = parse_evt(src)
+    return events_to_df(spark, events, ts_col)
+
+
+def events_to_df(
+    spark: SparkSession, events: list, ts_col: str = "ts"
+) -> DataFrame:
+    """(seconds_offset, event_type, payload_dict) triples → batch DataFrame
+    with per-field type inference (shared by the .evt replayer and the REST
+    injection endpoint)."""
     # payload keys may collide with the envelope (event_id/ts/event_type) —
     # e.g. financial_markets.evt carries a `ts` field; suffix them.
     reserved = {"event_id", ts_col, "event_type"}
