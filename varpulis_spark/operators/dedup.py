@@ -210,7 +210,11 @@ def _powers(k: int) -> np.ndarray:
 
 
 def shingle_hashes_udf(k: int = 7):
-    """pandas UDF: text → array<long> distinct shingle hashes."""
+    """pandas UDF: text → array<long> distinct shingle hashes.
+
+    .. note:: the default ``k`` changed 5 → 7 in r4 across the whole dedup
+       API (see the module docstring for the candidate-explosion rationale);
+       callers relying on the old default must pass ``k=5`` explicitly."""
     powers = _powers(k)
 
     @pandas_udf("array<long>")
@@ -303,6 +307,9 @@ def minhash_signature_udf(num_perm: int = 128, shingle_k: int = 7, seed: int = 4
     Vectorization: all docs in an Arrow batch share ONE np.sort — the
     (doc, bin) key and the truncated value are packed into a single
     uint64; after sorting, the first element of each key group is the min.
+
+    .. note:: default ``shingle_k`` changed 5 → 7 in r4 (module docstring);
+       pass ``shingle_k=5`` to reproduce pre-r4 signatures.
     """
     if num_perm & (num_perm - 1):
         raise ValueError("num_perm must be a power of two")
@@ -376,7 +383,12 @@ def minhash_near_dup_pairs(
     Choose `bands` for the target similarity: the banding S-curve midpoint is
     (1/bands)^(bands/num_perm) — 32×4 ≈ 0.42 (default, near-dup mining),
     16×8 ≈ 0.71 (strict dup detection). More bands → higher recall at low
-    similarity, more candidate pairs to verify."""
+    similarity, more candidate pairs to verify.
+
+    .. note:: default ``shingle_k`` changed 5 → 7 in r4 (module docstring):
+       the reported pair set on real corpora is unchanged, but signatures
+       and est_jaccard values differ; pass ``shingle_k=5`` for the old
+       behavior."""
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_k)
     # persist: the banding projection references `sig` once per band and
@@ -631,7 +643,10 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation: 4×16-bit bands — two signatures within Hamming 3
-    share at least one exact band (pigeonhole), so the join is equi-key."""
+    share at least one exact band (pigeonhole), so the join is equi-key.
+
+    .. note:: default ``shingle_k`` changed 5 → 7 in r4 (module docstring);
+       pass ``shingle_k=5`` to reproduce pre-r4 signatures."""
     sh = _register_cache(
         with_simhash(spread(df.select(id_col, text_col)), text_col, shingle_k)
         .select(F.col(id_col).alias("id"), "simhash")
