@@ -231,13 +231,193 @@ class MiniOnnxModel:
                 lo = x[1] if len(x) > 1 else attrs.get("min", -np.inf)
                 hi = x[2] if len(x) > 2 else attrs.get("max", np.inf)
                 r = np.clip(x[0], lo, hi)
+            elif op == "LeakyRelu":
+                alpha = attrs.get("alpha", 0.01)
+                r = np.where(x[0] > 0, x[0], alpha * x[0])
+            elif op == "Exp":
+                r = np.exp(x[0])
+            elif op == "Log":
+                r = np.log(x[0])
+            elif op == "Sqrt":
+                r = np.sqrt(x[0])
+            elif op == "Neg":
+                r = -x[0]
+            elif op == "Pow":
+                r = x[0] ** x[1]
+            elif op == "Reshape":
+                shape = [int(s) for s in np.asarray(x[1]).ravel()]
+                shape = [
+                    x[0].shape[i] if s == 0 else s for i, s in enumerate(shape)
+                ]
+                r = x[0].reshape(shape)
+            elif op == "Transpose":
+                perm = attrs.get("perm")
+                r = np.transpose(x[0], perm)
+            elif op == "Concat":
+                r = np.concatenate(x, axis=attrs.get("axis", 0))
+            elif op == "Squeeze":
+                axes = [int(a) for a in np.asarray(
+                    x[1] if len(x) > 1 else attrs.get("axes", [])).ravel()]
+                r = np.squeeze(x[0], axis=tuple(axes) if axes else None)
+            elif op == "Unsqueeze":
+                axes = [int(a) for a in np.asarray(
+                    x[1] if len(x) > 1 else attrs["axes"]).ravel()]
+                r = x[0]
+                for a in sorted(axes):
+                    r = np.expand_dims(r, a)
+            elif op == "ReduceMean":
+                axes = attrs.get("axes")
+                r = np.mean(
+                    x[0],
+                    axis=tuple(axes) if axes else None,
+                    keepdims=bool(attrs.get("keepdims", 1)),
+                )
+            elif op == "BatchNormalization":
+                # X, scale, B, mean, var — channel axis 1
+                eps = attrs.get("epsilon", 1e-5)
+                shape = [1, -1] + [1] * (x[0].ndim - 2)
+                r = (
+                    (x[0] - x[3].reshape(shape))
+                    / np.sqrt(x[4].reshape(shape) + eps)
+                    * x[1].reshape(shape)
+                    + x[2].reshape(shape)
+                )
+            elif op == "Conv":
+                r = _conv2d(
+                    x[0], x[1], x[2] if len(x) > 2 else None,
+                    strides=attrs.get("strides", [1, 1]),
+                    pads=attrs.get("pads", [0, 0, 0, 0]),
+                    dilations=attrs.get("dilations", [1, 1]),
+                    group=attrs.get("group", 1),
+                )
+            elif op in ("MaxPool", "AveragePool"):
+                r = _pool2d(
+                    x[0],
+                    kernel=attrs["kernel_shape"],
+                    strides=attrs.get("strides", [1, 1]),
+                    pads=attrs.get("pads", [0, 0, 0, 0]),
+                    mode="max" if op == "MaxPool" else "avg",
+                    count_include_pad=bool(attrs.get("count_include_pad", 0)),
+                )
+            elif op == "GlobalAveragePool":
+                r = np.mean(x[0], axis=(2, 3), keepdims=True)
+            elif op == "GlobalMaxPool":
+                r = np.max(x[0], axis=(2, 3), keepdims=True)
+            elif op == "LSTM":
+                r = _lstm(
+                    x[0], x[1], x[2],
+                    B=x[3] if len(x) > 3 and ins[3] else None,
+                    h0=x[5] if len(x) > 5 and ins[5] else None,
+                    c0=x[6] if len(x) > 6 and ins[6] else None,
+                    hidden=attrs.get("hidden_size"),
+                    direction=attrs.get("direction", "forward"),
+                )
             else:
                 raise NotImplementedError(
                     f"ONNX op '{op}' is outside the mini-runtime subset; "
                     "install onnxruntime for full coverage"
                 )
-            env[outs[0]] = r
+            if isinstance(r, tuple):
+                for o, v in zip(outs, r):
+                    if o:
+                        env[o] = v
+            else:
+                env[outs[0]] = r
         return [env[o] for o in self.graph_outputs]
+
+
+# -- conv-net / recurrent kernels (public ONNX operator specs) ---------------
+
+
+def _conv2d(X, W, B, strides, pads, dilations, group):
+    """Conv (2-D, NCHW): im2col view via stride tricks + grouped einsum.
+    pads is ONNX order [top, left, bottom, right]."""
+    N, C, H, Wd = X.shape
+    M, Cg, kH, kW = W.shape
+    sh, sw = (int(s) for s in strides)
+    dh, dw = (int(d) for d in dilations)
+    pt, pl, pb, pr = (int(p) for p in pads)
+    Xp = np.pad(X, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    Ho = (Xp.shape[2] - (dh * (kH - 1) + 1)) // sh + 1
+    Wo = (Xp.shape[3] - (dw * (kW - 1) + 1)) // sw + 1
+    s = Xp.strides
+    cols = np.lib.stride_tricks.as_strided(
+        Xp,
+        (N, C, Ho, Wo, kH, kW),
+        (s[0], s[1], s[2] * sh, s[3] * sw, s[2] * dh, s[3] * dw),
+    )
+    out = np.empty((N, M, Ho, Wo), dtype=np.float64)
+    Mg = M // int(group)
+    for g in range(int(group)):
+        cg = cols[:, g * Cg:(g + 1) * Cg]
+        wg = W[g * Mg:(g + 1) * Mg]
+        out[:, g * Mg:(g + 1) * Mg] = np.einsum(
+            "nchwkl,mckl->nmhw", cg, wg, optimize=True
+        )
+    if B is not None:
+        out += B.reshape(1, M, 1, 1)
+    return out
+
+
+def _pool2d(X, kernel, strides, pads, mode, count_include_pad):
+    kH, kW = (int(k) for k in kernel)
+    sh, sw = (int(s) for s in strides)
+    pt, pl, pb, pr = (int(p) for p in pads)
+    fill = -np.inf if mode == "max" else 0.0
+    Xp = np.pad(X, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                constant_values=fill)
+    Ho = (Xp.shape[2] - kH) // sh + 1
+    Wo = (Xp.shape[3] - kW) // sw + 1
+    s = Xp.strides
+    win = np.lib.stride_tricks.as_strided(
+        Xp,
+        (X.shape[0], X.shape[1], Ho, Wo, kH, kW),
+        (s[0], s[1], s[2] * sh, s[3] * sw, s[2], s[3]),
+    )
+    if mode == "max":
+        return win.max(axis=(4, 5))
+    if count_include_pad:
+        return win.mean(axis=(4, 5))
+    # exclude pad: divide by the true window overlap with the input
+    ones = np.pad(np.ones_like(X[:1, :1]), ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    cnt = np.lib.stride_tricks.as_strided(
+        ones,
+        (1, 1, Ho, Wo, kH, kW),
+        (ones.strides[0], ones.strides[1], ones.strides[2] * sh,
+         ones.strides[3] * sw, ones.strides[2], ones.strides[3]),
+    ).sum(axis=(4, 5))
+    return win.sum(axis=(4, 5)) / cnt
+
+
+def _lstm(X, W, R, B=None, h0=None, c0=None, hidden=None, direction="forward"):
+    """LSTM forward pass (single direction), ONNX gate order i,o,f,c.
+    X: (seq, batch, input); W: (1, 4H, input); R: (1, 4H, H); B: (1, 8H).
+    Returns (Y (seq,1,batch,H), Y_h (1,batch,H), Y_c (1,batch,H))."""
+    if direction != "forward":
+        raise NotImplementedError(
+            "mini-runtime LSTM supports direction='forward' only"
+        )
+    W2, R2 = W[0], R[0]
+    H = R2.shape[1] if hidden is None else int(hidden)
+    seq, batch, _ = X.shape
+    b = B[0] if B is not None else np.zeros(8 * H)
+    bias = b[: 4 * H] + b[4 * H:]
+    h = h0[0] if h0 is not None else np.zeros((batch, H))
+    c = c0[0] if c0 is not None else np.zeros((batch, H))
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    ys = []
+    for t in range(seq):
+        gates = X[t] @ W2.T + h @ R2.T + bias
+        gi, go, gf, gc = (gates[:, k * H:(k + 1) * H] for k in range(4))
+        i, o, f, g = sig(gi), sig(go), sig(gf), np.tanh(gc)
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        ys.append(h)
+    Y = np.stack(ys)[:, None]
+    return Y, h[None], c[None]
 
 
 def load_model(path_or_bytes) -> MiniOnnxModel:
