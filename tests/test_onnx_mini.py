@@ -70,13 +70,144 @@ def test_gemm_with_attributes():
 
 
 def test_unsupported_op_raises():
-    nodes = [M._node("Conv", ["x"], ["y"])]
+    nodes = [M._node("GRU", ["x"], ["y"])]  # recurrent op outside the subset
     graph = b"".join(M._ld(1, n) for n in nodes)
     graph += M._ld(11, M._value_info("x"))
     graph += M._ld(12, M._value_info("y"))
     data = M._ld(7, graph)
-    with pytest.raises(NotImplementedError, match="Conv"):
+    with pytest.raises(NotImplementedError, match="GRU"):
         M.load_model(data).run({"x": np.zeros((1, 2))})
+
+
+# -- r5 conv/pool/recurrent subset (naive-loop references) -------------------
+
+
+def conv_reference(X, W, B, strides=(1, 1), pads=(0, 0, 0, 0)):
+    """Direct quadruple-loop conv for verification."""
+    N, C, H, Wd = X.shape
+    Mo, _, kH, kW = W.shape
+    sh, sw = strides
+    pt, pl, pb, pr = pads
+    Xp = np.pad(X, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    Ho = (Xp.shape[2] - kH) // sh + 1
+    Wo = (Xp.shape[3] - kW) // sw + 1
+    out = np.zeros((N, Mo, Ho, Wo))
+    for n in range(N):
+        for m in range(Mo):
+            for i in range(Ho):
+                for j in range(Wo):
+                    patch = Xp[n, :, i * sh:i * sh + kH, j * sw:j * sw + kW]
+                    out[n, m, i, j] = (patch * W[m]).sum() + B[m]
+    return out
+
+
+def test_conv2d_matches_naive_loop():
+    X = RNG.normal(size=(2, 3, 8, 9))
+    W = RNG.normal(size=(4, 3, 3, 3))
+    B = RNG.normal(size=(4,))
+    got = M._conv2d(X, W, B, strides=[2, 1], pads=[1, 0, 1, 0],
+                    dilations=[1, 1], group=1)
+    want = conv_reference(X, W, B, strides=(2, 1), pads=(1, 0, 1, 0))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_grouped_conv_matches_per_group():
+    X = RNG.normal(size=(1, 4, 6, 6))
+    W = RNG.normal(size=(4, 2, 3, 3))  # group=2: 2 out-channels per group
+    B = np.zeros(4)
+    got = M._conv2d(X, W, B, [1, 1], [0, 0, 0, 0], [1, 1], group=2)
+    for g in range(2):
+        want = conv_reference(X[:, g * 2:(g + 1) * 2], W[g * 2:(g + 1) * 2],
+                              B[g * 2:(g + 1) * 2])
+        np.testing.assert_allclose(got[:, g * 2:(g + 1) * 2], want, rtol=1e-12)
+
+
+def test_pools_and_batchnorm():
+    X = RNG.normal(size=(2, 3, 6, 6))
+    mx = M._pool2d(X, [2, 2], [2, 2], [0, 0, 0, 0], "max", False)
+    assert mx.shape == (2, 3, 3, 3)
+    np.testing.assert_allclose(mx[0, 0, 0, 0], X[0, 0, :2, :2].max())
+    av = M._pool2d(X, [3, 3], [1, 1], [1, 1, 1, 1], "avg", False)
+    # corner window overlaps the input in only 4 cells → mean of those 4
+    np.testing.assert_allclose(av[0, 0, 0, 0], X[0, 0, :2, :2].mean())
+
+    scale = RNG.normal(size=3)
+    bias = RNG.normal(size=3)
+    mean = RNG.normal(size=3)
+    var = RNG.uniform(0.5, 2.0, size=3)
+    nodes = [M._node("BatchNormalization", ["x", "s", "b", "m", "v"], ["y"],
+                     {"epsilon": 1e-5})]
+    inits = {"s": scale, "b": bias, "m": mean, "v": var}
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, inits, b"bn", ["x"], ["y"]))
+    got = model.run({"x": X})[0]
+    want = (X - mean.reshape(1, 3, 1, 1)) / np.sqrt(
+        var.reshape(1, 3, 1, 1) + 1e-5
+    ) * scale.reshape(1, 3, 1, 1) + bias.reshape(1, 3, 1, 1)
+    # initializers round-trip through the writer at f32 precision
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_conv_net_end_to_end():
+    """Conv → Relu → MaxPool → Flatten → Gemm → Sigmoid through the full
+    protobuf round trip, vs a numpy recomputation."""
+    cw = RNG.normal(size=(2, 1, 3, 3)).astype(np.float32)
+    cb = RNG.normal(size=(2,)).astype(np.float32)
+    # input 1×1×8×8 → conv 2×6×6 → pool 2×3×3 → flatten 18
+    fw = RNG.normal(size=(1, 18)).astype(np.float32)
+    fb = RNG.normal(size=(1,)).astype(np.float32)
+    model = M.MiniOnnxModel(M.make_conv_onnx(cw, cb, fw, fb))
+    X = RNG.normal(size=(3, 1, 8, 8))
+    got = model.run({"x": X})[0]
+
+    c = conv_reference(X, cw.astype(np.float64), cb.astype(np.float64))
+    c = np.maximum(c, 0)
+    p = M._pool2d(c, [2, 2], [2, 2], [0, 0, 0, 0], "max", False)
+    f = p.reshape(3, -1)
+    want = 1 / (1 + np.exp(-(f @ fw.astype(np.float64).T
+                             + fb.astype(np.float64))))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def lstm_reference(X, W, R, B, H):
+    """Step-by-step scalar-ish LSTM (ONNX gate order i,o,f,c)."""
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    h = np.zeros((X.shape[1], H))
+    c = np.zeros((X.shape[1], H))
+    Wb, Rb = B[0][:4 * H], B[0][4 * H:]
+    for t in range(X.shape[0]):
+        g = X[t] @ W[0].T + h @ R[0].T + Wb + Rb
+        i, o, f, cc = (g[:, k * H:(k + 1) * H] for k in range(4))
+        c = sig(f) * c + sig(i) * np.tanh(cc)
+        h = sig(o) * np.tanh(c)
+    return h
+
+
+def test_lstm_end_to_end():
+    H, inp, seq, batch = 5, 3, 7, 4
+    W = RNG.normal(size=(1, 4 * H, inp)).astype(np.float32)
+    R = RNG.normal(size=(1, 4 * H, H)).astype(np.float32)
+    B = RNG.normal(size=(1, 8 * H)).astype(np.float32)
+    model = M.MiniOnnxModel(M.make_lstm_onnx(W, R, B, hidden=H))
+    X = RNG.normal(size=(seq, batch, inp))
+    got = model.run({"x": X})[0]
+    want = lstm_reference(X, W.astype(np.float64), R.astype(np.float64),
+                          B.astype(np.float64), H)
+    assert got.shape == (batch, H)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_reshape_transpose_concat_reduce():
+    nodes = [
+        M._node("Transpose", ["x"], ["t"], {"perm": [1, 0]}),
+        M._node("Concat", ["t", "t"], ["cc"], {"axis": 1}),
+        M._node("ReduceMean", ["cc"], ["y"], {"axes": [1], "keepdims": 0}),
+    ]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"g", ["x"], ["y"]))
+    X = RNG.normal(size=(2, 3))
+    got = model.run({"x": X})[0]
+    np.testing.assert_allclose(got, X.T.mean(axis=1), rtol=1e-12)
 
 
 def test_not_onnx_raises():

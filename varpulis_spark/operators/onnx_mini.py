@@ -11,9 +11,17 @@ slice of ONNX an event-scoring MLP actually needs:
   protocol-buffers/docs/encoding),
 - the ONNX message schema for ModelProto/GraphProto/NodeProto/TensorProto/
   AttributeProto (field numbers from the public onnx.proto3),
-- a topological executor over a dense-op subset: MatMul, Gemm, Add, Sub,
-  Mul, Div, Relu, Sigmoid, Tanh, Softmax, Flatten, Identity, Constant,
-  Cast, Clip. Anything else raises NotImplementedError naming the op.
+- a topological executor over a practical op subset:
+  dense: MatMul, Gemm, Add, Sub, Mul, Div, Relu, LeakyRelu, Sigmoid,
+  Tanh, Softmax, Exp, Log, Sqrt, Neg, Pow, Flatten, Identity, Constant,
+  Cast, Clip;
+  shape: Reshape, Transpose, Concat, Squeeze, Unsqueeze, ReduceMean;
+  conv-net (r5): Conv (strides/pads/dilations/groups via im2col stride
+  tricks), MaxPool, AveragePool (count_include_pad honored),
+  GlobalAveragePool, GlobalMaxPool, BatchNormalization;
+  recurrent (r5): LSTM (single-layer forward, ONNX i,o,f,c gate order,
+  multi-output Y/Y_h/Y_c).
+  Anything else raises NotImplementedError naming the op.
 
 `score()` (operators/score.py) prefers onnxruntime when installed and
 falls back here, so the same `.onnx` artifact works in both environments.
@@ -469,6 +477,12 @@ def _node(op: str, inputs: list[str], outputs: list[str],
         a = _ld(1, name.encode())
         if isinstance(val, float):
             a += _field(2, 5, struct.pack("<f", val)) + _field(20, 0, _varint(1))
+        elif isinstance(val, (list, tuple)):  # INTS
+            a += b"".join(
+                _field(8, 0, _varint(int(v) & (1 << 64) - 1)) for v in val
+            ) + _field(20, 0, _varint(7))
+        elif isinstance(val, str):
+            a += _ld(4, val.encode()) + _field(20, 0, _varint(3))
         else:
             a += _field(3, 0, _varint(val & (1 << 64) - 1)) + _field(20, 0, _varint(2))
         body += _ld(5, a)
@@ -503,3 +517,53 @@ def make_mlp_onnx(
     model = _field(1, 0, _varint(8))  # ir_version
     model += _ld(7, graph)
     return model
+
+
+def _graph_to_model(nodes: list[bytes], inits: dict, name: bytes,
+                    in_names: list[str], out_names: list[str]) -> bytes:
+    graph = b"".join(_ld(1, n) for n in nodes)
+    for nm, arr in inits.items():
+        graph += _ld(5, _tensor(nm, np.asarray(arr)))
+    graph += _ld(2, name)
+    for n in in_names:
+        graph += _ld(11, _value_info(n))
+    for n in out_names:
+        graph += _ld(12, _value_info(n))
+    return _field(1, 0, _varint(8)) + _ld(7, graph)
+
+
+def make_conv_onnx(
+    conv_w: np.ndarray, conv_b: np.ndarray, fc_w: np.ndarray,
+    fc_b: np.ndarray, strides=(1, 1), pads=(0, 0, 0, 0), pool=(2, 2),
+) -> bytes:
+    """Small conv-net: Conv → Relu → MaxPool → Flatten → Gemm → Sigmoid
+    (input 'x' NCHW, output 'y') — exercises the r5 conv/pool op family."""
+    nodes = [
+        _node("Conv", ["x", "cw", "cb"], ["c0"], {
+            "strides": list(strides), "pads": list(pads),
+            "kernel_shape": [conv_w.shape[2], conv_w.shape[3]],
+        }),
+        _node("Relu", ["c0"], ["c1"]),
+        _node("MaxPool", ["c1"], ["p0"], {
+            "kernel_shape": list(pool), "strides": list(pool),
+        }),
+        _node("Flatten", ["p0"], ["f0"], {"axis": 1}),
+        _node("Gemm", ["f0", "fw", "fb"], ["g0"], {"transB": 1}),
+        _node("Sigmoid", ["g0"], ["y"]),
+    ]
+    inits = {"cw": conv_w, "cb": conv_b, "fw": fc_w, "fb": fc_b}
+    return _graph_to_model(nodes, inits, b"mini_conv", ["x"], ["y"])
+
+
+def make_lstm_onnx(W: np.ndarray, R: np.ndarray, B: np.ndarray,
+                   hidden: int) -> bytes:
+    """Single-layer forward LSTM returning the last hidden state:
+    LSTM → Squeeze(Y_h) (input 'x' (seq,batch,input), output 'y'
+    (batch, hidden))."""
+    nodes = [
+        _node("LSTM", ["x", "W", "R", "B"], ["Y", "Y_h", "Y_c"],
+              {"hidden_size": hidden}),
+        _node("Squeeze", ["Y_h"], ["y"], {"axes": [0]}),
+    ]
+    return _graph_to_model(nodes, {"W": W, "R": R, "B": B}, b"mini_lstm",
+                           ["x"], ["y"])
