@@ -478,11 +478,26 @@ def q_ann_ivf(spark, sf):
 
 
 def q_minshingle_near_dup(spark, sf):
-    """Deterministic near-dup: min-shingle blocking (OPH with the identity
-    permutation) + exact 8-gram Jaccard, pure JVM — the oracle-checkable
-    member of the near-dup family (minhash/simhash are seed-dependent)."""
+    """Deterministic near-dup: hashed-min-shingle blocking (OPH with md5 as
+    the permutation) + exact 8-gram Jaccard, pure JVM — the
+    oracle-checkable member of the near-dup family (minhash/simhash are
+    seed-dependent)."""
     docs = load_table(spark, sf, "documents")
     return D.ngram_minshingle_pairs(docs, k=8, threshold=0.6)
+
+
+def q_near_dup_clusters(spark, sf):
+    """Semantic-dedup clustering: transitive closure over the deterministic
+    near-dup pairs (min-label propagation connected components) →
+    (doc_id, canon_id, cluster_size). The oracle computes the same
+    components with a recursive CTE over the identical pair set."""
+    docs = load_table(spark, sf, "documents")
+    pairs = D.ngram_minshingle_pairs(docs, k=8, threshold=0.6)
+    cl = D.dedup_clusters(pairs)
+    sizes = cl.groupBy("canon_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cl.join(sizes, "canon_id").select(
+        F.col("id").alias("doc_id"), "canon_id", "cluster_size"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -521,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "minshingle_near_dup": q_minshingle_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "ann_ivf": q_ann_ivf,
     }
 
@@ -941,6 +957,46 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
             WHERE 1000000 * len(list_intersect(a.sh, c.sh))
                   >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
+        """,
+        "near_dup_clusters": """
+            -- connected components over the SAME pair set as
+            -- minshingle_near_dup, via recursive reachability: lbl
+            -- candidates flow along edges, min per node = the component's
+            -- minimum id (exactly the propagation fixpoint)
+            WITH RECURSIVE d AS (
+              SELECT doc_id AS id,
+                     list_distinct([substr(lower(text), i, 8)
+                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+              FROM documents
+            ), b AS (
+              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+            ), capped AS (
+              SELECT id, sh, blk FROM (
+                SELECT id, sh, blk,
+                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
+                FROM b) WHERE rn <= 64
+            ), pairs AS (
+              SELECT a.id AS id_a, c.id AS id_b
+              FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
+              WHERE 1000000 * len(list_intersect(a.sh, c.sh))
+                    >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS id FROM edges
+            ), reach(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+            ), lab AS (
+              SELECT id, min(lbl) AS canon_id FROM reach GROUP BY id
+            ), sz AS (
+              SELECT canon_id, count(*) AS cluster_size FROM lab GROUP BY canon_id
+            )
+            SELECT lab.id AS doc_id, lab.canon_id, sz.cluster_size
+            FROM lab JOIN sz USING (canon_id)
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),

@@ -365,3 +365,21 @@ def test_minshingle_mega_block_capped(spark):
     assert len(out) <= 64 * 63 // 2
     assert max(ids) <= 63  # only the capped low-64 ids participate
     assert len(out) > 0  # near-identical docs inside the cap are caught
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """Chained pairs merge into one component labeled by the minimum id;
+    disjoint pairs stay separate; convergence beats the iteration cap."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2, 2-3, 3-4 (diameter 3) + island 10-11
+                "id_a": [1, 2, 3, 10],
+                "id_b": [2, 3, 4, 11],
+            }
+        )
+    )
+    got = {r.id: r.canon_id for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -594,6 +594,67 @@ def ngram_minshingle_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, canon_id)
+    with canon_id = the component's minimum id. The semantic-dedup step a
+    training-data pipeline runs AFTER pair mining: transitive closure
+    groups chained near-dups (A~B, B~C ⇒ {A,B,C}) so exactly one canonical
+    document per cluster survives.
+
+    Algorithm: min-label propagation (GraphX/Pregel connected components
+    shape) — every node starts labeled with its own id; each round
+    replaces a node's label with min(own, neighbors' labels); fixpoint in
+    O(component diameter) rounds. Near-dup components are shallow
+    (pair-complete blocks), so the loop converges in a handful of rounds;
+    `max_iter` caps pathological chains.
+
+    Scale notes: the loop is DRIVER-CONTROLLED but all data stays
+    distributed — per round one join + one groupBy on the (narrow) edge
+    list, convergence checked with a count. `localCheckpoint` truncates
+    the iterative lineage (the classic iterative-DataFrame trap: without
+    it, round k's plan replays rounds 1..k-1). The edge list is the PAIR
+    graph, orders of magnitude smaller than the corpus at 100 TB."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "id"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("canon_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
