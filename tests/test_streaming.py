@@ -552,3 +552,54 @@ def test_streaming_trailing_maximal_prefixes(spark, sf_dir, replay_dir):
         for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
     )
     assert got == exp
+
+
+def test_late_side_output_routing(spark, tmp_path):
+    """Streaming `.allowed_lateness` side output (engine/mod.rs:2330-2376):
+    the router tracks wm = max_ts − out_of_order across micro-batches and
+    routes events older than wm − allowed_lateness to the late sink
+    BEFORE processing; everything else flows on-time."""
+    import json as _json
+    import time as _time
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    base = "2026-01-01T00:"
+
+    def write(name, rows):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _time.sleep(0.05)  # distinct mod-times keep replay order stable
+
+    # batch 1: ts 100s and 200s -> wm = 200 - 10 = 190s
+    write("0001.json", [
+        {"event_id": 1, "ts": base + "01:40", "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": base + "03:20", "event_type": "a", "value": 2.0},
+    ])
+    # batch 2: 150s (late vs 190 but within 60s lateness) and 50s (beyond)
+    write("0002.json", [
+        {"event_id": 3, "ts": base + "02:30", "event_type": "a", "value": 3.0},
+        {"event_id": 4, "ts": base + "00:50", "event_type": "a", "value": 4.0},
+    ])
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = S.file_source(spark, str(d), schema, fmt="json",
+                        max_files_per_trigger=1)
+    on_time_ids, late_ids = [], []
+    q, router = S.late_side_output(
+        src,
+        on_time=lambda df, e: on_time_ids.extend(r.event_id for r in df.collect()),
+        late=lambda df, e: late_ids.extend(r.event_id for r in df.collect()),
+        out_of_order="10s",
+        allowed_lateness="60s",
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(on_time_ids) == [1, 2, 3]
+    assert late_ids == [4]
+    assert router.n_late == 1 and router.n_on_time == 3
+    # wm ended at max_ts(200s) - 10s = 190s
+    assert router.wm_us == (3 * 60 + 20 - 10) * 1_000_000 + (
+        int(spark.sql("select unix_micros(timestamp '2026-01-01 00:00:00')")
+            .collect()[0][0]))

@@ -181,6 +181,91 @@ def foreach_batch(stream: Stream, fn: Callable[[DataFrame, int], None], checkpoi
     return w.start()
 
 
+class LateRouter:
+    """Streaming late-event side output (`.allowed_lateness(30s)` + side
+    stream; ast.rs:319-320, drop/route logic engine/mod.rs:2330-2376).
+
+    Spark's stateful operators DROP late rows silently; the reference
+    instead routes events older than (watermark − allowed_lateness) to a
+    named side-output stream. This router reproduces that contract in
+    foreachBatch: it tracks the reference's watermark definition
+    (max event ts seen − out_of_order, PerSourceWatermarkTracker
+    watermark.rs:13-140) across micro-batches and splits every batch into
+    (on_time, late) BEFORE downstream processing — the same
+    check-before-process order as process_inner (engine/mod.rs:2330).
+
+    The watermark lives on the driver in this object (exactly where the
+    reference keeps it). It is rebuilt from zero on restart — after a
+    restart the first batches are judged against a colder watermark,
+    which can only mis-route LATE→ON-TIME (safe direction: nothing is
+    wrongly dropped); checkpointed exactness would need the watermark in
+    state-store state, out of scope for a side-output valve.
+    """
+
+    def __init__(self, out_of_order: str = "10s",
+                 allowed_lateness: str = "0s", ts_col: str = "ts"):
+        from varpulis_spark.functions import duration_ns
+
+        self.ooo_us = duration_ns(out_of_order) // 1000
+        self.late_us = duration_ns(allowed_lateness) // 1000
+        self.ts_col = ts_col
+        self.wm_us: int | None = None
+        self.n_late = 0
+        self.n_on_time = 0
+
+    def split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Split one micro-batch against the CURRENT watermark, then
+        advance it by the batch's max event time."""
+        ts_us = F.unix_micros(F.col(self.ts_col))
+        if self.wm_us is None:
+            on_time, late = df, df.filter(F.lit(False))
+        else:
+            cutoff = self.wm_us - self.late_us
+            on_time = df.filter(ts_us >= F.lit(cutoff))
+            late = df.filter(ts_us < F.lit(cutoff))
+        row = df.agg(F.max(ts_us).alias("m")).collect()[0]
+        if row.m is not None:
+            new_wm = int(row.m) - self.ooo_us
+            self.wm_us = new_wm if self.wm_us is None else max(self.wm_us, new_wm)
+        return on_time, late
+
+    def sink(self, on_time: Callable[[DataFrame, int], None],
+             late: Callable[[DataFrame, int], None]) -> Callable:
+        """foreachBatch function routing each micro-batch's two halves."""
+
+        def route(df: DataFrame, epoch: int) -> None:
+            df.persist()
+            try:
+                ok, lt = self.split(df)
+                n_late = lt.count()
+                self.n_late += n_late
+                self.n_on_time += df.count() - n_late
+                on_time(ok, epoch)
+                if n_late:
+                    late(lt, epoch)
+            finally:
+                df.unpersist()
+
+        return route
+
+
+def late_side_output(
+    stream: Stream,
+    on_time: Callable[[DataFrame, int], None],
+    late: Callable[[DataFrame, int], None],
+    out_of_order: str = "10s",
+    allowed_lateness: str = "0s",
+    checkpoint: str | None = None,
+):
+    """Start a streaming query that routes late events to `late` and
+    everything else to `on_time` (the `.allowed_lateness` side-output
+    surface). Returns (query, router) — router.n_late / n_on_time are the
+    reference's late-event metrics."""
+    router = LateRouter(out_of_order, allowed_lateness, stream.ts_col)
+    q = foreach_batch(stream, router.sink(on_time, late), checkpoint)
+    return q, router
+
+
 def multi_sink(stream: Stream, *fns: Callable[[DataFrame, int], None], checkpoint: str | None = None):
     """MultiSink fan-out (sink.rs:489-620): one stream, several consumers,
     single write ensures consistent micro-batch across sinks."""
