@@ -16,12 +16,15 @@ to hash-match:
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
 Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
-`ann_ivf`) are non-SQL-expressible (LSH banding / k-means quantization:
-the bucketing depends on the hash family or trained centroids, not the
-data relation); the driver records rows-only checks for them — minhash/
-simhash recall is pinned against exact Jaccard in tests/test_dedup.py,
-and ann_ivf recall against exact top-k in tests/test_extensions.py.
-Every other query is oracle-checked,
+`ann_ivf`, `forecast_pst`) are non-SQL-expressible (LSH banding / k-means
+quantization / prediction-suffix-tree probabilities depend on the hash
+family, trained centroids, or the PST model — not the data relation); the
+driver records rows-only checks for them — minhash/simhash recall is
+pinned against exact Jaccard in tests/test_dedup.py, ann_ivf recall
+against exact top-k and forecast calibration/discrimination in
+tests/test_extensions.py. Every other query is oracle-checked — including
+`score_mlp`, where REAL .onnx inference (the pure-numpy mini-runtime)
+hash-matches a SQL oracle carrying the f32-rounded weights as literals —
 including the three non-obvious ones: `kleene_purchases` verifies the
 exhaustive Kleene enumeration through the binomial identity C(k, m) per
 anchor pair; `greta_rising` verifies the predicate-gated GRETA DP via a
@@ -500,6 +503,89 @@ def q_near_dup_clusters(spark, sf):
     )
 
 
+_SCORE_SEED = 7
+
+
+def _score_weights():
+    """Seeded 2→4→1 MLP stored at f32 (the .onnx wire precision), returned
+    as the f64 values both engines compute with."""
+    import numpy as np
+
+    rng = np.random.RandomState(_SCORE_SEED)
+    w1 = rng.normal(scale=0.5, size=(2, 4)).astype(np.float32)
+    b1 = rng.normal(scale=0.1, size=(4,)).astype(np.float32)
+    w2 = rng.normal(scale=0.5, size=(4, 1)).astype(np.float32)
+    b2 = rng.normal(scale=0.1, size=(1,)).astype(np.float32)
+    return (w1.astype(np.float64), b1.astype(np.float64),
+            w2.astype(np.float64), b2.astype(np.float64))
+
+
+def q_score_mlp(spark, sf):
+    """`.score` through a REAL .onnx artifact (mini-runtime or onnxruntime):
+    a seeded 2→4→1 Relu/Sigmoid MLP over (value, value mod 7). The model is
+    small enough that the oracle expresses the identical arithmetic as SQL
+    with the f32-rounded weights inlined as literals — ONNX inference,
+    hash-checked (scores rounded to 6 decimals on both sides: the only
+    engine-order-sensitive reduction is the 4-term output dot)."""
+    import tempfile
+
+    from varpulis_spark.operators.onnx_mini import make_mlp_onnx
+    from varpulis_spark.operators.score import score as score_op
+
+    w1, b1, w2, b2 = _score_weights()
+    path = os.path.join(tempfile.gettempdir(), f"varpulis_score_{_SCORE_SEED}.onnx")
+    if not os.path.exists(path):
+        with open(path, "wb") as f:
+            f.write(make_mlp_onnx(w1, b1, w2, b2))
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.col("value").alias("f1"),
+        F.pmod(F.col("value"), F.lit(7.0)).alias("f2"),
+    )
+    out = score_op(ev, path, inputs=["f1", "f2"], output="risk")
+    return out.select("event_id", F.round("risk", 6).alias("risk"))
+
+
+def _score_oracle_sql() -> str:
+    w1, b1, w2, b2 = _score_weights()
+    hidden = [
+        f"greatest({w1[0][j]!r} * f1 + {w1[1][j]!r} * f2 + {b1[j]!r}, 0.0)"
+        for j in range(4)
+    ]
+    dot = " + ".join(f"{w2[j][0]!r} * h{j}" for j in range(4))
+    hdefs = ", ".join(f"{h} AS h{j}" for j, h in enumerate(hidden))
+    return f"""
+        WITH feats AS (
+          SELECT event_id, value AS f1, fmod(value, 7.0) AS f2 FROM events
+        ), hid AS (
+          SELECT event_id, {hdefs} FROM feats
+        )
+        SELECT event_id,
+               round(1.0 / (1.0 + exp(-({dot} + {b2[0]!r}))), 6) AS risk
+        FROM hid
+    """
+
+
+def q_forecast(spark, sf):
+    """`.forecast` (PST + Hawkes + conformal) over the signup→purchase→error
+    pattern per user — rows-only: the prediction-suffix-tree probabilities
+    are not SQL-expressible; calibration/monotonicity are pinned in
+    tests/test_extensions.py. Deterministic given the data (no RNG)."""
+    from varpulis_spark.operators.forecast import forecast as forecast_op
+
+    s = (
+        Stream.events(spark, sf)
+        .partition_by("user_id")
+    )
+    out = forecast_op(
+        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0
+    )
+    return out.select(
+        "user_id", "event_id", "next_step", "active_runs",
+        F.round("completion_prob", 6).alias("completion_prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "high_value_filter": q_high_value_filter,
@@ -538,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minshingle_near_dup": q_minshingle_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        "score_mlp": q_score_mlp,
+        "forecast_pst": q_forecast,
     }
 
 
@@ -998,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lab.id AS doc_id, lab.canon_id, sz.cluster_size
             FROM lab JOIN sz USING (canon_id)
         """,
+        "score_mlp": _score_oracle_sql(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),
             scored AS (
