@@ -383,3 +383,36 @@ def test_dedup_clusters_transitive_closure(spark):
     )
     got = {r.id: r.canon_id for r in D.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_property_vs_union_find(spark):
+    """Random graphs: the propagation fixpoint must equal a classic
+    union-find's components (canonical = min id)."""
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(40)
+                )
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {x: find(x) for x in touched}
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.canon_id for r in D.dedup_clusters(pairs).collect()}
+        assert got == want, f"trial {trial}"
