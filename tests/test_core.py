@@ -97,3 +97,18 @@ def test_functions_layer(spark):
     assert row.sp == [[1, 2], [2, 3]]
     assert row.sl == 3.0
     assert row.sub == "ell"
+
+
+def test_print_and_log_passthrough(spark, sf_dir, capsys, caplog):
+    """`.print` / `.log` (PrintConfig/LogConfig engine/types.rs:424-434) are
+    diagnostic PASSTHROUGHS: the stream continues unchanged, output goes to
+    console/logger."""
+    import logging
+
+    s = Stream.events(spark, sf_dir).where(F.col("value") > 150).limit(3)
+    before = s.count()
+    with caplog.at_level(logging.INFO, logger="varpulis_spark"):
+        out = s.print(2).log("info", "sample")
+    assert out.count() == before  # passthrough: same stream
+    assert "value" in capsys.readouterr().out  # .show table reached stdout
+    assert any("sample" in r.message for r in caplog.records)
