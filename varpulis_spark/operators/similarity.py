@@ -30,12 +30,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+_TOPK_SCHEMA = "query_id long, neighbor_id long, score double, rank int"
+
+
 def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
     rows = query_df.select(id_col, vec_col).collect()
+    if not rows:  # empty query set: no axis-1 to normalize over
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.array([r[1] for r in rows], dtype=np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     return qids, qm
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame([], _TOPK_SCHEMA)
 
 
 def cosine_topk(
@@ -49,6 +58,8 @@ def cosine_topk(
     """Exact cosine top-k: (query_id, neighbor_id, score, rank)."""
     qids, qm = _collect_queries(query_df, id_col, vec_col)
     n_q = len(qids)
+    if n_q == 0:
+        return _empty_topk(corpus_df.sparkSession)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,7 +198,10 @@ def lsh_topk(
     the same local-top-k GEMM shape as `cosine_topk`.
     """
     if dim is None:
-        dim = len(query_df.select(vec_col).first()[0])
+        first = query_df.select(vec_col).first()
+        if first is None:  # no queries → empty result, nothing to probe
+            return _empty_topk(corpus_df.sparkSession)
+        dim = len(first[0])
     planes = _hyperplanes(dim, bits)
 
     def sig_of(m: np.ndarray) -> np.ndarray:
@@ -329,6 +343,9 @@ def ivf_topk(
     (the corpus never leaves the executors). Pass `centroids` to reuse a
     trained quantizer across queries (the index is the centroids — there
     is no other state)."""
+    qids, qm = _collect_queries(query_df, id_col, vec_col)
+    if len(qids) == 0:  # before training: no queries → nothing to probe
+        return _empty_topk(corpus_df.sparkSession)
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus_df, n_clusters, vec_col=vec_col, id_col=id_col
@@ -343,7 +360,6 @@ def ivf_topk(
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
 
-    qids, qm = _collect_queries(query_df, id_col, vec_col)
     nprobe = min(nprobe, len(cent))
     qprobe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
     probe_rows = [
