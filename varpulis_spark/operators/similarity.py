@@ -34,7 +34,11 @@ _TOPK_SCHEMA = "query_id long, neighbor_id long, score double, rank int"
 
 
 def _collect_queries(query_df: DataFrame, id_col: str, vec_col: str):
-    rows = query_df.select(id_col, vec_col).collect()
+    rows = (
+        query_df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # null vectors can't be queries
+        .collect()
+    )
     if not rows:  # empty query set: no axis-1 to normalize over
         return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)
     qids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -82,7 +86,9 @@ def cosine_topk(
 
     from varpulis_spark.operators.dedup import spread
 
-    local = spread(corpus_df.select(id_col, vec_col)).mapInPandas(
+    local = spread(
+        corpus_df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(
         local_topk, "query_id long, neighbor_id long, score double"
     )
     spec = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
@@ -120,7 +126,9 @@ def cosine_pairs(
         par = spark.sparkContext.defaultParallelism
         n_blocks = max(2, math.ceil(math.sqrt(2 * par)))
 
-    base = corpus_df.select(id_col, vec_col).withColumn(
+    base = corpus_df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).withColumn(
         "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     )
     partners = spark.range(n_blocks).select(F.col("id").alias("__j"))
@@ -233,7 +241,9 @@ def lsh_topk(
     probe_rows = [(b, q) for b, qs in probe.items() for q in qs]
     q_by_id = {int(i): v for i, v in zip(qids, qm)}
 
-    bucketed = corpus_df.select(id_col, vec_col).withColumn(
+    bucketed = corpus_df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).withColumn(
         "bucket", bucket_udf(F.col(vec_col))
     )
     spark = corpus_df.sparkSession
@@ -303,7 +313,7 @@ def train_ivf_centroids(
         cond = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh
     rows = (
         corpus_df.select(F.col(id_col).alias("__id"), vec_col)
-        .filter(cond)
+        .filter(F.col(vec_col).isNotNull() & cond)
         .collect()
     )
     rows.sort(key=lambda r: r[0])
@@ -369,7 +379,9 @@ def ivf_topk(
 
     from varpulis_spark.operators.dedup import spread
 
-    assigned = spread(corpus_df.select(id_col, vec_col)).withColumn(
+    assigned = spread(
+        corpus_df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).withColumn(
         "cluster", cluster_udf(F.col(vec_col))
     )
     spark = corpus_df.sparkSession
