@@ -183,3 +183,28 @@ def test_reader_builds_streaming_source(spark):
         pytest.skip(f"kafka format unavailable in this Spark build: {e}")
     assert s.df.isStreaming
     assert [f.name for f in s.df.schema.fields[:2]] == ["ts", "event_type"]
+
+
+def test_registry_builds_kafka_connector():
+    """ConnectorRegistry kafka type (managed_kafka.rs): shared source/sink
+    handles constructed from a config dict — no broker needed to build."""
+    from varpulis_spark.registry import ConnectorRegistry
+
+    reg = ConnectorRegistry.from_configs(
+        {
+            "mk": {
+                "type": "kafka",
+                "brokers": "b1:9092",
+                "topic": "trades",
+                "group_id": "cep",
+                "properties": {"security.protocol": "SASL_SSL"},
+            }
+        }
+    )
+    src = reg.source("mk")
+    snk = reg.sink("mk")
+    assert src.config.brokers == "b1:9092" and snk.config.topic == "trades"
+    opts = kafka_reader_options(src.config)
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert [t for _n, t, _r in reg.health_reports()] == ["kafka"]
+    reg.shutdown()

@@ -76,6 +76,16 @@ def _build(name: str, cfg: dict, spool_root: str | None):
         c = KinesisConfig(**params)
         return _Entry(kind, KinesisSource(name, c, need_spool()),
                       KinesisSink(name, c))
+    if kind == "kafka":
+        from varpulis_spark.sources.kafka import (
+            KafkaConfig, KafkaSinkHandle, KafkaSourceHandle,
+        )
+
+        ts_col = params.pop("ts_col", "ts")
+        c = KafkaConfig(**params)
+        return _Entry(
+            kind, KafkaSourceHandle(name, c), KafkaSinkHandle(name, c, ts_col)
+        )
     if kind == "database":
         from varpulis_spark.sinks import DatabaseConfig, DatabaseSink, DatabaseSource
 

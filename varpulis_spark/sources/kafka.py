@@ -150,6 +150,45 @@ def kafka_sink_frame(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+class KafkaSourceHandle:
+    """Registry-facing source handle (`ConnectorRegistry` kafka type):
+    `.stream()` → the built-in streaming format; `.batch()` → Spark's batch
+    Kafka read (earliest→latest), both through the same payload lowering."""
+
+    def __init__(self, name: str, config: KafkaConfig):
+        self.name = name
+        self.config = config
+
+    def stream(self, spark: SparkSession, value_schema: str, **kw) -> Stream:
+        return kafka_source(spark, self.config, value_schema=value_schema, **kw)
+
+    def batch(self, spark: SparkSession, value_schema: str) -> Stream:
+        reader = spark.read.format("kafka")
+        opts = kafka_reader_options(self.config, starting_offsets="earliest")
+        opts["endingOffsets"] = "latest"
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return Stream(parse_kafka_events(reader.load(), value_schema), ts_col="ts")
+
+
+class KafkaSinkHandle:
+    """Registry-facing sink: `write_batch(df, epoch)` frames rows as
+    (key=event_type, value=to_sink_payload JSON) and writes through the
+    built-in batch Kafka writer (kafka.rs:405-412 delivery contract)."""
+
+    def __init__(self, name: str, config: KafkaConfig, ts_col: str = "ts"):
+        self.name = name
+        self.config = config
+        self.ts_col = ts_col
+
+    def write_batch(self, df: DataFrame, epoch: int = 0) -> None:
+        framed = kafka_sink_frame(df, self.ts_col)
+        writer = framed.write.format("kafka")
+        for k, v in kafka_writer_options(self.config).items():
+            writer = writer.option(k, v)
+        writer.save()
+
+
 def kafka_source(
     spark: SparkSession,
     config: KafkaConfig | str,
