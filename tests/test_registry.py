@@ -92,3 +92,37 @@ stream Hot = Reading
         "SELECT data FROM hot"
     ).fetchall()
     assert len(rows) == 1 and json.loads(rows[0][0])["x"] == 300.0
+
+
+def test_connector_configs_from_vpl_program():
+    """VPL connector declarations -> registry config dicts (the reference
+    builds its managed registry straight from the program)."""
+    from varpulis_spark.registry import connector_configs
+
+    src = open("/root/reference/examples/hvac_quickstart.vpl").read()
+    cfgs = connector_configs(src)
+    assert cfgs["MqttSensors"]["type"] == "mqtt"
+    assert cfgs["MqttSensors"]["broker"] == "localhost"  # host -> broker
+    assert cfgs["MqttSensors"]["port"] == 1883
+    assert cfgs["MqttSensors"]["client_id"] == "hvac-quickstart"
+    assert cfgs["KafkaAlerts"]["brokers"] == "kafka:9092"  # list joined
+    assert cfgs["KafkaAlerts"]["group_id"] == "hvac-alerts"
+    assert cfgs["AlertWebhook"] == {
+        "type": "http", "url": "https://hooks.example.com/hvac-alerts"
+    }
+
+
+def test_registry_from_program_builds_connectors(tmp_path):
+    from varpulis_spark.registry import ConnectorRegistry
+
+    src = open("/root/reference/examples/hvac_quickstart.vpl").read()
+    reg = ConnectorRegistry.from_program(
+        src, spool_root=str(tmp_path),
+        overrides={"MqttSensors": {"topic": "sensors/#"}},
+    )
+    assert reg.source("MqttSensors").config.topic == "sensors/#"  # override
+    assert reg.sink("KafkaAlerts").config.brokers == "kafka:9092"
+    assert reg.sink("AlertWebhook").url.startswith("https://hooks")
+    kinds = {t for _n, t, _r in reg.health_reports()}
+    assert kinds == {"mqtt", "kafka", "http"}
+    reg.shutdown()

@@ -43,6 +43,96 @@ class _Entry:
     last_error: str | None = None
 
 
+_VPL_RENAMES = {
+    # VPL declaration params (reference config field names) → our configs
+    "mqtt": {"host": "broker"},
+    "nats": {"url": "servers", "server": "servers"},
+    "kafka": {},
+}
+
+
+def connector_configs(source_or_program) -> dict[str, dict]:
+    """VPL `connector Name = kind (k: v, ...)` declarations → registry
+    config dicts (the reference's ManagedConnectorRegistry::from_configs
+    input, built straight from the program like `varpulis run` does).
+
+    Parameter expressions are const-evaluated (literals, consts, arrays);
+    reference param names map onto our config fields (mqtt `host` →
+    `broker`, kafka broker LISTS join to the comma string). Params our
+    config classes don't carry are dropped with a warning — a declaration
+    must never fail deploy over an optional tuning knob."""
+    import dataclasses
+    import warnings
+
+    from varpulis_spark.vpl.compiler import ProgramEnv, _const_eval
+    from varpulis_spark.vpl.parser import Program, parse_full
+
+    prog = (
+        source_or_program
+        if isinstance(source_or_program, Program)
+        else parse_full(source_or_program)
+    )
+    env = ProgramEnv()
+    for v in prog.vars:
+        env.vars[v.name] = _const_eval(v.value, env)
+
+    def cfg_class(kind: str):
+        if kind == "mqtt":
+            from varpulis_spark.sources.mqtt import MqttConfig
+            return MqttConfig
+        if kind == "nats":
+            from varpulis_spark.sources.nats import NatsConfig
+            return NatsConfig
+        if kind == "kinesis":
+            from varpulis_spark.sources.kinesis import KinesisConfig
+            return KinesisConfig
+        if kind == "kafka":
+            from varpulis_spark.sources.kafka import KafkaConfig
+            return KafkaConfig
+        if kind == "database":
+            from varpulis_spark.sinks import DatabaseConfig
+            return DatabaseConfig
+        if kind == "redis":
+            from varpulis_spark.sinks import RedisConfig
+            return RedisConfig
+        if kind == "elasticsearch":
+            from varpulis_spark.sinks import ElasticsearchConfig
+            return ElasticsearchConfig
+        if kind == "rest":
+            from varpulis_spark.sinks import RestApiConfig
+            return RestApiConfig
+        if kind == "webhook":
+            from varpulis_spark.sinks import HttpWebhookConfig
+            return HttpWebhookConfig
+        return None
+
+    out: dict[str, dict] = {}
+    for c in prog.connectors:
+        params = {k: _const_eval(v, env) for k, v in c.kwargs.items()}
+        renames = _VPL_RENAMES.get(c.kind, {})
+        params = {renames.get(k, k): v for k, v in params.items()}
+        if c.kind == "kafka" and isinstance(params.get("brokers"), list):
+            params["brokers"] = ",".join(params["brokers"])
+        # topic/subject bind at `.from(...)` in the reference; our config
+        # classes require the field — empty until bound
+        if c.kind in ("mqtt", "kafka"):
+            params.setdefault("topic", "")
+        if c.kind == "nats":
+            params.setdefault("subject", "")
+        klass = cfg_class(c.kind)
+        if klass is not None and dataclasses.is_dataclass(klass):
+            known = {f.name for f in dataclasses.fields(klass)}
+            dropped = sorted(set(params) - known)
+            if dropped:
+                warnings.warn(
+                    f"connector '{c.name}' ({c.kind}): ignoring params "
+                    f"{dropped} not carried by {klass.__name__}"
+                )
+            params = {k: v for k, v in params.items() if k in known}
+        out[c.name] = {"type": c.kind, **params}
+    return out
+
+
 def _build(name: str, cfg: dict, spool_root: str | None):
     kind = cfg.get("type")
     params = {k: v for k, v in cfg.items() if k != "type"}
@@ -141,6 +231,19 @@ class ConnectorRegistry:
         for name, cfg in configs.items():
             reg._entries[name] = _build(name, cfg, spool_root)
         return reg
+
+    @classmethod
+    def from_program(cls, source: str, spool_root: str | None = None,
+                     overrides: dict[str, dict] | None = None
+                     ) -> "ConnectorRegistry":
+        """Build the registry straight from a VPL program's `connector`
+        declarations (`varpulis run`'s connector startup, main.rs:1005-1040).
+        `overrides` deep-merges per-connector config on top of the declared
+        params (e.g. inject credentials or a test endpoint)."""
+        configs = connector_configs(source)
+        for name, extra in (overrides or {}).items():
+            configs.setdefault(name, {}).update(extra)
+        return cls.from_configs(configs, spool_root)
 
     def register(self, name: str, source=None, sink=None,
                  kind: str = "custom") -> None:

@@ -133,6 +133,17 @@ class OpCall:
     kwargs: dict[str, object] = field(default_factory=dict)
 
 
+@dataclass
+class ConnectorDecl:
+    """`connector Name = kind (k: v, ...)` (Stmt::ConnectorDecl
+    ast.rs:16-21). kwargs hold AST expressions; `registry.from_program`
+    const-evaluates them into a config dict."""
+
+    name: str
+    kind: str
+    kwargs: dict[str, object] = field(default_factory=dict)
+
+
 def _subst_ref(e, name: str, repl):
     """Substitute Ref([name]) with `repl` (let-binding desugar)."""
     s = lambda x: _subst_ref(x, name, repl)  # noqa: E731
@@ -274,6 +285,7 @@ class Program:
     events: list[EventDecl] = field(default_factory=list)
     vars: list[VarDecl] = field(default_factory=list)
     patterns: list[PatternDecl] = field(default_factory=list)
+    connectors: list[ConnectorDecl] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -383,11 +395,24 @@ class Parser:
                 prog.vars.append(self.var_decl(const=True))
             elif self.accept("pattern"):
                 prog.patterns.append(self.pattern_decl())
+            elif self.peek()[1] == "connector" and self.peek(1)[0] == "ident" \
+                    and self.peek(2) == ("op", "="):
+                prog.connectors.append(self.connector_decl())
             elif self.peek()[1] in ("connector", "context") and self.peek(1)[0] == "ident":
                 self._skip_decl()
             else:
                 self.next()  # skip unsupported top-level tokens gracefully
         return prog
+
+    def connector_decl(self) -> "ConnectorDecl":
+        """`connector Name = kind (k: v, ...)` → captured declaration
+        (the reference registers these in its managed connector registry;
+        `ConnectorRegistry.from_program` is our equivalent)."""
+        self.next()  # 'connector'
+        name = self.expect("ident")[1]
+        self.expect("op", "=")
+        call = self.op_call()  # kind (kwargs...)
+        return ConnectorDecl(name, call.name, call.kwargs)
 
     def _skip_decl(self):
         """connector/context decls: consume `kw Name (...)` or `kw Name = ...`
