@@ -503,6 +503,25 @@ def q_near_dup_clusters(spark, sf):
     )
 
 
+def q_props_dynamic(spark, sf):
+    """Schemaless payload path (SURVEY §1.2: undeclared events carry a
+    JSON `props` payload — Value::Map, value.rs:31-42): parse the JSON
+    column, extract a dynamic field, filter + aggregate on it. Exercises
+    from_json → Catalyst JsonToStructs with field pruning."""
+    ev = Stream.events(spark, sf).df
+    k = F.from_json(F.col("props"), "k long").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 _SCORE_SEED = 7
 
 
@@ -626,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "score_mlp": q_score_mlp,
         "forecast_pst": q_forecast,
+        "props_dynamic": q_props_dynamic,
     }
 
 
@@ -1085,6 +1105,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lab.id AS doc_id, lab.canon_id, sz.cluster_size
             FROM lab JOIN sz USING (canon_id)
+        """,
+        "props_dynamic": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            GROUP BY 1
         """,
         "score_mlp": _score_oracle_sql(),
         "knn_cosine": """
