@@ -567,11 +567,13 @@ def q_score_mlp(spark, sf):
 
 def _score_oracle_sql() -> str:
     w1, b1, w2, b2 = _score_weights()
+    # plain-float reprs: numpy 2.x would print np.float64(...) otherwise
     hidden = [
-        f"greatest({w1[0][j]!r} * f1 + {w1[1][j]!r} * f2 + {b1[j]!r}, 0.0)"
+        f"greatest({float(w1[0][j])!r} * f1 + {float(w1[1][j])!r} * f2 "
+        f"+ {float(b1[j])!r}, 0.0)"
         for j in range(4)
     ]
-    dot = " + ".join(f"{w2[j][0]!r} * h{j}" for j in range(4))
+    dot = " + ".join(f"{float(w2[j][0])!r} * h{j}" for j in range(4))
     hdefs = ", ".join(f"{h} AS h{j}" for j, h in enumerate(hidden))
     return f"""
         WITH feats AS (
@@ -580,7 +582,7 @@ def _score_oracle_sql() -> str:
           SELECT event_id, {hdefs} FROM feats
         )
         SELECT event_id,
-               round(1.0 / (1.0 + exp(-({dot} + {b2[0]!r}))), 6) AS risk
+               round(1.0 / (1.0 + exp(-({dot} + {float(b2[0])!r}))), 6) AS risk
         FROM hid
     """
 
