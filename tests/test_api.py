@@ -119,3 +119,43 @@ def test_oversize_body_rejected(spark):
     big = json.dumps({"name": "x", "source": "y" * (MAX_EVENT_PAYLOAD_BYTES + 10)})
     status, resp = srv.handle("POST", "/api/v1/pipelines", big.encode(), {})
     assert status == 413
+
+
+def test_metrics_and_reload(spark):
+    """handle_metrics / handle_reload parity: counters reflect the ingested
+    log; reload swaps the program keeping the event log (replay model makes
+    the state carry-over exact) and resets the delta baseline."""
+    srv = PipelineServer(spark)
+    src_v1 = (
+        "stream Hot = Reading\n"
+        "    .where(value > 10)\n"
+        "    .emit(alert: \"hot\", v: value)\n"
+    )
+    status, resp = srv.handle(
+        "POST", "/api/v1/pipelines",
+        json.dumps({"name": "m", "source": src_v1}).encode(), {})
+    assert status == 200
+    pid = resp["id"]
+    for v in (5.0, 20.0):
+        status, resp = srv.handle(
+            "POST", f"/api/v1/pipelines/{pid}/events",
+            json.dumps({"event_type": "Reading", "fields": {"value": v}}).encode(), {})
+        assert status == 200
+    status, m = srv.handle("GET", f"/api/v1/pipelines/{pid}/metrics", b"", {})
+    assert status == 200
+    assert m["events_ingested"] == 2
+    assert m["events_by_type"] == {"Reading": 2}
+    assert m["output_rows_total"] == 1  # only the 20.0 reading alerted
+
+    # reload with a lower threshold: the SAME log now yields both alerts
+    src_v2 = src_v1.replace("> 10", "> 1")
+    status, _ = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/reload",
+        json.dumps({"source": src_v2}).encode(), {})
+    assert status == 200
+    status, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 3.0}}).encode(), {})
+    assert status == 200
+    vs = sorted(e["fields"]["v"] for e in resp["output_events"])
+    assert vs == [3.0, 5.0, 20.0]  # v1-suppressed 5.0 surfaces after reload

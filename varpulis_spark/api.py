@@ -119,6 +119,38 @@ class PipelineServer:
                 if not isinstance(evs, list):
                     return 400, {"error": "expected {events: [...]}"}
                 return self._inject(p, evs)
+            if parts[2] == "metrics" and method == "GET":
+                # handle_metrics (api.rs): per-pipeline counters
+                by_type: dict[str, int] = {}
+                for _off, et, _f in p.events:
+                    by_type[et] = by_type.get(et, 0) + 1
+                return 200, {
+                    "id": p.id,
+                    "events_ingested": len(p.events),
+                    "events_by_type": by_type,
+                    "output_rows_total": sum(p.prev_counts.values()),
+                    "uptime_secs": int(time.time() - p.deployed_at),
+                }
+            if parts[2] == "reload" and method == "POST":
+                # handle_reload (ReloadPipelineRequest api.rs:80-82): swap
+                # the program, keep the event log — the replay model makes
+                # state carry-over exact (the new program re-derives from
+                # the same events; the reference diffs live NFA state)
+                if not isinstance(payload, dict) or "source" not in payload:
+                    return 400, {"error": "expected {source}"}
+                from varpulis_spark.vpl.parser import parse_full
+
+                try:
+                    prog = parse_full(payload["source"])
+                except Exception as e:  # noqa: BLE001
+                    return 400, {"error": "parse_error", "message": str(e)}
+                p.source = payload["source"]
+                p.emit_streams = {
+                    d.name for d in prog.streams
+                    if any(op.name == "emit" for op in d.ops)
+                }
+                p.prev_counts = {}  # new program: delta baseline resets
+                return 200, {"id": p.id, "status": "reloaded"}
         return 404, {"error": "not_found"}
 
     # -- handlers ----------------------------------------------------------
