@@ -1050,11 +1050,14 @@ def oracle_sql() -> dict[str, str]:
             -- then exact Jaccard >= 0.6 in integer arithmetic
             WITH d AS (
               SELECT doc_id AS id,
-                     list_distinct([substr(lower(text), i, 8)
-                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+                     -- 60-bit md5-prefix hashes (engine-identical), distinct
+                     list_distinct(list_transform(
+                       list_distinct([substr(lower(text), i, 8)
+                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
               FROM documents
             ), b AS (
-              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+              SELECT id, sh, list_min(sh) AS blk FROM d
             ), capped AS (
               SELECT id, sh, blk FROM (
                 SELECT id, sh, blk,
@@ -1075,11 +1078,14 @@ def oracle_sql() -> dict[str, str]:
             -- minimum id (exactly the propagation fixpoint)
             WITH RECURSIVE d AS (
               SELECT doc_id AS id,
-                     list_distinct([substr(lower(text), i, 8)
-                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+                     -- 60-bit md5-prefix hashes (engine-identical), distinct
+                     list_distinct(list_transform(
+                       list_distinct([substr(lower(text), i, 8)
+                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
               FROM documents
             ), b AS (
-              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+              SELECT id, sh, list_min(sh) AS blk FROM d
             ), capped AS (
               SELECT id, sh, blk FROM (
                 SELECT id, sh, blk,

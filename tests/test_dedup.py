@@ -290,11 +290,13 @@ def test_minshingle_pairs_match_duckdb(spark, sf_dir):
             """
             WITH d AS (
               SELECT doc_id AS id,
-                     list_distinct([substr(lower(text), i, 8)
-                       for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]) AS sh
+                     list_distinct(list_transform(
+                       list_distinct([substr(lower(text), i, 8)
+                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
               FROM documents
             ), b AS (
-              SELECT id, sh, list_min(list_transform(sh, s -> md5(s))) AS blk FROM d
+              SELECT id, sh, list_min(sh) AS blk FROM d
             ), capped AS (
               SELECT id, sh, blk FROM (
                 SELECT id, sh, blk,
@@ -385,9 +387,11 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_dedup_clusters_property_vs_union_find(spark):
-    """Random graphs: the propagation fixpoint must equal a classic
-    union-find's components (canonical = min id)."""
+def test_dedup_clusters_property_vs_union_find(spark, monkeypatch):
+    """Random graphs: BOTH execution paths (driver union-find for small
+    graphs, distributed min-label propagation above the threshold) must
+    equal a reference union-find's components (canonical = min id)."""
+    monkeypatch.setattr(D, "CLUSTERS_LOCAL_MAX_EDGES", 0)  # force distributed
     rng = random.Random(17)
     for trial in range(3):
         n = 60
