@@ -327,3 +327,45 @@ def test_ivf_topk_recall(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=10, nprobe=6, centroids=cent).collect()
     }
     assert approx == again
+
+
+def test_audio_features_match_numpy(spark):
+    """Audio leg of the multimodal family: encode fake PCM -> framed
+    RMS/ZCR features via mapInPandas; values verify against a direct numpy
+    recomputation, row expansion yields one row per frame."""
+    import numpy as np
+    import struct as _struct
+    from varpulis_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "hello audio world " * (i + 1)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    enc = MM.encode_fake_audio(docs)
+    out = MM.audio_features(enc, frame=64, hop=32).orderBy("doc_id", "frame_index")
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {0, 1, 2, 3}
+
+    # recompute doc 2 frame 1 directly
+    buf = {r[0]: bytes(r[2]) for r in enc.collect()}[2]
+    (sr,) = _struct.unpack(">I", buf[3:7])
+    x = np.frombuffer(buf[7:], dtype="<i2").astype(np.float64) / 32768.0
+    seg = x[32 : 32 + 64]
+    want_rms = float(np.sqrt(np.mean(seg * seg)))
+    got = next(r for r in rows if r.doc_id == 2 and r.frame_index == 1)
+    assert got.sample_rate == sr
+    assert abs(got.rms - want_rms) < 1e-12
+    # frame count = (n - frame)//hop + 1
+    n2 = sum(1 for r in rows if r.doc_id == 2)
+    assert n2 == (x.size - 64) // 32 + 1
+
+
+def test_audio_real_codec_raises(spark):
+    from varpulis_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    enc = MM.encode_fake_audio(docs)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="torchaudio"):
+        MM.audio_features(enc, codec="wav")

@@ -208,3 +208,98 @@ def sample_frames(
 
     out_schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + ", frame_index int"
     return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# audio (fake PCM codec, same plumbing contract as the image ops)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = "sample_rate int, n_samples int, format string"
+
+
+def encode_fake_audio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    content_col: str = "audio",
+) -> DataFrame:
+    """Derive a deterministic fake-audio binary column (the audio leg of
+    the fixture family): header b"FKA" + sample_rate (u32 BE, 8000 +
+    1000·(id % 5)) + int16-LE PCM synthesized from the utf-8 text bytes
+    (sample[i] = (byte[i % len] − 128) · 256 · a decaying envelope) — a
+    pure function of the row, so feature kernels verify against numpy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                sr = 8000 + (int(i) % 5) * 1000
+                raw = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+                if raw.size == 0:
+                    raw = np.zeros(1, dtype=np.uint8)
+                n = raw.size * 4  # stretch: 4 samples per text byte
+                base = (raw.astype(np.int32) - 128) * 256
+                pcm = np.repeat(base, 4)
+                env = np.linspace(1.0, 0.25, n)
+                samples = (pcm * env).astype("<i2")
+                bufs.append(b"FKA" + struct.pack(">I", sr) + samples.tobytes())
+            out = pdf.copy()
+            out[content_col] = bufs
+            yield out
+
+    out_schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + f", {content_col} binary"
+    return df.mapInPandas(run, out_schema)
+
+
+def _decode_fake_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    if buf[:3] != b"FKA":
+        raise ValueError("not fake audio")
+    (sr,) = struct.unpack(">I", buf[3:7])
+    return np.frombuffer(buf[7:], dtype="<i2").astype(np.float64) / 32768.0, sr
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "audio",
+    frame: int = 1024,
+    hop: int = 512,
+    codec: str = "raw-fake",
+) -> DataFrame:
+    """Framed audio features (the torchaudio/librosa slot, stubbed to the
+    fake codec): per frame of `frame` samples every `hop`, emit RMS energy
+    and zero-crossing rate — one output row per frame (row expansion like
+    `sample_frames`). Real codecs raise NotImplementedError naming the
+    library; the numpy kernel, batch iteration, and output schema are the
+    production shapes."""
+    if codec != "raw-fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs an audio library (torchaudio/librosa/"
+            "soundfile) not present in this environment; the raw-fake codec "
+            "exercises the full Spark plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf[content_col]]
+            counts, rows = [], []
+            for b in bufs:
+                x, sr = _decode_fake_audio(b)
+                n_frames = max(0, (x.size - frame) // hop + 1) if x.size >= frame else 1
+                counts.append(n_frames)
+                for fi in range(n_frames):
+                    seg = x[fi * hop : fi * hop + frame]
+                    if seg.size == 0:
+                        seg = np.zeros(1)
+                    rms = float(np.sqrt(np.mean(seg * seg)))
+                    zcr = float(np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1]))) if seg.size > 1 else 0.0
+                    rows.append((fi, sr, rms, zcr))
+            out = pdf.drop(columns=[content_col])
+            out = out.loc[out.index.repeat(counts)].reset_index(drop=True)
+            out["frame_index"] = [r[0] for r in rows]
+            out["sample_rate"] = [r[1] for r in rows]
+            out["rms"] = [r[2] for r in rows]
+            out["zcr"] = [r[3] for r in rows]
+            yield out
+
+    out_schema = ", ".join(
+        f"{n} {t}" for n, t in df.dtypes if n != content_col
+    ) + ", frame_index int, sample_rate int, rms double, zcr double"
+    return df.mapInPandas(run, out_schema)
