@@ -444,6 +444,24 @@ def q_multimodal_meta(spark, sf):
     return meta.join(n_frames, "doc_id")
 
 
+def q_audio_meta(spark, sf):
+    """Audio multimodal plumbing, oracle-checked at the metadata level:
+    documents → fake-PCM encode → framed feature extraction (RMS/ZCR rows)
+    → per-doc (sample_rate, n_frames). The fake audio is a pure function
+    of (doc_id, text): sample_rate = 8000 + 1000·(doc_id mod 5),
+    n_samples = 4·octet_length(text); frames of 64 every 32 → DuckDB
+    reproduces the frame count without touching binary. The RMS/ZCR
+    values themselves verify against numpy in tests/test_extensions.py."""
+    from varpulis_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    enc = MM.encode_fake_audio(docs)
+    feats = MM.audio_features(enc.select("doc_id", "audio"), frame=64, hop=32)
+    return feats.groupBy("doc_id", "sample_rate").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+
+
 def q_knn_cosine(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -648,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_mlp": q_score_mlp,
         "forecast_pst": q_forecast,
         "props_dynamic": q_props_dynamic,
+        "audio_meta": q_audio_meta,
     }
 
 
@@ -1113,6 +1132,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lab.id AS doc_id, lab.canon_id, sz.cluster_size
             FROM lab JOIN sz USING (canon_id)
+        """,
+        "audio_meta": """
+            -- fake PCM is a pure function of the row: 4 samples per utf-8
+            -- byte; frames of 64 samples every 32 (>=1 frame when shorter)
+            SELECT doc_id,
+                   CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+                   CAST(greatest((octet_length(encode(text)) * 4 - 64) // 32 + 1, 1) AS BIGINT) AS n_frames
+            FROM documents
         """,
         "props_dynamic": """
             SELECT event_type, count(*) AS n,

@@ -23,7 +23,7 @@ NULLABLE_CONSUMERS = [
     "knn_cosine", "embedding_near_dup", "ann_ivf",
     "minhash_near_dup", "simhash_near_dup", "minshingle_near_dup",
     "near_dup_clusters", "exact_dedup_docs", "text_stats",
-    "lang_distribution", "multimodal_meta", "score_mlp",
+    "lang_distribution", "multimodal_meta", "audio_meta", "score_mlp",
 ]
 
 
