@@ -308,6 +308,21 @@ def q_kleene_deferred(spark, sf):
     )
 
 
+def q_and_pattern(spark, sf):
+    """AND(signup, error) — any-order conjunction (AndState
+    sase.rs:738-772): both events within the 2h budget regardless of
+    arrival order. Lowered as the union of both SEQ permutations; oracle =
+    the two-sided time-band join."""
+    p = Pattern(
+        steps=[step("signup", "a"), step("error", "b")],
+        within="2h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+        any_order=True,
+    )
+    return Stream.events(spark, sf).partition_by("user_id").pattern(p).df
+
+
 def q_greta_windowed(spark, sf):
     """Whole-span `within` via pane composition (GRETA §5): purchase trends
     per user per 6h tumbling pane. Predicate-free closed form per pane
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kleene_purchases": q_kleene_purchases,
         "kleene_maximal": q_kleene_maximal,
         "kleene_deferred": q_kleene_deferred,
+        "and_pattern": q_and_pattern,
         "greta_trend_count": q_greta_trend_count,
         "greta_windowed": q_greta_windowed,
         "greta_rising": q_greta_rising,
@@ -928,6 +944,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(factorial(kq::INT) / (factorial(m::INT) * factorial((kq - m)::INT)) AS BIGINT) AS n_matches
             FROM (SELECT *, UNNEST(range(1, kq::INT + 1)) AS m
                   FROM qual WHERE kq >= 1)
+        """,
+        "and_pattern": """
+            SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'signup' AND b.event_type = 'error'
+             AND a.event_id <> b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 7200000000
         """,
         "greta_trend_count": """
             SELECT user_id,
