@@ -994,3 +994,31 @@ stream ShortCycle = Status where mode == "on" as start_run
     res = run_program(prog, stream)
     units = {r.unit for r in res["ShortCycle"].collect()}
     assert units == {"u1"}
+
+
+def test_watermark_windowed_scenario(spark):
+    """watermark_windowed.vpl + .evt (watermark_tests.rs:80-108): 3 events
+    in the first 5s tumbling window, the @8s event advances the watermark
+    past the boundary and lands in the second window."""
+    res = run_scenario(spark, "watermark_windowed")
+    counts = sorted(r.event_count for r in res["Windowed"].collect())
+    assert counts == [1, 3]
+
+
+def test_checkpoint_session_window_scenario(spark):
+    """checkpoint_session_window.vpl + phase1/phase2
+    (checkpoint_tests.rs:365-425): the session restored across the restart
+    closes on the 6s-gap event with the 3 pre-restart events intact
+    (n=3, sum=300); the closing event opens its own session. Replay
+    model: phases re-run together — state re-derivation IS the
+    checkpoint-restore contract here."""
+    with open(f"{SCEN}/checkpoint_session_window.vpl") as f:
+        src = f.read()
+    p1 = open(f"{SCEN}/checkpoint_session_window_phase1.evt").read()
+    p2 = open(f"{SCEN}/checkpoint_session_window_phase2.evt").read()
+    s12 = Stream(load_evt(spark, p1 + "\n" + p2), ts_col="ts", order_col="event_id")
+    rows = sorted(
+        ((r.n, r.sum) for r in run_program(src, s12)["SessionAgg"].collect())
+    )
+    assert rows[-1] == (3, 300.0)  # restored session: 3 events, sum 300
+    assert rows[0][0] == 1  # the gap event opened its own session
