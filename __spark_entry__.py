@@ -469,7 +469,7 @@ def q_audio_meta(spark, sf):
     values themselves verify against numpy in tests/test_extensions.py."""
     from varpulis_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = D.spread(load_table(spark, sf, "documents").select("doc_id", "text"))
     enc = MM.encode_fake_audio(docs)
     feats = MM.audio_features(enc.select("doc_id", "audio"), frame=64, hop=32)
     return feats.groupBy("doc_id", "sample_rate").agg(
