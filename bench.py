@@ -146,6 +146,23 @@ def run_suite(
             if not samples:
                 times[name] = -1.0
                 continue
+            # adaptive de-noising: a >3x min/max spread means a host-load
+            # spike hit some sample (the recurring cross-round artifact);
+            # two extra samples tighten the median instead of shipping a
+            # contaminated number
+            if (
+                len(samples) > 1
+                and min(samples) > 0
+                and max(samples) / min(samples) > 3.0
+            ):
+                for _ in range(2):
+                    n, sec = timed_count(spark, fn, sf_dir, name)
+                    spark.catalog.clearCache()
+                    from varpulis_spark.operators.dedup import release_caches
+
+                    release_caches()
+                    if sec >= 0:
+                        samples.append(sec)
             samples.sort()
             times[name] = round(samples[len(samples) // 2], 3)
             spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
