@@ -467,7 +467,7 @@ def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     level; the quadratic pair explosion runs pipelined on level-2's pinned
     partitions): AQE's size-based coalescing sees a few MB and would run
     the explode on 1-2 tasks."""
-    p = banded.sparkSession.sparkContext.defaultParallelism
+    p = _parallelism(banded)
     salted = banded.withColumn(
         "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
     )

@@ -123,8 +123,9 @@ def cosine_pairs(
 
     spark = corpus_df.sparkSession
     if n_blocks is None:
-        par = spark.sparkContext.defaultParallelism
-        n_blocks = max(2, math.ceil(math.sqrt(2 * par)))
+        from varpulis_spark.operators.dedup import _parallelism
+
+        n_blocks = max(2, math.ceil(math.sqrt(2 * _parallelism(corpus_df))))
 
     base = corpus_df.select(id_col, vec_col).filter(
         F.col(vec_col).isNotNull()
