@@ -325,9 +325,10 @@ def trend_aggregate_multi(
         return pd.DataFrame(rows, columns=out_cols)
 
     if keys:
-        from varpulis_spark.operators.dedup import spread_keys
+        from varpulis_spark.operators.partition_driver import apply_per_key
 
-        return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+        out_cols = list(keys) + ["query", "trend_count", "event_count", "value_sum"]
+        return apply_per_key(df, keys, run, schema, out_cols, sort_cols)
     _warn_single_universe()
     return (
         df.withColumn("__g", F.lit(0))
@@ -426,9 +427,12 @@ def trend_aggregate(
         return pd.DataFrame([row], columns=out_cols)
 
     if keys:
-        from varpulis_spark.operators.dedup import spread_keys
+        from varpulis_spark.operators.partition_driver import apply_per_key
 
-        return spread_keys(df, keys).groupBy(*[F.col(k) for k in keys]).applyInPandas(run, schema)
+        out_cols = list(keys) + ["trend_count", "event_count"] + (
+            ["value_sum"] if has_value else []
+        )
+        return apply_per_key(df, keys, run, schema, out_cols, sort_cols)
     _warn_single_universe()
     return (
         df.withColumn("__g", F.lit(0))
