@@ -418,35 +418,10 @@ def forecast(
         + [f"__first_{c}" for c in in_cols]
     )
 
-    def run_partition(batches):
-        """Per-PARTITION driver (same shape as the SASE batch driver):
-        spread_keys co-locates each key, one global sort + numpy boundary
-        slicing replaces per-group applyInPandas. The user count scales
-        with the corpus (make_sf fixes per-key density), so per-group
-        machinery cost grows linearly with SF — measured 10.0 s → ~4 s at
-        sf1 (15k users) for the PST query."""
-        import numpy as np
+    # per-PARTITION driver (operators/partition_driver): the user count
+    # scales with the corpus (per-key density fixed), so per-group
+    # applyInPandas machinery grew linearly with SF — measured 10.0 s → ~4 s
+    # at sf1 (15k users) for the PST query.
+    from varpulis_spark.operators.partition_driver import apply_per_key
 
-        pdfs = [b for b in batches if len(b)]
-        if not pdfs:
-            yield pd.DataFrame(columns=out_cols)
-            return
-        pdf_all = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
-        pdf_all = pdf_all.sort_values(list(keys) + sort_cols, kind="mergesort")
-        n_rows = len(pdf_all)
-        change = np.zeros(n_rows, dtype=bool)
-        change[0] = True
-        for k in keys:
-            codes = pd.factorize(pdf_all[k], use_na_sentinel=True)[0]
-            change[1:] |= codes[1:] != codes[:-1]
-        bounds = np.append(np.nonzero(change)[0], n_rows)
-        frames = []
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            g = pdf_all.iloc[s0:s1]
-            key_tuple = tuple(g.iloc[0][k] for k in keys)
-            frames.append(run(key_tuple, g))
-        yield pd.concat(frames) if frames else pd.DataFrame(columns=out_cols)
-
-    from varpulis_spark.operators.dedup import spread_keys
-
-    return spread_keys(df, keys).mapInPandas(run_partition, schema)
+    return apply_per_key(df, keys, run, schema, out_cols, sort_cols)
