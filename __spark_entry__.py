@@ -1167,7 +1167,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_dynamic": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   -- DuckDB sum(BIGINT) -> HUGEINT; cast back so the value
+                   -- hash canonicalizes the same way as Spark's LONG
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events
             WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50

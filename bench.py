@@ -1,8 +1,11 @@
 """Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints JSON
 lines {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...} — the LAST line is the most complete
-result (the round driver parses the last JSON line).
+"queries": {name: sec}, "sf": ...} — the LAST line is a COMPACT summary
+(suite totals, per-query seconds, sf1 ratio min/median) sized to survive
+the round driver's bounded tail capture; the full per-query detail
+(spread, events/s, rows, full ratio map) is written to
+BENCH_LOCAL_r$SPARK_GRAFT_ROUND.json.
 
 Each query is forced with a count() action (full pipeline execution, no
 driver-side collect of payloads). BASELINE.md's reference numbers are
@@ -172,6 +175,47 @@ def run_suite(
     return times, spread, rows, skipped
 
 
+def _detail_path() -> str:
+    """Full per-query detail lands here; the stdout line stays compact."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "6")
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
+    )
+
+
+def compact_line(out: dict, detail_path: str) -> str:
+    """ONE small JSON line (VERDICT r5 task 1): the driver's tail capture
+    truncated the full line two rounds running, leaving `parsed: null`
+    despite rc=0. Keep the required contract fields (metric/value/unit/
+    queries/sf) plus summary stats only — per-query eps/spread/rows maps
+    live in the detail file. Target: well under 2 KB for 41 queries."""
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "filter_events_per_sec": out.get("filter_events_per_sec"),
+        "queries_run": sum(1 for v in out["queries"].values() if v >= 0),
+        "skipped": out.get("skipped", []),
+        "detail": os.path.basename(detail_path),
+    }
+    sf1 = out.get("sf1")
+    if isinstance(sf1, dict) and "queries" in sf1:
+        ratios = sorted(sf1.get("eps_ratio_vs_sf0.1", {}).values())
+        c["sf1"] = {
+            "value": sf1["value"],
+            "queries_run": sum(1 for v in sf1["queries"].values() if v >= 0),
+            "eps_ratio_min": ratios[0] if ratios else None,
+            "eps_ratio_median": ratios[len(ratios) // 2] if ratios else None,
+            "skipped": sf1.get("skipped", []),
+            "excluded": sf1.get("excluded", []),
+        }
+    elif isinstance(sf1, dict):
+        c["sf1"] = sf1  # best-effort error record
+    return json.dumps(c)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -216,9 +260,14 @@ def main() -> None:
         "query_timeout_sec": QUERY_TIMEOUT,
     }
     # flush the sf0.1 numbers NOW — a hang in the sf1 block (or an external
-    # kill) must never again destroy the already-measured suite
+    # kill) must never again destroy the already-measured suite. The stdout
+    # line is COMPACT (the driver parses the last line from a bounded tail
+    # capture); the full record goes to the detail file.
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    print(json.dumps(out), flush=True)
+    detail = _detail_path()
+    with open(detail, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(compact_line(out, detail), flush=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         try:
@@ -254,8 +303,11 @@ def main() -> None:
             out["sf1"] = {"error": repr(e)}
 
         out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-        # the complete record (sf0.1 + sf1) is the LAST line
-        print(json.dumps(out), flush=True)
+        # the complete record (sf0.1 + sf1) goes to the detail file; the
+        # LAST stdout line is the compact summary the driver can always parse
+        with open(detail, "w") as f:
+            f.write(json.dumps(out) + "\n")
+        print(compact_line(out, detail), flush=True)
 
 
 if __name__ == "__main__":
