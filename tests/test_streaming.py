@@ -603,3 +603,38 @@ def test_late_side_output_routing(spark, tmp_path):
     assert router.wm_us == (3 * 60 + 20 - 10) * 1_000_000 + (
         int(spark.sql("select unix_micros(timestamp '2026-01-01 00:00:00')")
             .collect()[0][0]))
+
+
+def test_streaming_windowed_join_matches_batch(spark, sf_dir, replay_dir):
+    """Stream-stream windowed equi-join (join.rs:18-71 → withWatermark both
+    sides + equi-key + timestamp±interval band). Micro-batch replay must
+    produce the exact pair set the batch lowering produces, including pairs
+    that span micro-batch boundaries (state carries the open window)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("purchase")
+    e = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("error")
+    out = p.join(e, on="user_id", window="10m", self_alias="p", other_alias="e")
+    assert out.df.isStreaming
+    S.run_to_memory(out, "join_stream")
+    got = {
+        (r.user_id, r.p_event_id, r.e_event_id)
+        for r in spark.table("join_stream").collect()
+    }
+
+    bp = Stream.events(spark, sf_dir, "purchase")
+    be = Stream.events(spark, sf_dir, "error")
+    bout = bp.join(be, on="user_id", window="10m", self_alias="p", other_alias="e")
+    want = {
+        (r.user_id, r.p_event_id, r.e_event_id)
+        for r in bout.df.select("user_id", "p_event_id", "e_event_id").collect()
+    }
+    assert want, "batch join produced no pairs — fixture too small"
+    assert got == want
+
+
+def test_streaming_join_requires_window(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = S.file_source(spark, replay_dir, schema).of_type("purchase")
+    e = S.file_source(spark, replay_dir, schema).of_type("error")
+    with pytest.raises(ValueError, match="window"):
+        p.join(e, on="user_id")

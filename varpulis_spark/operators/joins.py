@@ -42,11 +42,17 @@ from varpulis_spark.functions import duration_ns
 DEFAULT_JOIN_KEY = "symbol"  # reference engine/mod.rs:2202-2207
 
 
+def _interval_us(win_us: int) -> Column:
+    """Exact day-time interval of `win_us` microseconds (no double rounding)."""
+    return F.expr(f"INTERVAL '{win_us // 1_000_000}.{win_us % 1_000_000:06d}' SECOND")
+
+
 def windowed_join(
     sources: dict[str, DataFrame],
     on: str | list[str] | None = None,
     window=None,
     ts_col: str = "ts",
+    watermark=None,
 ) -> DataFrame:
     """N-way windowed equi-join. `sources` maps alias → DataFrame.
 
@@ -54,14 +60,31 @@ def windowed_join(
     (the reference merges fields with source prefixes), plus `ts` = the max
     event time across the matched tuple (the triggering event's time) and the
     join key column(s) unprefixed.
+
+    Streaming (SURVEY §2.6 mapping of join.rs:18-71): when any source is a
+    streaming DataFrame, every streaming source gets `withWatermark(ts,
+    watermark or window)` applied before the join, and the time band is
+    expressed as `ts_b BETWEEN ts_a - window AND ts_a + window` (timestamp ±
+    interval). That form is what Spark's StreamingJoinHelper recognizes for
+    deriving state-eviction watermarks — the reference's JoinBuffer eviction
+    (join.rs:104-121) for free; arithmetic on `unix_micros` would force
+    unbounded state. Interval arithmetic is exact µs, so batch and streaming
+    bands agree at boundaries.
     """
     if len(sources) < 2:
         raise ValueError("windowed_join needs >= 2 sources")
     keys = [on] if isinstance(on, str) else list(on or [DEFAULT_JOIN_KEY])
     win_us = duration_ns(window) // 1000 if window is not None else None
+    streaming = any(df.isStreaming for df in sources.values())
+    if streaming and win_us is None:
+        raise ValueError("stream-stream join requires a window (bounded state)")
 
     aliased: list[tuple[str, DataFrame]] = []
     for alias, df in sources.items():
+        if streaming and df.isStreaming:
+            from varpulis_spark.functions import duration_interval_str
+
+            df = df.withWatermark(ts_col, duration_interval_str(watermark or window))
         renamed = df
         for c in df.columns:
             renamed = renamed.withColumnRenamed(c, f"{alias}_{c}")
@@ -76,12 +99,21 @@ def windowed_join(
             cond = c if cond is None else (cond & c)
         if win_us is not None:
             # band against every already-joined source so the whole tuple
-            # spans <= window (max-min <= window ⇔ all pairwise <= window);
-            # exact µs integer arithmetic — a double-seconds comparison has
-            # ~0.5 µs ulp at epoch magnitudes and flickers at the boundary.
+            # spans <= window (max-min <= window ⇔ all pairwise <= window)
             for prev in seen:
-                dt = F.unix_micros(F.col(f"{alias}_{ts_col}")) - F.unix_micros(F.col(f"{prev}_{ts_col}"))
-                cond = cond & (F.abs(dt) <= F.lit(win_us))
+                a_ts = F.col(f"{alias}_{ts_col}")
+                p_ts = F.col(f"{prev}_{ts_col}")
+                if streaming:
+                    band = (a_ts >= p_ts - _interval_us(win_us)) & (
+                        a_ts <= p_ts + _interval_us(win_us)
+                    )
+                else:
+                    # exact µs integer arithmetic — a double-seconds compare
+                    # has ~0.5 µs ulp at epoch magnitudes and flickers at the
+                    # boundary (kept for batch plan-shape stability)
+                    dt = F.unix_micros(a_ts) - F.unix_micros(p_ts)
+                    band = F.abs(dt) <= F.lit(win_us)
+                cond = cond & band
         joined = joined.join(df, cond, "inner")
         seen.append(alias)
 

@@ -251,16 +251,25 @@ class Stream:
         window=None,
         self_alias: str = "a",
         other_alias: str = "b",
+        watermark=None,
         **more_sources: "Stream | DataFrame",
     ) -> "Stream":
-        """Windowed n-way equi-join (join.rs JoinBuffer semantics)."""
+        """Windowed n-way equi-join (join.rs JoinBuffer semantics).
+
+        On streaming frames this lowers to a stream-stream inner join:
+        `withWatermark` on every streaming side (delay = `watermark` or the
+        window size) plus the equi-key and a timestamp±interval band, so
+        Spark bounds the join state exactly like the reference's JoinBuffer
+        eviction (join.rs:104-121)."""
         sources: dict[str, DataFrame] = {
             self_alias: self.df,
             other_alias: other.df if isinstance(other, Stream) else other,
         }
         for alias, s in more_sources.items():
             sources[alias] = s.df if isinstance(s, Stream) else s
-        out = join_mod.windowed_join(sources, on=on, window=window, ts_col=self.ts_col)
+        out = join_mod.windowed_join(
+            sources, on=on, window=window, ts_col=self.ts_col, watermark=watermark
+        )
         return Stream(out, ts_col=self.ts_col, order_col=None)
 
     def enrich(

@@ -22,8 +22,15 @@ Mapping (SURVEY §2.1/§2.9):
 Windows: tumbling/sliding/session lower to the identical F.window /
 F.session_window expressions as batch; Spark maintains them incrementally
 (the reference's IncrementalSlidingWindow, window.rs:1225-1345, for free).
-Count windows and `.limit` need per-key counters — custom stateful ops, kept
-out of v1 streaming (documented divergence; batch supports them fully).
+Count windows and `.limit` need per-key counters — custom stateful ops
+(applyInPandasWithState drivers below).
+
+Stream-stream windowed join (join.rs:18-71): `Stream.join` on streaming
+frames lowers to `withWatermark` on every streaming side + equi-key +
+timestamp±interval band (operators/joins.py:windowed_join). Spark derives
+the state-eviction watermark from the band — the JoinBuffer expiry
+(join.rs:104-121) for free. Parity-tested micro-batch vs batch on the
+replay corpus (tests/test_streaming.py::test_streaming_windowed_join_*).
 """
 
 from __future__ import annotations
