@@ -900,6 +900,11 @@ def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
 
         out_cols = list(pattern.emit.keys())
 
+        from varpulis_spark.operators.partition_driver import (
+            collect_partition,
+            sorted_key_bounds,
+        )
+
         def run_partition(batches):
             """Per-PARTITION NFA driver: `spread_keys` hash-partitions on
             the pattern keys, so every key's events are co-located; one
@@ -909,26 +914,19 @@ def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
             dominated, the NFA itself is ~0.26 s across tasks). Memory
             holds one shuffle partition in pandas — on a cluster, size
             spark.sql.shuffle.partitions so partitions fit executors, the
-            same contract as every mapInPandas op here."""
-            pdfs = [b for b in batches]
-            pdfs = [b for b in pdfs if len(b)]
-            if not pdfs:
+            same contract as every mapInPandas op here.
+
+            Sort/boundary logic is the shared partition_driver primitives
+            (one canonical copy of the null-key/ordering subtleties); the
+            NFA consumes raw numpy slices, not per-group sub-DataFrames —
+            that slicing-cost saving is the whole point of this driver."""
+            pdf = collect_partition(batches)
+            if pdf is None:
                 yield pd.DataFrame(columns=out_cols)
                 return
-            pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
-            pdf = pdf.sort_values(list(keys) + sort_cols, kind="mergesort")
-            n_rows = len(pdf)
+            pdf, bounds = sorted_key_bounds(pdf, keys, sort_cols)
             ts_all = pdf[ts_col].astype("int64").to_numpy()
             cols_all = {c: pdf[c].to_numpy() for c in pdf.columns}
-            # key-change boundaries via factorize codes: NaN/None map to
-            # the same sentinel, so all-null keys form ONE group exactly
-            # like groupBy's null-safe grouping
-            change = np.zeros(n_rows, dtype=bool)
-            change[0] = True
-            for k in keys:
-                codes = pd.factorize(pdf[k], use_na_sentinel=True)[0]
-                change[1:] |= codes[1:] != codes[:-1]
-            bounds = np.append(np.nonzero(change)[0], n_rows)
             rows: list[dict] = []
             for s0, s1 in zip(bounds[:-1], bounds[1:]):
                 g_cols = {c: v[s0:s1] for c, v in cols_all.items()}
