@@ -745,63 +745,114 @@ def _and_exprs(a, b):
     return b if a is None else (a if b is None else Bin("and", a, b))
 
 
-def _auto_partition_key(
+def _auto_partition_spec(
     steps: list[PatternStep], neg_steps: list[PatternStep] | None = None
-) -> str | None:
-    """`f == first.f` on every later step → partition by f (SASEXT).
+) -> "str | tuple[str, dict[str, str]] | None":
+    """Correlation-key inference (SASEXT `partition by`). Returns
 
-    Global negations (check_global_negations, sase.rs:3000-3034) veto runs in
-    ALL partitions regardless of the negated event's own key — so
+    - a field name when every later step requires `f == first.f` (same
+      field name both sides) → partition on the plain column;
+    - ``(first_field, {event_type: field})`` when steps correlate through
+      CROSS-field equalities (e.g. `NetworkConnection.source_host ==
+      first_fail.target_host`, cxo_cyber_threat.vpl Pattern 1) → the caller
+      keys the stream on a per-event-type CASE expression, turning one NFA
+      universe into per-key parallelism. Sound because every match REQUIRES
+      each constituent's keyed field to equal `first.<first_field>`, so
+      co-partitioning by that value can never separate a match's events —
+      and the NFA still evaluates the full predicates inside each key.
+    - None when any step or negation lacks a required correlation (the
+      unpartitioned NFA is then the only sound lowering).
+
+    Global negations (check_global_negations, sase.rs:3000-3034) veto runs
+    in ALL partitions regardless of the negated event's own key — so
     auto-partitioning is only sound when every negation predicate ITSELF
-    correlates on the same field (then a negated event with a different key
-    could never veto anyway)."""
+    correlates on the same first-step field (then a negated event with a
+    different key value could never veto anyway)."""
     if len(steps) < 2:
         return None
-    first_alias = steps[0].alias
+    first = steps[0]
+    first_alias = first.alias
     if not first_alias:
         return None
 
-    def correlated_field(expr) -> set[str]:
+    def required_pairs(expr) -> set[tuple[str, str]]:
         # Only equalities REQUIRED by the predicate count: walk pure `and`
         # conjunctions, stop at `or`/`not` subtrees — an equality inside a
         # disjunctive branch is optional, and partitioning on it would drop
-        # matches from the other branch.
-        found = set()
+        # matches from the other branch. Pairs are (event_field, first_field)
+        # from `event_field == first_alias.first_field`.
+        pairs: set[tuple[str, str]] = set()
 
         def walk(e):
             if isinstance(e, Bin):
                 if e.op == "==":
-                    l, r = e.left, e.right
-                    for x, y in ((l, r), (r, l)):
+                    for x, y in ((e.left, e.right), (e.right, e.left)):
                         if (
                             isinstance(x, Ref) and len(x.parts) == 1
                             and isinstance(y, Ref) and len(y.parts) == 2
-                            and y.parts[0] == first_alias and y.parts[1] == x.parts[0]
+                            and y.parts[0] == first_alias
                         ):
-                            found.add(x.parts[0])
+                            pairs.add((x.parts[0], y.parts[1]))
                 elif e.op == "and":
                     walk(e.left)
                     walk(e.right)
                 # `or` / `not` / arithmetic: stop — nothing below is required
 
         walk(expr)
-        return found
+        return pairs
 
-    common: set[str] | None = None
-    for s in steps[1:]:
+    step_pairs: list[tuple[PatternStep, set[tuple[str, str]]]] = []
+    for s in list(steps[1:]) + list(neg_steps or []):
         if s.where is None:
             return None
-        fields = correlated_field(s.where)
-        common = fields if common is None else (common & fields)
-        if not common:
+        pairs = required_pairs(s.where)
+        if not pairs:
             return None
-    for ns in neg_steps or []:
-        if ns.where is None:
-            return None  # unkeyed negation vetoes across all partitions
-        common &= correlated_field(ns.where)
-        if not common:
-            return None
-    return sorted(common)[0] if common else None
+        step_pairs.append((s, pairs))
+
+    # first-side fields offered by EVERY later step (and every negation)
+    candidates = set.intersection(*[{y for _x, y in pairs} for _s, pairs in step_pairs])
+
+    # same-field case first: `f == first.f` everywhere → plain column key
+    # (works even when steps carry no event_type, e.g. single-stream-ref
+    # patterns whose types the compiler nulls out)
+    for f in sorted(candidates):
+        if all((f, f) in pairs for _s, pairs in step_pairs):
+            return f
+
+    # cross-field case needs a per-event-type CASE key, so every step
+    # (including the first) must name a concrete event type
+    if not getattr(first, "event_type", None) or any(
+        not getattr(s, "event_type", None) for s, _p in step_pairs
+    ):
+        return None
+    for f in sorted(candidates):
+        # one key field per event type (a type appearing in several steps
+        # must correlate through the same field — otherwise no single CASE
+        # expression keys it)
+        per_type: dict[str, set[str]] = {first.event_type: {f}}
+        ok = True
+        for s, pairs in step_pairs:
+            fields = {x for x, y in pairs if y == f}
+            cur = per_type.get(s.event_type)
+            per_type[s.event_type] = fields if cur is None else (cur & fields)
+            if not per_type[s.event_type]:
+                ok = False
+                break
+        if not ok:
+            continue
+        by_type = {t: (f if f in v else sorted(v)[0]) for t, v in per_type.items()}
+        return (f, by_type)
+    return None
+
+
+def _auto_partition_key(
+    steps: list[PatternStep], neg_steps: list[PatternStep] | None = None
+) -> str | None:
+    """Single-column form of `_auto_partition_spec` (callers that key state
+    on a plain field, e.g. forecast models)."""
+    spec = _auto_partition_spec(steps, neg_steps=neg_steps)
+    return spec if isinstance(spec, str) else None
 
 
 def _classify_emit(kwargs: dict, aliases: set[str], kleene_aliases: set[str],
@@ -1005,9 +1056,29 @@ def compile_pattern_decl(
     neg_asts = [op.args[0] for op in decl.ops if op.name == "not"]
     # explicit `.partition_by(k)` wins over correlation auto-inference
     # (engine/mod.rs:1909-1913: explicit keys applied to the SASE engine)
-    keys = explicit_keys or (
-        lambda k: [k] if k else None
-    )(_auto_partition_key(decl.steps, neg_steps=neg_asts))
+    pstream = stream
+    keys = explicit_keys
+    if not keys:
+        spec = _auto_partition_spec(decl.steps, neg_steps=neg_asts)
+        if isinstance(spec, str):
+            keys = [spec]
+        elif spec is not None:
+            # cross-field correlation: key each event by the field its step
+            # equates to `first.<first_field>` — a per-event-type CASE
+            # column; events of types outside the map (prefiltered anyway)
+            # fall back to the first-step field
+            first_field, by_type = spec
+            key_col = None
+            for t, fld in sorted(by_type.items()):
+                cond = F.col("event_type") == F.lit(t)
+                key_col = (
+                    F.when(cond, F.col(fld)) if key_col is None
+                    else key_col.when(cond, F.col(fld))
+                )
+            pstream = stream.with_column(
+                "__vp_pkey", key_col.otherwise(F.col(first_field))
+            )
+            keys = ["__vp_pkey"]
     p = Pattern(steps=steps_final, within=within, emit=emit,
                 partition_by=keys,
                 strategy=strategy or SKIP_TILL_ANY,
@@ -1018,7 +1089,7 @@ def compile_pattern_decl(
     ts_name = stream.ts_col
     if ts_name not in emit and ts_name not in emit_kwargs:
         emit[ts_name] = (last_alias, ts_name)
-    df = stream.pattern(p).df
+    df = pstream.pattern(p).df
     for k, v in lit_cols.items():
         df = df.withColumn(k, F.lit(v))
     for k, expr in post:
