@@ -235,3 +235,81 @@ def test_score_runs_real_onnx_file(spark, tmp_path):
     want = mlp_reference(x, w1.astype(np.float64), b1.astype(np.float64),
                          w2.astype(np.float64), b2.astype(np.float64)).reshape(-1)
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def attention_reference(x, wq, wk, wv, ln_s, ln_b, eps=1e-5):
+    """Naive-loop single-head self-attention + residual + LayerNorm."""
+    out = np.empty_like(x)
+    d = wq.shape[0]
+    for b in range(x.shape[0]):
+        q, k, v = x[b] @ wq, x[b] @ wk, x[b] @ wv
+        s = q @ k.T / np.sqrt(float(d))
+        e = np.exp(s - s.max(axis=-1, keepdims=True))
+        a = e / e.sum(axis=-1, keepdims=True)
+        res = x[b] + a @ v
+        mu = res.mean(axis=-1, keepdims=True)
+        var = ((res - mu) ** 2).mean(axis=-1, keepdims=True)
+        out[b] = (res - mu) / np.sqrt(var + eps) * ln_s + ln_b
+    return out
+
+
+def test_attention_block_matches_naive_loop():
+    """MatMul/Transpose/Softmax/LayerNormalization compose into a real
+    transformer-encoder attention block (VERDICT r5 task 7)."""
+    d, seq, batch = 8, 5, 3
+    wq = RNG.normal(size=(d, d)).astype(np.float32)
+    wk = RNG.normal(size=(d, d)).astype(np.float32)
+    wv = RNG.normal(size=(d, d)).astype(np.float32)
+    ln_s = RNG.normal(size=(d,)).astype(np.float32)
+    ln_b = RNG.normal(size=(d,)).astype(np.float32)
+    model = M.MiniOnnxModel(M.make_attention_onnx(wq, wk, wv, ln_s, ln_b))
+    x = RNG.normal(size=(batch, seq, d))
+    got = model.run({"x": x})[0]
+    want = attention_reference(
+        x, wq.astype(np.float64), wk.astype(np.float64),
+        wv.astype(np.float64), ln_s.astype(np.float64),
+        ln_b.astype(np.float64),
+    )
+    # f32 weight storage bounds agreement at ~1e-6 relative
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_layernorm_default_scale_axis():
+    """LayerNormalization without scale/bias inputs and a non-default axis
+    normalizes over [axis..rank)."""
+    nodes = [M._node("LayerNormalization", ["x"], ["y"], {"axis": 1})]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"ln", ["x"], ["y"]))
+    x = RNG.normal(size=(2, 3, 4))
+    got = model.run({"x": x})[0]
+    mu = x.reshape(2, -1).mean(axis=1).reshape(2, 1, 1)
+    var = ((x - mu) ** 2).reshape(2, -1).mean(axis=1).reshape(2, 1, 1)
+    np.testing.assert_allclose(got, (x - mu) / np.sqrt(var + 1e-5), rtol=1e-12)
+
+
+def test_lstm_optional_inputs_bind_positionally():
+    """ADVICE r5: an LSTM omitting B/sequence_lens via EMPTY input names but
+    supplying initial_h/initial_c must still bind h0/c0 (a compacted input
+    list silently dropped them)."""
+    hid, inp, seq, batch = 4, 3, 5, 2
+    W = RNG.normal(size=(1, 4 * hid, inp)).astype(np.float32)
+    R = RNG.normal(size=(1, 4 * hid, hid)).astype(np.float32)
+    h0 = RNG.normal(size=(1, batch, hid)).astype(np.float32)
+    c0 = RNG.normal(size=(1, batch, hid)).astype(np.float32)
+    nodes = [
+        M._node("LSTM", ["x", "W", "R", "", "", "h0", "c0"],
+                ["Y", "Y_h", "Y_c"], {"hidden_size": hid}),
+        M._node("Squeeze", ["Y_h"], ["y"], {"axes": [0]}),
+    ]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes, {"W": W, "R": R, "h0": h0, "c0": c0}, b"lstm_hc", ["x"], ["y"]
+    ))
+    x = RNG.normal(size=(seq, batch, inp))
+    got = model.run({"x": x})[0]
+    want = M._lstm(
+        x, W.astype(np.float64), R.astype(np.float64),
+        h0=h0.astype(np.float64), c0=c0.astype(np.float64), hidden=hid,
+    )[1][0]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and it must NOT equal the zero-state result (the r5 bug's output)
+    zero = M._lstm(x, W.astype(np.float64), R.astype(np.float64), hidden=hid)[1][0]
+    assert not np.allclose(got, zero)

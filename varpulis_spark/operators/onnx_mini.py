@@ -20,8 +20,16 @@ slice of ONNX an event-scoring MLP actually needs:
   tricks), MaxPool, AveragePool (count_include_pad honored),
   GlobalAveragePool, GlobalMaxPool, BatchNormalization;
   recurrent (r5): LSTM (single-layer forward, ONNX i,o,f,c gate order,
-  multi-output Y/Y_h/Y_c).
+  multi-output Y/Y_h/Y_c);
+  attention (r6): LayerNormalization (opset-17 form) — with MatMul /
+  Softmax / Transpose already present this runs a full scaled-dot-product
+  self-attention block (see make_attention_onnx).
   Anything else raises NotImplementedError naming the op.
+
+Optional inputs bind POSITIONALLY: ONNX omits an optional input with an
+empty name, so the input list is materialized with None placeholders and
+every op guards its optional slots — a compacted list would silently shift
+h0/c0 into the B/sequence_lens slots of an LSTM that skips B.
 
 `score()` (operators/score.py) prefers onnxruntime when installed and
 falls back here, so the same `.onnx` artifact works in both environments.
@@ -197,7 +205,11 @@ class MiniOnnxModel:
         for nd in self.nodes:
             op, ins, outs, attrs = (nd["op"], nd["inputs"], nd["outputs"],
                                     nd["attrs"])
-            x = [env[i] for i in ins if i]
+            # positional binding with None placeholders: ONNX omits optional
+            # inputs via empty names, so x[k] must stay aligned with the op
+            # spec's input slots (a compacted list silently shifts h0/c0
+            # into the B/sequence_lens slots for e.g. an LSTM that skips B)
+            x = [env[i] if i else None for i in ins]
             if op == "MatMul":
                 r = x[0] @ x[1]
             elif op == "Gemm":
@@ -207,7 +219,7 @@ class MiniOnnxModel:
                 if attrs.get("transB", 0):
                     b = b.T
                 r = attrs.get("alpha", 1.0) * (a @ b)
-                if len(x) > 2:
+                if len(x) > 2 and x[2] is not None:
                     r = r + attrs.get("beta", 1.0) * x[2]
             elif op == "Add":
                 r = x[0] + x[1]
@@ -236,8 +248,8 @@ class MiniOnnxModel:
             elif op == "Constant":
                 r = np.asarray(attrs["value"], dtype=np.float64)
             elif op == "Clip":
-                lo = x[1] if len(x) > 1 else attrs.get("min", -np.inf)
-                hi = x[2] if len(x) > 2 else attrs.get("max", np.inf)
+                lo = x[1] if len(x) > 1 and x[1] is not None else attrs.get("min", -np.inf)
+                hi = x[2] if len(x) > 2 and x[2] is not None else attrs.get("max", np.inf)
                 r = np.clip(x[0], lo, hi)
             elif op == "LeakyRelu":
                 alpha = attrs.get("alpha", 0.01)
@@ -265,11 +277,13 @@ class MiniOnnxModel:
                 r = np.concatenate(x, axis=attrs.get("axis", 0))
             elif op == "Squeeze":
                 axes = [int(a) for a in np.asarray(
-                    x[1] if len(x) > 1 else attrs.get("axes", [])).ravel()]
+                    x[1] if len(x) > 1 and x[1] is not None
+                    else attrs.get("axes", [])).ravel()]
                 r = np.squeeze(x[0], axis=tuple(axes) if axes else None)
             elif op == "Unsqueeze":
                 axes = [int(a) for a in np.asarray(
-                    x[1] if len(x) > 1 else attrs["axes"]).ravel()]
+                    x[1] if len(x) > 1 and x[1] is not None
+                    else attrs["axes"]).ravel()]
                 r = x[0]
                 for a in sorted(axes):
                     r = np.expand_dims(r, a)
@@ -314,12 +328,25 @@ class MiniOnnxModel:
             elif op == "LSTM":
                 r = _lstm(
                     x[0], x[1], x[2],
-                    B=x[3] if len(x) > 3 and ins[3] else None,
-                    h0=x[5] if len(x) > 5 and ins[5] else None,
-                    c0=x[6] if len(x) > 6 and ins[6] else None,
+                    B=x[3] if len(x) > 3 else None,
+                    h0=x[5] if len(x) > 5 else None,
+                    c0=x[6] if len(x) > 6 else None,
                     hidden=attrs.get("hidden_size"),
                     direction=attrs.get("direction", "forward"),
                 )
+            elif op == "LayerNormalization":
+                # normalize over [axis .. rank): the transformer residual
+                # norm (public ONNX spec, opset 17); optional bias input
+                ax = int(attrs.get("axis", -1)) % x[0].ndim
+                eps = attrs.get("epsilon", 1e-5)
+                axes = tuple(range(ax, x[0].ndim))
+                mu = np.mean(x[0], axis=axes, keepdims=True)
+                var = np.mean((x[0] - mu) ** 2, axis=axes, keepdims=True)
+                r = (x[0] - mu) / np.sqrt(var + eps)
+                if len(x) > 1 and x[1] is not None:
+                    r = r * x[1]
+                if len(x) > 2 and x[2] is not None:
+                    r = r + x[2]
             else:
                 raise NotImplementedError(
                     f"ONNX op '{op}' is outside the mini-runtime subset; "
@@ -553,6 +580,39 @@ def make_conv_onnx(
     ]
     inits = {"cw": conv_w, "cb": conv_b, "fw": fc_w, "fb": fc_b}
     return _graph_to_model(nodes, inits, b"mini_conv", ["x"], ["y"])
+
+
+def make_attention_onnx(
+    wq: np.ndarray, wk: np.ndarray, wv: np.ndarray,
+    ln_scale: np.ndarray, ln_bias: np.ndarray,
+) -> bytes:
+    """Single-head scaled-dot-product self-attention block with residual +
+    LayerNormalization (the transformer encoder core):
+
+        Q = x@wq; K = x@wk; V = x@wv
+        A = softmax(Q @ K^T / sqrt(d))
+        y = LayerNorm(x + A @ V; scale, bias)
+
+    input 'x' (batch, seq, d); output 'y' same shape. Exercises
+    MatMul/Transpose/Softmax/Add/LayerNormalization end-to-end."""
+    d = wq.shape[0]
+    scale = np.array(1.0 / np.sqrt(float(d)), dtype=np.float32)
+    nodes = [
+        _node("MatMul", ["x", "wq"], ["q"]),
+        _node("MatMul", ["x", "wk"], ["k"]),
+        _node("MatMul", ["x", "wv"], ["v"]),
+        _node("Transpose", ["k"], ["kt"], {"perm": [0, 2, 1]}),
+        _node("MatMul", ["q", "kt"], ["s0"]),
+        _node("Mul", ["s0", "scl"], ["s1"]),
+        _node("Softmax", ["s1"], ["a"], {"axis": -1}),
+        _node("MatMul", ["a", "v"], ["ctx"]),
+        _node("Add", ["x", "ctx"], ["res"]),
+        _node("LayerNormalization", ["res", "ln_s", "ln_b"], ["y"],
+              {"axis": -1}),
+    ]
+    inits = {"wq": wq, "wk": wk, "wv": wv, "scl": scale,
+             "ln_s": ln_scale, "ln_b": ln_bias}
+    return _graph_to_model(nodes, inits, b"mini_attention", ["x"], ["y"])
 
 
 def make_lstm_onnx(W: np.ndarray, R: np.ndarray, B: np.ndarray,
