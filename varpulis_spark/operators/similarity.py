@@ -302,21 +302,35 @@ def train_ivf_centroids(
     SET is a pure function of the ids — deterministic across partition
     layouts, cluster sizes, and AQE decisions, so seeded Lloyd training
     gives byte-identical centroids everywhere. The count() used to size
-    the threshold is metadata-cheap on parquet. Driver-side the sample is
-    sorted by id and truncated to exactly `sample` rows."""
-    denom = 1 << 20
-    n = corpus_df.count()
-    if n <= sample:
-        cond = F.lit(True)
+    the threshold is cheap. Driver-side the sample is sorted by id and
+    truncated to exactly `sample` rows.
+
+    Requires an `id_col` (default 'vec_id') for the deterministic hash
+    threshold; when the column is absent, falls back to `limit(sample)`
+    sampling (single-task fetch, layout-dependent row set — fine for
+    ad-hoc frames, name an id column for reproducible training).
+    The threshold is sized from the NULL-FILTERED count (ADVICE r5: a
+    corpus with many null embeddings otherwise undershoots `sample`)."""
+    nonnull = corpus_df.filter(F.col(vec_col).isNotNull())
+    if id_col not in corpus_df.columns:
+        rows = [
+            (i, r[0])
+            for i, r in enumerate(nonnull.select(vec_col).limit(sample).collect())
+        ]
     else:
-        # ~1.2x oversample so the hash threshold rarely undershoots
-        thresh = max(1, min(denom, int(denom * sample * 1.2 / n)))
-        cond = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh
-    rows = (
-        corpus_df.select(F.col(id_col).alias("__id"), vec_col)
-        .filter(F.col(vec_col).isNotNull() & cond)
-        .collect()
-    )
+        denom = 1 << 20
+        n = nonnull.count()
+        if n <= sample:
+            cond = F.lit(True)
+        else:
+            # ~1.2x oversample so the hash threshold rarely undershoots
+            thresh = max(1, min(denom, int(denom * sample * 1.2 / n)))
+            cond = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(denom)) < thresh
+        rows = (
+            nonnull.select(F.col(id_col).alias("__id"), vec_col)
+            .filter(cond)
+            .collect()
+        )
     rows.sort(key=lambda r: r[0])
     rows = rows[:sample]
     m = np.array([r[1] for r in rows], dtype=np.float64)
