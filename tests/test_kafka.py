@@ -76,16 +76,17 @@ def test_reader_options_managed_keys_skipped():
 
 
 def test_writer_options_transactional_id():
-    """transactional_id enables exactly-once production
-    (KafkaConfig.transactional_id, kafka.rs:24-26 + managed_kafka's
-    transactional producer)."""
+    """transactional_id lowers to idempotent production ONLY: Spark's Kafka
+    sink never opens a transaction, so a passed-through transactional.id
+    would make every real-broker send throw IllegalStateException
+    (ADVICE r5; the sink is at-least-once by design)."""
     cfg = KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1")
     opts = kafka_writer_options(cfg)
     assert opts["topic"] == "out"
-    assert opts["kafka.transactional.id"] == "app-1"
+    assert "kafka.transactional.id" not in opts  # would break the producer
     assert opts["kafka.enable.idempotence"] == "true"
     plain = kafka_writer_options(KafkaConfig(brokers="b:9092", topic="out"))
-    assert "kafka.transactional.id" not in plain
+    assert "kafka.enable.idempotence" not in plain
 
 
 # ---------------------------------------------------------------------------

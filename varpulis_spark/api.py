@@ -73,10 +73,23 @@ class PipelineServer:
         self.api_key = api_key
         self._pipelines: dict[str, _Pipeline] = {}
         self._server = None
+        import threading
+
+        # ThreadingHTTPServer handles each request on its own thread, but
+        # pipeline state (the _pipelines dict, per-pipeline event logs, the
+        # prev_counts swap in _run_delta) is plain mutable state — serialize
+        # the whole control plane (ADVICE r5); it is a demo/ops surface,
+        # not a data path, so one lock costs nothing.
+        self._lock = threading.Lock()
 
     # -- routing -----------------------------------------------------------
     def handle(self, method: str, path: str, body: bytes,
                headers: dict) -> tuple[int, dict]:
+        with self._lock:
+            return self._handle_locked(method, path, body, headers)
+
+    def _handle_locked(self, method: str, path: str, body: bytes,
+                       headers: dict) -> tuple[int, dict]:
         if self.api_key is not None:
             if headers.get("x-api-key") != self.api_key:
                 return 401, {"error": "invalid_api_key",

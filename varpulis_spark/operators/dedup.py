@@ -671,6 +671,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             out, f"id {id_t}, canon_id {id_t}"
         )
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
+    persisted_edges = edges  # keep the persisted handle: repartition below
+    # rebinds `edges`, and unpersisting THAT frame would leak the cached
+    # edge list for the whole session (ADVICE r5)
     edges = edges.repartition(p, "src")
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
@@ -704,7 +707,21 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    else:
+        # min-label propagation converges in O(component diameter) rounds;
+        # exhausting max_iter with changes pending means some component's
+        # labels are NOT canonical yet — surface it instead of returning
+        # silently-wrong canon_ids
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds ({changed} labels still changing); "
+            "canon_id values may split one component — raise max_iter for "
+            "graphs with diameter > max_iter",
+            stacklevel=2,
+        )
+    persisted_edges.unpersist()
     return labels.select("id", F.col("lbl").alias("canon_id"))
 
 

@@ -8,7 +8,9 @@ reference-parity pieces AROUND the built-in format:
 - `KafkaConfig` mirrors KafkaConfig (kafka.rs:19-55): brokers, topic,
   optional consumer group, pass-through client properties (internally
   managed keys are skipped exactly like apply_properties, kafka.rs:180-192),
-  and the transactional id enabling exactly-once production.
+  and the transactional id lowering to idempotent production (Spark's
+  Kafka sink is at-least-once — it never opens producer transactions, so
+  `transactional.id` itself must not reach the client).
 - `kafka_reader_options` / `kafka_writer_options` lower the config to the
   Spark option maps (client properties get the `kafka.` prefix Spark
   forwards verbatim to the underlying client).
@@ -75,15 +77,19 @@ def kafka_reader_options(
 
 
 def kafka_writer_options(config: KafkaConfig) -> dict[str, str]:
-    """writeStream options for the producer side; a transactional id turns
-    on idempotent/transactional production (KafkaConfig.transactional_id,
-    kafka.rs:24-26)."""
+    """writeStream options for the producer side.
+
+    `transactional_id` (KafkaConfig, kafka.rs:24-26) lowers to IDEMPOTENT
+    production only: Spark's Kafka sink never calls initTransactions/
+    beginTransaction on its producer, so passing `transactional.id` through
+    would make every send throw IllegalStateException against a real broker
+    (ADVICE r5). Spark's Kafka sink is at-least-once; dedupe downstream on
+    a key if exactly-once delivery matters."""
     opts = {
         "kafka.bootstrap.servers": config.brokers,
         "topic": config.topic,
     }
     if config.transactional_id:
-        opts["kafka.transactional.id"] = config.transactional_id
         opts["kafka.enable.idempotence"] = "true"
     for k, v in config.properties.items():
         if k in _MANAGED_KEYS:
