@@ -147,15 +147,70 @@ def test_metrics_and_reload(spark):
     assert m["events_by_type"] == {"Reading": 2}
     assert m["output_rows_total"] == 1  # only the 20.0 reading alerted
 
-    # reload with a lower threshold: the SAME log now yields both alerts
+    # reload with a lower threshold: a FILTER change preserves state
+    # (ReloadReport heuristic, engine/mod.rs:3283-3295) — the already-
+    # announced 20.0 alert is NOT re-announced, while the v1-suppressed
+    # 5.0 surfaces because the replayed program now produces it
     src_v2 = src_v1.replace("> 10", "> 1")
-    status, _ = srv.handle(
+    status, rep = srv.handle(
         "POST", f"/api/v1/pipelines/{pid}/reload",
         json.dumps({"source": src_v2}).encode(), {})
     assert status == 200
+    assert rep["state_preserved"] == ["Hot"]
+    assert rep["streams_updated"] == [] and rep["streams_added"] == []
     status, resp = srv.handle(
         "POST", f"/api/v1/pipelines/{pid}/events",
         json.dumps({"event_type": "Reading", "fields": {"value": 3.0}}).encode(), {})
     assert status == 200
     vs = sorted(e["fields"]["v"] for e in resp["output_events"])
-    assert vs == [3.0, 5.0, 20.0]  # v1-suppressed 5.0 surfaces after reload
+    assert vs == [3.0, 5.0]  # 20.0 already delivered pre-reload
+
+
+def test_reload_report_add_remove_update(spark):
+    """ReloadReport parity (engine/mod.rs:3254-3384): streams added/
+    removed/updated with the source+op-count heuristic; an UPDATED stream
+    drops its delta baseline, so its outputs re-derive from the event log
+    (lossless reset — the replay-model upgrade over the reference's lost
+    NFA state)."""
+    srv = PipelineServer(spark)
+    v1 = (
+        "stream Hot = Reading\n"
+        "    .where(value > 1)\n"
+        "    .emit(alert: \"hot\", v: value)\n"
+        "stream Cold = Reading\n"
+        "    .where(value < 0)\n"
+        "    .emit(alert: \"cold\", v: value)\n"
+    )
+    status, resp = srv.handle(
+        "POST", "/api/v1/pipelines",
+        json.dumps({"name": "r", "source": v1}).encode(), {})
+    pid = resp["id"]
+    status, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 7.0}}).encode(), {})
+    assert [e["fields"]["v"] for e in resp["output_events"]] == [7.0]
+
+    # v2: Hot gains an op (update → state reset), Cold removed, Spike added
+    v2 = (
+        "stream Hot = Reading\n"
+        "    .where(value > 1)\n"
+        "    .distinct(value)\n"
+        "    .emit(alert: \"hot\", v: value)\n"
+        "stream Spike = Reading\n"
+        "    .where(value > 100)\n"
+        "    .emit(alert: \"spike\", v: value)\n"
+    )
+    status, rep = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/reload",
+        json.dumps({"source": v2}).encode(), {})
+    assert status == 200
+    assert rep["streams_added"] == ["Spike"]
+    assert rep["streams_removed"] == ["Cold"]
+    assert rep["streams_updated"] == ["Hot"] == rep["state_reset"]
+    assert rep["state_preserved"] == []
+    # Hot's baseline dropped → its (re-derived) output re-announces
+    status, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 200.0}}).encode(), {})
+    got = {(e["stream"], e["fields"]["v"]) for e in resp["output_events"]}
+    assert got == {("Hot", 7.0), ("Hot", 200.0), ("Spike", 200.0)}

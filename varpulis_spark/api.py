@@ -148,7 +148,11 @@ class PipelineServer:
                 # handle_reload (ReloadPipelineRequest api.rs:80-82): swap
                 # the program, keep the event log — the replay model makes
                 # state carry-over exact (the new program re-derives from
-                # the same events; the reference diffs live NFA state)
+                # the same events; the reference diffs live NFA state).
+                # The response carries the reference's ReloadReport
+                # (engine/mod.rs:3254-3384): added/removed/updated streams
+                # plus state_preserved/state_reset under the same
+                # source-compatibility + op-count heuristic.
                 if not isinstance(payload, dict) or "source" not in payload:
                     return 400, {"error": "expected {source}"}
                 from varpulis_spark.vpl.parser import parse_full
@@ -157,13 +161,23 @@ class PipelineServer:
                     prog = parse_full(payload["source"])
                 except Exception as e:  # noqa: BLE001
                     return 400, {"error": "parse_error", "message": str(e)}
+                report = _reload_report(parse_full(p.source), prog)
                 p.source = payload["source"]
                 p.emit_streams = {
                     d.name for d in prog.streams
                     if any(op.name == "emit" for op in d.ops)
                 }
-                p.prev_counts = {}  # new program: delta baseline resets
-                return 200, {"id": p.id, "status": "reloaded"}
+                # delta baselines: preserved streams keep theirs (their
+                # already-announced outputs are not re-announced); updated/
+                # removed streams drop theirs — the next injection
+                # re-derives the updated streams from the full event log,
+                # which the reference's live-state reset CANNOT (its NFA
+                # state is simply lost; replay makes the reset lossless)
+                drop = set(report["streams_updated"]) | set(report["streams_removed"])
+                p.prev_counts = {
+                    k: v for k, v in p.prev_counts.items() if k[0] not in drop
+                }
+                return 200, {"id": p.id, "status": "reloaded", **report}
         return 404, {"error": "not_found"}
 
     # -- handlers ----------------------------------------------------------
@@ -291,6 +305,40 @@ class PipelineServer:
         if self._server is not None:
             self._server.shutdown()
             self._server = None
+
+
+def _stream_sig(d) -> tuple:
+    """Reload-compatibility signature — the reference's heuristic
+    (engine/mod.rs:3283-3295): source shape + operation count. Predicate
+    (`where`) changes keep the signature equal → state preserved, exactly
+    the reference's 'filter changes: state preserved' rule."""
+    src = getattr(d, "source", None)
+    return (
+        tuple((s.event_type, s.alias, s.kleene) for s in d.steps),
+        type(src).__name__ if src is not None else None,
+        len(d.ops),
+    )
+
+
+def _reload_report(old_prog, new_prog) -> dict:
+    """ReloadReport parity (ReloadReport fields, engine/mod.rs:3254-3384)."""
+    old = {d.name: d for d in old_prog.streams}
+    new = {d.name: d for d in new_prog.streams}
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    updated, preserved = [], []
+    for name in sorted(set(old) & set(new)):
+        if _stream_sig(old[name]) != _stream_sig(new[name]):
+            updated.append(name)
+        else:
+            preserved.append(name)
+    return {
+        "streams_added": added,
+        "streams_removed": removed,
+        "streams_updated": updated,
+        "state_preserved": preserved,
+        "state_reset": updated,
+    }
 
 
 def _jsonable(v):
