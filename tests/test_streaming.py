@@ -638,3 +638,25 @@ def test_streaming_join_requires_window(spark, sf_dir, replay_dir):
     e = S.file_source(spark, replay_dir, schema).of_type("error")
     with pytest.raises(ValueError, match="window"):
         p.join(e, on="user_id")
+
+
+def test_streaming_join_state_is_bounded(spark, sf_dir, replay_dir):
+    """The join's state must EVICT as the watermark advances (the
+    JoinBuffer-expiry analog, join.rs:104-121): Spark only derives the
+    state watermark when the band condition is in timestamp±interval form —
+    a regression to unix_micros arithmetic would silently make join state
+    grow without bound at scale."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("purchase")
+    e = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("error")
+    j = p.join(e, on="user_id", window="10m", self_alias="p", other_alias="e")
+    q = (j.df.writeStream.format("memory").queryName("jstate_guard")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    ops = [pr["stateOperators"][0] for pr in q.recentProgress
+           if pr.get("stateOperators")]
+    assert ops and ops[-1]["operatorName"] == "symmetricHashJoin"
+    assert sum(o.get("numRowsRemoved", 0) for o in ops) > 0, (
+        "no state eviction: the join's state watermark was not derived "
+        "from the band condition"
+    )
