@@ -313,3 +313,62 @@ def test_lstm_optional_inputs_bind_positionally():
     # and it must NOT equal the zero-state result (the r5 bug's output)
     zero = M._lstm(x, W.astype(np.float64), R.astype(np.float64), hidden=hid)[1][0]
     assert not np.allclose(got, zero)
+
+
+def test_erf_gelu_reducesum():
+    """Transformer-FFN ops: exact Gelu = 0.5x(1+erf(x/sqrt 2)); tanh
+    approximation within its published ~1e-3 band; ReduceSum with axes."""
+    import math
+
+    x = np.linspace(-4, 4, 33)
+    nodes = [M._node("Gelu", ["x"], ["y"])]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"g", ["x"], ["y"]))
+    got = model.run({"x": x})[0]
+    want = np.array([0.5 * v * (1 + math.erf(v / math.sqrt(2))) for v in x])
+    np.testing.assert_allclose(got.astype(np.float64), want, rtol=1e-12)
+
+    nodes = [M._node("Gelu", ["x"], ["y"], {"approximate": "tanh"})]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"gt", ["x"], ["y"]))
+    got_t = model.run({"x": x})[0]
+    np.testing.assert_allclose(got_t, want, atol=2e-3)
+
+    nodes = [M._node("Erf", ["x"], ["y"])]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"e", ["x"], ["y"]))
+    np.testing.assert_allclose(
+        model.run({"x": x})[0].astype(np.float64),
+        np.array([math.erf(v) for v in x]), rtol=1e-12)
+
+    X = RNG.normal(size=(2, 3, 4))
+    nodes = [M._node("ReduceSum", ["x"], ["y"], {"axes": [1], "keepdims": 0})]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"rs", ["x"], ["y"]))
+    np.testing.assert_allclose(model.run({"x": X})[0], X.sum(axis=1), rtol=1e-12)
+
+
+def test_transformer_ffn_block():
+    """Attention + Gelu-FFN + residual LayerNorm — the full encoder layer
+    shape runs through the mini-runtime."""
+    d, ff, seq = 4, 8, 3
+    w1 = RNG.normal(size=(d, ff)).astype(np.float32)
+    w2 = RNG.normal(size=(ff, d)).astype(np.float32)
+    ln_s = np.ones(d, dtype=np.float32)
+    ln_b = np.zeros(d, dtype=np.float32)
+    nodes = [
+        M._node("MatMul", ["x", "w1"], ["h0"]),
+        M._node("Gelu", ["h0"], ["h1"]),
+        M._node("MatMul", ["h1", "w2"], ["h2"]),
+        M._node("Add", ["x", "h2"], ["res"]),
+        M._node("LayerNormalization", ["res", "ln_s", "ln_b"], ["y"], {"axis": -1}),
+    ]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes, {"w1": w1, "w2": w2, "ln_s": ln_s, "ln_b": ln_b},
+        b"ffn", ["x"], ["y"]))
+    x = RNG.normal(size=(2, seq, d))
+    got = model.run({"x": x})[0]
+    import math
+    h = x @ w1.astype(np.float64)
+    h = 0.5 * h * (1 + np.vectorize(math.erf)(h / math.sqrt(2)))
+    res = x + h @ w2.astype(np.float64)
+    mu = res.mean(axis=-1, keepdims=True)
+    var = ((res - mu) ** 2).mean(axis=-1, keepdims=True)
+    want = (res - mu) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(got.astype(np.float64), want, rtol=1e-5, atol=1e-7)

@@ -23,7 +23,8 @@ slice of ONNX an event-scoring MLP actually needs:
   multi-output Y/Y_h/Y_c);
   attention (r6): LayerNormalization (opset-17 form) — with MatMul /
   Softmax / Transpose already present this runs a full scaled-dot-product
-  self-attention block (see make_attention_onnx).
+  self-attention block (see make_attention_onnx); Erf / Gelu (exact +
+  tanh-approximate) / ReduceSum for transformer FFNs.
   Anything else raises NotImplementedError naming the op.
 
 Optional inputs bind POSITIONALLY: ONNX omits an optional input with an
@@ -287,13 +288,25 @@ class MiniOnnxModel:
                 r = x[0]
                 for a in sorted(axes):
                     r = np.expand_dims(r, a)
-            elif op == "ReduceMean":
+            elif op in ("ReduceMean", "ReduceSum"):
                 axes = attrs.get("axes")
-                r = np.mean(
+                if axes is None and len(x) > 1 and x[1] is not None:
+                    axes = [int(a) for a in np.asarray(x[1]).ravel()]
+                fn = np.mean if op == "ReduceMean" else np.sum
+                r = fn(
                     x[0],
                     axis=tuple(axes) if axes else None,
                     keepdims=bool(attrs.get("keepdims", 1)),
                 )
+            elif op == "Erf":
+                r = _erf(x[0])
+            elif op == "Gelu":
+                # opset-20 Gelu: exact erf form, or tanh approximation
+                if attrs.get("approximate", "none") == "tanh":
+                    r = 0.5 * x[0] * (1.0 + np.tanh(
+                        np.sqrt(2.0 / np.pi) * (x[0] + 0.044715 * x[0] ** 3)))
+                else:
+                    r = 0.5 * x[0] * (1.0 + _erf(x[0] / np.sqrt(2.0)))
             elif op == "BatchNormalization":
                 # X, scale, B, mean, var — channel axis 1
                 eps = attrs.get("epsilon", 1e-5)
@@ -359,6 +372,20 @@ class MiniOnnxModel:
             else:
                 env[outs[0]] = r
         return [env[o] for o in self.graph_outputs]
+
+
+def _erf(a: np.ndarray) -> np.ndarray:
+    """Double-precision erf without scipy: stdlib math.erf vectorized.
+    Scoring batches are thousands of rows — per-element C-call cost is
+    acceptable; replace with scipy.special.erf if available."""
+    import math
+
+    try:
+        from scipy.special import erf as _serf  # pragma: no cover
+
+        return _serf(a)
+    except ImportError:
+        return np.frompyfunc(math.erf, 1, 1)(np.asarray(a, dtype=np.float64)).astype(np.float64)
 
 
 # -- conv-net / recurrent kernels (public ONNX operator specs) ---------------
