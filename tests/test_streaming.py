@@ -660,3 +660,33 @@ def test_streaming_join_state_is_bounded(spark, sf_dir, replay_dir):
         "no state eviction: the join's state watermark was not derived "
         "from the band condition"
     )
+
+
+def test_streaming_three_way_join_matches_batch(spark, sf_dir, replay_dir):
+    """Chained (n-way) stream-stream join: Spark permits at most one
+    event-time column per join input, so the lowering consolidates after
+    every step — strips watermark tags and re-watermarks the tuple's max
+    event time — while the exact pairwise bands stay as residual
+    predicates (joins.py windowed_join). Micro-batch replay must equal the
+    batch pair set exactly."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    a = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("view")
+    b = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("click")
+    c = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("view")
+    out = a.join(b, on="user_id", window="6h", self_alias="a", other_alias="b", c=c)
+    S.run_to_memory(out, "join3_stream")
+    got = {
+        (r.user_id, r.a_event_id, r.b_event_id, r.c_event_id)
+        for r in spark.table("join3_stream").collect()
+    }
+
+    ba = Stream.events(spark, sf_dir, "view")
+    bb = Stream.events(spark, sf_dir, "click")
+    bc = Stream.events(spark, sf_dir, "view")
+    bout = ba.join(bb, on="user_id", window="6h", self_alias="a", other_alias="b", c=bc)
+    want = {
+        (r.user_id, r.a_event_id, r.b_event_id, r.c_event_id)
+        for r in bout.df.select("user_id", "a_event_id", "b_event_id", "c_event_id").collect()
+    }
+    assert len(want) > 10, "fixture produced too few triples"
+    assert got == want

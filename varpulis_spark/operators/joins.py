@@ -92,6 +92,7 @@ def windowed_join(
 
     first_alias, joined = aliased[0]
     seen = [first_alias]
+    wm_ts = f"{first_alias}_{ts_col}"  # the watermarked event-time column
     for alias, df in aliased[1:]:
         cond = None
         for k in keys:
@@ -116,6 +117,27 @@ def windowed_join(
                 cond = cond & band
         joined = joined.join(df, cond, "inner")
         seen.append(alias)
+        if streaming and alias != aliased[-1][0]:
+            # Spark allows AT MOST ONE event-time column per join input
+            # (StreamingJoinHelper rejects a side with several watermarked
+            # columns), so a chained n-way join keeps exactly the FIRST
+            # side's tag flowing: every other ts column is re-aliased with
+            # empty metadata (a fresh, untagged attribute — same values).
+            # The next join's pairwise band against the still-tagged
+            # `{first}_{ts_col}` is what Spark derives state eviction
+            # from; the other bands stay as exact residual predicates.
+            joined = joined.select(
+                *[
+                    F.col(c)
+                    if c == wm_ts
+                    else (
+                        F.col(c).alias(c, metadata={})
+                        if c in {f"{a}_{ts_col}" for a in seen}
+                        else F.col(c)
+                    )
+                    for c in joined.columns
+                ]
+            )
 
     ts_cols = [F.col(f"{a}_{ts_col}") for a in seen]
     joined = joined.withColumn(ts_col, F.greatest(*ts_cols) if len(ts_cols) > 1 else ts_cols[0])

@@ -29,8 +29,12 @@ Stream-stream windowed join (join.rs:18-71): `Stream.join` on streaming
 frames lowers to `withWatermark` on every streaming side + equi-key +
 timestamp±interval band (operators/joins.py:windowed_join). Spark derives
 the state-eviction watermark from the band — the JoinBuffer expiry
-(join.rs:104-121) for free. Parity-tested micro-batch vs batch on the
-replay corpus (tests/test_streaming.py::test_streaming_windowed_join_*).
+(join.rs:104-121) for free. N-way chains work too: after each step only
+the first side's event-time tag keeps flowing (Spark allows one per join
+input), with the remaining bands as exact residual predicates. Parity-
+tested micro-batch vs batch on the replay corpus (2-way + 3-way,
+tests/test_streaming.py::test_streaming_*_join_*), with a state-eviction
+guard pinning the bounded-state plan shape.
 """
 
 from __future__ import annotations
