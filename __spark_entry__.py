@@ -176,6 +176,23 @@ def q_windowed_join_10m(spark, sf):
     )
 
 
+def q_windowed_join_3way(spark, sf):
+    """N-way windowed equi-join (join.rs JoinBuffer n-source semantics:
+    one merged event per key-matching tuple whose events all lie within
+    the window). Three chained equi-joins with pairwise time bands — the
+    same lowering the streaming side runs with watermark-bounded state."""
+    a = Stream.events(spark, sf, "view")
+    b = Stream.events(spark, sf, "click")
+    c = Stream.events(spark, sf, "view")
+    out = a.join(b, on="user_id", window="2h", self_alias="a", other_alias="b", c=c)
+    return out.df.select(
+        F.col("user_id"),
+        F.col("a_event_id").alias("a_id"),
+        F.col("b_event_id").alias("b_id"),
+        F.col("c_event_id").alias("c_id"),
+    )
+
+
 def q_enrich_orders(spark, sf):
     orders = Stream.from_df(load_table(spark, sf, "orders"), ts_col="o_orderdate")
     cust = load_table(spark, sf, "customer")
@@ -652,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_earliest": q_distinct_earliest,
         "merge_union": q_merge_union,
         "windowed_join_10m": q_windowed_join_10m,
+        "windowed_join_3way": q_windowed_join_3way,
         "enrich_orders": q_enrich_orders,
         "stats_by_type": q_stats_by_type,
         "ema_macd": q_ema_macd,
@@ -793,6 +811,19 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = e.user_id
              AND p.event_type = 'purchase' AND e.event_type = 'error'
              AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 600000000
+        """,
+        "windowed_join_3way": """
+            SELECT a.user_id AS user_id, a.event_id AS a_id,
+                   b.event_id AS b_id, c.event_id AS c_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 7200000000
+            JOIN events c
+              ON a.user_id = c.user_id
+             AND abs(epoch_us(c.ts) - epoch_us(a.ts)) <= 7200000000
+             AND abs(epoch_us(c.ts) - epoch_us(b.ts)) <= 7200000000
+            WHERE a.event_type = 'view' AND b.event_type = 'click'
+              AND c.event_type = 'view'
         """,
         "enrich_orders": """
             SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
