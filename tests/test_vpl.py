@@ -124,6 +124,34 @@ stream Z = A as a
     decl3 = [d for d in prog3 if getattr(d, "steps", None)][0]
     assert _auto_partition_spec(decl3.steps) is None
 
+    # a negation with its OWN cross-field correlation joins the key map
+    # (keyed negation can't veto across partitions); an unkeyed negation
+    # vetoes globally and blocks partitioning entirely
+    prog4 = parse_program("""
+stream W = Login as a
+    -> Purchase where user_id == a.user_id as b
+    .not(Logout where session_user == a.user_id)
+    .within(1h)
+    .emit(u: a.user_id)
+""")
+    decl4 = [d for d in prog4 if getattr(d, "steps", None)][0]
+    negs4 = [op.args[0] for op in decl4.ops if op.name == "not"]
+    assert _auto_partition_spec(decl4.steps, neg_steps=negs4) == (
+        "user_id",
+        {"Login": "user_id", "Purchase": "user_id", "Logout": "session_user"},
+    )
+
+    prog5 = parse_program("""
+stream V = Login as a
+    -> Purchase where user_id == a.user_id as b
+    .not(SystemHalt where severity > 3)
+    .within(1h)
+    .emit(u: a.user_id)
+""")
+    decl5 = [d for d in prog5 if getattr(d, "steps", None)][0]
+    negs5 = [op.args[0] for op in decl5.ops if op.name == "not"]
+    assert _auto_partition_spec(decl5.steps, neg_steps=negs5) is None
+
 
 def test_cyber_vpl_patterns_partition(spark):
     """The cyber kill-chain .vpl compiles with NO unpartitioned-NFA
