@@ -690,3 +690,54 @@ def test_streaming_three_way_join_matches_batch(spark, sf_dir, replay_dir):
     }
     assert len(want) > 10, "fixture produced too few triples"
     assert got == want
+
+
+def test_vpl_program_runs_on_streaming_source(spark, sf_dir, replay_dir):
+    """The same VPL text runs in batch AND streaming: `Stream.pattern` /
+    `.distinct` / `.limit` now dispatch to their stateful streaming twins
+    on a streaming frame, so `run_program` needs no mode flag. Pattern
+    output parity is exact vs the batch run."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream Funnel = signup as a
+    -> purchase where user_id == a.user_id as b
+    .within(24h)
+    .emit(user_id: a.user_id, a_id: a.event_id, b_id: b.event_id)
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["Funnel"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.a_id, r.b_id) for r in spark.table("vpl_stream").collect()}
+
+    bout = run_program(src_text, Stream.events(spark, sf_dir))["Funnel"]
+    want = {(r.user_id, r.a_id, r.b_id) for r in bout.collect()}
+    assert want and got == want
+
+
+def test_stream_distinct_limit_dispatch_streaming(spark, sf_dir, replay_dir):
+    """`.distinct(col)` / `.limit(n)` on streaming frames run the stateful
+    twins through the SAME fluent API as batch."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    d = src.distinct("user_id")
+    assert d.df.isStreaming
+    S.run_to_memory(d, "disp_distinct")
+    got_users = sorted(r.user_id for r in spark.table("disp_distinct").collect())
+    want_users = sorted(
+        r.user_id for r in
+        Stream.events(spark, sf_dir).df.select("user_id").distinct().collect()
+    )
+    assert got_users == want_users
+
+    lim = src.partition_by("user_id").limit(3)
+    assert lim.df.isStreaming
+    S.run_to_memory(lim, "disp_limit")
+    rows = spark.table("disp_limit").collect()
+    from collections import Counter
+    per_user = Counter(r.user_id for r in rows)
+    assert per_user and max(per_user.values()) <= 3

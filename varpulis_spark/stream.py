@@ -131,10 +131,20 @@ class Stream:
     def with_column(self, alias: str, expr: Column | str) -> "Stream":
         return self._with(self.df.withColumn(alias, as_col(expr)))
 
-    def distinct(self, *exprs: str | Column) -> "Stream":
+    def distinct(self, *exprs: str | Column, ttl: str | None = None) -> "Stream":
         """Dedup by expression value, or the whole event when no args
         (DistinctState engine/types.rs:289-295; the reference bounds state
-        with a 100k LRU — batch semantics keep first occurrence by time)."""
+        with a 100k LRU — batch semantics keep first occurrence by time).
+
+        Streaming inputs dispatch to the stateful twin (first-seen per key,
+        optional `ttl` re-admits keys after event-time expiry)."""
+        if self.df.isStreaming:
+            from varpulis_spark.streaming import distinct_streaming
+
+            cols = [e if isinstance(e, str) else str(e) for e in exprs]
+            return distinct_streaming(self, *cols, ttl=ttl)
+        if ttl is not None:
+            raise ValueError("distinct ttl applies to streaming inputs only")
         if not exprs:
             return self._with(self.df.distinct())
         # keep the earliest event per distinct key (arrival order analog)
@@ -163,7 +173,12 @@ class Stream:
     def limit(self, n: int) -> "Stream":
         """Pass at most n events (LimitState engine/types.rs:298-301 — the
         reference passes the FIRST n seen, i.e. arrival ≈ event-time order).
-        After an explicit .order_by() the limit respects that order instead."""
+        After an explicit .order_by() the limit respects that order instead.
+        Streaming inputs dispatch to the stateful per-key counter twin."""
+        if self.df.isStreaming:
+            from varpulis_spark.streaming import limit_streaming
+
+            return limit_streaming(self, n)
         if self._ordered:
             return self._with(self.df.limit(n))
         order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
@@ -296,7 +311,15 @@ class Stream:
     # -- patterns (SASE+) -----------------------------------------------------
 
     def pattern(self, pattern) -> "Stream":
-        """Run a SASE+ pattern (operators/sase.py) over this stream."""
+        """Run a SASE+ pattern (operators/sase.py) over this stream.
+
+        On a streaming input this dispatches to the incremental NFA
+        (streaming.apply_pattern_streaming, applyInPandasWithState) — the
+        same program text runs in both modes, like trend_aggregate."""
+        if self.df.isStreaming:
+            from varpulis_spark.streaming import apply_pattern_streaming
+
+            return apply_pattern_streaming(self, pattern)
         from varpulis_spark.operators.sase import apply_pattern_batch
 
         out = apply_pattern_batch(self, pattern)
