@@ -443,6 +443,16 @@ class WindowedStream:
 
     def aggregate(self, **aggs) -> Stream:
         s = self.stream
+        if s.df.isStreaming and self.kind == "count":
+            # time/session windows stream natively (F.window incremental
+            # state); count windows need the per-key arrival counter —
+            # the stateful twin takes (fn, field) specs, not Columns
+            raise NotImplementedError(
+                "streaming count windows: use "
+                "streaming.count_window_streaming(stream, size, "
+                "{alias: (fn, field)}, slide=...) — the Column-expression "
+                "form cannot be introspected into per-batch counters"
+            )
         cols = agg_mod.compile_aggs(aggs, s.ts_col, s.order_col)
         key_cols = [F.col(k) for k in s.keys]
 
