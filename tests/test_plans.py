@@ -48,6 +48,15 @@ def test_windowed_join_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_three_way_join_is_equi_join_chain(spark, sf_dir):
+    """Both chained joins stay equi-joins with the bands as residual
+    predicates — a cartesian anywhere in the chain would be quadratic at
+    scale."""
+    df = E.queries()["windowed_join_3way"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_event_type_prefilter_pushed_for_patterns(spark, sf_dir):
     from varpulis_spark.operators.sase import Pattern, step
 
