@@ -741,3 +741,31 @@ def test_stream_distinct_limit_dispatch_streaming(spark, sf_dir, replay_dir):
     from collections import Counter
     per_user = Counter(r.user_id for r in rows)
     assert per_user and max(per_user.values()) <= 3
+
+
+def test_vpl_join_source_on_streaming(spark, sf_dir, replay_dir):
+    """`stream J = join(A: ..., B: ...).on(...).window(...)` in VPL runs on
+    a streaming input: both sides watermarked, interval band (state
+    derivable), output equals the batch lowering exactly."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream Views = view
+stream Clicks = click
+stream J = join(Views, Clicks)
+    .on(Views.user_id == Clicks.user_id)
+    .window(30m)
+    .select(uid: Views.user_id, v_id: Views.event_id, c_id: Clicks.event_id)
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["J"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_join_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.uid, r.v_id, r.c_id) for r in spark.table("vpl_join_stream").collect()}
+
+    bout = run_program(src_text, Stream.events(spark, sf_dir))["J"]
+    want = {(r.uid, r.v_id, r.c_id) for r in bout.collect()}
+    assert want and got == want

@@ -1697,7 +1697,17 @@ def _apply_relational_ops(
             out = res._with(df2) if renames else res
             windowed = None
         elif op.name == "distinct":
-            out = out.distinct(*[".".join(a.parts) for a in op.args if isinstance(a, Ref)])
+            # `ttl:` kwarg (streaming extension: re-admit keys after
+            # event-time expiry; no-op surface in the reference, which
+            # bounds distinct state with an LRU instead)
+            ttl = op.kwargs.get("ttl")
+            ttl = ttl.text if isinstance(ttl, Dur) else (
+                ttl.value if isinstance(ttl, Lit) else None
+            )
+            out = out.distinct(
+                *[".".join(a.parts) for a in op.args if isinstance(a, Ref)],
+                **({"ttl": ttl} if ttl else {}),
+            )
         elif op.name == "limit":
             out = out.limit(int(op.args[0].value))
         elif op.name == "first":
@@ -1827,6 +1837,22 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
         return found
 
     dfs = {n: _resolve_part(n, stream, env_streams) for n in names}
+    streaming = any(dfs[n].df.isStreaming for n in names)
+    if streaming:
+        # stream-stream lowering (same rules as operators/joins.py):
+        # watermark every streaming side and express the band as
+        # timestamp±interval so Spark derives state eviction
+        if window is None:
+            raise ValueError("streaming join(...) requires .window (bounded state)")
+        if len(names) > 2:
+            raise NotImplementedError(
+                "streaming join over >2 sources: use Stream.join (the "
+                "aliased-scope lowering can't strip per-side event-time "
+                "tags without breaking name resolution)"
+            )
+        for n in names:
+            if dfs[n].df.isStreaming:
+                dfs[n] = dfs[n].watermark(window)
     base_name = names[0]
     base = dfs[base_name]
     joined = base.df.alias(base_name)
@@ -1841,12 +1867,22 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
         for x in now:
             c = c & to_column(x, qualified)
         if win_ns is not None:
-            # µs precision (unix_micros), matching pos() in sase.py — a
-            # whole-second cast drops sub-second pairs straddling a
-            # second boundary and keeps out-of-window ones
-            lt = F.unix_micros(F.col(f"{base_name}.{base.ts_col}"))
-            rt = F.unix_micros(F.col(f"{n}.{dfs[n].ts_col}"))
-            c = c & (F.abs(lt - rt) * F.lit(1_000) <= F.lit(win_ns))
+            lt_col = F.col(f"{base_name}.{base.ts_col}")
+            rt_col = F.col(f"{n}.{dfs[n].ts_col}")
+            if streaming:
+                from varpulis_spark.operators.joins import _interval_us
+
+                iv = _interval_us(win_ns // 1000)
+                c = c & (rt_col >= lt_col - iv) & (rt_col <= lt_col + iv)
+            else:
+                # µs precision (unix_micros), matching pos() in sase.py — a
+                # whole-second cast drops sub-second pairs straddling a
+                # second boundary and keeps out-of-window ones
+                c = c & (
+                    F.abs(F.unix_micros(lt_col) - F.unix_micros(rt_col))
+                    * F.lit(1_000)
+                    <= F.lit(win_ns)
+                )
         joined = joined.join(dfs[n].df.alias(n), c, "inner")
 
     out = Stream(joined, ts_col=base.ts_col)
