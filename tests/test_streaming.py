@@ -769,3 +769,34 @@ stream J = join(Views, Clicks)
     bout = run_program(src_text, Stream.events(spark, sf_dir))["J"]
     want = {(r.uid, r.v_id, r.c_id) for r in bout.collect()}
     assert want and got == want
+
+
+def test_vpl_count_window_on_streaming(spark, sf_dir, replay_dir):
+    """VPL `.window(n).aggregate(...)` (count window) on a streaming
+    source lowers to the stateful counter twin — same program text, same
+    complete-window results as batch."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream CW = view
+    .partition_by(user_id)
+    .window(5)
+    .aggregate(n: count(), total: sum(value))
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["CW"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_cw")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+        for r in spark.table("vpl_cw").collect()
+    )
+    want = sorted(
+        (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+        for r in run_program(src_text, Stream.events(spark, sf_dir))["CW"]
+        .select("user_id", "window_id", "n", "total").collect()
+    )
+    assert want and got == want

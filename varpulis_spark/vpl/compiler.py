@@ -1680,6 +1680,35 @@ def _apply_relational_ops(
             session = session.text if isinstance(session, Dur) else None
             windowed = out.window(size, sliding=sliding, session=session)
         elif op.name == "aggregate":
+            if (
+                windowed is not None
+                and windowed.kind == "count"
+                and out.df.isStreaming
+            ):
+                # streaming count window: the compiler still holds the agg
+                # AST, so lower straight to the stateful per-key counter
+                # twin (the Column form can't be introspected post-hoc)
+                simple = {"count", "sum", "avg", "min", "max", "first", "last"}
+                specs: dict[str, tuple[str, str | None]] = {}
+                for k, v in op.kwargs.items():
+                    if not (isinstance(v, Call) and v.name in simple):
+                        raise NotImplementedError(
+                            f"streaming count-window aggregate '{k}' must be "
+                            f"one of {sorted(simple)} (got {v!r})"
+                        )
+                    fld = (
+                        ".".join(v.args[0].parts)
+                        if v.args and isinstance(v.args[0], Ref)
+                        else None
+                    )
+                    specs[k] = (v.name, fld)
+                from varpulis_spark.streaming import count_window_streaming
+
+                out = count_window_streaming(
+                    windowed.stream, windowed.size, specs, slide=windowed.slide
+                )
+                windowed = None
+                continue
             aggs = {k: _agg_expr(v) for k, v in op.kwargs.items()}
             # `zone: last(zone)` with partition_by(zone): the reference's
             # aggregate output holds ONE field per alias — the alias
