@@ -800,3 +800,33 @@ stream CW = view
         .select("user_id", "window_id", "n", "total").collect()
     )
     assert want and got == want
+
+
+def test_streaming_kleene_matches_batch(spark, sf_dir, replay_dir):
+    """Kleene closure through the streaming NFA: exhaustive combination
+    enumeration across micro-batch boundaries must equal the batch result
+    (the partial-match state carries open runs between batches)."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = Pattern(
+        steps=[
+            step("signup", "a"),
+            step("purchase", "b", kleene="+"),
+            step("error", "c"),
+        ],
+        within="24h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "n_buys": ("b", "__count"), "c_id": ("c", "event_id")},
+    )
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = src.partition_by("user_id").pattern(p)  # auto-dispatch
+    assert out.df.isStreaming
+    S.run_to_memory(out, "kleene_stream")
+    got = sorted(
+        (r.user_id, r.a_id, r.n_buys, r.c_id)
+        for r in spark.table("kleene_stream").collect()
+    )
+    exp = sorted(
+        (r.user_id, r.a_id, r.n_buys, r.c_id)
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
+    )
+    assert exp and got == exp
