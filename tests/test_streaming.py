@@ -830,3 +830,31 @@ def test_streaming_kleene_matches_batch(spark, sf_dir, replay_dir):
         for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
     )
     assert exp and got == exp
+
+
+def test_streaming_negation_matches_batch(spark, sf_dir, replay_dir):
+    """Negation (`A -> not Error -> B`) through the streaming NFA: a veto
+    event in a LATER micro-batch must still kill the run before the
+    completing event confirms it — requires a watermark so emission defers
+    until no in-window veto can still arrive."""
+    from varpulis_spark.operators.sase import not_step
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    p = Pattern(
+        steps=[step("signup", "a"), not_step("error"), step("purchase", "b")],
+        within="24h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = src.watermark("1h").partition_by("user_id").pattern(p)
+    assert out.df.isStreaming
+    S.run_to_memory(out, "neg_stream")
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id) for r in spark.table("neg_stream").collect()
+    )
+    exp = sorted(
+        (r.user_id, r.a_id, r.b_id)
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
+    )
+    assert exp and got == exp
