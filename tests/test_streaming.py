@@ -858,3 +858,60 @@ def test_streaming_negation_matches_batch(spark, sf_dir, replay_dir):
         for r in Stream.events(spark, sf_dir).partition_by("user_id").pattern(p).df.collect()
     )
     assert exp and got == exp
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, replay_dir):
+    """Session windows stream natively (F.session_window + watermark);
+    every emitted (closed) session must be byte-identical to the batch
+    session result, and most sessions must close under ts-ordered replay."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = (
+        src.watermark("10m")
+        .partition_by("user_id")
+        .window(session="30m")
+        .aggregate(n=A.count(), total=A.sum("value"))
+    )
+    S.run_to_memory(out, "sess_stream", output_mode="append")
+    got = {
+        (r.user_id, r.window_start, r.n, round(r.total, 6))
+        for r in spark.table("sess_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.window_start, r.n, round(r.total, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window(session="30m")
+            .aggregate(n=A.count(), total=A.sum("value"))
+            .df.collect()
+        )
+    }
+    assert got <= exp
+    assert len(got) >= len(exp) * 0.7
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir, replay_dir):
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = (
+        src.watermark("10m")
+        .window("2h", sliding="1h")
+        .aggregate(n=A.count(), mx=A.max("value"))
+    )
+    S.run_to_memory(out, "slide_stream", output_mode="append")
+    got = {
+        (r.window_start, r.n, round(r.mx, 6))
+        for r in spark.table("slide_stream").collect()
+    }
+    exp = {
+        (r.window_start, r.n, round(r.mx, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .window("2h", sliding="1h")
+            .aggregate(n=A.count(), mx=A.max("value"))
+            .df.collect()
+        )
+    }
+    assert got <= exp
+    assert len(got) >= len(exp) * 0.7
