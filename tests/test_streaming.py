@@ -915,3 +915,54 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir, replay_dir):
     }
     assert got <= exp
     assert len(got) >= len(exp) * 0.7
+
+
+def test_hvac_vpl_program_on_streaming(spark, sf_dir, replay_dir):
+    """The README HVAC program shape (filter+emit, windowed zone stats,
+    SASE rapid-swing) runs on a STREAMING source with no text changes:
+    windowed aggregates pick up the reference's 0s default watermark,
+    patterns auto-partition and dispatch to the streaming NFA."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream HighValue = purchase
+    .where(value > 150)
+    .emit(alert: "HIGH", user: user_id, v: value)
+
+stream UserStats = purchase
+    .partition_by(user_id)
+    .window(1h)
+    .aggregate(n: count(), avg_v: avg(value))
+
+stream Swing = purchase as t1
+    -> purchase where user_id == t1.user_id and value > t1.value + 50 as t2
+    .within(6h)
+    .emit(user: t1.user_id, low: t1.value, high: t2.value)
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    res = run_program(src_text, sstream)
+    bres = run_program(src_text, Stream.events(spark, sf_dir))
+
+    def drain(df, name):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+
+    hv = drain(res["HighValue"], "hvac_hv")
+    got_hv = sorted((r.user, round(r.v, 6)) for r in hv.collect())
+    want_hv = sorted((r.user, round(r.v, 6)) for r in bres["HighValue"].collect())
+    assert want_hv and got_hv == want_hv
+
+    us = drain(res["UserStats"], "hvac_us")
+    got_us = {(r.user_id, r.window_start, r.n, round(r.avg_v, 6)) for r in us.collect()}
+    want_us = {(r.user_id, r.window_start, r.n, round(r.avg_v, 6))
+               for r in bres["UserStats"].collect()}
+    assert got_us <= want_us and len(got_us) >= len(want_us) * 0.7
+
+    sw = drain(res["Swing"], "hvac_sw")
+    got_sw = sorted((r.user, round(r.low, 6), round(r.high, 6)) for r in sw.collect())
+    want_sw = sorted((r.user, round(r.low, 6), round(r.high, 6))
+                     for r in bres["Swing"].collect())
+    assert got_sw == want_sw

@@ -56,6 +56,7 @@ class Stream:
         self.ts_col = ts_col
         self.keys = keys or []
         self._ordered = False  # set by .order_by(); .limit() respects it
+        self._watermarked = False  # set by .watermark(); windows default it
         # secondary deterministic order column (e.g. event_id) used to break
         # equal-timestamp ties in order-dependent ops (ema/first/last/SASE)
         self.order_col = order_col
@@ -87,9 +88,12 @@ class Stream:
         return cls(df, ts_col="ts", order_col="event_id")
 
     def _with(self, df: DataFrame, **overrides) -> "Stream":
+        wm = overrides.pop("watermarked", self._watermarked)
         kw = dict(ts_col=self.ts_col, keys=self.keys, order_col=self.order_col, name=self.name)
         kw.update(overrides)
-        return Stream(df, **kw)
+        s = Stream(df, **kw)
+        s._watermarked = wm
+        return s
 
     # -- stateless ops -------------------------------------------------------
 
@@ -233,7 +237,10 @@ class Stream:
         watermark matches the reference's PerSourceWatermarkTracker)."""
         from varpulis_spark.functions import duration_interval_str
 
-        return self._with(self.df.withWatermark(self.ts_col, duration_interval_str(out_of_order)))
+        return self._with(
+            self.df.withWatermark(self.ts_col, duration_interval_str(out_of_order)),
+            watermarked=True,
+        )
 
     # -- windows / aggregation ----------------------------------------------
 
@@ -443,6 +450,16 @@ class WindowedStream:
 
     def aggregate(self, **aggs) -> Stream:
         s = self.stream
+        if (
+            s.df.isStreaming
+            and self.kind in ("time", "session")
+            and not s._watermarked
+        ):
+            # reference default: no `.watermark(out_of_order:)` means events
+            # are treated as in-order (watermark = max event time seen,
+            # PerSourceWatermarkTracker's zero-allowance default) — apply
+            # the 0s watermark so append-mode window aggregates can emit
+            s = s.watermark("0s")
         if s.df.isStreaming and self.kind == "count":
             # time/session windows stream natively (F.window incremental
             # state); count windows need the per-key arrival counter —
