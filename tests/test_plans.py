@@ -171,3 +171,22 @@ def test_minhash_exchanges_carry_no_text(spark, sf_dir):
             continue
         assert "text#" not in section and "__t#" not in section, section
     D.release_caches()
+
+
+def test_no_red_flags_in_any_driver_plan(spark, sf_dir):
+    """Sweep EVERY driver query's physical plan: no cartesian/nested-loop
+    joins (quadratic at scale) and no row-at-a-time Python UDFs
+    (BatchEvalPython — the non-Arrow slow path). `embedding_near_dup` is
+    whitelisted for its row×block-id replication crossJoin (a broadcast of
+    an n_blocks-row frame — the block-matrix shape, not row×row)."""
+    allowed_cartesian = {"embedding_near_dup"}
+    flags = []
+    for name, fn in E.queries().items():
+        plan = plan_of(fn(spark, sf_dir))
+        if name not in allowed_cartesian and (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ):
+            flags.append((name, "cartesian"))
+        if "BatchEvalPython" in plan:
+            flags.append((name, "row-at-a-time PythonUDF"))
+    assert not flags, flags
