@@ -966,3 +966,49 @@ stream Swing = purchase as t1
     want_sw = sorted((r.user, round(r.low, 6), round(r.high, 6))
                      for r in bres["Swing"].collect())
     assert got_sw == want_sw
+
+
+def test_vpl_forecast_on_streaming(spark, tmp_path):
+    """VPL `.forecast` on a streaming source dispatches to the stateful
+    twin: the PST trains incrementally (the reference's native mode) and
+    the emitted probabilities match the batch run on the same sequence."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from varpulis_spark.sources import load_evt
+    from varpulis_spark.vpl.compiler import run_program
+
+    evts = "\n".join(['Login { user: "u1" }', 'Purchase { user: "u1" }'] * 20)
+    batch_stream = Stream(load_evt(spark, evts), ts_col="ts", order_col="event_id")
+    prog = """
+stream F = Login as a
+    -> Purchase as b
+    .partition_by(user)
+    .forecast(confidence: 0.0, warmup: 10, mode: "fast")
+    .emit(user: user, p: forecast_probability)
+"""
+    want = sorted(round(r.p, 9) for r in run_program(prog, batch_stream)["F"].collect())
+
+    # replay the same events through a file stream (2 micro-batches)
+    d = tmp_path / "fc_src"
+    d.mkdir()
+    bdf = batch_stream.df
+    rows = bdf.orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    for i, part in enumerate((rows[:half], rows[half:])):
+        p = str(tmp_path / f"w{i}")
+        spark.createDataFrame(part, bdf.schema).coalesce(1).write.mode("overwrite").parquet(p)
+        src = [f for f in _os.listdir(p) if f.endswith(".parquet")][0]
+        dst = str(d / f"{i}.parquet")
+        import shutil as _sh
+        _sh.copy(_os.path.join(p, src), dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    sstream = S.file_source(spark, str(d), bdf.schema, max_files_per_trigger=1)
+    out = run_program(prog, sstream)["F"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_fc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(round(r.p, 9) for r in spark.table("vpl_fc").collect())
+    assert want and got == want

@@ -1426,9 +1426,7 @@ def _compile_forecast_pattern(
             keys = ["__g"]
             drop_cols = ["__g"]
     src = src.partition_by(*keys)
-    out = _forecast(
-        src,
-        pattern_types,
+    fc_kwargs = dict(
         horizon=horizon if horizon is not None else within,
         max_depth=int(max_depth) if max_depth is not None else None,
         warmup=int(warmup) if warmup is not None else None,
@@ -1437,6 +1435,14 @@ def _compile_forecast_pattern(
         conformal=flag("conformal", True),
         mode=mode,
     )
+    if src.df.isStreaming:
+        # streaming `.forecast` — the reference's native mode (PST trains
+        # as events arrive); per-key engine state rides the state store
+        from varpulis_spark.streaming import forecast_streaming
+
+        out = forecast_streaming(src, pattern_types, **fc_kwargs).df
+    else:
+        out = _forecast(src, pattern_types, **fc_kwargs)
     df = (
         out.withColumnRenamed("completion_prob", "forecast_probability")
         .withColumnRenamed("prob_lo", "forecast_lower")
