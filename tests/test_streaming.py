@@ -1012,3 +1012,63 @@ stream F = Login as a
     q.awaitTermination()
     got = sorted(round(r.p, 9) for r in spark.table("vpl_fc").collect())
     assert want and got == want
+
+
+def test_streaming_score_and_text_stats(spark, sf_dir, replay_dir, tmp_path):
+    """Stateless per-row families stream natively through the same code:
+    `.score` (ONNX mapInPandas) and the text-stats columns produce
+    byte-identical rows on a streaming frame."""
+    import numpy as np
+
+    from varpulis_spark.operators import onnx_mini as OM
+    from varpulis_spark.operators.score import score
+    from varpulis_spark.operators import text as T
+
+    rng = np.random.default_rng(7)
+    w1 = rng.normal(size=(2, 4)).astype(np.float32)
+    b1 = rng.normal(size=(4,)).astype(np.float32)
+    w2 = rng.normal(size=(4, 1)).astype(np.float32)
+    b2 = rng.normal(size=(1,)).astype(np.float32)
+    model = str(tmp_path / "m.onnx")
+    with open(model, "wb") as f:
+        f.write(OM.make_mlp_onnx(w1, b1, w2, b2))
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=2)
+    scored = score(src.df.withColumn("v2", F.col("value") * 2),
+                   model, inputs=["value", "v2"], output="risk")
+    assert scored.isStreaming
+    q = (scored.select("event_id", "risk").writeStream.format("memory")
+         .queryName("score_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.event_id, round(r.risk, 9)) for r in spark.table("score_stream").collect()}
+    bdf = Stream.events(spark, sf_dir).df.withColumn("v2", F.col("value") * 2)
+    want = {(r.event_id, round(r.risk, 9))
+            for r in score(bdf, model, inputs=["value", "v2"], output="risk")
+            .select("event_id", "risk").collect()}
+    assert want and got == want
+
+    # text stats: pure F.* columns — the same expressions stream untouched
+    docs_schema = "doc_id long, text string"
+    rows = [(i, f"hello world the and doc {i} some text!") for i in range(20)]
+    import os as _os
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(rows, docs_schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "w"))
+    src_f = [f for f in _os.listdir(tmp_path / "w") if f.endswith(".parquet")][0]
+    import shutil as _sh
+    _sh.copy(str(tmp_path / "w" / src_f), str(d / "0.parquet"))
+    sdocs = spark.readStream.schema(docs_schema).parquet(str(d))
+    out = T.with_text_stats(sdocs).select("doc_id", "n_tokens", "quality")
+    assert out.isStreaming
+    q2 = (out.writeStream.format("memory").queryName("text_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    got_t = {(r.doc_id, r.n_tokens, round(r.quality, 9))
+             for r in spark.table("text_stream").collect()}
+    want_t = {(r.doc_id, r.n_tokens, round(r.quality, 9))
+              for r in T.with_text_stats(spark.createDataFrame(rows, docs_schema))
+              .select("doc_id", "n_tokens", "quality").collect()}
+    assert got_t == want_t
