@@ -1072,3 +1072,31 @@ def test_streaming_score_and_text_stats(spark, sf_dir, replay_dir, tmp_path):
               for r in T.with_text_stats(spark.createDataFrame(rows, docs_schema))
               .select("doc_id", "n_tokens", "quality").collect()}
     assert got_t == want_t
+
+
+def test_streaming_exact_dedup(spark, sf_dir, replay_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the md5
+    fingerprint): first occurrence per duplicate text survives, state
+    holds 32-char keys. The replay corpus spans < the watermark horizon,
+    so the result must equal the batch distinct-key count exactly."""
+    from varpulis_spark.operators.dedup import exact_dedup_streaming
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    # dedupe on (user_id, event_type) — exercises the fingerprint path via
+    # the string event_type column
+    out = exact_dedup_streaming(
+        src.df, on=["user_id", "event_type"], ts_col="ts", watermark="365 days"
+    )
+    assert out.isStreaming
+    q = (out.select("user_id", "event_type").writeStream.format("memory")
+         .queryName("dedup_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.user_id, r.event_type) for r in spark.table("dedup_stream").collect())
+    want = sorted(
+        (r.user_id, r.event_type)
+        for r in Stream.events(spark, sf_dir).df
+        .select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want

@@ -178,6 +178,34 @@ def exact_dedup(
     )
 
 
+def exact_dedup_streaming(
+    df: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    fingerprint: bool | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST-arriving row per key, with
+    state bounded by the watermark (Spark's dropDuplicatesWithinWatermark
+    — two rows whose event times are within the watermark delay dedupe;
+    rows further apart than the delay may both pass, the standard bounded-
+    state contract). Wide string/binary keys auto-fingerprint to md5 so
+    the state store holds 32-char keys, never document text — the same
+    never-ship-raw-text rule as the batch path."""
+    on = [on] if isinstance(on, str) else list(on)
+    dtypes = dict(df.dtypes)
+    if fingerprint is None:
+        fingerprint = any(dtypes.get(c) in ("string", "binary") for c in on)
+    if fingerprint:
+        keyed = df.withColumn("__fp", fingerprint_col(df, on))
+        key_cols = ["__fp"]
+    else:
+        keyed = df
+        key_cols = on
+    out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return out.drop("__fp") if fingerprint else out
+
+
 # ---------------------------------------------------------------------------
 # vectorized shingle hashing (shared by MinHash / SimHash / Jaccard)
 # ---------------------------------------------------------------------------
