@@ -1100,3 +1100,64 @@ def test_streaming_exact_dedup(spark, sf_dir, replay_dir):
         .select("user_id", "event_type").distinct().collect()
     )
     assert got == want
+
+
+def test_streaming_join_property_random_sets(spark, tmp_path):
+    """Property check: for random event sets (random keys, random times,
+    random window), the streaming join's pair set equals the batch join's —
+    including boundary-exact pairs (|dt| == window) and cross-batch pairs."""
+    import random as _random
+
+    rng = _random.Random(20260814)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    for trial in range(3):
+        n = 40
+        win_s = rng.choice([60, 300, 900])
+        rows = []
+        for i in range(n):
+            rows.append((
+                i,
+                t0 + timedelta(seconds=rng.randrange(0, 3 * win_s)),
+                rng.randrange(0, 5),          # key: few users → collisions
+                "a" if i % 2 == 0 else "b",
+                float(i),
+            ))
+        # force some exact-boundary pairs
+        rows.append((n, t0, 99, "a", 0.0))
+        rows.append((n + 1, t0 + timedelta(seconds=win_s), 99, "b", 1.0))
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        d = tmp_path / f"prop{trial}"
+        d.mkdir()
+        import os as _os
+        import shutil as _sh
+        rows.sort(key=lambda r: r[1])
+        half = len(rows) // 2
+        for bi, part in enumerate((rows[:half], rows[half:])):
+            w = tmp_path / f"prop{trial}_w{bi}"
+            spark.createDataFrame(part, schema).coalesce(1).write.mode(
+                "overwrite").parquet(str(w))
+            src = [f for f in _os.listdir(w) if f.endswith(".parquet")][0]
+            dst = str(d / f"{bi}.parquet")
+            _sh.copy(str(w / src), dst)
+            _os.utime(dst, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+        s_a = S.file_source(spark, str(d), schema, max_files_per_trigger=1).of_type("a")
+        s_b = S.file_source(spark, str(d), schema, max_files_per_trigger=1).of_type("b")
+        j = s_a.join(s_b, on="user_id", window=f"{win_s}s",
+                     self_alias="x", other_alias="y")
+        name = f"prop_join_{trial}"
+        S.run_to_memory(j, name)
+        got = {(r.user_id, r.x_event_id, r.y_event_id)
+               for r in spark.table(name).collect()}
+
+        bdf = spark.createDataFrame(rows, schema)
+        b_a = Stream(bdf.filter(F.col("event_type") == "a"), ts_col="ts")
+        b_b = Stream(bdf.filter(F.col("event_type") == "b"), ts_col="ts")
+        bj = b_a.join(b_b, on="user_id", window=f"{win_s}s",
+                      self_alias="x", other_alias="y")
+        want = {(r.user_id, r.x_event_id, r.y_event_id) for r in bj.df.collect()}
+        assert got == want, f"trial {trial} (win={win_s}s): {got ^ want}"
+        # the planted boundary pair must be present (|dt| == window passes)
+        assert (99, n, n + 1) in want
