@@ -1161,3 +1161,29 @@ def test_streaming_join_property_random_sets(spark, tmp_path):
         assert got == want, f"trial {trial} (win={win_s}s): {got ^ want}"
         # the planted boundary pair must be present (|dt| == window passes)
         assert (99, n, n + 1) in want
+
+
+def test_vpl_distinct_ttl_on_streaming(spark, sf_dir, replay_dir):
+    """VPL `.distinct(field, ttl: d)` on a streaming source lowers to the
+    stateful first-seen twin; with a TTL longer than the corpus span the
+    output equals batch distinct."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream D = view
+    .distinct(user_id, ttl: 365d)
+    .emit(u: user_id)
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["D"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_distinct")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.u for r in spark.table("vpl_distinct").collect())
+    want = sorted(
+        r.user_id for r in Stream.events(spark, sf_dir, "view").df
+        .select("user_id").distinct().collect()
+    )
+    assert got == want

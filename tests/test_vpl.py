@@ -78,8 +78,6 @@ def test_cross_field_auto_partition_spec():
     """Cross-step equality on DIFFERENT fields (NetworkConnection.source_ip
     == first.host_ip style) infers a per-event-type key spec instead of
     falling back to one NFA universe (VERDICT r5 task 5)."""
-    import warnings
-
     from varpulis_spark.vpl.compiler import _auto_partition_spec
     from varpulis_spark.vpl.parser import parse_program
 
