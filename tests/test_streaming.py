@@ -1187,3 +1187,41 @@ stream D = view
         .select("user_id").distinct().collect()
     )
     assert got == want
+
+
+def test_streaming_join_skewed_hot_key(spark, tmp_path):
+    """One user owns ~all events on both sides: the join state for that
+    key holds everything in-window, pairs = n_a × n_b for the hot key.
+    Completes promptly and exactly — hot-key state is bounded by the
+    window, not the corpus."""
+    import os as _os
+    import shutil as _sh
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(150):  # hot key 7: 150 'a' + 150 'b' inside one window
+        rows.append((eid, t0 + timedelta(seconds=i), 7, "a", float(i))); eid += 1
+        rows.append((eid, t0 + timedelta(seconds=i), 7, "b", float(i))); eid += 1
+    for i in range(20):   # background keys
+        rows.append((eid, t0 + timedelta(seconds=i), 100 + i, "a", 0.0)); eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = tmp_path / "skewsrc"
+    d.mkdir()
+    rows.sort(key=lambda r: r[1])
+    half = len(rows) // 2
+    for bi, part in enumerate((rows[:half], rows[half:])):
+        w = tmp_path / f"sw{bi}"
+        spark.createDataFrame(part, schema).coalesce(1).write.mode("overwrite").parquet(str(w))
+        src = [f for f in _os.listdir(w) if f.endswith(".parquet")][0]
+        dst = str(d / f"{bi}.parquet")
+        _sh.copy(str(w / src), dst)
+        _os.utime(dst, (1_700_000_000 + bi, 1_700_000_000 + bi))
+
+    a = S.file_source(spark, str(d), schema, max_files_per_trigger=1).of_type("a")
+    b = S.file_source(spark, str(d), schema, max_files_per_trigger=1).of_type("b")
+    j = a.join(b, on="user_id", window="1h", self_alias="x", other_alias="y")
+    S.run_to_memory(j, "skew_join")
+    n = spark.table("skew_join").count()
+    assert n == 150 * 150  # every in-window cross pair for the hot key
