@@ -435,6 +435,14 @@ class WindowedStream:
                 "bound); use plain .trend_aggregate(within=...) for "
                 "consecutive-gap bounds"
             )
+        if s.df.isStreaming:
+            # the batch pane DP run per micro-batch would silently fragment
+            # windows across batches — a wrong answer, not an error
+            raise NotImplementedError(
+                "windowed trend_aggregate on a streaming input: use "
+                "streaming.trend_aggregate_streaming(stream, ..., "
+                "within=<pane span>) — the stateful incremental form"
+            )
         from varpulis_spark.operators.greta import trend_aggregate as _ta
 
         df = win_mod.explode_time_windows(
