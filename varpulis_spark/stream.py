@@ -146,6 +146,8 @@ class Stream:
             from varpulis_spark.streaming import distinct_streaming
 
             cols = [e if isinstance(e, str) else str(e) for e in exprs]
+            if not cols:
+                cols = list(self.df.columns)  # whole-event distinct
             return distinct_streaming(self, *cols, ttl=ttl)
         if ttl is not None:
             raise ValueError("distinct ttl applies to streaming inputs only")
