@@ -1225,3 +1225,33 @@ def test_streaming_join_skewed_hot_key(spark, tmp_path):
     S.run_to_memory(j, "skew_join")
     n = spark.table("skew_join").count()
     assert n == 150 * 150  # every in-window cross pair for the hot key
+
+
+def test_vpl_derived_stream_pattern_on_streaming(spark, sf_dir, replay_dir):
+    """A pattern over a DERIVED stream (`stream P = Hot as a -> ...`) on a
+    streaming input: the stream-reference router resolves to the upstream
+    streaming frame and the pattern runs the incremental NFA — parity with
+    batch."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+stream Hot = purchase
+    .where(value > 50)
+
+stream Repeat = Hot as a
+    -> Hot where user_id == a.user_id and value > a.value as b
+    .within(24h)
+    .emit(user: a.user_id, first_v: a.value, next_v: b.value)
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["Repeat"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_derived")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.user, round(r.first_v, 6), round(r.next_v, 6))
+                 for r in spark.table("vpl_derived").collect())
+    want = sorted((r.user, round(r.first_v, 6), round(r.next_v, 6))
+                  for r in run_program(src_text, Stream.events(spark, sf_dir))["Repeat"].collect())
+    assert want and got == want
