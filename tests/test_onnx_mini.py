@@ -372,3 +372,40 @@ def test_transformer_ffn_block():
     var = ((res - mu) ** 2).mean(axis=-1, keepdims=True)
     want = (res - mu) / np.sqrt(var + 1e-5)
     np.testing.assert_allclose(got.astype(np.float64), want, rtol=1e-5, atol=1e-7)
+
+
+def test_gather_slice_split_where_expand():
+    """Indexing/masking family: each op vs direct numpy."""
+    X = RNG.normal(size=(4, 6))
+
+    nodes = [M._node("Gather", ["x", "idx"], ["y"], {"axis": 1})]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes, {"idx": np.array([0, 2, 5], dtype=np.int64)}, b"g", ["x"], ["y"]))
+    np.testing.assert_allclose(model.run({"x": X})[0], X[:, [0, 2, 5]])
+
+    nodes = [M._node("Slice", ["x", "st", "en", "ax", "sp"], ["y"])]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes,
+        {"st": np.array([1]), "en": np.array([5]), "ax": np.array([1]),
+         "sp": np.array([2])},
+        b"s", ["x"], ["y"]))
+    np.testing.assert_allclose(model.run({"x": X})[0], X[:, 1:5:2])
+
+    # QKV-style split: one (4, 6) tensor → three (4, 2) heads
+    nodes = [M._node("Split", ["x"], ["q", "k", "v"], {"axis": 1, "num_outputs": 3}),
+             M._node("Concat", ["v", "q"], ["y"], {"axis": 1})]
+    model = M.MiniOnnxModel(M._graph_to_model(nodes, {}, b"sp", ["x"], ["y"]))
+    got = model.run({"x": X})[0]
+    np.testing.assert_allclose(got, np.concatenate([X[:, 4:6], X[:, 0:2]], axis=1))
+
+    nodes = [M._node("Greater", ["x", "zero"], ["m"]),
+             M._node("Where", ["m", "x", "neg"], ["y"])]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes, {"zero": np.zeros(1, dtype=np.float32),
+                "neg": np.full(1, -1.0, dtype=np.float32)}, b"w", ["x"], ["y"]))
+    np.testing.assert_allclose(model.run({"x": X})[0], np.where(X > 0, X, -1.0))
+
+    nodes = [M._node("Expand", ["x", "shape"], ["y"])]
+    model = M.MiniOnnxModel(M._graph_to_model(
+        nodes, {"shape": np.array([3, 4, 6], dtype=np.int64)}, b"e", ["x"], ["y"]))
+    np.testing.assert_allclose(model.run({"x": X})[0], np.broadcast_to(X, (3, 4, 6)))

@@ -24,7 +24,9 @@ slice of ONNX an event-scoring MLP actually needs:
   attention (r6): LayerNormalization (opset-17 form) — with MatMul /
   Softmax / Transpose already present this runs a full scaled-dot-product
   self-attention block (see make_attention_onnx); Erf / Gelu (exact +
-  tanh-approximate) / ReduceSum for transformer FFNs.
+  tanh-approximate) / ReduceSum for transformer FFNs; Gather / Slice /
+  Split / Where / Expand / Shape / Equal / Greater / Less so real
+  exported graphs (QKV splits, embedding lookups, masking) load too.
   Anything else raises NotImplementedError naming the op.
 
 Optional inputs bind POSITIONALLY: ONNX omits an optional input with an
@@ -300,6 +302,50 @@ class MiniOnnxModel:
                 )
             elif op == "Erf":
                 r = _erf(x[0])
+            elif op == "Gather":
+                idx = np.asarray(x[1]).astype(np.int64)
+                r = np.take(x[0], idx, axis=int(attrs.get("axis", 0)))
+            elif op == "Slice":
+                starts = np.asarray(x[1]).astype(np.int64).ravel()
+                ends = np.asarray(x[2]).astype(np.int64).ravel()
+                axes = (
+                    np.asarray(x[3]).astype(np.int64).ravel()
+                    if len(x) > 3 and x[3] is not None
+                    else np.arange(len(starts))
+                )
+                steps = (
+                    np.asarray(x[4]).astype(np.int64).ravel()
+                    if len(x) > 4 and x[4] is not None
+                    else np.ones(len(starts), dtype=np.int64)
+                )
+                sl = [slice(None)] * x[0].ndim
+                for s, e, ax, st in zip(starts, ends, axes, steps):
+                    sl[int(ax)] = slice(int(s), int(e), int(st))
+                r = x[0][tuple(sl)]
+            elif op == "Split":
+                ax = int(attrs.get("axis", 0))
+                if len(x) > 1 and x[1] is not None:
+                    sizes = [int(v) for v in np.asarray(x[1]).ravel()]
+                elif "split" in attrs:
+                    sizes = [int(v) for v in attrs["split"]]
+                else:
+                    n_out = int(attrs.get("num_outputs", len(outs)))
+                    base = x[0].shape[ax] // n_out
+                    sizes = [base] * n_out
+                    sizes[-1] += x[0].shape[ax] - base * n_out
+                r = tuple(np.split(x[0], np.cumsum(sizes)[:-1], axis=ax))
+            elif op == "Where":
+                r = np.where(x[0].astype(bool), x[1], x[2])
+            elif op == "Expand":
+                shape = [int(s) for s in np.asarray(x[1]).ravel()]
+                r = np.broadcast_to(
+                    x[0], np.broadcast_shapes(x[0].shape, tuple(shape))
+                ).copy()
+            elif op == "Shape":
+                r = np.asarray(x[0].shape, dtype=np.float64)
+            elif op in ("Equal", "Greater", "Less"):
+                fn = {"Equal": np.equal, "Greater": np.greater, "Less": np.less}[op]
+                r = fn(x[0], x[1]).astype(np.float64)
             elif op == "Gelu":
                 # opset-20 Gelu: exact erf form, or tanh approximation
                 if attrs.get("approximate", "none") == "tanh":
