@@ -409,3 +409,31 @@ def test_gather_slice_split_where_expand():
     model = M.MiniOnnxModel(M._graph_to_model(
         nodes, {"shape": np.array([3, 4, 6], dtype=np.int64)}, b"e", ["x"], ["y"]))
     np.testing.assert_allclose(model.run({"x": X})[0], np.broadcast_to(X, (3, 4, 6)))
+
+
+def test_multihead_attention_matches_naive_loop():
+    """2-head attention via Split/per-head softmax-attention/Concat — the
+    real exported-transformer path through the op set."""
+    d, seq, batch, heads = 8, 5, 3, 2
+    dh = d // heads
+    wq = RNG.normal(size=(d, d)).astype(np.float32)
+    wk = RNG.normal(size=(d, d)).astype(np.float32)
+    wv = RNG.normal(size=(d, d)).astype(np.float32)
+    wo = RNG.normal(size=(d, d)).astype(np.float32)
+    model = M.MiniOnnxModel(M.make_multihead_attention_onnx(wq, wk, wv, wo, heads))
+    x = RNG.normal(size=(batch, seq, d))
+    got = model.run({"x": x})[0]
+
+    q, k, v = x @ wq.astype(np.float64), x @ wk.astype(np.float64), x @ wv.astype(np.float64)
+    ctxs = []
+    for h in range(heads):
+        qs, ks, vs = (t[..., h * dh:(h + 1) * dh] for t in (q, k, v))
+        out_b = []
+        for b in range(batch):
+            s = qs[b] @ ks[b].T / np.sqrt(float(dh))
+            e = np.exp(s - s.max(axis=-1, keepdims=True))
+            a = e / e.sum(axis=-1, keepdims=True)
+            out_b.append(a @ vs[b])
+        ctxs.append(np.stack(out_b))
+    want = np.concatenate(ctxs, axis=-1) @ wo.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

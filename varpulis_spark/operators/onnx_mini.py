@@ -688,6 +688,46 @@ def make_attention_onnx(
     return _graph_to_model(nodes, inits, b"mini_attention", ["x"], ["y"])
 
 
+def make_multihead_attention_onnx(
+    wq: np.ndarray, wk: np.ndarray, wv: np.ndarray, wo: np.ndarray,
+    n_heads: int = 2,
+) -> bytes:
+    """Multi-head scaled-dot-product self-attention (h heads via Split
+    along the feature axis, per-head attention, Concat, output
+    projection): the composed Split/Transpose/MatMul/Softmax/Concat path
+    a real exported transformer takes. Input 'x' (batch, seq, d); output
+    'y' (batch, seq, d)."""
+    d = wq.shape[0]
+    dh = d // n_heads
+    scale = np.array(1.0 / np.sqrt(float(dh)), dtype=np.float32)
+    nodes = [
+        _node("MatMul", ["x", "wq"], ["q"]),
+        _node("MatMul", ["x", "wk"], ["k"]),
+        _node("MatMul", ["x", "wv"], ["v"]),
+        _node("Split", ["q"], [f"q{h}" for h in range(n_heads)],
+              {"axis": -1, "num_outputs": n_heads}),
+        _node("Split", ["k"], [f"k{h}" for h in range(n_heads)],
+              {"axis": -1, "num_outputs": n_heads}),
+        _node("Split", ["v"], [f"v{h}" for h in range(n_heads)],
+              {"axis": -1, "num_outputs": n_heads}),
+    ]
+    for h in range(n_heads):
+        nodes += [
+            _node("Transpose", [f"k{h}"], [f"kt{h}"], {"perm": [0, 2, 1]}),
+            _node("MatMul", [f"q{h}", f"kt{h}"], [f"s{h}"]),
+            _node("Mul", [f"s{h}", "scl"], [f"sc{h}"]),
+            _node("Softmax", [f"sc{h}"], [f"a{h}"], {"axis": -1}),
+            _node("MatMul", [f"a{h}", f"v{h}"], [f"ctx{h}"]),
+        ]
+    nodes += [
+        _node("Concat", [f"ctx{h}" for h in range(n_heads)], ["cat"],
+              {"axis": -1}),
+        _node("MatMul", ["cat", "wo"], ["y"]),
+    ]
+    inits = {"wq": wq, "wk": wk, "wv": wv, "wo": wo, "scl": scale}
+    return _graph_to_model(nodes, inits, b"mini_mha", ["x"], ["y"])
+
+
 def make_lstm_onnx(W: np.ndarray, R: np.ndarray, B: np.ndarray,
                    hidden: int) -> bytes:
     """Single-layer forward LSTM returning the last hidden state:
