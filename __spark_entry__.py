@@ -615,6 +615,47 @@ def q_score_mlp(spark, sf):
     return out.select("event_id", F.round("risk", 6).alias("risk"))
 
 
+_SEQ_W = (0.25, -0.5, 1.5, 0.125)  # exactly f32/f64-representable
+
+
+def q_score_sequence(spark, sf):
+    """Sequence scoring (`score_sequence`, operators/score.py): per user,
+    the LAST 8 events (ts, event_id ordered) form one (1, 8, 4) tensor
+    scored by a real .onnx sequence model — here mean-pool + linear head,
+    chosen because avg(features)·w is SQL-expressible, so the whole
+    per-key windowing + Arrow + ONNX path hash-checks against an oracle.
+    (The same operator runs the multi-head-attention artifact in
+    tests/test_onnx_mini.py — that scorer has no SQL form.)"""
+    import tempfile
+
+    import numpy as np
+
+    from varpulis_spark.operators.onnx_mini import make_seqpool_linear_onnx
+    from varpulis_spark.operators.score import score_sequence
+
+    w = np.array(_SEQ_W, dtype=np.float32).reshape(4, 1)
+    path = os.path.join(tempfile.gettempdir(), "varpulis_seqpool_r6.onnx")
+    if not os.path.exists(path):
+        with open(path, "wb") as f:
+            f.write(make_seqpool_linear_onnx(w))
+    # integer-valued features + dyadic weights → the whole mean-pool +
+    # dot product is EXACT float64 arithmetic (sums < 2^53, /8 and ·w
+    # exact), so both engines produce bit-identical scores with NO
+    # rounding — decimal rounding would sit on structural 1/3200 ties
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor("value").cast("double").alias("f1"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("double").alias("f2"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("double").alias("f3"),
+        F.lit(1.0).alias("f4"),
+    )
+    out = score_sequence(
+        ev, path, inputs=["f1", "f2", "f3", "f4"], keys=["user_id"],
+        ts_col="ts", order_col="event_id", last_n=8,
+    )
+    return out.select("user_id", "n_events", "seq_score")
+
+
 def _score_oracle_sql() -> str:
     w1, b1, w2, b2 = _score_weights()
     # plain-float reprs: numpy 2.x would print np.float64(...) otherwise
@@ -698,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "score_mlp": q_score_mlp,
+        "score_sequence": q_score_sequence,
         "forecast_pst": q_forecast,
         "props_dynamic": q_props_dynamic,
         "audio_meta": q_audio_meta,
@@ -1207,6 +1249,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "score_mlp": _score_oracle_sql(),
+        "score_sequence": """
+            -- mean-pool + linear head over each user's LAST 8 events:
+            -- score = avg(f)·w with w = (0.25, -0.5, 1.5, 0.125)
+            WITH ranked AS (
+              SELECT user_id,
+                     CAST(floor(value) AS DOUBLE) AS f1,
+                     CAST(event_id % 7 AS DOUBLE) AS f2,
+                     CAST(event_id % 5 AS DOUBLE) AS f3,
+                     1.0 AS f4,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            ), tail AS (
+              SELECT * FROM ranked WHERE rn <= 8
+            )
+            SELECT user_id,
+                   CAST(count(*) AS INT) AS n_events,
+                   avg(f1) * 0.25 + avg(f2) * -0.5
+                   + avg(f3) * 1.5 + avg(f4) * 0.125 AS seq_score
+            FROM tail GROUP BY user_id
+        """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id < 8),
             scored AS (

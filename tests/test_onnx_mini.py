@@ -437,3 +437,43 @@ def test_multihead_attention_matches_naive_loop():
         ctxs.append(np.stack(out_b))
     want = np.concatenate(ctxs, axis=-1) @ wo.astype(np.float64)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_score_sequence_attention_model(spark, tmp_path):
+    """score_sequence: per-user last-n event windows scored by a REAL
+    multi-head-attention .onnx through the Spark pipeline; values match a
+    driver-side numpy rerun of the same model."""
+    from varpulis_spark.operators.score import _load_seq_model, score_sequence
+
+    d = 4
+    wq = RNG.normal(size=(d, d)).astype(np.float32)
+    wk = RNG.normal(size=(d, d)).astype(np.float32)
+    wv = RNG.normal(size=(d, d)).astype(np.float32)
+    wo = RNG.normal(size=(d, d)).astype(np.float32)
+    path = str(tmp_path / "mha.onnx")
+    with open(path, "wb") as f:
+        f.write(M.make_multihead_attention_onnx(wq, wk, wv, wo, n_heads=2))
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        for i in range(10):
+            rows.append((u, t0 + dt.timedelta(seconds=i), i,
+                         float(u + i), float(i % 3), float(u), float(i)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, f1 double, f2 double, f3 double, f4 double"
+    )
+    out = score_sequence(
+        df, path, inputs=["f1", "f2", "f3", "f4"], keys=["user_id"],
+        ts_col="ts", order_col="event_id", last_n=8,
+    ).orderBy("user_id")
+    got = [(r.user_id, r.n_events, round(r.seq_score, 9)) for r in out.collect()]
+
+    predict = _load_seq_model(path)
+    want = []
+    for u in range(6):
+        feats = np.array([[float(u + i), float(i % 3), float(u), float(i)]
+                          for i in range(10)])[-8:]
+        want.append((u, 8, round(predict(feats[None]), 9)))
+    assert got == want

@@ -688,6 +688,18 @@ def make_attention_onnx(
     return _graph_to_model(nodes, inits, b"mini_attention", ["x"], ["y"])
 
 
+def make_seqpool_linear_onnx(w: np.ndarray) -> bytes:
+    """Mean-pool-over-sequence + linear head: (1, seq, d) → ReduceMean
+    over axis 1 → MatMul w(d,1) → (1, 1, 1). The SQL-expressible sequence
+    scorer (score = avg(features) · w) used for the oracle-checked
+    `score_sequence` driver query."""
+    nodes = [
+        _node("ReduceMean", ["x"], ["m"], {"axes": [1], "keepdims": 1}),
+        _node("MatMul", ["m", "w"], ["y"]),
+    ]
+    return _graph_to_model(nodes, {"w": w}, b"mini_seqpool", ["x"], ["y"])
+
+
 def make_multihead_attention_onnx(
     wq: np.ndarray, wk: np.ndarray, wv: np.ndarray, wo: np.ndarray,
     n_heads: int = 2,
