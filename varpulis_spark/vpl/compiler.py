@@ -2173,6 +2173,7 @@ def _apply_event_casts(stream: Stream, env: ProgramEnv) -> Stream:
 def run_program(
     source: str, stream: Stream, tables: dict | None = None,
     sinks: dict | None = None, sources: dict | None = None,
+    base_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """Compile+run every `stream X = ...` declaration against the ingest
     Stream; returns name → result DataFrame.
@@ -2196,7 +2197,7 @@ def run_program(
     `.from(Conn, ...)` reads from that Stream instead of the ingest
     Stream (SourceBinding, engine/types.rs:75-81); unbound names keep the
     replay behavior (ingest IS the source)."""
-    prog = parse_full(source)
+    prog = parse_full(source, base_path=base_path)
     env = ProgramEnv()
     env.tables = dict(tables or {})
     for f in prog.fns:
