@@ -38,6 +38,8 @@ def _indent_of(line: str) -> int:
 
 def _expand_one_pass(source: str) -> str:
     lines = source.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # Rust .lines() drops the trailing empty segment
     out: list[str] = []
     i = 0
     while i < len(lines):
@@ -81,7 +83,7 @@ def _expand_one_pass(source: str) -> str:
                 continue
         out.append(line)
         i += 1
-    return "\n".join(out)
+    return "\n".join(out) + "\n"
 
 
 def expand_declaration_loops(source: str) -> str:
