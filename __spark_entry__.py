@@ -652,6 +652,8 @@ def q_score_sequence(spark, sf):
     out = score_sequence(
         ev, path, inputs=["f1", "f2", "f3", "f4"], keys=["user_id"],
         ts_col="ts", order_col="event_id", last_n=8,
+        runtime="mini",  # exact f64 — oracle hash must not depend on
+        # whether onnxruntime (f32 kernels) is installed (ADVICE r6)
     )
     return out.select("user_id", "n_events", "seq_score")
 

@@ -281,6 +281,22 @@ def test_redis_publish_executor_side(spark, fake_redis):
     assert fake_redis.connections >= 4  # one connection per partition, no driver funnel
 
 
+def test_redis_lazy_driver_conn_keeps_executor_path(spark, fake_redis):
+    """A driver-side set()/get() lazily opens a connection; write_batch must
+    STILL publish executor-side (ADVICE r6: keying the branch on self._conn
+    silently fell back to the toLocalIterator funnel after any set())."""
+    host, port = fake_redis.server_address
+    sink = RedisSink("r", RedisConfig(f"redis://{host}:{port}", "bulk2"))
+    sink.set("k", "v")  # lazily assigns self._conn
+    assert sink._conn is not None and not sink._injected
+    before = fake_redis.connections
+    df = spark.createDataFrame([(i,) for i in range(12)], "id long").repartition(4)
+    sink.write_batch(df, 0)
+    pub = [p for ch, p in fake_redis.published if ch == "bulk2"]
+    assert sorted(json.loads(p)["id"] for p in pub) == list(range(12))
+    assert fake_redis.connections - before >= 4  # per-partition, not the driver funnel
+
+
 # ---------------------------------------------------------------------------
 # http webhook source
 # ---------------------------------------------------------------------------

@@ -1255,3 +1255,66 @@ stream Repeat = Hot as a
     want = sorted((r.user, round(r.first_v, 6), round(r.next_v, 6))
                   for r in run_program(src_text, Stream.events(spark, sf_dir))["Repeat"].collect())
     assert want and got == want
+
+
+def test_streaming_limit_dispatch_is_global(spark, sf_dir, replay_dir):
+    """`.limit(n)` on a KEYED streaming frame matches batch: the reference
+    keeps ONE global LimitState counter (types.rs:296-299), so both modes
+    must return the globally-earliest n rows (ADVICE r6 parity fix).
+    Direct limit_streaming(per_key=True) remains the keyed extension."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = src.partition_by("user_id").limit(5)
+    S.run_to_memory(out, "glim_stream")
+    got = sorted(r.event_id for r in spark.table("glim_stream").collect())
+    want = sorted(
+        r.event_id
+        for r in Stream.events(spark, sf_dir).partition_by("user_id").limit(5).df.collect()
+    )
+    assert len(want) == 5 and got == want
+
+
+def test_streaming_distinct_column_expr(spark, sf_dir, replay_dir):
+    """`.distinct(Column)` on a streaming frame: the expr is materialized
+    before the stateful groupBy (ADVICE r6: str(Column) produced an
+    unresolvable name). Key set must match batch distinct on the same
+    expression."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = src.distinct(F.col("user_id") % 3)
+    assert out.df.isStreaming and "__dk0" not in out.df.columns
+    S.run_to_memory(out, "cdist_stream")
+    got = sorted(r.user_id % 3 for r in spark.table("cdist_stream").collect())
+    want = sorted(
+        r.k for r in Stream.events(spark, sf_dir)
+        .df.select((F.col("user_id") % 3).alias("k")).distinct().collect()
+    )
+    assert got == want
+
+
+def test_mixed_batch_stream_three_way_join(spark, sf_dir, replay_dir):
+    """Mixed n-way join with a BATCH frame as the FIRST alias: the
+    watermark tag must survive on the first STREAMING side's ts column
+    (ADVICE r6: wm_ts was hardcoded to the first alias, so the strip
+    removed the only tagged event-time column and later stream-stream
+    steps lost state eviction). Result must equal the all-batch plan."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    a = Stream.events(spark, sf_dir, "view")  # batch side leads
+    b = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("click")
+    c = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1).of_type("view")
+    out = a.join(b, on="user_id", window="6h", self_alias="a", other_alias="b", c=c)
+    assert out.df.isStreaming
+    S.run_to_memory(out, "mixed3_stream")
+    got = {
+        (r.user_id, r.a_event_id, r.b_event_id, r.c_event_id)
+        for r in spark.table("mixed3_stream").collect()
+    }
+    ba = Stream.events(spark, sf_dir, "view")
+    bb = Stream.events(spark, sf_dir, "click")
+    bc = Stream.events(spark, sf_dir, "view")
+    bout = ba.join(bb, on="user_id", window="6h", self_alias="a", other_alias="b", c=bc)
+    want = {
+        (r.user_id, r.a_event_id, r.b_event_id, r.c_event_id)
+        for r in bout.df.select("user_id", "a_event_id", "b_event_id", "c_event_id").collect()
+    }
+    assert len(want) > 10 and got == want

@@ -92,7 +92,13 @@ def windowed_join(
 
     first_alias, joined = aliased[0]
     seen = [first_alias]
-    wm_ts = f"{first_alias}_{ts_col}"  # the watermarked event-time column
+    # the watermarked event-time column to keep tagged through the chain:
+    # the first STREAMING side's ts — the first alias may be a batch frame
+    # in a mixed join, whose ts carries no watermark tag (ADVICE r6)
+    wm_alias = next(
+        (a for a, _df in aliased if sources[a].isStreaming), first_alias
+    )
+    wm_ts = f"{wm_alias}_{ts_col}"
     for alias, df in aliased[1:]:
         cond = None
         for k in keys:

@@ -75,12 +75,20 @@ def score(
     return df.mapInPandas(run, out_schema)
 
 
-def _load_seq_model(model: str):
+def _load_seq_model(model: str, runtime: str = "auto"):
     """Sequence model: (1, seq, features) -> any-shaped output; the LAST
     scalar of the flattened output is the window's score (for an
     attention stack that is the final position's last feature; for a
-    pooled head it is the single pooled logit)."""
+    pooled head it is the single pooled logit).
+
+    `runtime`: "auto" (onnxruntime when installed, else mini) or "mini"
+    (force the pure-numpy runtime). NOTE the two differ numerically:
+    onnxruntime runs f32 kernels while onnx_mini computes in exact f64 —
+    oracle-checked queries pin runtime="mini" so results are
+    environment-independent (ADVICE r6)."""
     try:
+        if runtime == "mini":
+            raise ImportError  # force the deterministic f64 path
         import onnxruntime
 
         sess = onnxruntime.InferenceSession(model)
@@ -112,6 +120,7 @@ def score_sequence(
     order_col: str | None = None,
     last_n: int = 16,
     output: str = "seq_score",
+    runtime: str = "auto",
 ) -> DataFrame:
     """Sequence scoring: per key, the LAST `last_n` events (ts-ordered)
     form one (1, n, features) tensor scored by a sequence model (e.g. the
@@ -132,7 +141,7 @@ def score_sequence(
 
     def run(key_tuple, g: pd.DataFrame) -> pd.DataFrame:
         if "predict" not in state:
-            state["predict"] = _load_seq_model(model)  # once per worker
+            state["predict"] = _load_seq_model(model, runtime)  # once per worker
         tail = g.iloc[-last_n:]
         x3 = tail[inputs].to_numpy(dtype=np.float64)[None, :, :]
         s = state["predict"](x3)

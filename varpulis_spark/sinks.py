@@ -304,6 +304,9 @@ class RedisSink:
         self.name = name
         self.config = config
         self._conn = connection
+        # lazily-created driver connections (set/get) must NOT flip
+        # write_batch into the driver-funnel branch (ADVICE r6)
+        self._injected = connection is not None
 
     def _connection(self):
         if self._conn is None:
@@ -317,7 +320,7 @@ class RedisSink:
         return self._connection().command("GET", self.config.full_key(key))
 
     def write_batch(self, df: DataFrame, epoch: int) -> None:
-        if self._conn is not None:  # injected double: driver loop
+        if self._injected:  # injected double: driver loop
             conn = self._conn
             for r in _payloads(df).toLocalIterator():
                 conn.command("PUBLISH", self.config.channel, r.p)

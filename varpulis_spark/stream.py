@@ -145,10 +145,21 @@ class Stream:
         if self.df.isStreaming:
             from varpulis_spark.streaming import distinct_streaming
 
-            cols = [e if isinstance(e, str) else str(e) for e in exprs]
+            # Column exprs must be materialized before the stateful groupBy
+            # (str(Column) is a repr, not a resolvable name — ADVICE r6)
+            src, cols, tmp = self, [], []
+            for i, e in enumerate(exprs):
+                if isinstance(e, str):
+                    cols.append(e)
+                else:
+                    name = f"__dk{i}"
+                    src = src.with_column(name, e)
+                    cols.append(name)
+                    tmp.append(name)
             if not cols:
                 cols = list(self.df.columns)  # whole-event distinct
-            return distinct_streaming(self, *cols, ttl=ttl)
+            out = distinct_streaming(src, *cols, ttl=ttl)
+            return out._with(out.df.drop(*tmp)) if tmp else out
         if ttl is not None:
             raise ValueError("distinct ttl applies to streaming inputs only")
         if not exprs:
@@ -184,7 +195,9 @@ class Stream:
         if self.df.isStreaming:
             from varpulis_spark.streaming import limit_streaming
 
-            return limit_streaming(self, n)
+            # global counter even when keyed — matches batch .limit and the
+            # reference's single LimitState (types.rs:296-299; ADVICE r6)
+            return limit_streaming(self, n, per_key=False)
         if self._ordered:
             return self._with(self.df.limit(n))
         order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])

@@ -838,9 +838,14 @@ def distinct_streaming(
     return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
 
 
-def limit_streaming(stream: Stream, n: int) -> Stream:
-    """Streaming `.limit(n)`: pass the first n events per key (all keys
-    share the limit only when partitioned by a constant) — LimitState."""
+def limit_streaming(stream: Stream, n: int, per_key: bool = True) -> Stream:
+    """Streaming `.limit(n)`: pass the first n events.
+
+    The reference keeps ONE global LimitState counter (types.rs:296-299)
+    regardless of `partition by` — `Stream.limit`'s streaming dispatch
+    therefore passes ``per_key=False`` so batch and streaming modes of the
+    same program agree (ADVICE r6).  ``per_key=True`` (default when called
+    directly) is the keyed extension: first n per partition key."""
     import pickle
 
     import pandas as pd
@@ -848,7 +853,7 @@ def limit_streaming(stream: Stream, n: int) -> Stream:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     df = stream.df
-    keys = stream.keys or []
+    keys = (stream.keys or []) if per_key else []
     gdf = df if keys else df.withColumn("__g", F.lit(0))
     gkeys = keys or ["__g"]
     sort_cols = [stream.ts_col] + ([stream.order_col] if stream.order_col else [])
@@ -876,7 +881,7 @@ def limit_streaming(stream: Stream, n: int) -> Stream:
     out = gdf.groupBy(*[F.col(k) for k in gkeys]).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
-    return Stream(out, ts_col=stream.ts_col, keys=keys)
+    return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
 
 
 # ---------------------------------------------------------------------------
