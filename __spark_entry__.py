@@ -519,15 +519,78 @@ def q_simhash_near_dup(spark, sf):
 
 
 def q_ann_ivf(spark, sf):
-    """IVF ANN (rows-only: the k-means coarse quantizer is not
-    SQL-expressible; recall vs exact top-k is pinned in
-    tests/test_extensions.py). Deterministic: seeded Lloyd iterations,
-    rank ties broken by neighbor_id."""
+    """IVF ANN — oracle-checked: training is byte-deterministic (seeded
+    Lloyd on the id-sorted sample; at sf0.01 the full 500-row corpus),
+    so the trained centroids can be re-derived locally from the parquet
+    (train_ivf_centroids_parquet — equality pinned in
+    tests/test_extensions.py) and inlined into the DuckDB oracle as
+    literals; assignment, nprobe probing, and scoring are then plain SQL.
+    Rank ties broken by neighbor_id in both engines."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return SIM.ivf_topk(emb, queries_df, k=10, n_clusters=32, nprobe=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB twin of q_ann_ivf: centroids trained locally from the same
+    parquet (byte-identical to the Spark-side training at sf0.01 — the
+    sample is the full id-sorted corpus) and inlined as DOUBLE[] literals,
+    the way score_mlp inlines its weights."""
+    import os
+
+    from varpulis_spark.operators.similarity import train_ivf_centroids_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cent = train_ivf_centroids_parquet(
+        f"{sf_dir}/embeddings.parquet", n_clusters=32
+    )
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    cent_values = ",".join(f"({c}, {lit(cent[c])})" for c in range(len(cent)))
+    return f"""
+        WITH cent(cluster, cvec) AS (VALUES {cent_values}),
+        corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                    x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        assign AS (
+          SELECT vec_id, cluster,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(v, cvec) DESC, cluster ASC) AS rn
+          FROM corpus CROSS JOIN cent
+        ),
+        corpus_assigned AS (
+          SELECT c.vec_id, c.v, a.cluster
+          FROM corpus c JOIN assign a ON c.vec_id = a.vec_id AND a.rn = 1
+        ),
+        queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 8),
+        probe AS (
+          SELECT query_id, cluster,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY list_dot_product(qv, cvec) DESC, cluster ASC) AS rn
+          FROM queries CROSS JOIN cent
+        ),
+        cand AS (
+          SELECT q.query_id, ca.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, ca.v) AS score
+          FROM queries q
+          JOIN probe p ON p.query_id = q.query_id AND p.rn <= 8
+          JOIN corpus_assigned ca ON ca.cluster = p.cluster
+          WHERE ca.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM cand
+        ) WHERE rank <= 10
+    """
 
 
 def q_minshingle_near_dup(spark, sf):
@@ -1251,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "score_mlp": _score_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "score_sequence": """
             -- mean-pool + linear head over each user's LAST 8 events:
             -- score = avg(f)·w with w = (0.25, -0.5, 1.5, 0.125)

@@ -395,6 +395,28 @@ def test_ivf_train_null_and_no_id(spark):
     assert np.isfinite(cent2).all()
 
 
+def test_ivf_parquet_training_twin_is_byte_identical(spark, sf_dir):
+    """The oracle-generation path (train_ivf_centroids_parquet, pyarrow,
+    no Spark) must produce BYTE-identical centroids to the Spark training
+    path on the same corpus — this equality is what lets q_ann_ivf inline
+    the quantizer into the DuckDB oracle and be hash-checked end to end."""
+    import numpy as np
+
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.similarity import (
+        train_ivf_centroids,
+        train_ivf_centroids_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_spark = train_ivf_centroids(emb, n_clusters=32)
+    cent_local = train_ivf_centroids_parquet(
+        f"{sf_dir}/embeddings.parquet", n_clusters=32
+    )
+    assert cent_spark.shape == cent_local.shape
+    assert np.array_equal(cent_spark, cent_local)
+
+
 def test_audio_features_match_numpy(spark):
     """Audio leg of the multimodal family: encode fake PCM -> framed
     RMS/ZCR features via mapInPandas; values verify against a direct numpy

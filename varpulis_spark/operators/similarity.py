@@ -334,7 +334,14 @@ def train_ivf_centroids(
     rows.sort(key=lambda r: r[0])
     rows = rows[:sample]
     m = np.array([r[1] for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return _lloyd_spherical(m, n_clusters, iters, seed)
+
+
+def _lloyd_spherical(m: np.ndarray, n_clusters: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical Lloyd on an already-collected sample matrix.
+    Shared by the Spark-collect path and the local-parquet path so both
+    produce byte-identical centroids from the same row set."""
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     n_clusters = min(n_clusters, len(m))
     cent = m[rng.choice(len(m), n_clusters, replace=False)]
@@ -346,6 +353,33 @@ def train_ivf_centroids(
                 cent[c] = members.mean(axis=0)
         cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     return cent
+
+
+def train_ivf_centroids_parquet(
+    path: str,
+    n_clusters: int = 64,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-local twin of `train_ivf_centroids` reading the parquet file
+    directly (pyarrow, no SparkSession): same sorted-by-id sample, same
+    seeded Lloyd — byte-identical centroids when the corpus fits under
+    `sample` (the oracle-generation path: the trained quantizer is inlined
+    into DuckDB SQL as literals, so the driver's correctness gate can
+    hash-check the full IVF query)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    rows = [(i, v) for i, v in zip(ids, vecs) if v is not None]
+    rows.sort(key=lambda r: r[0])
+    rows = rows[:sample]
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    return _lloyd_spherical(m, n_clusters, iters, seed)
 
 
 def ivf_topk(
