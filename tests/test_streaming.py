@@ -231,6 +231,79 @@ def test_streaming_sliding_count_window(spark, sf_dir, replay_dir):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_windowed_trend_aggregate_matches_batch(
+    spark, sf_dir, replay_dir
+):
+    """Streaming WINDOWED trend_aggregate (pane composition, VERDICT r6
+    task 2): the same `.window("6h").trend_aggregate(...)` program text on
+    a streaming source must reproduce the batch pane results — each
+    (key, pane)'s final running row (max n_events) equals the batch
+    aggregate, on both the closed-form and predicate paths, and the
+    watermarked form (pane-state timeout armed) stays correct."""
+    from varpulis_spark.streaming import trend_aggregate_windowed_streaming
+
+    schema = Stream.events(spark, sf_dir).df.schema
+
+    def last_rows(table):
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        best = {}
+        for r in rows:
+            k = (r.user_id, r.window_start)
+            if k not in best or r.n_events > best[k].n_events:
+                best[k] = r
+        return best
+
+    def batch_exp(**kw):
+        return {
+            (r.user_id, r.window_start): (
+                round(r.trend_count, 6), round(r.event_count, 6)
+            )
+            for r in (
+                Stream.events(spark, sf_dir)
+                .partition_by("user_id")
+                .window("6h")
+                .trend_aggregate(**kw)
+                .df.collect()
+            )
+        }
+
+    # closed form (the greta_windowed driver query shape), unified
+    # dispatch: same .window().trend_aggregate() text, streaming input
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1, order_col="event_id"
+    )
+    out = src.partition_by("user_id").window("6h").trend_aggregate(
+        event_type="purchase"
+    )
+    S.run_to_memory(out, "taw_stream")
+    got = {
+        k: (round(r.trend_count, 6), round(r.event_count, 6))
+        for k, r in last_rows("taw_stream").items()
+    }
+    assert got == batch_exp(event_type="purchase") and len(got) > 0
+
+    # watermarked: pane state gets an event-time timeout at window_end;
+    # in-order replay means eviction never races arriving pane rows
+    rising = lambda cols, i: cols["value"][:i] < cols["value"][i]  # noqa: E731
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1, order_col="event_id"
+    ).watermark("10 minutes")
+    out = trend_aggregate_windowed_streaming(
+        src.partition_by("user_id"), "6h", event_type="purchase",
+        value_field="value", within="2h", adjacent_vec=rising,
+    )
+    S.run_to_memory(out, "taw_wm_stream")
+    got = {
+        k: (round(r.trend_count, 6), round(r.event_count, 6))
+        for k, r in last_rows("taw_wm_stream").items()
+    }
+    exp = batch_exp(
+        event_type="purchase", value_field="value", within="2h",
+        adjacent_vec=rising,
+    )
+    assert got == exp and len(got) > 0
+
+
 def test_streaming_trend_aggregate_matches_batch(spark, sf_dir, replay_dir):
     """Streaming GRETA (incremental DP, state carried across micro-batches)
     must equal batch trend_aggregate on the drained replay: each key's

@@ -451,12 +451,13 @@ class WindowedStream:
                 "consecutive-gap bounds"
             )
         if s.df.isStreaming:
-            # the batch pane DP run per micro-batch would silently fragment
-            # windows across batches — a wrong answer, not an error
-            raise NotImplementedError(
-                "windowed trend_aggregate on a streaming input: use "
-                "streaming.trend_aggregate_streaming(stream, ..., "
-                "within=<pane span>) — the stateful incremental form"
+            from varpulis_spark.streaming import (
+                trend_aggregate_windowed_streaming,
+            )
+
+            return trend_aggregate_windowed_streaming(
+                s, self.size, self.slide, self.align, event_type,
+                adjacent, value_field, within, adjacent_vec=adjacent_vec,
             )
         from varpulis_spark.operators.greta import trend_aggregate as _ta
 

@@ -619,6 +619,7 @@ def trend_aggregate_streaming(
     value_field: str | None = None,
     within=None,
     adjacent_vec=None,
+    timeout_on_window_end: bool = False,
 ) -> Stream:
     """Streaming `.trend_aggregate` — GRETA in the push loop (the
     reference runs trend aggregation per arriving event,
@@ -642,7 +643,13 @@ def trend_aggregate_streaming(
     Events arriving out of event-time order ACROSS micro-batches (ts
     before the key's max seen ts) cannot be retro-inserted into a
     propagated DP and are dropped; replay order within a micro-batch is
-    handled by the global chunk sort."""
+    handled by the global chunk sort.
+
+    `timeout_on_window_end` (the pane-composed windowed form, where
+    `window_end` is one of the grouping keys): arm an event-time timeout
+    at each pane's `window_end` so (key, pane) state is REMOVED once the
+    watermark passes the pane — total state is bounded by the number of
+    OPEN panes, not pane history. Requires a watermarked input."""
     import pickle
 
     import numpy as np
@@ -657,6 +664,7 @@ def trend_aggregate_streaming(
     keys = stream.keys
     if not keys:
         raise ValueError("streaming trend_aggregate requires partition_by")
+    we_idx = keys.index("window_end") if timeout_on_window_end else None
     if within is None and (adjacent is not None or adjacent_vec is not None):
         import warnings
 
@@ -682,11 +690,25 @@ def trend_aggregate_streaming(
     )
 
     def run(key, pdfs, state):
+        if timeout_on_window_end and state.hasTimedOut:
+            state.remove()  # watermark passed this pane's window_end
+            return
+
+        def _arm():
+            # re-arm every batch: setTimeoutTimestamp must exceed the
+            # current watermark, so clamp for panes already behind it
+            if timeout_on_window_end:
+                end_ms = int(pd.Timestamp(key[we_idx]).value // 1_000_000)
+                state.setTimeoutTimestamp(
+                    max(end_ms, state.getCurrentWatermarkMs() + 1)
+                )
+
         st = pickle.loads(state.get[0]) if state.exists else None
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             if st is not None:
                 state.update((pickle.dumps(st),))
+                _arm()
             return
         pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
         if closed_form:
@@ -694,6 +716,7 @@ def trend_aggregate_streaming(
             n = n0 + len(pdf)
             sv = sv0 + (float(pdf[value_field].sum()) if has_value else 0.0)
             state.update((pickle.dumps((n, sv)),))
+            _arm()
             p = float(2.0 ** (n - 1))
             row = list(key) + [n, 2.0 * p - 1.0, n * p]
             if has_value:
@@ -713,6 +736,7 @@ def trend_aggregate_streaming(
             pdf, ts_new = pdf[live], ts_new[live]
         if not len(pdf):
             state.update((pickle.dumps(st),))
+            _arm()
             return
         tail: pd.DataFrame | None = st["tail"]
         start = 0 if tail is None else len(tail)
@@ -753,15 +777,72 @@ def trend_aggregate_streaming(
         st["cnt"], st["len"] = cnt[keep], len_sum[keep]
         st["val"] = val_sum[keep] if has_value else None
         state.update((pickle.dumps(st),))
+        _arm()
         row = list(key) + [st["n"], st["tc"], st["ec"]]
         if has_value:
             row.append(st["vs"])
         yield pd.DataFrame([row], columns=out_cols)
 
+    timeout_mode = (
+        GroupStateTimeout.EventTimeTimeout
+        if timeout_on_window_end
+        else GroupStateTimeout.NoTimeout
+    )
     out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
-        run, out_schema, "st binary", "append", GroupStateTimeout.NoTimeout
+        run, out_schema, "st binary", "append", timeout_mode
     )
     return Stream(out, ts_col=ts_col, keys=keys)
+
+
+def trend_aggregate_windowed_streaming(
+    stream: Stream,
+    size,
+    slide=None,
+    align: str = "epoch",
+    event_type: str | None = None,
+    adjacent=None,
+    value_field: str | None = None,
+    within=None,
+    adjacent_vec=None,
+) -> Stream:
+    """Streaming windowed `.trend_aggregate` — pane composition (GRETA
+    VLDB'17 §5; the reference runs trend aggregation continuously under
+    its window chain, runtime/src/greta.rs + engine window→analyzer).
+
+    Each event is assigned to its containing pane(s) (row-level window
+    explode — a pure projection, streaming-safe), then the pane columns
+    join the grouping key and the incremental per-(key, pane) GRETA DP
+    runs in `trend_aggregate_streaming`. Every trend is confined to one
+    pane, so the pane span IS the whole-span bound — identical semantics
+    to the batch `WindowedStream.trend_aggregate`.
+
+    Emits the RUNNING aggregate per (keys, window_start, window_end) once
+    per micro-batch with a monotonic `n_events`; the max-`n_events` row
+    per pane equals the batch result. On a watermarked input, pane state
+    is torn down by an event-time timeout once the watermark passes
+    `window_end` — state is bounded by the number of OPEN panes."""
+    if align != "epoch":
+        raise ValueError(
+            "streaming windowed trend_aggregate supports epoch alignment "
+            "only (first_event needs a retrospective global min)"
+        )
+    from varpulis_spark.operators import windows as win_mod
+
+    df = win_mod.explode_time_windows(
+        stream.df, stream.ts_col, size, slide, "epoch", stream.keys
+    )
+    sub = Stream(
+        df,
+        ts_col=stream.ts_col,
+        order_col=stream.order_col,
+        keys=list(stream.keys) + ["window_start", "window_end"],
+    )
+    sub._watermarked = stream._watermarked
+    return trend_aggregate_streaming(
+        sub, event_type, adjacent, value_field, within,
+        adjacent_vec=adjacent_vec,
+        timeout_on_window_end=stream._watermarked,
+    )
 
 
 def distinct_streaming(
