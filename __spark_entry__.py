@@ -763,6 +763,61 @@ def q_forecast(spark, sf):
     )
 
 
+def q_forecast_runs(spark, sf):
+    """The deterministic NFA-bookkeeping core of `.forecast` (VERDICT r6
+    task 4): `next_step` and `active_runs` are pure functions of the event
+    relation (runs start at `signup`, advance on the first later
+    `purchase`, die on the first `error` after that purchase; rows fire
+    from the warmup-th event while runs are active) — SQL-expressible, so
+    this slice of forecast_pst is hash-checked; only `completion_prob`
+    (PST/Hawkes weights) stays rows-only in q_forecast. The 64-run cap
+    (forecast.py:50) cannot trigger at driver scale: max signups/user is
+    ~24 and completions prune continuously."""
+    from varpulis_spark.operators.forecast import forecast as forecast_op
+
+    s = Stream.events(spark, sf).partition_by("user_id")
+    out = forecast_op(
+        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0
+    )
+    return out.select("user_id", "event_id", "next_step", "active_runs")
+
+
+FORECAST_RUNS_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    -- one run per signup: advances on the first later purchase, removed AT
+    -- the first error after that purchase (completion precedes emission)
+    runs AS (
+      SELECT s.user_id, s.pos AS p0,
+             (SELECT min(p.pos) FROM ev p
+               WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+                 AND p.pos > s.pos) AS p_pur
+      FROM ev s WHERE s.event_type = 'signup'
+    ),
+    runs2 AS (
+      SELECT r.user_id, r.p0, r.p_pur,
+             (SELECT min(e.pos) FROM ev e
+               WHERE e.user_id = r.user_id AND e.event_type = 'error'
+                 AND e.pos > r.p_pur) AS p_err
+      FROM runs r
+    )
+    SELECT e.user_id, e.event_id,
+           CAST(max(CASE WHEN r.p_pur IS NOT NULL AND e.pos >= r.p_pur
+                         THEN 2 ELSE 1 END) AS INT) AS next_step,
+           CAST(count(*) AS INT) AS active_runs
+    FROM ev e
+    JOIN runs2 r
+      ON r.user_id = e.user_id
+     AND e.pos >= r.p0
+     AND (r.p_err IS NULL OR e.pos < r.p_err)
+    WHERE e.pos >= 10
+    GROUP BY e.user_id, e.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "high_value_filter": q_high_value_filter,
@@ -806,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_mlp": q_score_mlp,
         "score_sequence": q_score_sequence,
         "forecast_pst": q_forecast,
+        "forecast_runs": q_forecast_runs,
         "props_dynamic": q_props_dynamic,
         "audio_meta": q_audio_meta,
     }
@@ -1315,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "score_mlp": _score_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
+        "forecast_runs": FORECAST_RUNS_ORACLE,
         "score_sequence": """
             -- mean-pool + linear head over each user's LAST 8 events:
             -- score = avg(f)·w with w = (0.25, -0.5, 1.5, 0.125)
