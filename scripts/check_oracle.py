@@ -7,6 +7,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -38,6 +39,9 @@ def frame_key(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # oracles that re-derive model artifacts (ann_ivf centroids) must train
+    # on the SAME sf as the Spark query under test
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:

@@ -1391,3 +1391,152 @@ def test_mixed_batch_stream_three_way_join(spark, sf_dir, replay_dir):
         for r in bout.df.select("user_id", "a_event_id", "b_event_id", "c_event_id").collect()
     }
     assert len(want) > 10 and got == want
+
+
+# ---------------------------------------------------------------------------
+# BP-01 run management: max_runs per key + backpressure strategies
+# (sase.rs:1865/1919 default, handle_backpressure_partitioned sase.rs:2505)
+# ---------------------------------------------------------------------------
+
+
+def _sg(n, typ="signup", t0=0, step_ns=1_000_000_000):
+    return [
+        {"event_type": typ, "user_id": "hot", "value": i, "__ts": t0 + i * step_ns}
+        for i in range(n)
+    ]
+
+
+def _cap_pattern(**kw):
+    return Pattern(
+        steps=[step("signup", "a"), step("purchase", "b")],
+        emit={"a_v": ("a", "value"), "b_v": ("b", "value")},
+        **kw,
+    )
+
+
+def test_run_cap_drop_bounds_never_completing_hot_key():
+    """A hot key under a never-completing pattern (no 'purchase' ever
+    arrives, no `within` horizon) must hold bounded state: anchors cap at
+    max_runs, surplus runs are DROPPED and counted (Drop strategy,
+    sase.rs:2416-2424)."""
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=50, backpressure="drop")
+    events, started, dropped, evicted = _merge_with_run_cap([], _sg(1000), p, "hot")
+    assert len(events) == 50 and started == 50
+    assert dropped == 950 and evicted == 0
+    # incremental batches against carried state stay bounded
+    ev2, s2, d2, e2 = _merge_with_run_cap(events, _sg(500, t0=10**13), p, "hot")
+    assert len(ev2) == 50 and s2 == 0 and d2 == 500 and e2 == 0
+
+
+def test_run_cap_evict_oldest_keeps_newest_runs():
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=10, backpressure="evict_oldest")
+    events, started, dropped, evicted = _merge_with_run_cap([], _sg(100), p, "hot")
+    assert len(events) == 10 and started == 100
+    assert evicted == 90 and dropped == 0
+    assert [e["value"] for e in events] == list(range(90, 100))
+
+
+def test_run_cap_prunes_extenders_behind_oldest_anchor():
+    """Non-anchor events older than the oldest surviving anchor are dead
+    state (every match starts at an anchor and binds later events) and are
+    pruned with it."""
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=5, backpressure="evict_oldest")
+    old_purchases = _sg(10, typ="purchase", t0=0)
+    signups = _sg(50, t0=10**12)
+    events, *_ = _merge_with_run_cap([], old_purchases + signups, p, "hot")
+    assert len(events) == 5
+    assert all(e["event_type"] == "signup" for e in events)
+
+
+def test_run_cap_evict_least_progress_picks_stalled_run():
+    """EvictLeastProgress (sase.rs:2460): the anchor with no next-step
+    candidate after it goes first."""
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=3, backpressure="evict_least_progress")
+    s0, s10, s20 = _sg(1, t0=0)[0], _sg(1, t0=10)[0], _sg(1, t0=20)[0]
+    pur15 = _sg(1, typ="purchase", t0=15)[0]
+    events, *_ = _merge_with_run_cap([], [s0, s10, s20, pur15], p, "hot")
+    assert len(events) == 4  # 3 anchors at cap + 1 extender
+    s30 = _sg(1, t0=30)[0]
+    events2, started, dropped, evicted = _merge_with_run_cap(events, [s30], p, "hot")
+    assert evicted == 1
+    got = {(e["event_type"], e["__ts"]) for e in events2}
+    # s20 had zero next-step candidates after it → evicted; s0/s10 keep
+    # their purchase@15 candidate
+    assert got == {("signup", 0), ("signup", 10), ("purchase", 15), ("signup", 30)}
+
+
+def test_run_cap_sample_rate_zero_drops_all_over_cap():
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=10, backpressure="sample:0.0")
+    events, started, dropped, evicted = _merge_with_run_cap([], _sg(100), p, "hot")
+    assert len(events) == 10 and dropped == 90 and evicted == 0
+
+
+def test_run_cap_sample_counter_rule_holds_rate():
+    """Reference's counter-based sampling (sase.rs:2476-2479): over-cap
+    arrivals are accepted while accepted*rate > dropped, converging on the
+    configured rate; accepts evict-oldest to stay at the cap."""
+    from varpulis_spark.streaming import _merge_with_run_cap
+
+    p = _cap_pattern(max_runs=10, backpressure="sample:0.5")
+    events, started, dropped, evicted = _merge_with_run_cap([], _sg(1010), p, "hot")
+    assert len(events) == 10
+    over_cap = 1000
+    accepted_over_cap = started - 10
+    assert accepted_over_cap == evicted  # each sampled-in run evicts one
+    assert abs(accepted_over_cap / over_cap - 0.5) < 0.05
+    assert accepted_over_cap + dropped == over_cap
+
+
+def test_streaming_run_cap_counters_and_evict_semantics(spark, tmp_path):
+    """E2E: hot key replay under the cap. Drop: counters flow back to the
+    driver (accumulator-backed run_stats). EvictOldest: a late 'purchase'
+    matches exactly the max_runs NEWEST surviving signups."""
+    import datetime as dt
+
+    rows = [
+        ("signup", "hot", i, dt.datetime(2026, 1, 1, 0, 0, i), f"s{i:03d}")
+        for i in range(60)
+    ] + [("purchase", "hot", 999, dt.datetime(2026, 1, 1, 0, 30, 0), "p000")]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id string, value long, ts timestamp, event_id string"
+    )
+    d = str(tmp_path / "hotkey")
+    df.orderBy("ts").coalesce(1).write.parquet(d)
+
+    # drop strategy: no matches possible (predicate never passes), counters flow
+    p_drop = Pattern(
+        steps=[step("signup", "a"),
+               step("purchase", "b", where=lambda e, b: False)],
+        emit={"a_id": ("a", "event_id")},
+        max_runs=20, backpressure="drop",
+    )
+    src = S.file_source(spark, d, df.schema, max_files_per_trigger=1)
+    out = S.apply_pattern_streaming(src.partition_by("user_id"), p_drop)
+    S.run_to_memory(out, "cap_drop")
+    assert spark.table("cap_drop").count() == 0
+    assert out.run_stats["runs_started"].value == 20
+    assert out.run_stats["runs_dropped"].value == 40
+    assert out.run_stats["runs_evicted"].value == 0
+
+    # evict_oldest: the purchase completes only the newest 20 signups
+    p_evict = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b")],
+        emit={"a_id": ("a", "event_id")},
+        max_runs=20, backpressure="evict_oldest",
+    )
+    src2 = S.file_source(spark, d, df.schema, max_files_per_trigger=1)
+    out2 = S.apply_pattern_streaming(src2.partition_by("user_id"), p_evict)
+    S.run_to_memory(out2, "cap_evict")
+    got = {r.a_id for r in spark.table("cap_evict").collect()}
+    assert got == {f"s{i:03d}" for i in range(40, 60)}
+    assert out2.run_stats["runs_evicted"].value == 40

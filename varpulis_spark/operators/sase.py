@@ -128,6 +128,25 @@ class Pattern:
     # Lowered as the union of the per-permutation sequences (each event set
     # matches under exactly one ordering, so the union is duplicate-free).
     any_order: bool = False
+    # BP-01 run management (sase.rs:1865/1919 `max_runs: 10000`, strategies
+    # sase.rs:790-812). A "run" in the buffer-based streaming engine is an
+    # ANCHOR event — one that can open a partial match (try_start_run_shared,
+    # sase.rs:2410). The cap bounds anchors PER PARTITION KEY
+    # (handle_backpressure_partitioned, sase.rs:2520). Strategies:
+    #   "drop"   (default) — new runs silently dropped at the cap
+    #   "error"  — same as drop in the reference's simple process() path
+    #              (sase.rs:2425-2441); counted separately
+    #   "evict_oldest"         — evict the min-started_at run (sase.rs:2441)
+    #   "evict_least_progress" — evict the run with fewest next-step
+    #                            candidates ahead of it (sase.rs:2460)
+    #   "sample:<rate>"        — accept over-cap runs at probability `rate`
+    #                            (sase.rs:804-808), paced deterministically
+    #                            for replay; accepts evict-oldest for room
+    # Batch mode ignores these: a batch group is finite and already bounded
+    # by MAX_KLEENE_EVENTS / max_matches; the cap exists to bound STREAMING
+    # state on hot keys.
+    max_runs: int = 10_000
+    backpressure: str = "drop"
 
     def within_ns(self) -> int | None:
         return duration_ns(self.within) if self.within is not None else None

@@ -970,6 +970,145 @@ def limit_streaming(stream: Stream, n: int, per_key: bool = True) -> Stream:
 # ---------------------------------------------------------------------------
 
 
+def _run_cap_start_steps(pattern) -> list:
+    """Steps whose events can OPEN a run (try_start_run_shared analog,
+    sase.rs:2410): the leading positive steps up to and including the first
+    non-optional one — an optional-Kleene ('*'/'?') head lets the next step
+    anchor too. For AND (any-order) patterns every positive step anchors."""
+    pos = [s for s in pattern.steps if not s.negated]
+    if pattern.any_order:
+        return pos
+    starts = []
+    for s in pos:
+        starts.append(s)
+        if s.kleene not in ("*", "?"):
+            break
+    return starts
+
+
+def _is_run_anchor(e: dict, start_steps: list) -> bool:
+    for s in start_steps:
+        if s.event_type is not None and e.get("event_type") != s.event_type:
+            continue
+        if s.where is not None and not s.deferred:
+            try:
+                if not s.where(e, {}):
+                    continue
+            except Exception:
+                pass  # binding-dependent predicate → cannot pre-filter here
+        return True
+    return False
+
+
+def _merge_with_run_cap(old_events: list, new_events: list, pattern,
+                        key, started_total: int = 0, dropped_total: int = 0,
+                        evicted_total: int = 0) -> tuple[list, int, int, int]:
+    """Merge new events into the buffered state under the per-key run cap
+    (BP-01, sase.rs:2505-2560 handle_backpressure_partitioned). Events that
+    cannot open a run always buffer (they only ever EXTEND runs; the
+    reference caps runs, not events — their retention is bounded below by
+    pruning past the oldest surviving anchor). Returns
+    (events_sorted, started, dropped, evicted)."""
+    start_steps = _run_cap_start_steps(pattern)
+    max_runs = pattern.max_runs
+    strategy = pattern.backpressure
+    sample_rate = None
+    if strategy.startswith("sample:"):
+        sample_rate = float(strategy.split(":", 1)[1])
+        strategy = "sample"
+
+    anchors = [e for e in old_events if _is_run_anchor(e, start_steps)]
+    events = list(old_events)
+    started = dropped = evicted = 0
+
+    def remove_by_id(lst: list, obj) -> None:
+        # identity-based removal: dict `==` would raise on ndarray-valued
+        # fields (array columns survive to_dict("records") as numpy arrays)
+        for i, x in enumerate(lst):
+            if x is obj:
+                del lst[i]
+                return
+
+    def progress_of(a: dict, later_ts: dict) -> int:
+        # EvictLeastProgress analog: count next steps with at least one
+        # candidate event strictly after the anchor (fewest stack entries,
+        # sase.rs:802). later_ts: step event_type -> sorted ts list.
+        import bisect
+        p = 0
+        for tss in later_ts.values():
+            if bisect.bisect_right(tss, a["__ts"]) < len(tss):
+                p += 1
+        return p
+
+    for e in sorted(new_events, key=lambda x: x["__ts"]):
+        if not _is_run_anchor(e, start_steps):
+            events.append(e)
+            continue
+        if len(anchors) < max_runs:
+            anchors.append(e)
+            events.append(e)
+            started += 1
+            continue
+        if strategy in ("drop", "error"):
+            dropped += 1
+        elif strategy == "sample":
+            # "accept new runs with probability `rate`" (sase.rs:804-808).
+            # The reference approximates this with a `created*rate > dropped`
+            # counter switch (sase.rs:2476-2479) that degenerates to
+            # all-or-nothing once tripped; we pace deterministically so the
+            # long-run accept fraction of over-cap arrivals IS `rate`
+            # (documented divergence — intent over artifact). Over-cap
+            # accepts == evictions for this strategy, so the evicted counter
+            # is the accept count.
+            e_tot = evicted_total + evicted
+            d_tot = dropped_total + dropped
+            if e_tot < sample_rate * (e_tot + d_tot + 1):
+                # sampled in: at cap, so make room like EvictOldest
+                victim = min(anchors, key=lambda a: a["__ts"])
+                remove_by_id(anchors, victim)
+                remove_by_id(events, victim)
+                evicted += 1
+                anchors.append(e)
+                events.append(e)
+                started += 1
+            else:
+                dropped += 1
+        else:  # evict_oldest | evict_least_progress
+            if strategy == "evict_least_progress":
+                later_types = {}
+                for s in pattern.steps[1:]:
+                    if not s.negated and s.event_type is not None:
+                        later_types.setdefault(s.event_type, [])
+                for ev in events:
+                    t = ev.get("event_type")
+                    if t in later_types:
+                        later_types[t].append(ev["__ts"])
+                for tss in later_types.values():
+                    tss.sort()
+                victim = min(
+                    anchors,
+                    key=lambda a: (progress_of(a, later_types), a["__ts"]),
+                )
+            else:
+                victim = min(anchors, key=lambda a: a["__ts"])
+            remove_by_id(anchors, victim)
+            remove_by_id(events, victim)
+            evicted += 1
+            anchors.append(e)
+            events.append(e)
+            started += 1
+    # Every match STARTS at an anchor and binds only (ts,order)-later events,
+    # so events older than the oldest surviving anchor are dead state — prune
+    # them (this is what keeps a hot key bounded under a never-completing
+    # pattern even with no `within` horizon). A leading negation would peek
+    # before the first positive, so skip pruning in that case.
+    if anchors and not (pattern.steps and pattern.steps[0].negated):
+        low = min(a["__ts"] for a in anchors)
+        events = [e for e in events if e["__ts"] >= low]
+    events.sort(key=lambda e: e["__ts"])
+    return events, started, dropped, evicted
+
+
 def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None = None):
     """Run a SASE+ pattern over a streaming Stream.
 
@@ -1011,7 +1150,7 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
         df = df.filter(F.col("event_type").isin(types))
 
     out_schema = _out_schema(pattern, df)
-    state_schema = "buf binary, emitted binary"
+    state_schema = "buf binary, emitted binary, started long, dropped long, evicted long"
     sort_cols = [ts_col] + ([order_col] if order_col else [])
     within = pattern.within_ns()
     in_cols = df.columns
@@ -1033,14 +1172,22 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
     id_pattern = _dc_replace(pattern, emit={**pattern.emit, **sig_emit})
     sig_cols = list(sig_emit.keys())
 
+    # BP-01 counters (EngineStats total_runs_{created,dropped,evicted},
+    # sase.rs:876-878) — accumulators so the driver can read them live
+    sc = df.sparkSession.sparkContext
+    acc_started = sc.accumulator(0)
+    acc_dropped = sc.accumulator(0)
+    acc_evicted = sc.accumulator(0)
+
     def run(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(columns=list(pattern.emit.keys()))
             return
         old_events, emitted = [], {}
+        c_started = c_dropped = c_evicted = 0
         if state.exists:
-            buf_pkl, emitted_pkl = state.get
+            buf_pkl, emitted_pkl, c_started, c_dropped, c_evicted = state.get
             old_events = pickle.loads(buf_pkl)
             emitted = pickle.loads(emitted_pkl)
         new_events = []
@@ -1051,8 +1198,16 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
             for e, t in zip(evs, ts_ns):
                 e["__ts"] = int(t)
             new_events.extend(evs)
-        events = sorted(old_events + new_events, key=lambda e: e["__ts"])
-        new_ids = {id(e) for e in new_events}
+        events, d_started, d_dropped, d_evicted = _merge_with_run_cap(
+            old_events, new_events, pattern, key, c_started, c_dropped,
+            c_evicted,
+        )
+        if d_started:
+            acc_started.add(d_started)
+        if d_dropped:
+            acc_dropped.add(d_dropped)
+        if d_evicted:
+            acc_evicted.add(d_evicted)
         max_ts = events[-1]["__ts"] if events else 0
         rows = _enumerate_matches(events, id_pattern)
         fresh = []
@@ -1088,7 +1243,17 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
             # still in the buffer — evict signatures in lockstep, so the
             # dedupe set plateaus instead of growing forever
             emitted = {s: t for s, t in emitted.items() if t >= low}
-        state.update((pickle.dumps(events), pickle.dumps(emitted)))
+        # run-cap pruning evicts buffered events too (oldest-anchor rule in
+        # _merge_with_run_cap) — keep the dedupe set in lockstep with the
+        # buffer floor so it cannot outgrow the bounded state
+        if events:
+            buf_low = events[0]["__ts"]
+            emitted = {s: t for s, t in emitted.items() if t >= buf_low}
+        state.update((
+            pickle.dumps(events), pickle.dumps(emitted),
+            c_started + d_started, c_dropped + d_dropped,
+            c_evicted + d_evicted,
+        ))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(fresh, columns=list(pattern.emit.keys()))
@@ -1100,4 +1265,12 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
     out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         run, out_schema, state_schema, "append", timeout_conf
     )
-    return Stream(out, ts_col=stream.ts_col)
+    out_stream = Stream(out, ts_col=stream.ts_col)
+    # live BP-01 counters (ExtendedEngineStats, sase.rs:895-903); read
+    # `.value` after a micro-batch completes
+    out_stream.run_stats = {
+        "runs_started": acc_started,
+        "runs_dropped": acc_dropped,
+        "runs_evicted": acc_evicted,
+    }
+    return out_stream
