@@ -755,7 +755,9 @@ def q_forecast(spark, sf):
         .partition_by("user_id")
     )
     out = forecast_op(
-        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0
+        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0,
+        first_cols=[],  # projection references no first-alias fields —
+        # prune the __first_* payload inside the op (can't cross mapInPandas)
     )
     return out.select(
         "user_id", "event_id", "next_step", "active_runs",
@@ -777,7 +779,8 @@ def q_forecast_runs(spark, sf):
 
     s = Stream.events(spark, sf).partition_by("user_id")
     out = forecast_op(
-        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0
+        s, ["signup", "purchase", "error"], warmup=10, confidence=0.0,
+        first_cols=[],
     )
     return out.select("user_id", "event_id", "next_step", "active_runs")
 

@@ -575,6 +575,53 @@ def test_streaming_forecast_matches_batch(spark, sf_dir, replay_dir):
     assert got == exp and len(got) > 0
 
 
+def test_forecast_first_cols_prunes_capture(spark, sf_dir, replay_dir):
+    """`first_cols` prunes the __first_* run-start capture in BOTH modes
+    (column pruning cannot cross mapInPandas / the state store): the
+    selected capture column survives with batch-identical values, unlisted
+    ones are absent from the schema."""
+    from varpulis_spark.operators.forecast import forecast
+
+    full = forecast(
+        Stream.events(spark, sf_dir).partition_by("user_id"),
+        ["signup", "purchase"], warmup=20, mode="fast",
+    )
+    pruned = forecast(
+        Stream.events(spark, sf_dir).partition_by("user_id"),
+        ["signup", "purchase"], warmup=20, mode="fast",
+        first_cols=["value"],
+    )
+    assert "__first_value" in pruned.columns
+    assert "__first_props" not in pruned.columns and "__first_props" in full.columns
+    exp = sorted(
+        (r.user_id, r.event_id, r["__first_value"])
+        for r in full.select("user_id", "event_id", "__first_value").collect()
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r["__first_value"])
+        for r in pruned.select("user_id", "event_id", "__first_value").collect()
+    )
+    assert got == exp and len(got) > 0
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1, order_col="event_id"
+    )
+    sout = S.forecast_streaming(
+        src.partition_by("user_id"), ["signup", "purchase"],
+        warmup=20, mode="fast", first_cols=["value"],
+    )
+    assert "__first_value" in sout.df.columns
+    assert "__first_props" not in sout.df.columns
+    S.run_to_memory(sout, "fc_stream_pruned")
+    sgot = sorted(
+        (r.user_id, r.event_id, r["__first_value"])
+        for r in spark.table("fc_stream_pruned")
+        .select("user_id", "event_id", "__first_value").collect()
+    )
+    assert sgot == exp
+
+
 def test_streaming_maximal_kleene_matches_batch(spark, sf_dir, replay_dir):
     """kleene_emit='maximal' through the streaming state store: runs whose
     closure spans micro-batches close identically to batch (the buffer

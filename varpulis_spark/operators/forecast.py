@@ -57,25 +57,40 @@ class OnlinePST:
     def __init__(self, max_depth: int = 3):
         self.max_depth = max_depth
         self.counts: dict[tuple, dict[str, int]] = {}
+        self.totals: dict[tuple, int] = {}  # sum(counts[ctx].values()) cache
         self.alphabet: set[str] = set()
 
     def update(self, history: list[str], symbol: str) -> None:
+        n = min(self.max_depth, len(history))
+        self.update_sufs(
+            [tuple(history[-d:]) if d else () for d in range(n + 1)], symbol
+        )
+
+    def update_sufs(self, sufs: list[tuple], symbol: str) -> None:
+        """Hot-path twin of `update`: `sufs[d]` is the length-d suffix of the
+        history (precomputed once per event by the engine and shared with
+        `prob_sufs` — suffix tuples dominated the per-event profile)."""
         self.alphabet.add(symbol)
-        for d in range(0, self.max_depth + 1):
-            ctx = tuple(history[-d:]) if d else ()
-            if d <= len(history):
-                c = self.counts.setdefault(ctx, {})
-                c[symbol] = c.get(symbol, 0) + 1
+        counts, totals = self.counts, self.totals
+        for ctx in sufs:
+            c = counts.setdefault(ctx, {})
+            c[symbol] = c.get(symbol, 0) + 1
+            totals[ctx] = totals.get(ctx, 0) + 1
 
     def prob(self, history: list[str], symbol: str) -> float:
         """Back-off: deepest context with data wins; +1 smoothing."""
+        n = min(self.max_depth, len(history))
+        return self.prob_sufs(
+            [tuple(history[-d:]) if d else () for d in range(n + 1)], symbol
+        )
+
+    def prob_sufs(self, sufs: list[tuple], symbol: str) -> float:
         v = max(1, len(self.alphabet))
-        for d in range(min(self.max_depth, len(history)), -1, -1):
-            ctx = tuple(history[-d:]) if d else ()
-            if ctx in self.counts and self.counts[ctx]:
-                c = self.counts[ctx]
-                total = sum(c.values())
-                return (c.get(symbol, 0) + 1) / (total + v)
+        counts = self.counts
+        for d in range(len(sufs) - 1, -1, -1):
+            c = counts.get(sufs[d])
+            if c:
+                return (c.get(symbol, 0) + 1) / (self.totals[sufs[d]] + v)
         return 1.0 / v
 
 
@@ -168,27 +183,31 @@ def _completion_prob(
     matching the reference's pst_total × (modulated/total) algebra)."""
     if state >= m:
         return 1.0
-    prob = [0.0] * m + [1.0]
-    for _ in range(max_steps):
-        new = [0.0] * m + [1.0]
-        changed = False
-        for j in range(m):
-            p = p_next[j]
-            if boosts is not None:
-                # single-transition renormalization: modulated/total == 1,
-                # scaled back by pst_total == p → p (the boost cancels for
-                # linear chains exactly as in markov_chain.rs:447-452);
-                # keep the boost as a capped multiplier on the step prob
-                # to preserve the burst-sensitivity the reference gets
-                # from multi-transition states.
-                p = min(1.0, p * boosts[j])
-            new[j] = p * prob[j + 1]
-            if abs(new[j] - prob[j]) > 1e-10:
-                changed = True
-        prob = new
-        if not changed:
+    # Scalar form of the fixed-point iteration, bit-exact: for a linear
+    # chain, iteration k only introduces prob[m-k] = Π_{j=m-k}^{m-1} p'_j
+    # (a right-fold product; everything else is already stable), and the
+    # original loop stops after the first iteration whose new product is
+    # ≤ 1e-10 (the `changed` epsilon) or after max_steps iterations —
+    # deeper states then stay 0. Multiplication order matches new[j] =
+    # p * prob[j+1] exactly (IEEE float × is commutative bit-for-bit).
+    # The boost renormalization note from the iterative version still
+    # applies: single-transition renormalization cancels for linear chains
+    # (markov_chain.rs:447-452); the boost stays as a capped multiplier on
+    # the step prob to preserve burst sensitivity.
+    need = m - state
+    p = 1.0
+    level = 0
+    limit = need if need < max_steps else max_steps
+    while level < limit:
+        j = m - 1 - level
+        pj = p_next[j]
+        if boosts is not None:
+            pj = min(1.0, pj * boosts[j])
+        p = pj * p
+        level += 1
+        if p <= 1e-10:
             break
-    return min(1.0, prob[state])
+    return min(1.0, p if level == need else 0.0)
 
 
 class ForecastEngine:
@@ -218,7 +237,11 @@ class ForecastEngine:
         self.pst = OnlinePST(max_depth)
         self.hawkes = {t: HawkesIntensity() for t in pattern_types} if hawkes else None
         self.cal = ConformalCalibrator(coverage) if conformal else None
-        self.history: list[str] = []
+        # suffix tuples of the (max_depth-capped) history, maintained
+        # incrementally: _sufs[d] == tuple(history[-d:]); shared by PST
+        # update and every prob lookup instead of re-slicing per call
+        self._sufs: list[tuple] = [()]
+        self._last_et: str | None = None
         # runs hold the START EVENT's row values (streaming can't reach
         # back into previous batches): [start_ns, state, last_pred, row]
         self.runs: list[list] = []
@@ -266,9 +289,10 @@ class ForecastEngine:
             self.runs = sorted(self.runs, key=lambda r: -r[1])[:MAX_ACTIVE_RUNS]
 
         # online updates BEFORE forecasting (markov_chain.rs process order)
-        self.pst.update(self.history, et)
-        self.history.append(et)
-        self.history = self.history[-self.max_depth:]
+        self.pst.update_sufs(self._sufs, et)
+        # history.append + [-max_depth:] slice, as suffix-tuple extension
+        self._sufs = ([()] + [s + (et,) for s in self._sufs])[: self.max_depth + 1]
+        self._last_et = et
         if self.hawkes is not None and et in self.hawkes:
             self.hawkes[et].update(now)
 
@@ -277,16 +301,22 @@ class ForecastEngine:
             return None
 
         best = max(self.runs, key=lambda r: r[1])
-        p_next = [self.pst.prob(self.history, t) for t in types]
-        boosts = (
-            [self.hawkes[t].boost(now) for t in types]
-            if self.hawkes is not None else None
-        )
-        prob = _completion_prob(best[1], m, p_next, boosts, self.max_steps)
+        bstate = best[1]
+        # only indices >= bstate feed _completion_prob / exp_steps — skip
+        # the dead PST/Hawkes lookups for already-passed steps
+        p_next = [0.0] * m
+        for j in range(bstate, m):
+            p_next[j] = self.pst.prob_sufs(self._sufs, types[j])
+        boosts = None
+        if self.hawkes is not None:
+            boosts = [1.0] * m
+            for j in range(bstate, m):
+                boosts[j] = self.hawkes[types[j]].boost(now)
+        prob = _completion_prob(bstate, m, p_next, boosts, self.max_steps)
         best[2] = prob
 
         # prediction-stability confidence (markov_chain.rs:279-318)
-        skey = (best[1] << 8) ^ hash(self.history[-1]) % 251
+        skey = (best[1] << 8) ^ hash(self._last_et) % 251
         prev = self.last_pred.get(skey)
         self.last_pred[skey] = prob
         if prev is not None:
@@ -327,6 +357,7 @@ def forecast(
     conformal: bool = True,
     mode: str | None = None,
     coverage: float = 0.9,
+    first_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per event (after warmup, while runs are active): the probability that
     the most advanced active run completes, with conformal bounds.
@@ -338,6 +369,13 @@ def forecast(
 
     `horizon`/`within`: run-expiry span (duration string or ns); expired
     runs count as negative outcomes for conformal calibration.
+
+    `first_cols`: which input columns to re-emit as `__first_*` run-start
+    captures (None = all, reference semantics). Column pruning cannot
+    cross mapInPandas, so callers that project few/no first-alias fields
+    should pass the exact set — at sf1 the full-width default Arrow-ships
+    ~650k × full-row `__first_*` payloads (including the `props` JSON
+    string) that a downstream `.select` then throws away.
     """
     max_depth, warmup, max_steps, span_ns = _resolve_params(
         mode, max_depth, warmup, horizon, within
@@ -357,8 +395,16 @@ def forecast(
     # the best run's FIRST event is re-emitted as __first_* columns so
     # emit projections can reference the pattern's first-step alias
     # (later aliases are unbound at forecast time, reference semantics)
-    first_fields = ", ".join(f"__first_{c} {t}" for c, t in df.dtypes)
-    in_cols = [c for c, _t in df.dtypes]
+    all_cols = [c for c, _t in df.dtypes]
+    if first_cols is None:
+        in_cols = all_cols
+    else:
+        missing = [c for c in first_cols if c not in all_cols]
+        if missing:
+            raise ValueError(f"first_cols not in input: {missing}")
+        in_cols = list(first_cols)
+    dt = dict(df.dtypes)
+    first_fields = ", ".join(f"__first_{c} {dt[c]}" for c in in_cols)
     # the triggering event's time rides along (forecast events are
     # windowable/mergeable downstream like any other event)
     carry_ts = order_col is not None and ts_col != id_field
@@ -366,47 +412,9 @@ def forecast(
     schema = (
         f"{key_fields}, {id_field} {id_type}, {ts_part}next_step int, "
         "active_runs int, completion_prob double, prob_lo double, "
-        "prob_hi double, forecast_confidence double, expected_time_us long, "
-        + first_fields
+        "prob_hi double, forecast_confidence double, expected_time_us long"
+        + (", " + first_fields if first_fields else "")
     )
-    def run(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ets = pdf["event_type"].to_numpy()
-        ts_ns = pdf[ts_col].astype("int64").to_numpy()
-        ts_vals = pdf[ts_col].to_numpy()
-        ids = pdf[id_field].to_numpy()
-        row_vals = list(pdf[in_cols].itertuples(index=False, name=None))
-
-        eng = ForecastEngine(
-            pattern_types, max_depth, warmup, confidence,
-            hawkes, conformal, coverage, max_steps, span_ns,
-        )
-        rows = []
-        for i in range(len(ets)):
-            fired = eng.process(ets[i], int(ts_ns[i]), row_vals[i])
-            if fired is None:
-                continue
-            step, nruns, prob, lo, hi, fconf, exp_us, first_row = fired
-            rows.append(
-                list(key_tuple)
-                + [ids[i]]
-                + ([ts_vals[i]] if carry_ts else [])
-                + [step, nruns, prob, lo, hi, fconf, exp_us]
-                + list(first_row)
-            )
-
-        cols = (
-            list(keys)
-            + [id_field]
-            + ([ts_col] if carry_ts else [])
-            + [
-                "next_step", "active_runs", "completion_prob",
-                "prob_lo", "prob_hi", "forecast_confidence", "expected_time_us",
-            ]
-            + [f"__first_{c}" for c in in_cols]
-        )
-        return pd.DataFrame(rows, columns=cols)
-
     out_cols = (
         list(keys)
         + [id_field]
@@ -417,11 +425,61 @@ def forecast(
         ]
         + [f"__first_{c}" for c in in_cols]
     )
+    meta_cols = ["next_step", "active_runs", "completion_prob",
+                 "prob_lo", "prob_hi", "forecast_confidence",
+                 "expected_time_us"]
 
-    # per-PARTITION driver (operators/partition_driver): the user count
-    # scales with the corpus (per-key density fixed), so per-group
-    # applyInPandas machinery grew linearly with SF — measured 10.0 s → ~4 s
-    # at sf1 (15k users) for the PST query.
-    from varpulis_spark.operators.partition_driver import apply_per_key
+    # per-PARTITION driver with PARTITION-LEVEL output assembly: one engine
+    # per key (boundary-sliced), but fired rows accumulate as flat index
+    # arrays and materialize into a single DataFrame per partition. The
+    # engine's `row` payload is opaque — batch passes the ROW INDEX
+    # (streaming still passes real row tuples: prior-batch rows are gone by
+    # fire time). Per-GROUP pandas construction (15k tiny DataFrames +
+    # concat at sf1) dominated the wall over the model itself; measured
+    # ~4 s → ~2 s at sf1.
+    from varpulis_spark.operators.dedup import spread_keys
+    from varpulis_spark.operators.partition_driver import (
+        collect_partition,
+        sorted_key_bounds,
+    )
 
-    return apply_per_key(df, keys, run, schema, out_cols, sort_cols)
+    def run_partition(batches):
+        pdf = collect_partition(batches)
+        if pdf is None or pdf.empty:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        pdf, bounds = sorted_key_bounds(pdf, keys, sort_cols)
+        ets_all = pdf["event_type"].to_numpy()
+        ts_all = pdf[ts_col].astype("int64").to_numpy()
+        f_i: list[int] = []
+        f_first: list[int] = []
+        f_meta: list[tuple] = []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            eng = ForecastEngine(
+                pattern_types, max_depth, warmup, confidence,
+                hawkes, conformal, coverage, max_steps, span_ns,
+            )
+            for i in range(s0, s1):
+                fired = eng.process(ets_all[i], int(ts_all[i]), i)
+                if fired is None:
+                    continue
+                step, nruns, prob, lo, hi, fconf, exp_us, i0 = fired
+                f_i.append(i)
+                f_first.append(i0)
+                f_meta.append((step, nruns, prob, lo, hi, fconf, exp_us))
+        if not f_i:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        out = {}
+        for k in keys:
+            out[k] = pdf[k].to_numpy()[f_i]
+        out[id_field] = pdf[id_field].to_numpy()[f_i]
+        if carry_ts:
+            out[ts_col] = pdf[ts_col].to_numpy()[f_i]
+        for ci, mc in enumerate(meta_cols):
+            out[mc] = [t[ci] for t in f_meta]
+        for c in in_cols:
+            out[f"__first_{c}"] = pdf[c].to_numpy()[f_first]
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return spread_keys(df, keys).mapInPandas(run_partition, schema)

@@ -524,12 +524,16 @@ def forecast_streaming(
     conformal: bool = True,
     mode: str | None = None,
     coverage: float = 0.9,
+    first_cols: list[str] | None = None,
 ) -> Stream:
     """Streaming `.forecast(...)` — the reference's native mode (the PST
     trains as events arrive). The per-key `ForecastEngine` (PST + Hawkes +
     conformal + active runs) is pickled into the state store between
     micro-batches, so restarts resume the model from the checkpoint.
-    Output schema matches the batch operator (operators/forecast.py)."""
+    Output schema matches the batch operator (operators/forecast.py),
+    including its `first_cols` __first_* pruning knob (run-start captures
+    must be CARRIED here — prior-batch rows are gone by fire time — so
+    pruning also shrinks the pickled run state, not just the output)."""
     import pickle
 
     import pandas as pd
@@ -550,16 +554,24 @@ def forecast_streaming(
     sort_cols = [ts_col] + ([order_col] if order_col else [])
     id_field = order_col or ts_col
     id_type = dict(df.dtypes)[id_field]
-    in_cols = [c for c, _t in df.dtypes]
+    all_cols = [c for c, _t in df.dtypes]
+    if first_cols is None:
+        in_cols = all_cols
+    else:
+        missing = [c for c in first_cols if c not in all_cols]
+        if missing:
+            raise ValueError(f"first_cols not in input: {missing}")
+        in_cols = list(first_cols)
     carry_ts = order_col is not None and ts_col != id_field
     ts_part = f"{ts_col} timestamp, " if carry_ts else ""
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
-    first_fields = ", ".join(f"__first_{c} {t}" for c, t in df.dtypes)
+    dtmap = dict(df.dtypes)
+    first_fields = ", ".join(f"__first_{c} {dtmap[c]}" for c in in_cols)
     out_schema = (
         f"{key_fields}, {id_field} {id_type}, {ts_part}next_step int, "
         "active_runs int, completion_prob double, prob_lo double, "
-        "prob_hi double, forecast_confidence double, expected_time_us long, "
-        + first_fields
+        "prob_hi double, forecast_confidence double, expected_time_us long"
+        + (", " + first_fields if first_fields else "")
     )
     out_cols = (
         list(keys)

@@ -1435,6 +1435,29 @@ def _compile_forecast_pattern(
         conformal=flag("conformal", True),
         mode=mode,
     )
+    # static __first_* pruning: collect every run-start field the
+    # post-forecast where/emit could reference under fc_resolver's
+    # rules (first-alias two-part refs + bare input-field refs — a
+    # conservative SUPERSET) and ship only those through the Arrow
+    # boundary; column pruning cannot cross mapInPandas, and the
+    # default all-columns capture dominates the op's output payload
+    # (and, streaming, the pickled run-start state).
+    first_alias_name = decl.steps[0].alias
+    in_cols_set = set(src.df.columns)
+    needed: set[str] = set()
+
+    def _collect_first_refs(n):
+        if isinstance(n, Ref):
+            if len(n.parts) == 2 and n.parts[0] == first_alias_name:
+                if n.parts[1] in in_cols_set:
+                    needed.add(n.parts[1])
+            elif len(n.parts) == 1 and n.parts[0] in in_cols_set:
+                needed.add(n.parts[0])
+        return n
+
+    for e in list(emit_kwargs.values()) + list(post_wheres):
+        _map_expr(e, _collect_first_refs)
+    fc_kwargs["first_cols"] = sorted(needed)
     if src.df.isStreaming:
         # streaming `.forecast` — the reference's native mode (PST trains
         # as events arrive); per-key engine state rides the state store
