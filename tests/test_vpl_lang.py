@@ -677,6 +677,59 @@ stream F = Login as a
     assert min(late) > 0.5
 
 
+def test_forecast_vpl_infers_first_cols_pruning(spark):
+    """The compiler statically collects which run-start fields the
+    post-forecast where/emit reference and passes them as `first_cols`
+    (column pruning can't cross mapInPandas). An emit referencing `a.user`
+    and a bare `user` must keep exactly that capture; the full-width
+    capture (e.g. __first_props on the events table) must not ride along."""
+    evts = "\n".join(
+        ['Login { user: "u1", region: "eu" }', 'Purchase { user: "u1" }'] * 20
+    )
+    stream = Stream(load_evt(spark, evts), ts_col="ts", order_col="event_id")
+    res = run_program("""
+stream F = Login as a
+    -> Purchase as b
+    .partition_by(user)
+    .forecast(confidence: 0.0, warmup: 10, mode: "fast")
+    .emit(who: a.user, p: forecast_probability)
+""", stream)
+    rows = res["F"].collect()
+    assert rows and all(r.who == "u1" for r in rows)
+    # the emit projection is exactly (who, p) + the ride-along event time;
+    # no un-referenced __first_* capture leaks through
+    assert set(res["F"].columns) == {"who", "p", "ts"}
+
+
+def test_forecast_vpl_first_cols_exact_set(spark, monkeypatch):
+    """Pin the statically inferred capture set itself: `a.user` (first
+    alias) and bare `region` (input field) must be collected; `props`
+    and the rest of the row must not ship through the Arrow boundary."""
+    import varpulis_spark.operators.forecast as fmod
+
+    seen = {}
+    real = fmod.forecast
+
+    def spy(*a, **kw):
+        seen["first_cols"] = kw.get("first_cols")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fmod, "forecast", spy)
+    evts = "\n".join(
+        ['Login { user: "u1", region: "eu" }', 'Purchase { user: "u1" }'] * 20
+    )
+    stream = Stream(load_evt(spark, evts), ts_col="ts", order_col="event_id")
+    run_program("""
+stream F = Login as a
+    -> Purchase as b
+    .partition_by(user)
+    .forecast(confidence: 0.0, warmup: 10, mode: "fast")
+    .where(region == "eu")
+    .emit(who: a.user, p: forecast_probability)
+""", stream)
+    assert seen["first_cols"] == ["region", "user"]
+
+
 # ---------------------------------------------------------------------------
 # ADVICE r2 regressions: sub-second precision, process schema probe
 # ---------------------------------------------------------------------------
