@@ -131,7 +131,7 @@ _evt_seq = st.lists(
 )
 
 
-@given(seq=_evt_seq, max_runs=st.integers(1, 8),
+@given(seq=_evt_seq, max_runs=st.integers(0, 8),
        strategy=st.sampled_from(["drop", "evict_oldest",
                                  "evict_least_progress", "sample:0.5"]))
 @settings(max_examples=150, deadline=None)

@@ -1061,7 +1061,8 @@ def _merge_with_run_cap(old_events: list, new_events: list, pattern,
             events.append(e)
             started += 1
             continue
-        if strategy in ("drop", "error"):
+        if strategy in ("drop", "error") or not anchors:
+            # not anchors ⇔ max_runs <= 0: nothing to evict, every run drops
             dropped += 1
         elif strategy == "sample":
             # "accept new runs with probability `rate`" (sase.rs:804-808).
