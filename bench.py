@@ -68,6 +68,27 @@ def wait_for_idle(threshold: float = 1.0) -> float:
     return round(time.time() - t0, 1)
 
 
+def cpu_ref() -> dict:
+    """Fixed CPU calibration stamp: a numpy GEMM (BLAS/SIMD path) and a
+    pure-Python loop (interpreter path), single-threaded. Rounds-apart
+    artifacts on this shared box differ up to ~2x from HOST state alone
+    (PERF_NOTES r7 control experiment: the r6 commit reproduces r7's slow
+    tail bit-for-bit) — this stamp lets readers normalize absolute seconds
+    before calling something a regression."""
+    import numpy as np
+
+    a = np.full((1500, 1500), 1.0 / 3)
+    t0 = time.time()
+    for _ in range(3):
+        a @ a
+    gemm = time.time() - t0
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return {"gemm_sec": round(gemm, 3), "pyloop_sec": round(time.time() - t0, 3)}
+
+
 def warmup(spark, sf_dir: str) -> int:
     """Absorb one-time costs the baseline also excludes ('preloaded events,
     median of 3 runs', README.md:100): JVM codegen, parquet footer reads,
@@ -199,6 +220,7 @@ def compact_line(out: dict, detail_path: str) -> str:
         "queries_run": sum(1 for v in out["queries"].values() if v >= 0),
         "skipped": out.get("skipped", []),
         "detail": os.path.basename(detail_path),
+        "cpu_ref": out.get("cpu_ref"),
     }
     sf1 = out.get("sf1")
     if isinstance(sf1, dict) and "queries" in sf1:
@@ -223,6 +245,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     idle_waited = wait_for_idle()
     load_start = os.getloadavg()  # before session startup self-load
+    cpu = cpu_ref()
     spark = get_spark("varpulis-bench")
     spark.sparkContext.setLogLevel("ERROR")
     n_events = warmup(spark, sf_dir)
@@ -256,6 +279,7 @@ def main() -> None:
         "runs_per_query": runs_per_query,
         "idle_wait_sec": idle_waited,
         "loadavg_start": [round(x, 2) for x in load_start],
+        "cpu_ref": cpu,
         "skipped": skipped,
         "query_timeout_sec": QUERY_TIMEOUT,
     }

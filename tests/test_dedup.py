@@ -33,6 +33,34 @@ def test_oph_identical_texts_identical_sigs():
     assert (sig[0] != D._EMPTY_SLOT).all()
 
 
+def test_batch_shingle_kernel_matches_row_kernel():
+    """`_shingle_hashes_concat` + `_distinct_per_doc` (one pass over the
+    whole Arrow batch) must be bit-identical to the per-document reference
+    kernel `_shingle_hash_row` — including empty docs, docs shorter than k
+    (zero-padded prefix window), multi-byte UTF-8, and duplicate shingles."""
+    rng = random.Random(7)
+    alpha = "abcdefg hij klmnopqrstuvwxyz0123456789 éü中文\t\n"
+    texts = ["", "a", "abcdef", "abcdefg", "  MiXeD   Case\n\nText  ", "ababababab"]
+    for _ in range(300):
+        n = rng.choice([0, 1, 2, 5, 6, 7, 8, 40, rng.randint(0, 200)])
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    s = pd.Series(texts)
+    for k in (3, 7):
+        powers = D._powers(k)
+        normed = D._normalize(s)
+        ref = [D._shingle_hash_row(t, k, powers) for t in normed]
+        doc_idx, h, counts = D._shingle_hashes_concat(normed, k, powers)
+        _, hu, lens = D._distinct_per_doc(doc_idx, h, len(s))
+        got = np.split(hu, np.cumsum(lens)[:-1])
+        assert len(got) == len(ref)
+        for i, (a, b) in enumerate(zip(ref, got)):
+            assert np.array_equal(a, b), (k, i, repr(texts[i]))
+        # counts = NON-distinct window counts (0 only for empty docs)
+        for i, t in enumerate(normed):
+            nb = len(t.encode("utf-8"))
+            assert counts[i] == (max(nb - k + 1, 1) if nb else 0)
+
+
 def test_oph_deterministic_across_batch_splits():
     """A doc's signature must not depend on which batch it arrives in."""
     texts = ["doc %d body %s" % (i, "x" * (i % 7)) for i in range(20)]

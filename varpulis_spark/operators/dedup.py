@@ -10,10 +10,14 @@ north star. Scale design:
   shuffle and no window-function sort. `fingerprint=True` groups on
   md5(key) so wide keys (full document text) never enter an exchange.
 - shingling + hashing happen INSIDE one Arrow-batched pandas UDF as a
-  vectorized numpy rolling hash (sliding_window_view over utf-8 bytes ×
-  power vector, uint64 wraparound — deterministic). A JVM-side
-  transform/substring shingler is O(len²) per doc and was measured 50×
-  slower; per-row Python regex is avoided via pandas C-level .str ops.
+  vectorized numpy rolling hash, computed over the WHOLE batch at once:
+  all docs concatenate into one byte buffer, the polynomial hash is k
+  shifted multiply-adds over it, and windows crossing doc boundaries are
+  masked (`_shingle_hashes_concat` — 4× the per-doc-loop kernel, which
+  paid a Python iteration + a (len × k) window matrix per doc; uint64
+  wraparound — deterministic). A JVM-side transform/substring shingler is
+  O(len²) per doc and was measured 50× slower; per-row Python regex is
+  avoided via pandas C-level .str ops.
 - MinHash signatures: One-Permutation Hashing (Li/Owen/Zhang, NIPS 2012)
   with rotation densification (Shrivastava/Li, ICML 2014) — the whole
   `num_perm`-slot signature comes from ONE sort over the batch's shingle
@@ -51,6 +55,10 @@ BUCKET_SALTS = 256  # fan-out of the level-1 capped aggregation (skew guard)
 # dedup_clusters: pair graphs at or below this edge count solve driver-side
 # (union-find); larger graphs run the distributed propagation loop
 CLUSTERS_LOCAL_MAX_EDGES = 1_000_000
+# minhash verify: broadcast the (id, signature) table into the candidate
+# join when its exact size (n_docs × num_perm × 8 B) fits; larger corpora
+# fall back to AQE's shuffle-side strategy
+VERIFY_BROADCAST_MAX_BYTES = 256 << 20
 _FNV = np.uint64(1099511628211)
 
 _PERSISTED: list[DataFrame] = []
@@ -240,6 +248,110 @@ def _powers(k: int) -> np.ndarray:
     return p
 
 
+def _shingle_hashes_concat(
+    texts: pd.Series, k: int, powers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All docs' rolling k-shingle hashes in ONE vectorized pass.
+
+    The per-document kernel (`_shingle_hash_row`) pays a Python-loop
+    iteration plus a (len × k) uint64 window-matrix materialization per
+    doc; at sf1 that loop IS the near-dup wall time (same per-group
+    overhead class as the r7 forecast fix). Here every doc in the Arrow
+    batch is concatenated into one byte buffer and the polynomial hash is
+    computed with k shifted multiply-adds over the whole buffer; windows
+    crossing a document boundary are masked out by comparing the doc index
+    at the window's first and last byte.
+
+    Returns ``(doc_idx, hashes, counts)``: NON-distinct window hashes
+    (uint64, wraparound arithmetic bit-identical to the row kernel), the
+    doc index of each hash, and per-doc window counts (0 only for empty
+    docs). Distinctness, where a caller needs it, is one global
+    lexsort-dedupe instead of a per-doc `np.unique` sort.
+    """
+    encoded = [t.encode("utf-8") for t in texts]
+    n = len(encoded)
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    counts = np.where(lens >= k, lens - (k - 1), np.minimum(lens, 1))
+    if total == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.uint64),
+            counts,
+        )
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    out_h: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    if total >= k:
+        n_win = total - k + 1
+        h_all = np.zeros(n_win, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                h_all += buf[i : i + n_win] * powers[i]
+        valid = doc_of[:n_win] == doc_of[k - 1 :]
+        out_h.append(h_all[valid])
+        out_d.append(doc_of[:n_win][valid])
+    # docs shorter than k hash their zero-padded prefix window (matches the
+    # row kernel's single padded window); rare, so a tiny Python loop.
+    short = np.nonzero((lens > 0) & (lens < k))[0]
+    if short.size:
+        h_short = np.empty(short.size, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j, d in enumerate(short):
+                b = buf[starts[d] : starts[d] + lens[d]]
+                h_short[j] = (b * powers[: lens[d]]).sum(dtype=np.uint64)
+        out_h.append(h_short)
+        out_d.append(short.astype(np.int64))
+    doc_idx = np.concatenate(out_d) if len(out_d) > 1 else out_d[0]
+    hashes = np.concatenate(out_h) if len(out_h) > 1 else out_h[0]
+    if short.size:
+        # restore global doc order (short docs were appended) — timsort on
+        # the nearly-sorted index is ~O(n); the all-long-docs common case
+        # skips this entirely. Downstream relies on non-decreasing doc_idx
+        # for segment-local processing.
+        order = np.argsort(doc_idx, kind="stable")
+        doc_idx = doc_idx[order]
+        hashes = hashes[order]
+    return doc_idx, hashes, counts
+
+
+def _distinct_per_doc(
+    doc_idx: np.ndarray, hashes: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT hashes, ascending within each doc (bit-identical to
+    per-doc ``np.unique``). Returns ``(doc_idx, hashes, per-doc distinct
+    counts)``.
+
+    Fast path (always taken for `_shingle_hashes_concat` output, which is
+    doc-ordered): in-place np.sort per doc SEGMENT — ~300-element
+    cache-resident sorts, measured 6.5× faster than one global
+    lexsort-argsort over the batch's millions of shingles (the argsort's
+    random-permutation gather is the cost, not the comparisons)."""
+    if hashes.size == 0:
+        return doc_idx, hashes, np.zeros(n, dtype=np.int64)
+    if np.all(doc_idx[1:] >= doc_idx[:-1]):
+        hd = hashes.copy()
+        dd = doc_idx
+        seg = np.flatnonzero(np.diff(dd)) + 1
+        starts = np.concatenate(([0], seg))
+        ends = np.concatenate((seg, [hd.size]))
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            hd[a:b].sort()
+    else:
+        order = np.lexsort((hashes, doc_idx))
+        hd = hashes[order]
+        dd = doc_idx[order]
+    keep = np.empty(hd.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+    hu = hd[keep]
+    du = dd[keep]
+    return du, hu, np.bincount(du, minlength=n)
+
+
 def shingle_hashes_udf(k: int = 7):
     """pandas UDF: text → array<long> distinct shingle hashes.
 
@@ -250,10 +362,12 @@ def shingle_hashes_udf(k: int = 7):
 
     @pandas_udf("array<long>")
     def _sh(texts: pd.Series) -> pd.Series:
-        normed = _normalize(texts)
-        return pd.Series(
-            [_shingle_hash_row(t, k, powers).astype(np.int64).tolist() for t in normed]
-        )
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        doc_idx, raw, _ = _shingle_hashes_concat(_normalize(texts), k, powers)
+        _, hu, lens = _distinct_per_doc(doc_idx, raw, len(texts))
+        splits = np.split(hu.astype(np.int64), np.cumsum(lens)[:-1])
+        return pd.Series([s.tolist() for s in splits])
 
     return _sh
 
@@ -275,17 +389,18 @@ def _oph_signatures(
     m1 = np.uint64((0xFF51AFD7ED558CCD ^ (2 * seed + 1)) | 1)
     m2 = np.uint64((0xC4CEB9FE1A85EC53 ^ (2 * seed + 1)) | 1)
 
-    hashes = [_shingle_hash_row(t, shingle_k, powers) for t in _normalize(texts)]
-    n = len(hashes)
-    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
-    if n == 0 or lens.sum() == 0:
+    # batched shingling, NON-distinct: the per-(doc, bin) minimum is
+    # unchanged by duplicate shingles, so the global dedupe sort is skipped
+    # entirely on this path.
+    doc_idx64, h, lens = _shingle_hashes_concat(_normalize(texts), shingle_k, powers)
+    n = len(texts)
+    if n == 0 or h.size == 0:
         return np.full((n, num_perm), _EMPTY_SLOT, dtype=np.int64)
     # key packing headroom: (batch_docs × num_perm) must fit above the
     # value bits — 2^24 keys at the default widths, far beyond Arrow's
     # 10k-row batches.
     assert n * num_perm < (1 << (64 - _VAL_BITS))
-    doc_idx = np.repeat(np.arange(n, dtype=np.uint64), lens)
-    h = np.concatenate(hashes)
+    doc_idx = doc_idx64.astype(np.uint64)
     with np.errstate(over="ignore"):
         h = h ^ (h >> np.uint64(33))
         h = h * m1
@@ -361,22 +476,43 @@ def _simhash_batch(texts: pd.Series, shingle_k: int) -> np.ndarray:
     mapping is a fixed permutation of the scalar form (Hamming distances
     are permutation-invariant, which is all SimHash uses)."""
     powers = _powers(shingle_k)
-    hashes = [_shingle_hash_row(t, shingle_k, powers) for t in _normalize(texts)]
-    n = len(hashes)
+    n = len(texts)
     out = np.zeros(n, dtype=np.int64)
-    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64, count=n)
+    doc_idx, raw, _ = _shingle_hashes_concat(_normalize(texts), shingle_k, powers)
+    # SimHash votes weight each DISTINCT shingle once (bit-identical to the
+    # old per-doc np.unique loop).
+    du, cat, lens = _distinct_per_doc(doc_idx, raw, n)
     nonzero = lens > 0
     if not nonzero.any():
         return out
-    cat = np.concatenate([h for h in hashes if len(h)])
-    # (total_shingles, 64) bit matrix in one C call; uint16 so the
-    # per-doc reduceat sums can't overflow (docs are capped far below 64K
-    # shingles; uint8 would wrap at 255)
-    bits = np.unpackbits(cat.view(np.uint8).reshape(-1, 8), axis=1).astype(np.uint16)
-    starts = np.zeros(int(nonzero.sum()), dtype=np.int64)
-    np.cumsum(lens[nonzero][:-1], out=starts[1:])
-    sums = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
-    votes = (2 * sums) > lens[nonzero, None]  # majority bit per position
+    # Bit voting in cache-sized chunks. A single (total_shingles, 64)
+    # uint16 matrix + one reduceat measured ~10× the rest of the kernel at
+    # realistic batch sizes — it streams hundreds of MB through memory.
+    # Chunked, the bit matrix stays uint8 straight out of unpackbits (no
+    # astype pass at all): per-doc segments are split at 255 rows so the
+    # uint8 reduceat cannot overflow, and the tiny per-(sub)segment sums
+    # are promoted to int64 and accumulated into the per-doc totals.
+    sums = np.zeros((n, 64), dtype=np.int64)
+    bytes_view = cat.view(np.uint8).reshape(-1, 8)
+    chunk = 1 << 13
+    for a in range(0, cat.size, chunk):
+        b = min(a + chunk, cat.size)
+        bits = np.unpackbits(bytes_view[a:b], axis=1)  # uint8 (m, 64)
+        d = du[a:b]
+        cuts = np.flatnonzero(np.diff(d)) + 1
+        seg_starts = np.concatenate(([0], cuts)).astype(np.int64)
+        seg_ends = np.concatenate((cuts, [b - a])).astype(np.int64)
+        seg_docs = d[seg_starts]
+        n_sub = (seg_ends - seg_starts + 254) // 255
+        sub_docs = np.repeat(seg_docs, n_sub)
+        base = np.repeat(seg_starts, n_sub)
+        within = np.concatenate([np.arange(m) for m in n_sub.tolist()]) * 255
+        sub_sums = np.add.reduceat(bits, base + within, axis=0).astype(np.int64)
+        # a doc spanning a chunk boundary appears in both chunks' partials;
+        # indexed += is safe because sub_docs are unique WITHIN a chunk
+        # except for the ≤255-row splits, which np.add.at accumulates.
+        np.add.at(sums, sub_docs, sub_sums)
+    votes = (2 * sums[nonzero]) > lens[nonzero, None]  # majority bit per position
     packed = np.packbits(votes.astype(np.uint8), axis=1)  # (docs, 8 bytes)
     out[nonzero] = packed.reshape(-1).view(np.uint64).astype(np.int64)
     return out
@@ -458,11 +594,21 @@ def minhash_near_dup_pairs(
     # surviving rows.
     pairs = _bucket_pairs(banded, dedup_pairs=False)
 
-    # verify on signatures joined back by id (base is persisted + narrow;
-    # the sig table scales with the corpus, so the join strategy is left to
-    # AQE — broadcast when it fits, shuffle-hash otherwise)
+    # verify on signatures joined back by id. The banding S-curve lets
+    # through orders of magnitude more false-positive candidates than
+    # survivors near the threshold (measured 2.7M candidates → 347 pairs at
+    # sf1), so the verify join dominated the query; AQE won't broadcast the
+    # sig table on its own (it exceeds autoBroadcastJoinThreshold), but at
+    # n_docs × num_perm × 8 B it is often broadcastable — hint it
+    # explicitly when the exact size is under VERIFY_BROADCAST_MAX_BYTES
+    # (the count is free: base is persisted and consumed by banding
+    # anyway). Above the cap — billions of docs — the strategy falls back
+    # to AQE's shuffle join, same contract as before.
     a_sig = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b_sig = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if base.count() * num_perm * 8 <= VERIFY_BROADCAST_MAX_BYTES:
+        a_sig = F.broadcast(a_sig)
+        b_sig = F.broadcast(b_sig)
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ).cast("double") / F.lit(float(num_perm))
