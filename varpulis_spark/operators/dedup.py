@@ -768,16 +768,30 @@ def ngram_minshingle_pairs(
     )
     sh_a = keyed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = keyed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # broadcast the (id, shingle-array) table into the verify joins when its
+    # exact size fits (total shingle longs counted off the persisted frame —
+    # one cheap agg over cached data); mirrors the minhash verify guard.
+    # Above the cap the strategy falls back to AQE's shuffle join.
+    total_longs = keyed.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+    if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
+        sh_a = F.broadcast(sh_a)
+        sh_b = F.broadcast(sh_b)
     scaled_t = int(round(threshold * 1_000_000))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter_size"),
-            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("union_size"),
+            inter.alias("inter_size"),
+            # |A ∪ B| = |A| + |B| − |A ∩ B| — sh arrays are distinct by
+            # construction, so this equals size(array_union(...)) exactly
+            # while skipping the second per-pair hash-set pass.
+            (F.size("sh_a") + F.size("sh_b")).cast("long").alias("__ab"),
         )
+        .withColumn("union_size", F.col("__ab") - F.col("inter_size"))
+        .drop("__ab")
         .filter(
             F.col("inter_size") * F.lit(1_000_000)
             >= F.lit(scaled_t) * F.col("union_size")
