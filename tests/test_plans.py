@@ -173,6 +173,25 @@ def test_minhash_exchanges_carry_no_text(spark, sf_dir):
     D.release_caches()
 
 
+def test_near_dup_verify_joins_broadcast_when_small(spark, sf_dir):
+    """Banding false-positives dwarf surviving pairs near the threshold, so
+    the verify joins must hash-probe a BROADCAST signature/shingle table
+    when its exact size fits (VERIFY_BROADCAST_MAX_BYTES) instead of
+    shuffling wide arrays per candidate — AQE won't do it on its own above
+    autoBroadcastJoinThreshold."""
+    from varpulis_spark.operators import dedup as D
+    from varpulis_spark.engine import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        D.minhash_near_dup_pairs(docs, threshold=0.4),
+        D.ngram_minshingle_pairs(docs),
+    ):
+        plan = plan_of(df)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+    D.release_caches()
+
+
 def test_no_red_flags_in_any_driver_plan(spark, sf_dir):
     """Sweep EVERY driver query's physical plan: no cartesian/nested-loop
     joins (quadratic at scale) and no row-at-a-time Python UDFs
