@@ -1587,3 +1587,99 @@ def test_streaming_run_cap_counters_and_evict_semantics(spark, tmp_path):
     got = {r.a_id for r in spark.table("cap_evict").collect()}
     assert got == {f"s{i:03d}" for i in range(40, 60)}
     assert out2.run_stats["runs_evicted"].value == 40
+
+
+def test_streaming_minhash_near_dup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming MinHash near-dup mining vs batch: documents replayed in 3
+    id-ordered micro-batches must yield the SAME pair set (id-ordered
+    arrival is the exact-parity contract — state converges to the batch
+    cap's lowest-id bucket membership). Pairs may repeat across colliding
+    bands; the drained result is compared as a distinct set."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_streaming,
+        release_caches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    base = str(tmp_path / "docs_replay")
+    os.makedirs(base)
+    n = len(rows)
+    chunk = (n + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"f{i}"))
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    k = 0
+    for i in range(3):
+        d = os.path.join(base, f"f{i}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(flat, f"{k:02d}.parquet")
+                    shutil.copy(os.path.join(d, f), dst)
+                    os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+                    k += 1
+
+    src = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    out = minhash_near_dup_streaming(src, threshold=0.4)
+    assert out.isStreaming
+    S.run_to_memory(SimpleNamespace(df=out), "mh_stream")
+    got = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in spark.table("mh_stream").collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, threshold=0.4).collect()
+    }
+    release_caches()
+    assert got == want and len(want) > 0
+
+
+def test_streaming_minhash_hot_bucket_capped(spark, tmp_path):
+    """A degenerate bucket (identical boilerplate text) must stay bounded:
+    with max_bucket=4, only the 4 lowest ids form pairs — C(4,2) distinct
+    pairs no matter how many clones stream in — mirroring the batch cap."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.operators.dedup import minhash_near_dup_streaming
+
+    boiler = "the same boilerplate text repeated in every clone of this doc"
+    rows = [(i, boiler) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path / "hot")
+    os.makedirs(base)
+    for i in range(2):
+        part = rows[i * 10 : (i + 1) * 10]
+        spark.createDataFrame(part, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"f{i}"))
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    k = 0
+    for i in range(2):
+        d = os.path.join(base, f"f{i}")
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{k:02d}.parquet")
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+                k += 1
+    src = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    out = minhash_near_dup_streaming(src, threshold=0.9, max_bucket=4)
+    S.run_to_memory(SimpleNamespace(df=out), "mh_hot")
+    got = {(r.id_a, r.id_b) for r in spark.table("mh_hot").collect()}
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}

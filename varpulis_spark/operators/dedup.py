@@ -621,6 +621,129 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_near_dup_streaming(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 7,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Streaming MinHash near-dup mining: as documents arrive, emit
+    (id_a, id_b, est_jaccard) pairs against EVERYTHING seen so far — the
+    dedup-against-history shape a continuously-ingesting training-data
+    pipeline needs (the streaming twin of `minhash_near_dup_pairs`; the
+    reference's engine runs every operator continuously, engine/mod.rs).
+
+    Design: signatures are computed by the same OPH pandas UDF, then each
+    doc fans out to its `bands` LSH bucket keys WITH its signature, and an
+    `applyInPandasWithState` keyed by bucket keeps the capped (id, sig)
+    membership in state — so candidate generation AND signature
+    verification happen inside one stateful pass, no second join against a
+    signature store (which streaming cannot express). Per-bucket state is
+    the same lowest-`max_bucket`-ids membership the batch cap keeps.
+
+    Contracts / divergences (all shared with the batch op where possible):
+    - A pair is emitted once per COLLIDING BAND (batch runs a final
+      dropDuplicates; chaining a second stateful dedup behind
+      applyInPandasWithState is not supported by Spark, so the consumer
+      applies `.dropDuplicates(["id_a","id_b"])` on the drained result —
+      duplicate emissions carry identical est_jaccard).
+    - Exact batch parity when ids arrive in non-decreasing order (the
+      append-log case): state converges to the batch cap's lowest-id
+      membership and the emitted pair SET equals the batch pair set
+      (parity-tested). Out-of-order ids keep the same capped membership by
+      evicting the largest id, but pairs already emitted by an evicted doc
+      are not retracted.
+    - State per (band, bucket): ≤ max_bucket × num_perm longs. Buckets
+      accumulate for the stream's lifetime — dedup-against-all-history is
+      inherently unbounded; bound ingestion upstream (e.g. windowed
+      replay) if the corpus is.
+    - Shuffle carries (id, sig) × bands per doc (~bands × num_perm × 8 B);
+      unlike batch there is no persisted side to join back to, so the
+      amplification is the price of single-pass verification. Text never
+      enters an exchange.
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle_k)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).select(
+        "id", sig(F.col("__t")).alias("sig")
+    )
+    banded = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(j),
+                        *[
+                            F.col("sig").getItem(j * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    def run(key, pdfs, state):
+        ids = np.zeros(0, dtype=np.int64)
+        sigs = np.zeros((0, num_perm), dtype=np.int64)
+        if state.exists:
+            (buf,) = state.get
+            ids, sigs = pickle.loads(buf)
+        chunks = [p for p in pdfs if len(p)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_e: list[float] = []
+        if chunks:
+            batch = pd.concat(chunks).sort_values("id")
+            for rid, rsig in zip(
+                batch["id"].to_numpy(), batch["sig"].to_numpy()
+            ):
+                rid = int(rid)
+                if ids.size and (ids == rid).any():
+                    continue  # same doc re-fanned / replayed
+                if ids.size >= max_bucket and rid > int(ids.max()):
+                    continue  # beyond the capped membership (batch cap)
+                rs = np.asarray(rsig, dtype=np.int64)
+                if ids.size:
+                    est = (sigs == rs).sum(axis=1) / float(num_perm)
+                    hit = est >= threshold
+                    for a, e in zip(ids[hit].tolist(), est[hit].tolist()):
+                        out_a.append(min(a, rid))
+                        out_b.append(max(a, rid))
+                        out_e.append(e)
+                ids = np.append(ids, np.int64(rid))
+                sigs = np.vstack([sigs, rs[None, :]])
+                if ids.size > max_bucket:
+                    j = int(np.argmax(ids))
+                    keep = np.ones(ids.size, dtype=bool)
+                    keep[j] = False
+                    ids = ids[keep]
+                    sigs = sigs[keep]
+        state.update((pickle.dumps((ids, sigs)),))
+        yield pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
+        )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        run,
+        "id_a long, id_b long, est_jaccard double",
+        "buf binary",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     """(id, bucket) → distinct candidate (id_a, id_b) pairs per bucket,
     keeping the MAX_BUCKET lowest ids per bucket (skew guard — a
