@@ -1589,6 +1589,32 @@ def test_streaming_run_cap_counters_and_evict_semantics(spark, tmp_path):
     assert out2.run_stats["runs_evicted"].value == 40
 
 
+def _id_ordered_replay(spark, rows, schema, base, n_files):
+    """Write rows as n_files id-ordered parquet files with distinct mtimes
+    (micro-batch replay for the dedup-against-history twins)."""
+    os.makedirs(base)
+    n = len(rows)
+    chunk = (n + n_files - 1) // n_files
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    k = 0
+    for i in range(n_files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        d = os.path.join(base, f"f{i}")
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{k:02d}.parquet")
+                shutil.copy(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+                k += 1
+    return flat
+
+
 def test_streaming_minhash_near_dup_matches_batch(spark, sf_dir, tmp_path):
     """Streaming MinHash near-dup mining vs batch: documents replayed in 3
     id-ordered micro-batches must yield the SAME pair set (id-ordered
@@ -1606,29 +1632,7 @@ def test_streaming_minhash_near_dup_matches_batch(spark, sf_dir, tmp_path):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rows = docs.orderBy("doc_id").collect()
-    base = str(tmp_path / "docs_replay")
-    os.makedirs(base)
-    n = len(rows)
-    chunk = (n + 2) // 3
-    for i in range(3):
-        part = rows[i * chunk : (i + 1) * chunk]
-        if part:
-            spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(base, f"f{i}"))
-    flat = os.path.join(base, "flat")
-    os.makedirs(flat)
-    k = 0
-    for i in range(3):
-        d = os.path.join(base, f"f{i}")
-        if os.path.isdir(d):
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(flat, f"{k:02d}.parquet")
-                    shutil.copy(os.path.join(d, f), dst)
-                    os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
-                    k += 1
-
+    flat = _id_ordered_replay(spark, rows, docs.schema, str(tmp_path / "docs_replay"), 3)
     src = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(flat)
@@ -1658,24 +1662,7 @@ def test_streaming_minhash_hot_bucket_capped(spark, tmp_path):
     boiler = "the same boilerplate text repeated in every clone of this doc"
     rows = [(i, boiler) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    base = str(tmp_path / "hot")
-    os.makedirs(base)
-    for i in range(2):
-        part = rows[i * 10 : (i + 1) * 10]
-        spark.createDataFrame(part, df.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"f{i}"))
-    flat = os.path.join(base, "flat")
-    os.makedirs(flat)
-    k = 0
-    for i in range(2):
-        d = os.path.join(base, f"f{i}")
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{k:02d}.parquet")
-                shutil.copy(os.path.join(d, f), dst)
-                os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
-                k += 1
+    flat = _id_ordered_replay(spark, rows, df.schema, str(tmp_path / "hot"), 2)
     src = spark.readStream.schema(df.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(flat)
@@ -1683,3 +1670,88 @@ def test_streaming_minhash_hot_bucket_capped(spark, tmp_path):
     S.run_to_memory(SimpleNamespace(df=out), "mh_hot")
     got = {(r.id_a, r.id_b) for r in spark.table("mh_hot").collect()}
     assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_streaming_simhash_near_dup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming SimHash twin vs batch: the 4x16-bit pigeonhole banding is
+    deterministic (Hamming <= 3 => >= 1 identical band), so id-ordered
+    replay must reproduce the batch pair set EXACTLY, hamming included."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.dedup import (
+        release_caches,
+        simhash_near_dup_pairs,
+        simhash_near_dup_streaming,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    flat = _id_ordered_replay(spark, rows, docs.schema, str(tmp_path / "sh_replay"), 3)
+    src = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    out = simhash_near_dup_streaming(src, max_hamming=3)
+    assert out.isStreaming
+    S.run_to_memory(SimpleNamespace(df=out), "sh_stream")
+    got = {
+        (r.id_a, r.id_b, r.hamming) for r in spark.table("sh_stream").collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    release_caches()
+    assert got == want and len(want) > 0
+
+
+def test_streaming_embedding_near_dup_recall_and_precision(spark, tmp_path):
+    """Streaming embedding near-dup: jittered clone pairs (cos >= ~0.97)
+    among random background vectors. Precision is EXACT by construction
+    (float64 verification in state); recall through the banded+probed
+    hyperplane buckets must recover every true pair on this seeded,
+    deterministic dataset."""
+    import numpy as np
+    from types import SimpleNamespace
+
+    from varpulis_spark.operators.similarity import embedding_near_dup_streaming
+
+    rng = np.random.RandomState(11)
+    dim, n_pairs, n_noise = 32, 25, 150
+    vecs = []
+    for i in range(n_pairs):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        jit = base + rng.normal(scale=0.04, size=dim)
+        jit /= np.linalg.norm(jit)
+        vecs.append((2 * i, base))
+        vecs.append((2 * i + 1, jit))
+    for i in range(n_noise):
+        v = rng.normal(size=dim)
+        vecs.append((1000 + i, v / np.linalg.norm(v)))
+    # ground truth: exact all-pairs cosine over the normalized set
+    ids = np.array([i for i, _ in vecs])
+    m = np.array([v for _, v in vecs])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    g = m @ m.T
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a in range(len(ids))
+        for b in range(a + 1, len(ids))
+        if g[a, b] >= 0.9
+    }
+    assert len(want) >= n_pairs  # every clone pair is a true near-dup
+
+    rows = [(int(i), [float(x) for x in v]) for i, v in vecs]
+    rows.sort(key=lambda r: r[0])
+    schema = "vec_id long, embedding array<double>"
+    flat = _id_ordered_replay(spark, rows, schema, str(tmp_path / "emb_replay"), 3)
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    out = embedding_near_dup_streaming(src, threshold=0.9)
+    S.run_to_memory(SimpleNamespace(df=out), "emb_stream")
+    drained = spark.table("emb_stream").collect()
+    got = {(r.id_a, r.id_b) for r in drained}
+    # precision: every emitted pair really is >= threshold
+    for r in drained:
+        assert r.cosine >= 0.9
+    assert got == want

@@ -621,6 +621,84 @@ def minhash_near_dup_pairs(
     )
 
 
+def _bucketed_near_dup_streaming(
+    banded: DataFrame,
+    payload_np,
+    verify,
+    out_schema: str,
+    metric_col: str,
+    max_bucket: int,
+    payload_col: str = "sig",
+) -> DataFrame:
+    """Shared stateful driver for streaming near-dup mining: `banded` is a
+    streaming (id long, <payload>, bucket long) frame where a doc appears
+    once per LSH band; state per bucket is the capped LOWEST-id membership
+    of (id, payload-array) rows — the same membership the batch
+    `_bucket_pairs` cap keeps — so candidate generation and verification
+    (`verify(pays_matrix, new_payload) -> (hit_mask, metric_values)`)
+    happen in one `applyInPandasWithState` pass.
+
+    Cap semantics: ids are processed in ascending order within each
+    micro-batch; a doc beyond a full bucket's max id is skipped entirely
+    (batch parity — the batch cap drops it from the bucket's membership),
+    and an insertion that overflows the cap evicts the current max id.
+    Under globally id-ordered arrival the emitted pair SET therefore
+    equals the batch op's exactly; out-of-order arrival keeps the same
+    capped membership but cannot retract pairs an evicted doc already
+    emitted."""
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def run(key, pdfs, state):
+        ids = np.zeros(0, dtype=np.int64)
+        pays: np.ndarray | None = None
+        if state.exists:
+            (buf,) = state.get
+            ids, pays = pickle.loads(buf)
+        chunks = [p for p in pdfs if len(p)]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_m: list = []
+        if chunks:
+            batch = pd.concat(chunks).sort_values("id")
+            for rid, raw in zip(
+                batch["id"].to_numpy(), batch[payload_col].to_numpy()
+            ):
+                rid = int(rid)
+                if ids.size and (ids == rid).any():
+                    continue  # same doc re-fanned / replayed
+                if ids.size >= max_bucket and rid > int(ids.max()):
+                    continue  # beyond the capped membership (batch cap)
+                p = payload_np(raw)
+                if pays is None:
+                    pays = np.zeros((0,) + p.shape, dtype=p.dtype)
+                if ids.size:
+                    hit, metric = verify(pays, p)
+                    for a, m in zip(ids[hit].tolist(), np.asarray(metric)[hit].tolist()):
+                        out_a.append(min(a, rid))
+                        out_b.append(max(a, rid))
+                        out_m.append(m)
+                ids = np.append(ids, np.int64(rid))
+                pays = np.vstack([pays, p[None, :]])
+                if ids.size > max_bucket:
+                    j = int(np.argmax(ids))
+                    keep = np.ones(ids.size, dtype=bool)
+                    keep[j] = False
+                    ids = ids[keep]
+                    pays = pays[keep]
+        state.update((pickle.dumps((ids, pays)),))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, metric_col: out_m})
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        run,
+        out_schema,
+        "buf binary",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def minhash_near_dup_streaming(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -666,10 +744,6 @@ def minhash_near_dup_streaming(
       amplification is the price of single-pass verification. Text never
       enters an exchange.
     """
-    import pickle
-
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_k)
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).select(
@@ -694,53 +768,17 @@ def minhash_near_dup_streaming(
         ).alias("bucket"),
     )
 
-    def run(key, pdfs, state):
-        ids = np.zeros(0, dtype=np.int64)
-        sigs = np.zeros((0, num_perm), dtype=np.int64)
-        if state.exists:
-            (buf,) = state.get
-            ids, sigs = pickle.loads(buf)
-        chunks = [p for p in pdfs if len(p)]
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_e: list[float] = []
-        if chunks:
-            batch = pd.concat(chunks).sort_values("id")
-            for rid, rsig in zip(
-                batch["id"].to_numpy(), batch["sig"].to_numpy()
-            ):
-                rid = int(rid)
-                if ids.size and (ids == rid).any():
-                    continue  # same doc re-fanned / replayed
-                if ids.size >= max_bucket and rid > int(ids.max()):
-                    continue  # beyond the capped membership (batch cap)
-                rs = np.asarray(rsig, dtype=np.int64)
-                if ids.size:
-                    est = (sigs == rs).sum(axis=1) / float(num_perm)
-                    hit = est >= threshold
-                    for a, e in zip(ids[hit].tolist(), est[hit].tolist()):
-                        out_a.append(min(a, rid))
-                        out_b.append(max(a, rid))
-                        out_e.append(e)
-                ids = np.append(ids, np.int64(rid))
-                sigs = np.vstack([sigs, rs[None, :]])
-                if ids.size > max_bucket:
-                    j = int(np.argmax(ids))
-                    keep = np.ones(ids.size, dtype=bool)
-                    keep[j] = False
-                    ids = ids[keep]
-                    sigs = sigs[keep]
-        state.update((pickle.dumps((ids, sigs)),))
-        yield pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
-        )
+    def verify(pays: np.ndarray, p: np.ndarray):
+        est = (pays == p).sum(axis=1) / float(num_perm)
+        return est >= threshold, est
 
-    return banded.groupBy("bucket").applyInPandasWithState(
-        run,
-        "id_a long, id_b long, est_jaccard double",
-        "buf binary",
-        "append",
-        GroupStateTimeout.NoTimeout,
+    return _bucketed_near_dup_streaming(
+        banded,
+        payload_np=lambda v: np.asarray(v, dtype=np.int64),
+        verify=verify,
+        out_schema="id_a long, id_b long, est_jaccard double",
+        metric_col="est_jaccard",
+        max_bucket=max_bucket,
     )
 
 
@@ -1134,4 +1172,55 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_dup_streaming(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 7,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Streaming SimHash near-dup mining — the dedup-against-history twin
+    of `simhash_near_dup_pairs`, on the shared bucketed-state driver (see
+    `minhash_near_dup_streaming` for the full contract). The 4×16-bit
+    pigeonhole banding is DETERMINISTIC (Hamming ≤ 3 ⇒ ≥ 1 identical
+    band), so under id-ordered arrival the emitted pair set exactly
+    equals the batch op's. State per bucket is one 64-bit signature per
+    member — far lighter than the MinHash twin."""
+    sh = with_simhash(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "text",
+        shingle_k,
+    ).select(F.col("doc_id").alias("id"), F.col("simhash").alias("sig"))
+    banded = sh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(j),
+                        F.shiftright(F.col("sig"), j * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    def verify(pays: np.ndarray, p: np.ndarray):
+        x = (pays[:, 0] ^ p[0]).astype(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        return ham <= max_hamming, ham.astype(np.int64)
+
+    return _bucketed_near_dup_streaming(
+        banded,
+        payload_np=lambda v: np.asarray([v], dtype=np.int64),
+        verify=verify,
+        out_schema="id_a long, id_b long, hamming long",
+        metric_col="hamming",
+        max_bucket=max_bucket,
     )

@@ -461,3 +461,99 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dup (dedup-against-history)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_streaming(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 32,
+    bands: int = 4,
+    probe: int = 1,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming embedding near-dup mining: as vectors arrive, emit
+    (id_a, id_b, cosine) pairs with cosine ≥ threshold against everything
+    seen so far — the semantic-dedup twin of the exact batch
+    `cosine_pairs`, on the shared bucketed-state driver
+    (`dedup._bucketed_near_dup_streaming`; see
+    `dedup.minhash_near_dup_streaming` for cap/ordering contracts).
+
+    Candidate generation: the `bits`-plane sign signature splits into
+    `bands` sub-signatures; each vector fans out to every band's bucket
+    PLUS all buckets within Hamming `probe` of it, so two vectors collide
+    in a band when their sub-signatures are within Hamming 2·probe —
+    P(miss) ≈ P(band-distance > 2·probe)^bands, vanishing for true
+    near-dups (cos ≥ 0.9). Verification is the exact float64 dot product
+    against the bucket's stored (normalized) vectors, so precision is
+    exact; ONLY recall is approximate — unlike the batch op this never
+    scans all pairs, which is the point at stream scale. State per
+    bucket: ≤ max_bucket × dim float64."""
+    from .dedup import _bucketed_near_dup_streaming
+
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    band_bits = bits // bands
+    if probe > 1:
+        raise ValueError("probe > 1 not supported (fan-out explodes)")
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes_holder: dict = {}
+
+    @pandas_udf("array<long>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        if "p" not in planes_holder:
+            planes_holder["p"] = _hyperplanes(len(vecs.iloc[0]), bits, seed)
+        planes = planes_holder["p"]
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        signs = (m @ planes.T) > 0  # (n, bits)
+        out = []
+        weights = 1 << np.arange(band_bits, dtype=np.uint64)
+        for row in signs:
+            keys = []
+            for j in range(bands):
+                sub = int(row[j * band_bits : (j + 1) * band_bits] @ weights)
+                base = (j << 60) | sub
+                keys.append(base)
+                if probe:
+                    for b in range(band_bits):
+                        keys.append((j << 60) | (sub ^ (1 << b)))
+            out.append(keys)
+        return pd.Series(out)
+
+    @pandas_udf("array<double>")
+    def norm_udf(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        if m.size:
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series([r.tolist() for r in m])
+
+    banded = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .select("id", norm_udf(F.col("__v")).alias("sig"), buckets_udf(F.col("__v")).alias("__bks"))
+        .select("id", "sig", F.explode("__bks").alias("bucket"))
+    )
+
+    def verify(pays: np.ndarray, p: np.ndarray):
+        cos = pays @ p
+        return cos >= threshold, cos
+
+    return _bucketed_near_dup_streaming(
+        banded,
+        payload_np=lambda v: np.asarray(v, dtype=np.float64),
+        verify=verify,
+        out_schema="id_a long, id_b long, cosine double",
+        metric_col="cosine",
+        max_bucket=max_bucket,
+    )
