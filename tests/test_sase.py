@@ -268,3 +268,125 @@ def test_global_negation_arrival_time_bindings(spark):
         emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
     )
     assert s.pattern(p2).df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# step-predicate pushdown (compiler.rs:146-156 analog): single-event
+# where_sql predicates become a Catalyst filter BELOW the NFA
+# ---------------------------------------------------------------------------
+
+
+def test_prefilter_condition_pushes_own_alias_only(spark):
+    from varpulis_spark.operators.sase import pattern_prefilter
+
+    p = Pattern(
+        steps=[
+            step("A", "a", where=lambda e, b: e["value"] > 100,
+                 where_sql="a.value > 100"),
+            step("B", "b", where=lambda e, b: e["value"] > b["a"]["value"],
+                 where_sql="b.value > a.value"),
+        ],
+        emit={"a_id": ("a", "event_id")},
+    )
+    cond = pattern_prefilter(p)
+    assert cond is not None
+    s = str(cond)
+    # A's single-event predicate is pushed with the alias stripped...
+    assert "value > 100" in s and "A" in s
+    # ...B's cross-event predicate is NOT (needs bindings)
+    assert "a.value" not in s and "'B'" not in s
+
+
+def test_prefilter_none_when_nothing_pushable():
+    from varpulis_spark.operators.sase import pattern_prefilter
+
+    # unconditional steps
+    p = Pattern(steps=[step("A", "a"), step("B", "b")],
+                emit={"a_id": ("a", "event_id")})
+    assert pattern_prefilter(p) is None
+    # Kleene predicate (may reference its own closure through its alias)
+    p2 = Pattern(
+        steps=[
+            step("A", "a", where=lambda e, b: e["value"] > 1,
+                 where_sql="a.value > 1", kleene="+"),
+            step("B", "b"),
+        ],
+        emit={"b_id": ("b", "event_id")},
+    )
+    assert pattern_prefilter(p2) is None
+    # where_sql-only step: the NFA ignores it, so pushing would ADD a predicate
+    p3 = Pattern(
+        steps=[step("A", "a", where_sql="a.value > 1"), step("B", "b")],
+        emit={"a_id": ("a", "event_id")},
+    )
+    assert pattern_prefilter(p3) is None
+    # wildcard step consumes any type
+    p4 = Pattern(
+        steps=[step(None, "a", where=lambda e, b: True, where_sql="a.value > 1"),
+               step("B", "b")],
+        emit={"b_id": ("b", "event_id")},
+    )
+    assert pattern_prefilter(p4) is None
+
+
+def test_prefilter_preserves_nfa_results(spark):
+    """Pushdown is behavior-preserving: the NFA with the Catalyst prefilter
+    returns exactly the matches of the NFA evaluating the same predicates
+    in Python (where_sql stripped → no pushdown)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(20):
+            eid += 1
+            rows.append((eid, t0 + timedelta(seconds=i), u, "A", float(i * 13 % 40)))
+            eid += 1
+            rows.append((eid, t0 + timedelta(seconds=i, milliseconds=500), u, "B",
+                         float(i * 7 % 30)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    s = Stream(df, ts_col="ts", order_col="event_id").partition_by("user_id")
+
+    def mk(push: bool):
+        return Pattern(
+            steps=[
+                step("A", "a", where=lambda e, b: e["value"] > 20,
+                     where_sql="a.value > 20" if push else None),
+                step("B", "b", where=lambda e, b: e["value"] < 10,
+                     where_sql="b.value < 10" if push else None),
+            ],
+            within="5s",
+            force_nfa=True,  # pin the NFA path (else join compilation)
+            emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
+        )
+
+    got_push = ids(s.pattern(mk(True)).df.collect(), "a_id", "b_id")
+    got_plain = ids(s.pattern(mk(False)).df.collect(), "a_id", "b_id")
+    assert got_push == got_plain and len(got_push) > 0
+
+
+def test_prefilter_appears_in_plan(spark):
+    """The pushed predicate is visible in the optimized plan as a Catalyst
+    filter (i.e. it runs JVM-side, not inside the Python NFA)."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "A", 150.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    s = Stream(df, ts_col="ts", order_col="event_id").partition_by("user_id")
+    p = Pattern(
+        steps=[
+            step("A", "a", where=lambda e, b: e["value"] > 100,
+                 where_sql="a.value > 100"),
+            step("B", "b", where=lambda e, b: True,
+                 where_sql="b.value > a.value"),
+        ],
+        force_nfa=True,
+        emit={"a_id": ("a", "event_id")},
+    )
+    plan = s.pattern(p).df._jdf.queryExecution().optimizedPlan().toString()
+    assert "100" in plan  # literal only reachable via the pushed filter

@@ -852,6 +852,76 @@ def _qualify_sql(sql: str, aliases: list[str], cols: list[str]):
     return F.expr(out)
 
 
+def pattern_prefilter(pattern: Pattern):
+    """Catalyst prefilter pushing single-event step predicates below the
+    NFA (the reference merges derived-stream filters into pattern-step
+    predicates, compiler.rs:146-156,193-211; we go the other way and merge
+    step predicates into a JVM-side filter so fewer rows cross the Arrow
+    boundary into the Python stateful op).
+
+    An event of type T is droppable when it fails the predicate of EVERY
+    step that could consume it. A step's predicate participates only when
+    it is a pure function of the CURRENT event: `where_sql` present,
+    non-deferred, non-Kleene (a Kleene predicate sees its accumulated
+    closure through its own alias, so "own alias" is not "current event"),
+    and referencing no OTHER step's alias (cross-event conditions need
+    bindings the prefilter doesn't have). A type with any non-conforming
+    predicated step — or any predicate-free step — stays unfiltered.
+
+    Returns a Column to AND into the pre-NFA filter, or None when nothing
+    is pushable. Callers must keep the STRICT-contiguity guard: under
+    strict contiguity, dropping an intervening event would CREATE
+    contiguity that the full stream does not have.
+    """
+    import re
+    from functools import reduce
+
+    all_aliases = [s.alias for s in pattern.steps]
+    by_type: dict[str, list[Step]] = {}
+    for s in pattern.steps:
+        if s.event_type is None:
+            return None  # wildcard step consumes any type: nothing droppable
+        by_type.setdefault(s.event_type, []).append(s)
+
+    conds = []
+    for etype, steps_t in by_type.items():
+        preds = []
+        ok = True
+        for s in steps_t:
+            if s.where is None and s.where_sql is None:
+                ok = False  # unconditional step: every event of T viable
+                break
+            if s.where is None or s.where_sql is None or s.deferred or s.kleene:
+                # where_sql-only steps are join-path artifacts the NFA's
+                # pred_ok ignores — pushing them would ADD a predicate the
+                # NFA doesn't apply; require both forms (declared identical)
+                ok = False
+                break
+            if any(
+                re.search(rf"\b{re.escape(a)}\.\w", s.where_sql)
+                for a in all_aliases
+                if a != s.alias
+            ):
+                ok = False  # cross-event predicate
+                break
+            # strip the own-alias qualifier: `a.price > 100` → `price > 100`
+            preds.append(
+                re.sub(rf"\b{re.escape(s.alias)}\.(\w+)", r"\1", s.where_sql)
+            )
+        if ok and preds:
+            keep = " OR ".join(f"({p})" for p in preds)
+            # NULL predicate result drops the row — matching pred_ok's
+            # except-→-False on null/missing fields in the NFA
+            conds.append(
+                F.when(F.col("event_type") == etype, F.expr(keep)).otherwise(
+                    F.lit(True)
+                )
+            )
+    if not conds:
+        return None
+    return reduce(lambda a, b: a & b, conds)
+
+
 def pattern_or(stream, *patterns: Pattern) -> DataFrame:
     """OR(p1, p2, ...) — disjunction (ast.rs:133-135): union of the branch
     matches. Emit schemas must align by column name."""
@@ -890,6 +960,11 @@ def apply_pattern_batch(stream, pattern: Pattern) -> DataFrame:
     if types is not None and pattern.strategy != STRICT:
         # EventTypeIndex analog (sase.rs:917-1005): prefilter pushes to scan.
         df = df.filter(F.col("event_type").isin(types))
+        pre = pattern_prefilter(pattern)
+        if pre is not None:
+            # single-event step predicates run JVM-side before the Arrow
+            # transfer into the Python NFA (compiler.rs:146-156 analog)
+            df = df.filter(pre)
 
     if all(s.where is None for s in pattern.steps):
         # no opaque predicates → prune to the columns the NFA touches

@@ -1161,6 +1161,14 @@ def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None =
         # mirror the batch guard (sase.py): prefiltering under strict
         # contiguity would hide intervening events that break contiguity
         df = df.filter(F.col("event_type").isin(types))
+        from varpulis_spark.operators.sase import pattern_prefilter
+
+        pre = pattern_prefilter(pattern)
+        if pre is not None:
+            # single-event step predicates run JVM-side before rows enter
+            # the keyed NFA state (compiler.rs:146-156 analog); this also
+            # keeps non-candidate events out of the run buffers entirely
+            df = df.filter(pre)
 
     out_schema = _out_schema(pattern, df)
     state_schema = "buf binary, emitted binary, started long, dropped long, evicted long"
