@@ -593,6 +593,71 @@ def _ann_ivf_oracle_sql() -> str:
     """
 
 
+def q_ivf_near_dup(spark, sf):
+    """Embedding near-dup pairs via IVF blocking — the SCALE path for the
+    exact O(n²) `embedding_near_dup` (similarity.py:ivf_near_dup_pairs):
+    top-2 cluster assignment against byte-deterministic k-means centroids,
+    per-cluster GEMM, distinct. Oracle-checked: the DuckDB twin re-derives
+    the centroids from the same parquet (as ann_ivf does) and mirrors
+    assignment, the id-ordered cluster cap, and cosine verification."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ivf_near_dup_pairs(emb, threshold=0.4)
+
+
+def _ivf_near_dup_oracle_sql() -> str:
+    """DuckDB twin of q_ivf_near_dup: centroids trained locally from the
+    same parquet (byte-identical at oracle scales — the sample is the full
+    id-sorted corpus) and inlined as DOUBLE[] literals; assignment,
+    the cluster cap, and pair verification are then plain SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from varpulis_spark.operators.similarity import train_ivf_centroids_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = f"{sf_dir}/embeddings.parquet"
+    t = pq.read_table(path, columns=["embedding"])
+    n = len(t) - t.column("embedding").null_count
+    nc = max(8, min(256, n // 64))  # ivf_near_dup_pairs' default formula
+    cent = train_ivf_centroids_parquet(path, n_clusters=nc)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    cent_values = ",".join(f"({c}, {lit(cent[c])})" for c in range(len(cent)))
+    return f"""
+        WITH cent(cluster, cvec) AS (VALUES {cent_values}),
+        corpus AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                    x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        asg AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY list_dot_product(v, cvec) DESC, cluster ASC) AS rn
+            FROM corpus CROSS JOIN cent)
+          WHERE rn <= 2
+        ),
+        capped AS (
+          SELECT cluster, vec_id FROM (
+            SELECT cluster, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+            FROM asg)
+          WHERE rn <= 4096
+        )
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a
+        JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN corpus ca ON ca.vec_id = a.vec_id
+        JOIN corpus cb ON cb.vec_id = b.vec_id
+        WHERE list_dot_product(ca.v, cb.v) >= 0.4
+    """
+
+
 def q_minshingle_near_dup(spark, sf):
     """Deterministic near-dup: hashed-min-shingle blocking (OPH with md5 as
     the permutation) + exact 8-gram Jaccard, pure JVM — the
@@ -861,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minshingle_near_dup": q_minshingle_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        "ivf_near_dup": q_ivf_near_dup,
         "score_mlp": q_score_mlp,
         "score_sequence": q_score_sequence,
         "forecast_pst": q_forecast,
@@ -1374,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "score_mlp": _score_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
+        "ivf_near_dup": _ivf_near_dup_oracle_sql(),
         "forecast_runs": FORECAST_RUNS_ORACLE,
         "score_sequence": """
             -- mean-pool + linear head over each user's LAST 8 events:

@@ -457,3 +457,41 @@ def test_audio_real_codec_raises(spark):
 
     with _pytest.raises(NotImplementedError, match="torchaudio"):
         MM.audio_features(enc, codec="wav")
+
+
+def test_ivf_near_dup_planted_recall(spark):
+    """IVF near-dup blocking (similarity.py:ivf_near_dup_pairs): on a
+    corpus with PLANTED near-duplicates (jittered copies, cos ≈ 0.99) —
+    the regime near-dup mining targets — recall vs the exact O(n²) miner
+    is ≥ 0.9. On random low-similarity pairs at threshold 0.4 recall is
+    the documented IVF tradeoff (~0.8 at sf0.01, driver-oracle-checked)."""
+    import numpy as np
+
+    from varpulis_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(300, 32))
+    dup = base[:80] + 0.02 * rng.normal(size=(80, 32))  # cos ≈ 0.999
+    m = np.vstack([base, dup])
+    rows = [(int(i), [float(x) for x in m[i]]) for i in range(len(m))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.9).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in ivf_near_dup_pairs(emb, 0.9, n_clusters=16).collect()
+    }
+    assert len(exact) >= 70  # the plant worked
+    assert got <= exact  # blocking only ever DROPS pairs, never invents
+    assert len(got & exact) / len(exact) >= 0.9
+    # deterministic end-to-end (seeded training + stable tie-breaks)
+    again = {
+        (r.id_a, r.id_b)
+        for r in ivf_near_dup_pairs(emb, 0.9, n_clusters=16).collect()
+    }
+    assert got == again
+    # max_cluster hard-caps hot clusters: one survivor per cluster → no pairs
+    assert ivf_near_dup_pairs(emb, 0.9, n_clusters=16, max_cluster=1).count() == 0

@@ -178,6 +178,106 @@ def cosine_pairs(
     return rep.groupBy("__pa", "__pb").applyInPandas(gemm, "id_a long, id_b long")
 
 
+def ivf_near_dup_pairs(
+    corpus_df: DataFrame,
+    threshold: float,
+    n_clusters: int | None = None,
+    assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via IVF blocking — the SCALE path for
+    `cosine_pairs` (which is exact but O(n²) by semantics).
+
+    Each vector is assigned to its `assign` nearest k-means centroids
+    (spherical, byte-deterministic training — `train_ivf_centroids`);
+    candidate pairs are generated ONLY within a shared cluster by a local
+    per-cluster GEMM, then deduped. Work is Σ|cluster|² instead of n², and
+    the shuffle carries each vector `assign` times (narrow rows), never
+    per-pair — at 100 TB pick `n_clusters` so clusters fit an executor
+    (n/nc · assign rows each); `max_cluster` hard-caps a pathological hot
+    cluster (id-ordered, mirrored in the oracle) the way the dedup family
+    caps its banding buckets.
+
+    Deterministic end-to-end (seeded training, stable argsort tie-break by
+    cluster id, id-ordered cap), so a DuckDB oracle re-deriving the
+    centroids from the same parquet reproduces the exact pair set — unlike
+    hyperplane LSH banding, whose recall on this corpus's low-similarity
+    pairs would be cap-dominated. Multi-assignment (`assign` ≥ 2) recovers
+    pairs that straddle a cluster boundary; recall vs the exact miner is
+    pinned on a planted-duplicate corpus in tests.
+
+    Default `n_clusters` scales with the corpus: max(8, min(256, n // 64))
+    — ~64 vectors per cluster, candidate work ≈ n·64·assign²."""
+    spark = corpus_df.sparkSession
+    nonnull = corpus_df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    if centroids is None:
+        n = nonnull.count()
+        if n == 0:  # nothing to train on, nothing to pair
+            return spark.createDataFrame([], "id_a long, id_b long")
+        if n_clusters is None:
+            n_clusters = max(8, min(256, n // 64))
+        centroids = train_ivf_centroids(
+            corpus_df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = min(assign, len(cent))
+
+    out_vec_type = [f.dataType.simpleString() for f in nonnull.schema.fields
+                    if f.name == vec_col][0]
+    assign_schema = f"cluster int, {id_col} long, {vec_col} {out_vec_type}"
+
+    def assign_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cent.T
+            # stable argsort on -sims: ties go to the LOWER cluster id —
+            # the oracle's ORDER BY s DESC, cluster
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :assign]
+            idx = np.repeat(np.arange(len(pdf)), assign)
+            yield pd.DataFrame(
+                {
+                    "cluster": order.reshape(-1).astype(np.int32),
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    vec_col: pdf[vec_col].iloc[idx].to_numpy(),
+                }
+            )
+
+    assigned = nonnull.mapInPandas(assign_iter, assign_schema)
+
+    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").head(max_cluster)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        out_a, out_b = [], []
+        chunk = max(16, min(1024, (1 << 28) // max(1, n)))
+        for s in range(0, n, chunk):
+            scores = m[s : s + chunk] @ m.T
+            bi, cj = np.nonzero(scores >= threshold)
+            ia, ib = ids[s + bi], ids[cj]
+            keep = ia < ib
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(cluster_pairs, "id_a long, id_b long")
+        .distinct()  # a pair can share both of its `assign` clusters
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes) — the scale path
 # ---------------------------------------------------------------------------
