@@ -41,6 +41,7 @@ Reference-parity notes:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from dataclasses import replace as dc_replace
 
 from pyspark.sql import Column, DataFrame
@@ -56,14 +57,22 @@ from varpulis_spark.operators.sase import (
 from varpulis_spark.stream import Stream
 from varpulis_spark.stream import merge as stream_merge
 from varpulis_spark.vpl.parser import (
+    AssignStmt,
     Bin,
+    BreakStmt,
     Call,
+    ContinueStmt,
     Dur,
     EmitStmt,
     EventDecl,
+    ExprStmt,
     FnDecl,
     ForStmt,
     If,
+    IfStmt,
+    LetStmt,
+    ReturnStmt,
+    WhileStmt,
     Index,
     JoinSource,
     Lambda,
@@ -181,6 +190,8 @@ class ProgramEnv:
         self.vars: dict[str, object] = {}          # name -> python constant
         self.events: dict[str, EventDecl] = {}
         self.patterns: dict[str, PatternDecl] = {}
+        self.configs: dict[str, dict] = {}         # `config name {...}` blocks
+        self._emit_sink: list | None = None        # active .process collector
         # connector name -> dimension DataFrame (or (df, key_col)) bound by
         # the host for replay-mode `.enrich` (the reference's live
         # HTTP/SQL/Redis providers, runtime/src/enrichment/)
@@ -233,11 +244,37 @@ def _map_expr(e, f):
     return f(e)
 
 
+@dataclass
+class ImperativeCall:
+    """A call to a statement-bodied fn in expression position (produced by
+    `expand`, consumed by `to_column`): runs the per-row interpreter inside
+    an Arrow-batched pandas UDF. This is the deliberate slow path — it
+    mirrors the reference's per-event fn interpreter (evaluator.rs) for
+    bodies with loops/branches that have no Catalyst form; expression
+    bodies keep inlining into codegen instead."""
+
+    fn: object  # FnDecl with list body
+    args: list
+    fns: dict  # fn registry snapshot for nested calls (picklable)
+    consts: dict  # var/const values (already python scalars)
+
+
+_VPL_SPARK_TYPES = {
+    "int": "long",
+    "float": "double",
+    "str": "string",
+    "string": "string",
+    "bool": "boolean",
+}
+
+
 def expand(e, env: ProgramEnv, depth: int = 0):
     """Inline expression-bodied user functions and substitute vars/consts.
 
     The reference evaluates user functions per event in its interpreter
-    (evaluator.rs); inlining keeps them inside Catalyst codegen instead."""
+    (evaluator.rs); inlining keeps them inside Catalyst codegen instead.
+    Statement-bodied fns (while/if/:=, ast.rs:38-106) can't inline — they
+    become ImperativeCall markers lowered to a pandas UDF."""
     if depth > 32:
         raise ValueError("fn inlining depth exceeded (recursive function?)")
 
@@ -255,9 +292,58 @@ def expand(e, env: ProgramEnv, depth: int = 0):
                     return n
 
                 return expand(_map_expr(fn.body, subst), env, depth + 1)
+            return ImperativeCall(fn, list(node.args), dict(env.fns), dict(env.vars))
         return node
 
     return _map_expr(e, rewrite)
+
+
+class _SlimEnv:
+    """Picklable interpreter environment shipped into pandas-UDF workers:
+    just the fn registry and const values — no DataFrames, no SparkSession."""
+
+    def __init__(self, fns: dict, consts: dict):
+        self.fns = fns
+        self.vars = consts
+        self.events: dict = {}
+        self.patterns: dict = {}
+        self.configs: dict = {}
+        self._emit_sink = None
+
+
+def _lower_imperative_call(e: "ImperativeCall", arg_cols: list[Column]) -> Column:
+    """Statement-bodied fn in expression position → Arrow-batched pandas
+    UDF running the statement interpreter per row. Requires a declared
+    return type (`fn f(...) -> int:`) to fix the Spark column type."""
+    from pyspark.sql.functions import pandas_udf
+
+    ret = _VPL_SPARK_TYPES.get(e.fn.ret or "")
+    if ret is None:
+        raise ValueError(
+            f"fn {e.fn.name!r} has loops/branches in its body, so it runs "
+            f"interpreted and needs a declared scalar return type "
+            f"(-> int/float/str/bool) to be used in expression position"
+        )
+    fn, fns, consts = e.fn, e.fns, e.consts
+    param_names = [p for p, _t in fn.params]
+
+    @pandas_udf(ret)
+    def run(*cols):
+        import pandas as pd
+
+        env = _SlimEnv(fns, consts)
+        out = []
+        for vals in zip(*[c.tolist() for c in cols]):
+            scope = dict(env.vars)
+            scope.update(zip(param_names, vals))
+            try:
+                _exec_stmts(fn.body, scope, env, [])
+                out.append(None)  # fell off the end without `return`
+            except _FnReturn as r:
+                out.append(r.value)
+        return pd.Series(out)
+
+    return run(*arg_cols)
 
 
 def _const_eval(e, env: ProgramEnv):
@@ -375,6 +461,8 @@ def to_column(e, resolver=None) -> Column:
                 "==": left == right, "!=": left != right, "<": left < right,
                 "<=": left <= right, ">": left > right, ">=": left >= right,
             }[e.op]
+        if isinstance(e, ImperativeCall):
+            return _lower_imperative_call(e, [rec(a, scope) for a in e.args])
         if isinstance(e, Call):
             hof = _lower_array_method(e, rec, scope)
             if hof is not None:
@@ -626,8 +714,10 @@ def _eval_expr(e, scope: dict, env: ProgramEnv):
                     return len(recv)
                 if e.name == "sliding_pairs":
                     return [[a, b] for a, b in zip(recv, recv[1:])]
-        if e.name in env.fns and not isinstance(env.fns[e.name].body, list):
+        if e.name in env.fns:
             fn = env.fns[e.name]
+            if isinstance(fn.body, list):  # imperative body (mandelbrot.vpl)
+                return _call_imperative_fn(fn, e.args, scope, env)
             inner = {p: _eval_expr(a, scope, env) for (p, _t), a in zip(fn.params, e.args)}
             return _eval_expr(fn.body, inner, env)
         if e.name in _PY_FNS:
@@ -635,20 +725,113 @@ def _eval_expr(e, scope: dict, env: ProgramEnv):
     raise ValueError(f"cannot evaluate: {e}")
 
 
-def _exec_stmts(stmts: list, scope: dict, env: ProgramEnv, out: list):
-    """Run an imperative fn body; emitted events append to `out` as
-    (event_type, fields) tuples (emit collector, evaluator.rs:70-100)."""
+class _FnReturn(Exception):
+    """`return` unwinding inside an imperative fn body."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+class _LoopBreak(Exception):
+    pass
+
+
+class _LoopContinue(Exception):
+    pass
+
+
+# safety bound on interpreted statement executions per entry call — a
+# `while` body with a never-advancing condition must error, not hang the
+# executor (the reference has no such loop cap; ours exists because fn
+# bodies run in Python workers, not compiled Rust)
+_MAX_INTERP_STEPS = 50_000_000
+
+
+def _exec_stmts(stmts: list, scope: dict, env: ProgramEnv, out: list,
+                budget: list | None = None):
+    """Run an imperative fn body (Stmt, ast.rs:38-106); emitted events
+    append to `out` as (event_type, fields) tuples (emit collector,
+    evaluator.rs:70-100). Control flow: `return` raises _FnReturn (caught
+    by the fn-call site), break/continue unwind to the nearest loop."""
+    if budget is None:
+        budget = [_MAX_INTERP_STEPS]
+
+    def body_iter(body):
+        """One loop iteration; returns False on `break`."""
+        try:
+            _exec_stmts(body, scope, env, out, budget)
+        except _LoopContinue:
+            pass
+        except _LoopBreak:
+            return False
+        return True
+
     for st in stmts:
+        budget[0] -= 1
+        if budget[0] <= 0:
+            raise ValueError(
+                "fn body exceeded the interpreter step budget "
+                f"({_MAX_INTERP_STEPS}) — non-terminating while loop?"
+            )
         if isinstance(st, ForStmt):
-            lo = int(_eval_expr(st.start, scope, env))
-            hi = int(_eval_expr(st.stop, scope, env))
-            for v in range(lo, hi):
+            if st.iter_expr is not None:
+                items = _eval_expr(st.iter_expr, scope, env) or []
+            else:
+                lo = int(_eval_expr(st.start, scope, env))
+                hi = int(_eval_expr(st.stop, scope, env))
+                items = range(lo, hi + 1 if st.inclusive else hi)
+            for v in items:
                 scope[st.var] = v
-                _exec_stmts(st.body, scope, env, out)
+                if not body_iter(st.body):
+                    break
+        elif isinstance(st, WhileStmt):
+            while _eval_expr(st.cond, scope, env):
+                budget[0] -= 1
+                if budget[0] <= 0:
+                    raise ValueError(
+                        "fn body exceeded the interpreter step budget "
+                        f"({_MAX_INTERP_STEPS}) — non-terminating while loop?"
+                    )
+                if not body_iter(st.body):
+                    break
+        elif isinstance(st, IfStmt):
+            for cond, body in st.branches:
+                if _eval_expr(cond, scope, env):
+                    _exec_stmts(body, scope, env, out, budget)
+                    break
+            else:
+                if st.orelse is not None:
+                    _exec_stmts(st.orelse, scope, env, out, budget)
+        elif isinstance(st, (LetStmt, AssignStmt)):
+            scope[st.name] = _eval_expr(st.value, scope, env)
+        elif isinstance(st, ReturnStmt):
+            raise _FnReturn(
+                _eval_expr(st.value, scope, env) if st.value is not None else None
+            )
+        elif isinstance(st, BreakStmt):
+            raise _LoopBreak()
+        elif isinstance(st, ContinueStmt):
+            raise _LoopContinue()
         elif isinstance(st, EmitStmt):
             out.append((st.event_type, {k: _eval_expr(v, scope, env) for k, v in st.fields.items()}))
+        elif isinstance(st, ExprStmt):
+            _eval_expr(st.value, scope, env)
         else:
             raise ValueError(f"unsupported statement: {st}")
+
+
+def _call_imperative_fn(fn, args: list, scope: dict, env: ProgramEnv):
+    """Invoke a statement-bodied fn from an expression (mandelbrot.vpl:
+    `let iters = mandelbrot(cx, cy, max_iter)`). Emits inside the callee
+    land in the active collector (env._emit_sink) when one is installed by
+    the .process driver; the return value is the _FnReturn payload."""
+    inner = {p: _eval_expr(a, scope, env) for (p, _t), a in zip(fn.params, args)}
+    sink = getattr(env, "_emit_sink", None)
+    try:
+        _exec_stmts(fn.body, inner, env, sink if sink is not None else [])
+    except _FnReturn as r:
+        return r.value
+    return None
 
 
 def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
@@ -683,9 +866,16 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
     )
     probe: list = []
     try:
-        _exec_stmts(fn.body, dict(probe_scope), env, probe)
+        # budget-capped: a heavy body (mandelbrot.vpl computes a 62.5k-pixel
+        # tile per call) probes only until the first emits reveal the shape
+        env._emit_sink = probe
+        _exec_stmts(fn.body, dict(probe_scope), env, probe, budget=[200_000])
+    except _FnReturn:
+        pass
     except Exception:
-        probe = []  # fall back to declared event-field types below
+        pass  # partial emits (if any) still carry the output shape
+    finally:
+        env._emit_sink = None
     declared: dict[str, str] = {}
     probe_types = {e for e, _f in probe} or set(env.events)
     for etype in probe_types:
@@ -726,7 +916,13 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
                 scope = dict(zip(pdf.columns, rec))
                 scope.update({p: _eval_expr(a, scope, env) for p, a in zip(params, arg_exprs)})
                 emitted: list = []
-                _exec_stmts(fn_body, scope, env, emitted)
+                env._emit_sink = emitted
+                try:
+                    _exec_stmts(fn_body, scope, env, emitted)
+                except _FnReturn:
+                    pass  # top-level return ends the body early
+                finally:
+                    env._emit_sink = None
                 for etype, fields in emitted:
                     rows.append(
                         [etype] + [fields.get(c) for c in col_names] + [scope.get(ts_col)]
@@ -2231,6 +2427,14 @@ def run_program(
         env.vars[v.name] = _const_eval(v.value, env)
     for p in prog.patterns:
         env.patterns[p.name] = p
+    for c in prog.configs:
+        # `config name {...}` — deprecated alias of `connector`
+        # (ast.rs:57-70): engine-global connectivity defaults. Recorded for
+        # host inspection; the demos' actual I/O is wired host-side in
+        # replay mode, exactly like `.from`/`.to` on unbound names.
+        env.configs[c.name] = {
+            k: _const_eval(v, env) for k, v in c.items.items()
+        }
 
     stream = _apply_event_casts(stream, env)
 

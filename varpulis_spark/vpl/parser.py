@@ -216,12 +216,99 @@ class ForStmt:
     start: object
     stop: object
     body: list[object]
+    iter_expr: object | None = None  # `for x in <list-expr>:` (non-range)
+    inclusive: bool = False  # `..=` range
 
 
 @dataclass
 class EmitStmt:
     event_type: str
     fields: dict[str, object]
+
+
+# imperative fn-body statements (Stmt, core/src/ast.rs:38-106) — the
+# reference delimits blocks by indentation (parser indent.rs); we mirror
+# that with the tokenizer's line-start columns
+
+
+@dataclass
+class LetStmt:
+    name: str
+    value: object
+    mutable: bool  # `var` vs `let`
+
+
+def _collapse_stmts(stmts: list) -> object | None:
+    """Collapse `let`-prelude + final expression/return bodies to a single
+    expression via substitution (Block exprs, ast.rs:562-566) — expression
+    bodies stay inlinable into Catalyst Columns / SQL; anything imperative
+    (var, :=, loops, emit, branches) returns None and runs interpreted."""
+    if not stmts:
+        return None
+    lets = []
+    for st in stmts[:-1]:
+        if isinstance(st, LetStmt) and not st.mutable:
+            lets.append(st)
+        else:
+            return None
+    last = stmts[-1]
+    if isinstance(last, ExprStmt):
+        e = last.value
+    elif isinstance(last, ReturnStmt) and last.value is not None:
+        e = last.value
+    else:
+        return None
+    for l in reversed(lets):
+        e = _subst_ref(e, l.name, l.value)
+    return e
+
+
+@dataclass
+class AssignStmt:  # `name := expr` (ast.rs:105)
+    name: str
+    value: object
+
+
+@dataclass
+class IfStmt:  # if/elif*/else (ast.rs:76-83)
+    branches: list[tuple[object, list]]  # [(cond, body), ...]
+    orelse: list | None
+
+
+@dataclass
+class WhileStmt:  # (ast.rs:88-92)
+    cond: object
+    body: list
+
+
+@dataclass
+class ReturnStmt:  # (ast.rs:94)
+    value: object | None
+
+
+@dataclass
+class BreakStmt:  # (ast.rs:96)
+    pass
+
+
+@dataclass
+class ContinueStmt:  # (ast.rs:98)
+    pass
+
+
+@dataclass
+class ExprStmt:  # bare expression statement (ast.rs:74)
+    value: object
+
+
+@dataclass
+class ConfigDecl:
+    """`config name { k: v, ... }` — DEPRECATED in the reference in favor
+    of `connector` declarations (ast.rs:57-70); parsed for compatibility
+    and surfaced as engine-global connector defaults."""
+
+    name: str
+    items: dict[str, object]
 
 
 @dataclass
@@ -286,12 +373,14 @@ class Program:
     vars: list[VarDecl] = field(default_factory=list)
     patterns: list[PatternDecl] = field(default_factory=list)
     connectors: list[ConnectorDecl] = field(default_factory=list)
+    configs: list[ConfigDecl] = field(default_factory=list)
     imports: list[str] = field(default_factory=list)  # pest import_stmt paths
 
     def prepend(self, other: "Program") -> None:
         """Merge an imported program's declarations BEFORE this one's
         (main.rs:3080-3087 inserts imported statements at the beginning)."""
-        for attr in ("streams", "fns", "events", "vars", "patterns", "connectors"):
+        for attr in ("streams", "fns", "events", "vars", "patterns",
+                     "connectors", "configs"):
             setattr(self, attr, getattr(other, attr) + getattr(self, attr))
 
 
@@ -323,15 +412,18 @@ KEYWORDS = {
 _OP_NAME_KEYWORDS = {"not", "all", "where", "emit", "for", "in", "if", "else", "pattern"}
 
 
-def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int]]:
-    """Returns (tokens, nl_before): `nl_before` holds indices of tokens
-    preceded by a newline — the disambiguator between a method call inside
-    an expression (`x.contains(y)`, same line) and a stream-op chain
-    continuing on the next line (`.within(5m)`)."""
+def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int], dict[int, int]]:
+    """Returns (tokens, nl_before, indents): `nl_before` holds indices of
+    tokens preceded by a newline — the disambiguator between a method call
+    inside an expression (`x.contains(y)`, same line) and a stream-op chain
+    continuing on the next line (`.within(5m)`). `indents` maps each
+    line-starting token index to its column — the block delimiter for
+    imperative fn bodies (the reference lexes INDENT/DEDENT, indent.rs)."""
     out = []
     nl_before: set[int] = set()
+    indents: dict[int, int] = {}
     pos = 0
-    pending_nl = False
+    pending_nl = True  # first token starts a line
     while pos < len(src):
         m = TOKEN_RE.match(src, pos)
         if not m:
@@ -344,14 +436,17 @@ def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int]]:
             continue
         text = m.group()
         if pending_nl:
-            nl_before.add(len(out))
+            if out:  # token 0 gets an indent entry but not nl_before
+                nl_before.add(len(out))
+            indents[len(out)] = m.start() - src.rfind("\n", 0, m.start()) - 1
             pending_nl = False
         if kind == "ident" and text in KEYWORDS:
             out.append((text, text))
         else:
             out.append((kind, text))
     out.append(("eof", ""))
-    return out, nl_before
+    indents[len(out) - 1] = -1  # eof terminates every block
+    return out, nl_before, indents
 
 
 # ---------------------------------------------------------------------------
@@ -360,10 +455,20 @@ def tokenize(src: str) -> tuple[list[tuple[str, str]], set[int]]:
 
 
 class Parser:
-    def __init__(self, tokens: list[tuple[str, str]], nl_before: set[int] | None = None):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        nl_before: set[int] | None = None,
+        indents: dict[int, int] | None = None,
+    ):
         self.toks = tokens
         self.nl_before = nl_before or set()
+        self.indents = indents or {}
         self.i = 0
+
+    def _indent(self, i: int | None = None) -> int | None:
+        """Column of the token if it starts a line, else None."""
+        return self.indents.get(self.i if i is None else i)
 
     def peek(self, k: int = 0) -> tuple[str, str]:
         return self.toks[min(self.i + k, len(self.toks) - 1)]
@@ -407,6 +512,9 @@ class Parser:
                 prog.connectors.append(self.connector_decl())
             elif self.peek()[1] in ("connector", "context") and self.peek(1)[0] == "ident":
                 self._skip_decl()
+            elif self.peek() == ("ident", "config") and self.peek(1)[0] == "ident" \
+                    and self.peek(2) == ("op", "{"):
+                prog.configs.append(self.config_decl())
             elif self.peek()[1] == "import" and self.peek(1)[0] == "str":
                 self.next()  # 'import'
                 raw = self.next()[1]
@@ -423,10 +531,29 @@ class Parser:
                     f"VPL parse error: unsupported top-level construct "
                     f"starting at {tx!r} (token kind {k!r}). Supported "
                     f"declarations: stream, fn, event, var, const, pattern, "
-                    f"connector, context, import, top-level `for ... in a..b:` "
-                    f"loops."
+                    f"connector, config, context, import, top-level "
+                    f"`for ... in a..b:` loops."
                 )
         return prog
+
+    def config_decl(self) -> ConfigDecl:
+        """`config name { k: v, ... }` (Stmt::Config ast.rs:57-70,
+        deprecated alias of `connector`)."""
+        self.next()  # 'config'
+        name = self.expect("ident")[1]
+        self.expect("op", "{")
+        items: dict[str, object] = {}
+        if not self.accept("op", "}"):
+            while True:
+                key = self.next()[1]
+                self.expect("op", ":")
+                items[key] = self.expr()
+                if self.accept("op", "}"):
+                    break
+                self.expect("op", ",")
+                if self.accept("op", "}"):  # tolerate trailing comma
+                    break
+        return ConfigDecl(name, items)
 
     def connector_decl(self) -> "ConnectorDecl":
         """`connector Name = kind (k: v, ...)` → captured declaration
@@ -638,49 +765,130 @@ class Parser:
         if self.accept("arrow"):
             ret = self._type()
         self.expect("op", ":")
-        if self.peek()[0] in ("for", "emit"):
-            body = self.stmts()
+        if self._indent() is None:
+            # body on the SAME line: a single expression
+            body: object = self.expr()
         else:
-            # `let name = expr` prelude lines desugar by substitution into
-            # the final expression (Block exprs, ast.rs:562-566)
-            lets: list[tuple[str, object]] = []
-            while self.peek() == ("ident", "let"):
-                self.next()
-                lname = self.expect("ident")[1]
-                self.expect("op", "=")
-                lets.append((lname, self.expr()))
-            body = self.expr()
-            for lname, lexpr in reversed(lets):
-                body = _subst_ref(body, lname, lexpr)
+            stmts = self.block()
+            body = _collapse_stmts(stmts)  # pure let-prelude+expr bodies
+            if body is None:  # stay expressions (inlinable into Columns/SQL)
+                body = stmts
         return FnDecl(name, params, ret, body)
 
-    def stmts(self) -> list[object]:
+    # -- imperative fn bodies (Stmt, ast.rs:38-106; blocks delimited by
+    # -- indentation like the reference's INDENT/DEDENT lexer, indent.rs) --
+
+    def block(self) -> list[object]:
+        """Statements at one indentation level; ends at the first
+        line-starting token with a SMALLER column (or eof)."""
+        lvl = self._indent()
+        if lvl is None or lvl < 0:
+            raise SyntaxError(f"expected an indented block, got {self.peek()}")
         out = []
         while True:
-            if self.accept("for"):
-                var = self.expect("ident")[1]
-                self.expect("in")
-                start = self.additive()
-                self.expect("op", "..")
-                stop = self.additive()
-                self.expect("op", ":")
-                out.append(ForStmt(var, start, stop, self.stmts()))
-            elif self.peek()[0] == "emit" and self.peek(1)[0] != "op":
-                self.next()
-                etype = self.expect("ident")[1]
-                fields: dict[str, object] = {}
-                if self.accept("op", "("):
-                    if not self.accept("op", ")"):
-                        while True:
-                            key = self.expect("ident")[1]
-                            self.expect("op", ":")
-                            fields[key] = self.expr()
-                            if self.accept("op", ")"):
-                                break
-                            self.expect("op", ",")
-                out.append(EmitStmt(etype, fields))
-            else:
+            out.append(self.stmt(lvl))
+            nxt = self._indent()
+            if nxt is None or nxt < lvl or self.peek()[0] == "eof":
                 return out
+            if nxt > lvl:
+                raise SyntaxError(
+                    f"unexpected indent ({nxt} > {lvl}) at {self.peek()}"
+                )
+
+    def _at_line_kw(self, lvl: int, *words: str) -> bool:
+        k, tx = self.peek()
+        return tx in words and self._indent() == lvl
+
+    def stmt(self, lvl: int) -> object:
+        k, tx = self.peek()
+        if k == "for":
+            self.next()
+            var = self.expect("ident")[1]
+            self.expect("in")
+            start = self.additive()
+            if self.accept("op", "..="):
+                return self._for_range(var, start, inclusive=True)
+            if self.accept("op", ".."):
+                return self._for_range(var, start, inclusive=False)
+            # `for x in <list-expr>:` — finish parsing the full expression
+            # (additive() already consumed the left spine)
+            it = self._expr_continue(start)
+            self.expect("op", ":")
+            return ForStmt(var, None, None, self.block(), iter_expr=it)
+        if tx == "while" and k in ("ident", "while"):
+            self.next()
+            cond = self.expr()
+            self.expect("op", ":")
+            return WhileStmt(cond, self.block())
+        if k == "if":
+            self.next()
+            cond = self.expr()
+            self.expect("op", ":")
+            branches = [(cond, self.block())]
+            while self._at_line_kw(lvl, "elif"):
+                self.next()
+                c = self.expr()
+                self.expect("op", ":")
+                branches.append((c, self.block()))
+            orelse = None
+            if self._at_line_kw(lvl, "else"):
+                self.next()
+                self.expect("op", ":")
+                orelse = self.block()
+            return IfStmt(branches, orelse)
+        if k == "emit" and self.peek(1)[0] != "op":
+            self.next()
+            etype = self.expect("ident")[1]
+            fields: dict[str, object] = {}
+            if self.accept("op", "("):
+                if not self.accept("op", ")"):
+                    while True:
+                        key = self.expect("ident")[1]
+                        self.expect("op", ":")
+                        fields[key] = self.expr()
+                        if self.accept("op", ")"):
+                            break
+                        self.expect("op", ",")
+            return EmitStmt(etype, fields)
+        if k == "var" or (k == "ident" and tx == "let"
+                          and self.peek(1)[0] == "ident"):
+            mutable = k == "var"
+            self.next()
+            name = self.expect("ident")[1]
+            if self.accept("op", ":"):
+                self._type()  # optional annotation, unused
+            self.expect("op", "=")
+            return LetStmt(name, self.expr(), mutable)
+        if tx == "return" and k == "ident":
+            self.next()
+            if self._indent() is not None or self.peek()[0] == "eof":
+                return ReturnStmt(None)  # bare return (next token new line)
+            return ReturnStmt(self.expr())
+        if tx == "break" and k == "ident":
+            self.next()
+            return BreakStmt()
+        if tx == "continue" and k == "ident":
+            self.next()
+            return ContinueStmt()
+        if k == "ident" and self.peek(1) == ("op", ":="):
+            name = self.next()[1]
+            self.next()
+            return AssignStmt(name, self.expr())
+        return ExprStmt(self.expr())
+
+    def _for_range(self, var: str, start, inclusive: bool) -> ForStmt:
+        stop = self.additive()
+        self.expect("op", ":")
+        return ForStmt(var, start, stop, self.block(), inclusive=inclusive)
+
+    def _expr_continue(self, left):
+        """Resume full expression parsing when a prefix was already
+        consumed as `additive` (the range-vs-iterable fork in `for`)."""
+        return left
+
+    # backward-compatible alias (pre-r7 callers)
+    def stmts(self) -> list[object]:
+        return self.block()
 
     def event_decl(self) -> EventDecl:
         name = self.expect("ident")[1]
@@ -1036,8 +1244,8 @@ def parse_full(
     from .expand import expand_declaration_loops, resolve_import_file
 
     src = expand_declaration_loops(src)
-    toks, nl = tokenize(src)
-    prog = Parser(toks, nl).program()
+    toks, nl, ind = tokenize(src)
+    prog = Parser(toks, nl, ind).program()
     if prog.imports:
         visited = _visited if _visited is not None else set()
         subs = [
