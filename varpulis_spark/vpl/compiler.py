@@ -259,15 +259,6 @@ class ImperativeCall:
     consts: dict  # var/const values (already python scalars)
 
 
-_VPL_SPARK_TYPES = {
-    "int": "long",
-    "float": "double",
-    "str": "string",
-    "string": "string",
-    "bool": "boolean",
-}
-
-
 def expand(e, env: ProgramEnv, depth: int = 0):
     """Inline expression-bodied user functions and substitute vars/consts.
 
@@ -317,7 +308,7 @@ def _lower_imperative_call(e: "ImperativeCall", arg_cols: list[Column]) -> Colum
     return type (`fn f(...) -> int:`) to fix the Spark column type."""
     from pyspark.sql.functions import pandas_udf
 
-    ret = _VPL_SPARK_TYPES.get(e.fn.ret or "")
+    ret = _spark_type(e.fn.ret)
     if ret is None:
         raise ValueError(
             f"fn {e.fn.name!r} has loops/branches in its body, so it runs "
@@ -327,20 +318,33 @@ def _lower_imperative_call(e: "ImperativeCall", arg_cols: list[Column]) -> Colum
     fn, fns, consts = e.fn, e.fns, e.consts
     param_names = [p for p, _t in fn.params]
 
+    # translate to plain Python when possible (see pycompile docstring);
+    # interpreter fallback keeps full construct coverage
+    from varpulis_spark.vpl.pycompile import compile_fns
+
+    compiled_all = compile_fns(fns, consts)
+    compiled = compiled_all.get(fn.name) if compiled_all else None
+
     @pandas_udf(ret)
     def run(*cols):
         import pandas as pd
 
-        env = _SlimEnv(fns, consts)
         out = []
-        for vals in zip(*[c.tolist() for c in cols]):
-            scope = dict(env.vars)
-            scope.update(zip(param_names, vals))
-            try:
-                _exec_stmts(fn.body, scope, env, [])
-                out.append(None)  # fell off the end without `return`
-            except _FnReturn as r:
-                out.append(r.value)
+        if compiled is not None:
+            sink: list = []  # emits from expression position are discarded
+            budget = [_MAX_INTERP_STEPS]
+            for vals in zip(*[c.tolist() for c in cols]):
+                out.append(compiled(*vals, sink, budget))
+        else:
+            env = _SlimEnv(fns, consts)
+            for vals in zip(*[c.tolist() for c in cols]):
+                scope = dict(env.vars)
+                scope.update(zip(param_names, vals))
+                try:
+                    _exec_stmts(fn.body, scope, env, [])
+                    out.append(None)  # fell off the end without `return`
+                except _FnReturn as r:
+                    out.append(r.value)
         return pd.Series(out)
 
     return run(*arg_cols)
@@ -754,7 +758,13 @@ def _exec_stmts(stmts: list, scope: dict, env: ProgramEnv, out: list,
     evaluator.rs:70-100). Control flow: `return` raises _FnReturn (caught
     by the fn-call site), break/continue unwind to the nearest loop."""
     if budget is None:
-        budget = [_MAX_INTERP_STEPS]
+        # inherit the caller's budget when invoked through a nested fn call
+        # (_call_imperative_fn) so one box bounds the whole call tree — a
+        # fresh 50M box per callee would let a budget-capped probe of a
+        # heavy body (mandelbrot.vpl) run for minutes
+        budget = getattr(env, "_active_budget", None) or [_MAX_INTERP_STEPS]
+    prev_budget = getattr(env, "_active_budget", None)
+    env._active_budget = budget
 
     def body_iter(body):
         """One loop iteration; returns False on `break`."""
@@ -766,6 +776,14 @@ def _exec_stmts(stmts: list, scope: dict, env: ProgramEnv, out: list,
             return False
         return True
 
+    try:
+        _exec_stmts_inner(stmts, scope, env, out, budget, body_iter)
+    finally:
+        env._active_budget = prev_budget
+
+
+def _exec_stmts_inner(stmts: list, scope: dict, env: ProgramEnv, out: list,
+                      budget: list, body_iter):
     for st in stmts:
         budget[0] -= 1
         if budget[0] <= 0:
@@ -864,12 +882,23 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
     probe_scope.update(
         {p: _eval_expr(a, dict(sentinel_scope), env) for p, a in zip(params, arg_exprs)}
     )
+    # fast path: translate the body (and every fn it can call) to plain
+    # Python once, driver-side — the reference runs these bodies as
+    # compiled Rust (engine/types.rs:203), and the AST-walking interpreter
+    # is ~100x slower on arithmetic loops like mandelbrot.vpl's
+    from varpulis_spark.vpl.pycompile import compile_body
+
+    compiled = compile_body(fn.body, env.fns, env.vars)
+
     probe: list = []
     try:
         # budget-capped: a heavy body (mandelbrot.vpl computes a 62.5k-pixel
         # tile per call) probes only until the first emits reveal the shape
-        env._emit_sink = probe
-        _exec_stmts(fn.body, dict(probe_scope), env, probe, budget=[200_000])
+        if compiled is not None:
+            compiled(dict(probe_scope), probe, [200_000])
+        else:
+            env._emit_sink = probe
+            _exec_stmts(fn.body, dict(probe_scope), env, probe, budget=[200_000])
     except _FnReturn:
         pass
     except Exception:
@@ -916,13 +945,16 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
                 scope = dict(zip(pdf.columns, rec))
                 scope.update({p: _eval_expr(a, scope, env) for p, a in zip(params, arg_exprs)})
                 emitted: list = []
-                env._emit_sink = emitted
-                try:
-                    _exec_stmts(fn_body, scope, env, emitted)
-                except _FnReturn:
-                    pass  # top-level return ends the body early
-                finally:
-                    env._emit_sink = None
+                if compiled is not None:
+                    compiled(scope, emitted, [_MAX_INTERP_STEPS])
+                else:
+                    env._emit_sink = emitted
+                    try:
+                        _exec_stmts(fn_body, scope, env, emitted)
+                    except _FnReturn:
+                        pass  # top-level return ends the body early
+                    finally:
+                        env._emit_sink = None
                 for etype, fields in emitted:
                     rows.append(
                         [etype] + [fields.get(c) for c in col_names] + [scope.get(ts_col)]
