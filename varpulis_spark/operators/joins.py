@@ -168,6 +168,7 @@ def enrich(
     fields: list[str] | None = None,
     fallback: dict | None = None,
     drop_on_miss: bool = False,
+    status_cols: bool = False,
 ) -> DataFrame:
     """Lookup-join enrichment against a dimension table.
 
@@ -181,7 +182,23 @@ def enrich(
     wanted = fields or [c for c in dimension.columns if c != dim_key]
     dim = dimension.select(F.col(dim_key).alias("__enrich_key"), *[F.col(c) for c in wanted])
     how = "inner" if drop_on_miss else "left"
-    out = df.join(F.broadcast(dim), key_col == F.col("__enrich_key"), how).drop("__enrich_key")
+    out = df.join(F.broadcast(dim), key_col == F.col("__enrich_key"), how)
+    if status_cols:
+        # the reference stamps lookup metadata on every enriched event
+        # (engine/pipeline.rs:249-302: enrich_status ok/cached/error,
+        # enrich_latency_ms). A broadcast dim join is the batch analog of a
+        # 100% cache hit, so latency is 0; a key miss takes the fallback
+        # path, mirroring enrich_with_provider's 'fallback' status. A
+        # chained .enrich overwrites the previous hop's columns (the
+        # reference's insert replaces the map entry).
+        out = out.drop("enrich_status", "enrich_latency_ms")
+        out = out.withColumn(
+            "enrich_status",
+            F.when(F.col("__enrich_key").isNotNull(), F.lit("ok")).otherwise(
+                F.lit("fallback")
+            ),
+        ).withColumn("enrich_latency_ms", F.lit(0).cast("long"))
+    out = out.drop("__enrich_key")
     if fallback and not drop_on_miss:
         for f_name, f_val in fallback.items():
             out = out.withColumn(f_name, F.coalesce(F.col(f_name), F.lit(f_val)))

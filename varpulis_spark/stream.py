@@ -319,6 +319,7 @@ class Stream:
         drop_on_miss: bool = False,
         cache_ttl=None,
         timeout=None,
+        status_cols: bool = False,
     ) -> "Stream":
         """.enrich(Conn, key:, fields:, cache_ttl:, timeout:, fallback:)
         (EnrichConfig engine/types.rs:248-263). `cache_ttl`/`timeout` are
@@ -327,7 +328,10 @@ class Stream:
         refresh (bounded by trigger interval). Per-row lookup timeouts
         don't exist in a join — misses surface as nulls/fallbacks."""
         dim = dimension.df if isinstance(dimension, Stream) else dimension
-        out = join_mod.enrich(self.df, dim, key, dim_key, fields, fallback, drop_on_miss)
+        out = join_mod.enrich(
+            self.df, dim, key, dim_key, fields, fallback, drop_on_miss,
+            status_cols=status_cols,
+        )
         return self._with(out)
 
     # -- patterns (SASE+) -----------------------------------------------------

@@ -1437,7 +1437,12 @@ def _compile_enrich(op: OpCall, stream: Stream, env: ProgramEnv, resolver=None) 
             f: fb.value
             for f in (fields or [c for c in dim.columns if c != dim_key])
         }
-    return stream.enrich(dim, key=key, dim_key=dim_key, fields=fields, fallback=fallback)
+    # VPL programs may project enrich_status / enrich_latency_ms — the
+    # reference stamps them on every enriched event (engine/pipeline.rs:249)
+    return stream.enrich(
+        dim, key=key, dim_key=dim_key, fields=fields, fallback=fallback,
+        status_cols=True,
+    )
 
 
 def _compile_score(op: OpCall, stream: Stream) -> Stream:
