@@ -386,6 +386,79 @@ def test_unmodified_mandelbrot_demo_runs_on_spark(spark):
             assert r.iterations == py_mandelbrot(cx, cy, 256)
 
 
+def test_mandelbrot_parallel_pixel_rows(spark):
+    """web/mandelbrot_parallel.vpl (nested top-level declaration loops +
+    string accumulation via to_string/concat) runs unmodified; PixelRow
+    assertions mirror mandelbrot_tests.rs:338-369: count == tile size,
+    comma-separated data, one event per row, per-tile event routing."""
+    with open(
+        "/root/reference/examples/mandelbrot/web/mandelbrot_parallel.vpl"
+    ) as f:
+        src = f.read()
+    res = run_inline(
+        spark, src, "ComputeTile00 { }\nComputeTile31 { }\n"
+    )
+    assert len(res) == 16
+    t00 = res["Tile00"].collect()
+    assert len(t00) == 250  # one PixelRow per row
+    for r in t00[::50]:
+        assert r.x_start == 0 and r["count"] == 250
+        vals = r.data.split(",")
+        assert len(vals) == 250
+        cy = -1.5 + r.y * 3.0 / 1000.0
+        for px in (0, 100, 249):
+            cx = -2.0 + px * 3.0 / 1000.0
+            assert int(vals[px]) == py_mandelbrot(cx, cy, 256)
+    t31 = res["Tile31"].collect()
+    assert len(t31) == 250
+    assert {r.x_start for r in t31} == {250}  # col 1 → x offset 250
+    assert min(r.y for r in t31) == 750  # row 3 → y offset 750
+    # un-triggered tiles emit nothing (event routing by ComputeTileXX type)
+    assert res["Tile22"].count() == 0
+
+
+def test_builtin_parity_in_imperative_bodies(spark):
+    """Reference builtins callable from statement bodies
+    (evaluator.rs:470-793): to_string Display parity, collection ops
+    returning modified copies, type introspection."""
+    res = run_inline(
+        spark,
+        """
+fn probe():
+    let xs = [3, 1, 2]
+    emit Out(
+        s_int: to_string(42),
+        s_float: to_string(2.0),
+        s_frac: to_string(2.5),
+        s_bool: to_string(true),
+        srt: to_string(sort(xs)),
+        rev: to_string(reverse(xs)),
+        pushed: to_string(push(xs, 9)),
+        popped: to_string(pop(xs)),
+        f: first(xs),
+        l: last(xs),
+        mean: avg(xs),
+        t_arr: type_of(xs),
+        t_f: type_of(1.5),
+        isn: is_null(xs[99]),
+        up: uppercase("ab")
+    )
+
+stream Out = timer(10s)
+    .process(probe())
+""",
+        "Dummy { x: 1 }\n",
+    )
+    (r,) = res["Out"].collect()
+    assert r.s_int == "42" and r.s_float == "2" and r.s_frac == "2.5"
+    assert r.s_bool == "true"
+    assert r.srt == "[1, 2, 3]" and r.rev == "[2, 1, 3]"
+    assert r.pushed == "[3, 1, 2, 9]" and r.popped == "[3, 1]"
+    assert r.f == 3 and r.l == 2 and r.mean == 2.0
+    assert r.t_arr == "array" and r.t_f == "float"
+    assert r.isn is True and r.up == "AB"
+
+
 def test_nested_fn_call_emits_land_in_caller_collector(spark):
     """Emits inside a callee invoked from expression position are collected
     by the active .process sink (env._emit_sink plumbing)."""

@@ -133,17 +133,91 @@ _SQL_FNS = {
 
 import math as _math
 
+def _vpl_display(v) -> str:
+    """Value::Display parity (varpulis-core/src/value.rs:184-215): null,
+    lowercase bools, quoted strings, integral floats without the .0 suffix
+    (Rust `{}` on f64)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.0f}" if v.is_integer() and abs(v) < 1e16 else repr(v)
+    if isinstance(v, str):
+        return f'"{v}"'
+    if isinstance(v, list):
+        return "[" + ", ".join(_vpl_display(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_vpl_display(x)}" for k, x in v.items()) + "}"
+    return str(v)
+
+
+def _vpl_type_of(v) -> str:
+    # bool before int: Python bool is an int subclass (evaluator.rs:760-770)
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "map"
+    return "unknown"
+
+
+def _vpl_sort(xs):
+    out = list(xs)
+    out.sort(key=lambda v: (0, v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+             else (1, v) if isinstance(v, str) else (2, 0))
+    return out
+
+
+# interpreter builtins (evaluator.rs:470-793) — the imperative fn-body
+# twin of functions/__init__.py's Column builtins. Non-mutating: push/pop/
+# set return modified COPIES like the reference's cloned Values.
 _PY_FNS = {
     "abs": abs, "sqrt": _math.sqrt, "floor": _math.floor, "ceil": _math.ceil,
     "round": round, "exp": _math.exp, "log": _math.log, "log10": _math.log10,
     "pow": pow, "sin": _math.sin, "cos": _math.cos, "tan": _math.tan,
     "lower": lambda s: s.lower(), "upper": lambda s: s.upper(),
+    "lowercase": lambda s: s.lower(), "uppercase": lambda s: s.upper(),
     "trim": lambda s: s.strip(), "len": len,
     "contains": lambda s, x: x in s,
     "starts_with": lambda s, x: s.startswith(x),
     "ends_with": lambda s, x: s.endswith(x),
     "min": min, "max": max, "concat": lambda *a: "".join(str(x) for x in a),
     "to_int": int, "to_float": float, "to_str": str, "to_bool": bool,
+    "to_string": _vpl_display,
+    "avg": lambda xs: (lambda ns: sum(ns) / len(ns) if ns else 0.0)(
+        [x for x in xs if isinstance(x, (int, float)) and not isinstance(x, bool)]
+    ),
+    "first": lambda xs: xs[0] if isinstance(xs, list) and xs else None,
+    "last": lambda xs: xs[-1] if isinstance(xs, list) and xs else None,
+    "push": lambda xs, v: list(xs) + [v],
+    "pop": lambda xs: list(xs[:-1]) if xs else None,
+    "reverse": lambda x: x[::-1],
+    "sort": _vpl_sort,
+    "keys": lambda m: list(m.keys()),
+    "values": lambda m: list(m.values()),
+    "get": lambda o, k: (o[k] if (isinstance(o, list) and isinstance(k, int)
+                                  and 0 <= k < len(o)) or (isinstance(o, dict) and k in o)
+                         else None),
+    "set": lambda o, k, v: ({**o, k: v} if isinstance(o, dict)
+                            else [v if i == k else x for i, x in enumerate(o)]),
+    "type_of": _vpl_type_of,
+    "is_int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "is_float": lambda v: isinstance(v, float),
+    "is_string": lambda v: isinstance(v, str),
+    "is_bool": lambda v: isinstance(v, bool),
+    "is_array": lambda v: isinstance(v, list),
+    "is_map": lambda v: isinstance(v, dict),
+    "is_null": lambda v: v is None,
 }
 
 _PY_OPS = {
