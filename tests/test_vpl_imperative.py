@@ -459,6 +459,59 @@ stream Out = timer(10s)
     assert r.isn is True and r.up == "AB"
 
 
+def test_reference_arithmetic_semantics(spark):
+    """Value arithmetic parity (evaluator.rs:1056-1110): Int/Int is
+    truncating division (toward zero, not Python floor), division/modulo
+    by zero is null, % is truncated remainder (sign of dividend), and
+    Int**Int stays Int. Compiled and interpreted paths agree."""
+    res = run_inline(
+        spark,
+        """
+fn arith(a: int, b: int):
+    emit R(
+        q: a / b,
+        nq: (0 - a) / b,
+        r: (0 - 7) % b,
+        z: a / 0,
+        zm: a % 0,
+        p: 2 ** 10,
+        np: 2 ** (0 - 1)
+    )
+
+stream Out = timer(10s)
+    .process(arith(7, 2))
+""",
+        "Dummy { x: 1 }\n",
+    )
+    (r,) = res["Out"].collect()
+    assert r.q == 3  # 7/2 truncates (Python // would also give 3)
+    assert r.nq == -3  # -7/2 truncates toward zero (Python // gives -4)
+    assert r.r == -1  # truncated remainder keeps the dividend's sign
+    assert r.z is None and r.zm is None  # /0 and %0 are null
+    assert r.p == 1024 and r.np == 0  # Int**Int stays Int
+
+
+def test_mandelbrot_server_event_driven_args(spark):
+    """mandelbrot_server.vpl: .process args computed FROM EVENT FIELDS
+    (tile_id % 32, tile_id / 32) — integer division must truncate or the
+    tile offsets go fractional."""
+    with open(
+        "/root/reference/examples/mandelbrot/mandelbrot_server.vpl"
+    ) as f:
+        src = f.read()
+    res = run_inline(
+        spark, src, "ComputeTile { tile_id: 33 }\n"
+    )  # row 1, col 1 → offsets (31, 31)
+    rows = res["Tile"].collect()
+    assert len(rows) == 31 * 31
+    assert min(r.x for r in rows) == 31 and min(r.y for r in rows) == 31
+    assert max(r.x for r in rows) == 61 and max(r.y for r in rows) == 61
+    r0 = next(r for r in rows if r.x == 40 and r.y == 45)
+    assert r0.iterations == py_mandelbrot(
+        -2.0 + 40 * 3.0 / 1000.0, -1.5 + 45 * 3.0 / 1000.0, 256
+    )
+
+
 def test_nested_fn_call_emits_land_in_caller_collector(spark):
     """Emits inside a callee invoked from expression position are collected
     by the active .process sink (env._emit_sink plumbing)."""

@@ -220,16 +220,65 @@ _PY_FNS = {
     "is_null": lambda v: v is None,
 }
 
-_PY_OPS = {
+def _is_i(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def vpl_div(a, b):
+    """BinOp::Div (value arithmetic, evaluator.rs:1056-1066): Int/Int is
+    Rust integer division (truncating toward zero, unlike Python's floor);
+    any division by zero is null, not an error."""
+    if b == 0 or a is None or b is None:
+        return None
+    if _is_i(a) and _is_i(b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    return a / b
+
+
+def vpl_mod(a, b):
+    """BinOp::Mod (evaluator.rs:1093-1103): Rust % = truncated remainder
+    (sign of the dividend, like C fmod), zero divisor is null."""
+    if b == 0 or a is None or b is None:
+        return None
+    r = _math.fmod(a, b)
+    return int(r) if _is_i(a) and _is_i(b) else r
+
+
+def vpl_pow(a, b):
+    """BinOp::Pow (evaluator.rs:1104-1110): Int**Int runs through f64
+    powi then truncates back to Int (so 2**-1 == 0)."""
+    if a is None or b is None:
+        return None
+    if _is_i(a) and _is_i(b):
+        try:
+            return int(float(a) ** b)
+        except OverflowError:
+            return a ** b
+    return a ** b
+
+
+# element-wise table for numpy/Column-like operands (vectorized adjacency
+# predicates, aggregate arithmetic) — no scalar null/zero-divisor checks
+_NP_OPS = {
     "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
     "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
     ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
     "+": lambda a, b: a + b, "-": lambda a, b: a - b,
     "*": lambda a, b: a * b, "/": lambda a, b: a / b, "%": lambda a, b: a % b,
+    "**": lambda a, b: a ** b,
+}
+
+_PY_OPS = {
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b, "/": vpl_div, "%": vpl_mod,
     "and": lambda a, b: bool(a) and bool(b), "or": lambda a, b: bool(a) or bool(b),
     "??": lambda a, b: b if a is None else a,
     "in": lambda a, b: a in b,
-    "**": lambda a, b: a ** b,
+    "**": vpl_pow,
     "xor": lambda a, b: bool(a) != bool(b),
     "&": lambda a, b: a & b, "|": lambda a, b: a | b, "^": lambda a, b: a ^ b,
     "<<": lambda a, b: a << b, ">>": lambda a, b: a >> b,
@@ -535,7 +584,17 @@ def to_column(e, resolver=None) -> Column:
                 bits = int(e.right.value)
                 fn = F.shiftleft if e.op == "<<" else F.shiftright
                 return fn(left.cast("long"), bits)
-            return _PY_OPS[e.op](left, right) if e.op in ("+", "-", "*", "/", "%") else {
+            if e.op == "+":
+                return left + right
+            if e.op == "-":
+                return left - right
+            if e.op == "*":
+                return left * right
+            if e.op == "/":
+                return left / right
+            if e.op == "%":
+                return left % right
+            return {
                 "==": left == right, "!=": left != right, "<": left < right,
                 "<=": left <= right, ">": left > right, ">=": left >= right,
             }[e.op]
@@ -1437,7 +1496,8 @@ def _agg_expr(v):
     if isinstance(v, Lit):
         return v.value
     if isinstance(v, Bin) and v.op in ("+", "-", "*", "/"):
-        return _PY_OPS[v.op](_agg_expr(v.left), _agg_expr(v.right))
+        # _NP_OPS: operands are AggArith/Column-like, not scalars
+        return _NP_OPS[v.op](_agg_expr(v.left), _agg_expr(v.right))
     raise ValueError(f"aggregate expression not supported: {v}")
 
 
@@ -1624,7 +1684,9 @@ def _vec_adjacency(expr, cur_alias: str, prev_aliases: set[str]):
                 return lambda cols, i: np.asarray(lf(cols, i)) & np.asarray(rf(cols, i))
             if e.op == "or":
                 return lambda cols, i: np.asarray(lf(cols, i)) | np.asarray(rf(cols, i))
-            pyop = _PY_OPS[e.op]
+            # native operators, NOT _PY_OPS: these run on numpy arrays,
+            # where the scalar table's null/zero checks don't broadcast
+            pyop = _NP_OPS[e.op]
             return lambda cols, i: pyop(lf(cols, i), rf(cols, i))
         raise ValueError(f"adjacency predicate not supported: {e}")
 

@@ -165,8 +165,14 @@ class _Codegen:
                 return f"__coalesce({a}, {b})"
             if e.op == "in":
                 return f"({a} in {b})"
+            if e.op == "/":
+                return f"__div({a}, {b})"  # Int/Int truncates, /0 is null
+            if e.op == "%":
+                return f"__mod({a}, {b})"  # truncated remainder
+            if e.op == "**":
+                return f"__pow({a}, {b})"  # Int**Int stays Int
             if e.op in ("==", "!=", "<", "<=", ">", ">=", "+", "-", "*",
-                        "/", "%", "**", "&", "|", "^", "<<", ">>"):
+                        "&", "|", "^", "<<", ">>"):
                 return f"({a} {e.op} {b})"
             raise _Unsupported(f"operator {e.op}")
         if isinstance(e, Call):
@@ -311,6 +317,9 @@ def compile_fns(fns: dict, consts: dict) -> dict | None:
         gen_lines.append("")
     src = "\n".join(gen_lines)
     from varpulis_spark.vpl.compiler import _PY_FNS
+    from varpulis_spark.vpl.compiler import vpl_div as _vpl_div
+    from varpulis_spark.vpl.compiler import vpl_mod as _vpl_mod
+    from varpulis_spark.vpl.compiler import vpl_pow as _vpl_pow
 
     ns = {
         "__index": _index_or_none,
@@ -318,6 +327,9 @@ def compile_fns(fns: dict, consts: dict) -> dict | None:
         "__coalesce": _coalesce,
         "__hof": _hof,
         "__py": _PY_FNS,
+        "__div": _vpl_div,
+        "__mod": _vpl_mod,
+        "__pow": _vpl_pow,
         "__consts": dict(consts),
     }
     try:
@@ -355,6 +367,9 @@ def compile_body(stmts: list, fns: dict, consts: dict):
     lines.extend(cg.lines)
     src = "\n".join(lines)
     from varpulis_spark.vpl.compiler import _PY_FNS
+    from varpulis_spark.vpl.compiler import vpl_div as _vpl_div
+    from varpulis_spark.vpl.compiler import vpl_mod as _vpl_mod
+    from varpulis_spark.vpl.compiler import vpl_pow as _vpl_pow
 
     ns = {
         "__index": _index_or_none,
@@ -362,6 +377,9 @@ def compile_body(stmts: list, fns: dict, consts: dict):
         "__coalesce": _coalesce,
         "__hof": _hof,
         "__py": _PY_FNS,
+        "__div": _vpl_div,
+        "__mod": _vpl_mod,
+        "__pow": _vpl_pow,
         "__consts": dict(consts),
     }
     for name, f in compiled_fns.items():
