@@ -1755,3 +1755,34 @@ def test_streaming_embedding_near_dup_recall_and_precision(spark, tmp_path):
     for r in drained:
         assert r.cosine >= 0.9
     assert got == want
+
+
+def test_vpl_process_dispatches_on_streaming(spark, sf_dir, replay_dir):
+    """`.process(gen_fn(args))` on a streaming source: mapInPandas runs the
+    compiled imperative body per micro-batch event; emits match the batch
+    run exactly (mandelbrot server mode runs this shape on live streams)."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+fn expand(uid: str, v: float):
+    var i = 0
+    while i < 2:
+        emit Got(user: uid, slot: i, scaled: v * (i + 1))
+        i := i + 1
+
+stream Out = purchase
+    .process(expand(user_id, value))
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["Out"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_process_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user, r.slot, r.scaled)
+           for r in spark.table("vpl_process_stream").collect()}
+
+    bout = run_program(src_text, Stream.events(spark, sf_dir))["Out"]
+    want = {(r.user, r.slot, r.scaled) for r in bout.collect()}
+    assert want and got == want
