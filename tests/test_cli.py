@@ -41,3 +41,72 @@ def test_cli_run_unknown_stream(spark, monkeypatch, capsys):
                "--stream", "NoSuchStream"])
     assert rc == 2
     assert "no stream named" in capsys.readouterr().err
+
+
+def test_cli_parse_and_check(capsys):
+    """`parse` / `check` (main.rs:466-484): front-end passes with no Spark
+    session; parse errors and undeclared .process fns exit 1."""
+    rc = main(["parse", "--file",
+               "/root/reference/examples/mandelbrot/mandelbrot.vpl"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "16 streams, 2 fns" in out
+    assert "stream Tile00: context.process.to" in out
+
+    rc = main(["check", "--file",
+               "/root/reference/examples/functions.vpl"])
+    assert rc == 0
+
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".vpl", delete=False) as f:
+        f.write("stream S = Trigger\n    .process(nope())\n")
+        bad = f.name
+    rc = main(["check", "--file", bad])
+    err = capsys.readouterr().err
+    assert rc == 1 and "undeclared fn 'nope'" in err
+
+    with tempfile.NamedTemporaryFile("w", suffix=".vpl", delete=False) as f:
+        f.write("frobnicate X = y\n")
+        bad = f.name
+    rc = main(["parse", "--file", bad])
+    err = capsys.readouterr().err
+    assert rc == 1 and "parse error" in err
+
+
+def test_cli_rest_client_roundtrip(spark, capsys):
+    """deploy → pipelines → status → undeploy against a live in-process
+    control plane (the reference CLI's REST client commands,
+    main.rs:615-748)."""
+    from varpulis_spark.api import PipelineServer
+
+    srv = PipelineServer(spark).start()
+    try:
+        rc = main(["deploy", "--file",
+                   "/root/reference/examples/hvac_quickstart.vpl",
+                   "--server", srv.url])
+        out = capsys.readouterr().out
+        assert rc == 0 and "deployed 'hvac_quickstart' as pipeline" in out
+        pid = out.strip().rsplit(" ", 1)[-1]
+
+        rc = main(["pipelines", "--server", srv.url])
+        out = capsys.readouterr().out
+        assert rc == 0 and "1 pipeline(s)" in out and pid in out
+
+        rc = main(["status", "--id", pid, "--server", srv.url])
+        out = capsys.readouterr().out
+        assert rc == 0 and "events_ingested: 0" in out
+
+        rc = main(["undeploy", "--id", pid, "--server", srv.url])
+        out = capsys.readouterr().out
+        assert rc == 0 and "deleted" in out
+
+        rc = main(["pipelines", "--server", srv.url])
+        out = capsys.readouterr().out
+        assert rc == 0 and "0 pipeline(s)" in out
+
+        rc = main(["status", "--id", pid, "--server", srv.url])
+        err = capsys.readouterr().err
+        assert rc == 1 and "404" in err
+    finally:
+        srv.stop()

@@ -75,6 +75,136 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_parse(args) -> int:
+    """`varpulis parse` (main.rs:466-469): parse and show the program's
+    declarations; exit 1 with the parse error on failure. No Spark session
+    is started — this is a pure front-end pass."""
+    with open(args.file) as f:
+        source = f.read()
+    from varpulis_spark.vpl.parser import parse_full
+
+    try:
+        prog = parse_full(source, base_path=_dirname(args.file))
+    except (SyntaxError, ValueError) as ex:
+        print(f"parse error: {ex}", file=sys.stderr)
+        return 1
+    print(f"parsed OK: {len(prog.streams)} streams, {len(prog.fns)} fns, "
+          f"{len(prog.events)} events, {len(prog.patterns)} patterns, "
+          f"{len(prog.connectors)} connectors, {len(prog.vars)} vars")
+    for s in prog.streams:
+        ops = ".".join(o.name for o in s.ops) or "passthrough"
+        print(f"  stream {s.name}: {ops}")
+    return 0
+
+
+def cmd_check(args) -> int:
+    """`varpulis check` (main.rs:481-484): syntax + reference checks —
+    undeclared fns in .process, duplicate stream names. Exit 1 on any."""
+    with open(args.file) as f:
+        source = f.read()
+    from varpulis_spark.vpl.parser import Call, parse_full
+
+    try:
+        prog = parse_full(source, base_path=_dirname(args.file))
+    except (SyntaxError, ValueError) as ex:
+        print(f"parse error: {ex}", file=sys.stderr)
+        return 1
+    problems: list[str] = []
+    seen: set[str] = set()
+    fn_names = {f.name for f in prog.fns}
+    for s in prog.streams:
+        if s.name in seen:
+            problems.append(f"duplicate stream name {s.name!r}")
+        seen.add(s.name)
+        for op in s.ops:
+            if op.name == "process" and op.args:
+                a = op.args[0]
+                if isinstance(a, Call) and a.name not in fn_names:
+                    problems.append(
+                        f"stream {s.name}: .process references undeclared "
+                        f"fn {a.name!r}"
+                    )
+    for p in problems:
+        print(f"check: {p}", file=sys.stderr)
+    if problems:
+        return 1
+    print(f"{args.file}: OK")
+    return 0
+
+
+def _dirname(path: str) -> str:
+    import os
+
+    return os.path.dirname(os.path.abspath(path))
+
+
+def _api(args, method: str, path: str, payload=None):
+    """Tiny stdlib client for the REST control plane (the reference CLI's
+    deploy/pipelines/undeploy/status commands, main.rs:615-748)."""
+    import json
+    import urllib.request
+
+    url = f"{args.server.rstrip('/')}/api/v1{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    if args.api_key:
+        req.add_header("x-api-key", args.api_key)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read() or b"{}")
+
+
+def cmd_deploy(args) -> int:
+    with open(args.file) as f:
+        source = f.read()
+    import os
+
+    name = args.name or os.path.splitext(os.path.basename(args.file))[0]
+    code, body = _api(args, "POST", "/pipelines",
+                      {"name": name, "source": source})
+    if code != 200:
+        print(f"deploy failed ({code}): {body}", file=sys.stderr)
+        return 1
+    print(f"deployed {name!r} as pipeline {body.get('id')}")
+    return 0
+
+
+def cmd_pipelines(args) -> int:
+    code, body = _api(args, "GET", "/pipelines")
+    if code != 200:
+        print(f"list failed ({code}): {body}", file=sys.stderr)
+        return 1
+    pipes = body.get("pipelines", [])
+    print(f"{len(pipes)} pipeline(s)")
+    for p in pipes:
+        print(f"  {p.get('id')}  {p.get('name')}  streams={p.get('streams')}")
+    return 0
+
+
+def cmd_undeploy(args) -> int:
+    code, body = _api(args, "DELETE", f"/pipelines/{args.id}")
+    if code != 200:
+        print(f"undeploy failed ({code}): {body}", file=sys.stderr)
+        return 1
+    print(f"pipeline {args.id} deleted")
+    return 0
+
+
+def cmd_status(args) -> int:
+    code, body = _api(args, "GET", f"/pipelines/{args.id}/metrics")
+    if code != 200:
+        print(f"status failed ({code}): {body}", file=sys.stderr)
+        return 1
+    for k in ("id", "events_ingested", "output_rows_total", "uptime_secs"):
+        print(f"{k}: {body.get(k)}")
+    for et, n in sorted((body.get("events_by_type") or {}).items()):
+        print(f"  {et}: {n}")
+    return 0
+
+
 def cmd_server(args) -> int:
     from varpulis_spark.api import PipelineServer
 
@@ -114,6 +244,38 @@ def main(argv: list[str] | None = None) -> int:
     p_srv.add_argument("--api-key")
     p_srv.add_argument("--cores", type=int)
     p_srv.set_defaults(fn=cmd_server)
+
+    p_parse = sub.add_parser("parse", help="parse a VPL program and show declarations")
+    p_parse.add_argument("--file", required=True)
+    p_parse.set_defaults(fn=cmd_parse)
+
+    p_check = sub.add_parser("check", help="syntax + reference checks")
+    p_check.add_argument("--file", required=True)
+    p_check.set_defaults(fn=cmd_check)
+
+    def _client(p):
+        p.add_argument("--server", default="http://127.0.0.1:8080")
+        p.add_argument("--api-key")
+
+    p_dep = sub.add_parser("deploy", help="deploy a VPL program to a server")
+    p_dep.add_argument("--file", required=True)
+    p_dep.add_argument("--name")
+    _client(p_dep)
+    p_dep.set_defaults(fn=cmd_deploy)
+
+    p_ls = sub.add_parser("pipelines", help="list deployed pipelines")
+    _client(p_ls)
+    p_ls.set_defaults(fn=cmd_pipelines)
+
+    p_un = sub.add_parser("undeploy", help="delete a deployed pipeline")
+    p_un.add_argument("--id", required=True)
+    _client(p_un)
+    p_un.set_defaults(fn=cmd_undeploy)
+
+    p_st = sub.add_parser("status", help="show a pipeline's metrics")
+    p_st.add_argument("--id", required=True)
+    _client(p_st)
+    p_st.set_defaults(fn=cmd_status)
 
     args = ap.parse_args(argv)
     return args.fn(args)
