@@ -214,3 +214,86 @@ def test_reload_report_add_remove_update(spark):
         json.dumps({"event_type": "Reading", "fields": {"value": 200.0}}).encode(), {})
     got = {(e["stream"], e["fields"]["v"]) for e in resp["output_events"]}
     assert got == {("Hot", 7.0), ("Hot", 200.0), ("Spike", 200.0)}
+
+
+def test_checkpoint_restore_roundtrip(server):
+    """checkpoint → undeploy → restore at a chosen id: the restored
+    pipeline carries the full event log, previously-announced outputs are
+    baseline (not re-announced), and new injections keep working
+    (handle_checkpoint api.rs:674, handle_restore api.rs:253,
+    CheckpointResponse/RestoreRequest api.rs:85-101)."""
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    _, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                   {"name": "hvac-cp", "source": source})
+    pid = resp["id"]
+    _req(f"{server.url}/api/v1/pipelines/{pid}/events", "POST",
+         {"event_type": "TemperatureReading",
+          "fields": {"sensor_id": "s1", "zone": "dc", "value": 35.0}})
+
+    status, cp_resp = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/checkpoint", "POST", {})
+    assert status == 200 and cp_resp["events_processed"] == 1
+    assert cp_resp["checkpoint"]["source"] == source
+
+    _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")
+    status, _ = _req(f"{server.url}/api/v1/pipelines/{pid}", "GET")
+    assert status == 404
+
+    status, r = _req(
+        f"{server.url}/api/v1/pipelines/restored-1/restore", "POST",
+        {"checkpoint": cp_resp["checkpoint"]})
+    assert status == 200 and r["restored"] and r["events_restored"] == 1
+
+    # the checkpointed hot reading's alert is state, not news: a fresh
+    # cool injection must not re-announce it (it may still produce NEW
+    # windowed-aggregate outputs of its own, e.g. the updated zone avg)
+    status, resp = _req(
+        f"{server.url}/api/v1/pipelines/restored-1/events", "POST",
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "s2", "zone": "dc", "value": 20.0}})
+    assert status == 200
+    assert not [e for e in resp["output_events"]
+                if e["stream"] == "HighTempAlert"]
+
+    # but a new hot reading alerts as usual
+    status, resp = _req(
+        f"{server.url}/api/v1/pipelines/restored-1/events", "POST",
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "s3", "zone": "dc", "value": 33.0}})
+    alerts = [e for e in resp["output_events"] if e["stream"] == "HighTempAlert"]
+    assert len(alerts) == 1 and alerts[0]["fields"]["sensor"] == "s3"
+
+
+def test_logs_polling_window(server):
+    """GET /logs?since=N returns the announced-output window + next offset
+    (handle_logs api.rs:896 is SSE; ours is a polling JSON window)."""
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    _, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                   {"name": "hvac-logs", "source": source})
+    pid = resp["id"]
+
+    status, r = _req(f"{server.url}/api/v1/pipelines/{pid}/logs", "GET")
+    assert status == 200 and r["logs"] == [] and r["next_offset"] == 0
+
+    for v in (32.0, 34.0):
+        _req(f"{server.url}/api/v1/pipelines/{pid}/events", "POST",
+             {"event_type": "TemperatureReading",
+              "fields": {"sensor_id": "s1", "zone": "dc", "value": v}})
+
+    status, r = _req(f"{server.url}/api/v1/pipelines/{pid}/logs", "GET")
+    assert status == 200
+    n = r["next_offset"]
+    assert n >= 2 and len(r["logs"]) == n
+    temps = [e["fields"].get("temperature") for e in r["logs"]
+             if e["stream"] == "HighTempAlert"]
+    assert temps == [32.0, 34.0]
+
+    # window: since=next returns nothing new; since=n-1 returns the tail
+    status, r2 = _req(f"{server.url}/api/v1/pipelines/{pid}/logs?since={n}",
+                      "GET")
+    assert r2["logs"] == [] and r2["next_offset"] == n
+    status, r3 = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/logs?since={n-1}", "GET")
+    assert len(r3["logs"]) == 1

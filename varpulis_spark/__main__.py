@@ -205,6 +205,27 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_logs(args) -> int:
+    """`varpulis logs` (main.rs:772): the reference tails an SSE stream;
+    ours polls GET /logs (documented divergence — stdlib server). With
+    --follow, keeps polling until interrupted."""
+    import json as _json
+    import time as _time
+
+    since = args.since
+    while True:
+        code, body = _api(args, "GET", f"/pipelines/{args.id}/logs?since={since}")
+        if code != 200:
+            print(f"logs failed ({code}): {body}", file=sys.stderr)
+            return 1
+        for entry in body.get("logs", []):
+            print(_json.dumps(entry))
+        since = body.get("next_offset", since)
+        if not args.follow:
+            return 0
+        _time.sleep(args.interval)
+
+
 def cmd_server(args) -> int:
     from varpulis_spark.api import PipelineServer
 
@@ -276,6 +297,14 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--id", required=True)
     _client(p_st)
     p_st.set_defaults(fn=cmd_status)
+
+    p_lg = sub.add_parser("logs", help="fetch a pipeline's output events")
+    p_lg.add_argument("--id", required=True)
+    p_lg.add_argument("--since", type=int, default=0)
+    p_lg.add_argument("--follow", action="store_true")
+    p_lg.add_argument("--interval", type=float, default=2.0)
+    _client(p_lg)
+    p_lg.set_defaults(fn=cmd_logs)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -15,6 +15,17 @@ Implements the deploy/inject demo workflow on the stdlib HTTP server:
   output events the injection produced)
 - `POST /api/v1/pipelines/:id/events-batch`  {events: [...]} →
   {accepted, output_events, processing_time_us} (api.rs:68-77)
+- `GET /api/v1/pipelines/:id/metrics`        per-pipeline counters
+- `GET /api/v1/pipelines/:id/logs?since=N`   output-event window
+  (handle_logs api.rs:896 streams these over SSE; we serve a polling JSON
+  window — documented divergence, stdlib server)
+- `POST /api/v1/pipelines/:id/checkpoint`    → {pipeline_id, checkpoint,
+  events_processed} (CheckpointResponse api.rs:85; the replay model's
+  checkpoint is {source, event log} — exact by construction)
+- `POST /api/v1/pipelines/:id/restore`       {checkpoint} → {pipeline_id,
+  restored, events_restored} (RestoreRequest api.rs:92; creates or
+  replaces the pipeline at :id, baselining announced outputs)
+- `POST /api/v1/pipelines/:id/reload`        {source} → ReloadReport
 
 Auth mirrors with_api_key: when the server is constructed with an
 api_key, requests must carry it in `x-api-key` (401 otherwise). Request
@@ -56,6 +67,10 @@ class _Pipeline:
         self.events: list[tuple[float, str, dict]] = []  # (offset_s, type, fields)
         self.prev_counts: dict[tuple[str, str], int] = {}
         self.status = "running"
+        # every output event ever announced, in order (the reference
+        # broadcasts these over an SSE channel, handle_logs api.rs:896;
+        # we record them for the polling GET /logs endpoint)
+        self.output_log: list[dict] = []
 
 
 class PipelineServer:
@@ -98,6 +113,10 @@ class PipelineServer:
             return 413, {"error": "payload_too_large"}
         if not path.startswith(API_PREFIX + "/"):
             return 404, {"error": "not_found"}
+        path, _, qs = path.partition("?")
+        from urllib.parse import parse_qs
+
+        query = {k: v[-1] for k, v in parse_qs(qs).items()}
         parts = [p for p in path[len(API_PREFIX):].split("/") if p]
         try:
             payload = json.loads(body) if body else None
@@ -120,6 +139,15 @@ class PipelineServer:
                 del self._pipelines[parts[1]]
                 return 200, {"status": "deleted", "id": parts[1]}
         elif len(parts) == 3 and parts[0] == "pipelines":
+            if parts[2] == "restore" and method == "POST":
+                # handle_restore (api.rs:253-263, RestoreRequest :92):
+                # rebuild the pipeline at this id from a checkpoint —
+                # creating it if absent, like the reference's tenant
+                # restore; no prior pipeline required.
+                cp = (payload or {}).get("checkpoint")
+                if not isinstance(cp, dict) or "source" not in cp:
+                    return 400, {"error": "expected {checkpoint}"}
+                return self._restore(parts[1], cp)
             p = self._pipelines.get(parts[1])
             if p is None:
                 return 404, {"error": "pipeline_not_found"}
@@ -143,6 +171,35 @@ class PipelineServer:
                     "events_by_type": by_type,
                     "output_rows_total": sum(p.prev_counts.values()),
                     "uptime_secs": int(time.time() - p.deployed_at),
+                }
+            if parts[2] == "logs" and method == "GET":
+                # handle_logs (api.rs:896): the reference streams output
+                # events over SSE; our stdlib server serves the same events
+                # as a polling JSON window — GET /logs?since=N returns
+                # everything announced at offset >= N plus the next offset
+                # (documented divergence: poll, not push).
+                try:
+                    since = int(query.get("since", 0))
+                except ValueError:
+                    return 400, {"error": "since must be an integer"}
+                return 200, {
+                    "id": p.id,
+                    "logs": p.output_log[since:],
+                    "next_offset": len(p.output_log),
+                }
+            if parts[2] == "checkpoint" and method == "POST":
+                # handle_checkpoint (api.rs:674, CheckpointResponse :85):
+                # in the replay model the pipeline's full state IS
+                # {source, event log}, so the checkpoint is exact by
+                # construction — no live NFA serialization needed.
+                return 200, {
+                    "pipeline_id": p.id,
+                    "checkpoint": {
+                        "name": p.name,
+                        "source": p.source,
+                        "events": [[off, et, f] for off, et, f in p.events],
+                    },
+                    "events_processed": len(p.events),
                 }
             if parts[2] == "reload" and method == "POST":
                 # handle_reload (ReloadPipelineRequest api.rs:80-82): swap
@@ -224,10 +281,41 @@ class PipelineServer:
             new_rows = self._run_delta(p)
         except Exception as e:  # noqa: BLE001
             return 500, {"error": "execution_error", "message": str(e)}
+        p.output_log.extend(new_rows)
         return 200, {
             "accepted": len(events),
             "output_events": new_rows,
             "processing_time_us": int((time.time() - t0) * 1e6),
+        }
+
+    def _restore(self, pid: str, cp: dict) -> tuple[int, dict]:
+        from varpulis_spark.vpl.parser import parse_full
+
+        try:
+            prog = parse_full(cp["source"])
+        except Exception as e:  # noqa: BLE001
+            return 400, {"error": "parse_error", "message": str(e)}
+        emit_streams = {
+            d.name for d in prog.streams
+            if any(op.name == "emit" for op in d.ops)
+        }
+        p = _Pipeline(pid, cp.get("name", pid), cp["source"], emit_streams)
+        for ev in cp.get("events") or []:
+            off, etype, fields = ev
+            p.events.append((float(off), str(etype), dict(fields or {})))
+        if p.events:
+            # baseline run: outputs derivable from the checkpointed log are
+            # state, not news — the next injection announces only deltas
+            try:
+                restored_rows = self._run_delta(p)
+                p.output_log.extend(restored_rows)
+            except Exception as e:  # noqa: BLE001
+                return 500, {"error": "execution_error", "message": str(e)}
+        self._pipelines[pid] = p
+        return 200, {
+            "pipeline_id": pid,
+            "restored": True,
+            "events_restored": len(p.events),
         }
 
     def _run_delta(self, p: _Pipeline) -> list[dict]:
