@@ -110,3 +110,26 @@ def test_cli_rest_client_roundtrip(spark, capsys):
         assert rc == 1 and "404" in err
     finally:
         srv.stop()
+
+
+def test_cli_demo(spark, monkeypatch, capsys):
+    """`demo` (main.rs:1913): seeded HVAC simulation replayed through a
+    pipeline. Event cadence mirrors simulator.rs: temp per zone per tick,
+    humidity every 3rd tick, HVAC status every 5th."""
+    import varpulis_spark.__main__ as M
+
+    monkeypatch.setattr(M, "_build_spark", lambda cores: spark)
+    rc = main(["demo", "--duration", "3", "--eps", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 15 ticks: 45 temp readings, 5 humidity passes x3 zones, 3 hvac
+    assert "TemperatureReadings: 45 rows" in out
+    assert "HumidityReadings: 15 rows" in out
+    assert "HVACStatuses: 3 rows" in out
+
+    # the demo events drive the unmodified quickstart example too
+    rc = main(["demo", "--duration", "2", "--eps", "5", "--anomalies",
+               "--seed", "7", "--file",
+               "/root/reference/examples/hvac_quickstart.vpl"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Temperatures:" in out

@@ -205,6 +205,91 @@ def cmd_status(args) -> int:
     return 0
 
 
+_DEMO_PROGRAM = """
+stream TemperatureReadings = TemperatureReading
+stream HumidityReadings = HumidityReading
+stream HVACStatuses = HVACStatus
+"""
+
+# the reference simulator's default building (simulator.rs:37-76)
+_DEMO_ZONES = [
+    ("zone_a", 22.0, 50.0, 1.0, 5.0),
+    ("zone_b", 19.0, 50.0, 0.5, 3.0),
+    ("zone_c", 21.0, 50.0, 2.0, 8.0),
+]
+_DEMO_HVAC = [("cta_main", 15.0, 8.5)]
+
+
+def _demo_events(duration_s: int, eps: int, anomalies: bool,
+                 degradation: bool, seed: int) -> list[tuple[float, str, dict]]:
+    """One tick = one pass over the zones (simulator.rs:120-170): a
+    temperature reading per zone (anomaly = +5..10 spike at p=0.05 when
+    enabled, else p=0.01), humidity every 3rd tick, HVAC status every 5th
+    (power drifts up / pressure down under degradation). Seeded RNG so
+    demo runs are reproducible; generated instantly and replayed, not
+    paced in wall-clock like the reference's live loop."""
+    import random
+
+    rng = random.Random(seed)
+    p_anom = 0.05 if anomalies else 0.01
+    degr = 1.0
+    out: list[tuple[float, str, dict]] = []
+    for tick in range(1, duration_s * eps + 1):
+        t = tick / eps
+        for zid, ttemp, thum, tvar, hvar in _DEMO_ZONES:
+            is_anom = rng.random() < p_anom
+            temp = (ttemp + rng.uniform(5.0, 10.0) if is_anom
+                    else ttemp + rng.uniform(-tvar, tvar))
+            out.append((t, "TemperatureReading",
+                        {"sensor_id": f"{zid}_temp_01", "zone": zid,
+                         "value": temp, "anomaly": is_anom}))
+            if tick % 3 == 0:
+                out.append((t, "HumidityReading",
+                            {"sensor_id": f"{zid}_hum_01", "zone": zid,
+                             "value": thum + rng.uniform(-hvar, hvar)}))
+        if tick % 5 == 0:
+            for hid, pwr, prs in _DEMO_HVAC:
+                out.append((t, "HVACStatus",
+                            {"unit_id": hid, "mode": "cooling",
+                             "power_consumption": pwr * degr + rng.uniform(-0.5, 0.5),
+                             "fan_speed": 1200 + rng.randint(-50, 50),
+                             "compressor_pressure": prs / degr + rng.uniform(-0.1, 0.1)}))
+        if degradation:
+            degr += 0.0001
+    return out
+
+
+def cmd_demo(args) -> int:
+    """`varpulis demo` (main.rs:1913-1955): the built-in HVAC building
+    simulation through a pipeline — ours generates the whole run up front
+    (seeded) and replays it through Spark instead of pacing wall-clock."""
+    from varpulis_spark.sources.event_file import events_to_df
+    from varpulis_spark.stream import Stream
+    from varpulis_spark.vpl.compiler import run_program
+
+    spark = _build_spark(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    events = _demo_events(args.duration, args.eps, args.anomalies,
+                          args.degradation, args.seed)
+    print("Varpulis HVAC Building Demo")
+    print("================================")
+    print(f"Duration: {args.duration} seconds  ({len(events)} events, "
+          f"seed {args.seed})")
+    print(f"Anomalies: {'enabled' if args.anomalies else 'disabled'}")
+    print(f"Degradation: {'enabled' if args.degradation else 'disabled'}")
+    source = _DEMO_PROGRAM
+    if args.file:
+        with open(args.file) as f:
+            source = f.read()
+    stream = Stream(events_to_df(spark, events), ts_col="ts",
+                    order_col="event_id")
+    results = run_program(source, stream)
+    for name, df in results.items():
+        print(f"== {name}: {df.count()} rows")
+        df.show(min(args.show, 5), truncate=False)
+    return 0
+
+
 def cmd_logs(args) -> int:
     """`varpulis logs` (main.rs:772): the reference tails an SSE stream;
     ours polls GET /logs (documented divergence — stdlib server). With
@@ -297,6 +382,20 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--id", required=True)
     _client(p_st)
     p_st.set_defaults(fn=cmd_status)
+
+    p_demo = sub.add_parser("demo", help="run the built-in HVAC demo")
+    p_demo.add_argument("--duration", type=int, default=10,
+                        help="simulated seconds (default 10)")
+    p_demo.add_argument("--eps", type=int, default=10,
+                        help="ticks per simulated second")
+    p_demo.add_argument("--anomalies", action="store_true")
+    p_demo.add_argument("--degradation", action="store_true")
+    p_demo.add_argument("--seed", type=int, default=0)
+    p_demo.add_argument("--file", help="run this VPL instead of the "
+                        "built-in passthrough demo program")
+    p_demo.add_argument("--show", type=int, default=5)
+    p_demo.add_argument("--cores", type=int)
+    p_demo.set_defaults(fn=cmd_demo)
 
     p_lg = sub.add_parser("logs", help="fetch a pipeline's output events")
     p_lg.add_argument("--id", required=True)
