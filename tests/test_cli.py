@@ -133,3 +133,39 @@ def test_cli_demo(spark, monkeypatch, capsys):
                "/root/reference/examples/hvac_quickstart.vpl"])
     out = capsys.readouterr().out
     assert rc == 0 and "Temperatures:" in out
+
+
+def test_cli_config_gen_and_init(tmp_path, monkeypatch, capsys, spark):
+    """config-gen / init (main.rs:600-613,749): example config emission and
+    .varpulis.toml project file; client commands resolve the server URL
+    from the project file when --server is omitted (resolve_url parity)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["config-gen"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "connectors:" in out and "api_key" in out
+    rc = main(["config-gen", "--format", "toml"])
+    assert rc == 1  # unsupported here, named in the error
+    capsys.readouterr()
+
+    rc = main(["config-gen", "--output", "cfg.yaml"])
+    capsys.readouterr()
+    assert rc == 0 and (tmp_path / "cfg.yaml").read_text().startswith("#")
+
+    from varpulis_spark.api import PipelineServer
+
+    srv = PipelineServer(spark).start()
+    try:
+        rc = main(["init", "--server", srv.url])
+        capsys.readouterr()
+        assert rc == 0
+        assert f'url = "{srv.url}"' in (tmp_path / ".varpulis.toml").read_text()
+        rc = main(["init", "--server", srv.url])
+        assert rc == 1  # refuses to overwrite without --force
+        capsys.readouterr()
+
+        # no --server: resolved from .varpulis.toml
+        rc = main(["pipelines"])
+        out = capsys.readouterr().out
+        assert rc == 0 and "0 pipeline(s)" in out
+    finally:
+        srv.stop()

@@ -144,7 +144,8 @@ def _api(args, method: str, path: str, payload=None):
     import json
     import urllib.request
 
-    url = f"{args.server.rstrip('/')}/api/v1{path}"
+    server = args.server or _project_server_url() or "http://127.0.0.1:8080"
+    url = f"{server.rstrip('/')}/api/v1{path}"
     data = json.dumps(payload).encode() if payload is not None else None
     req = urllib.request.Request(url, data=data, method=method)
     req.add_header("Content-Type", "application/json")
@@ -203,6 +204,82 @@ def cmd_status(args) -> int:
     for et, n in sorted((body.get("events_by_type") or {}).items()):
         print(f"  {et}: {n}")
     return 0
+
+
+_EXAMPLE_CONFIG_YAML = """\
+# varpulis_spark example configuration (config-gen parity,
+# varpulis-cli/src/config.rs:318-358 — Spark-relevant subset)
+server:
+  bind: 127.0.0.1
+  port: 8080
+  api_key: your-api-key-here
+spark:
+  app_name: varpulis
+  cores: null          # null = SPARK_GRAFT_CPUS / local[*]
+  shuffle_partitions: 32
+connectors:            # name -> ConnectorRegistry config (registry.py)
+  KafkaIn:
+    kind: kafka
+    brokers: kafka:9092
+    topic: events
+    group_id: varpulis-consumer
+  MqttOut:
+    kind: mqtt
+    host: localhost
+    port: 1883
+logging:
+  level: info
+"""
+
+_EXAMPLE_PROJECT_TOML = """\
+# Varpulis project configuration (.varpulis.toml, config.rs:472)
+url = "{url}"
+# api_key = "your-api-key-here"
+"""
+
+
+def cmd_config_gen(args) -> int:
+    """`varpulis config-gen` (main.rs:600-613): emit an example config."""
+    if args.format.lower() not in ("yaml", "yml"):
+        print(f"Unsupported format: {args.format}. Use 'yaml'.",
+              file=sys.stderr)
+        return 1
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(_EXAMPLE_CONFIG_YAML)
+        print(f"Configuration written to: {args.output}")
+    else:
+        print(_EXAMPLE_CONFIG_YAML, end="")
+    return 0
+
+
+def cmd_init(args) -> int:
+    """`varpulis init` (main.rs:749): write .varpulis.toml with the server
+    URL so the client commands can omit --server."""
+    import os
+
+    path = ".varpulis.toml"
+    if os.path.exists(path) and not args.force:
+        print(f"{path} already exists (use --force to overwrite)",
+              file=sys.stderr)
+        return 1
+    with open(path, "w") as f:
+        f.write(_EXAMPLE_PROJECT_TOML.format(url=args.server))
+    print(f"wrote {path}")
+    return 0
+
+
+def _project_server_url() -> str | None:
+    """Read `url` from ./.varpulis.toml if present (resolve_url parity)."""
+    try:
+        with open(".varpulis.toml") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("url") and "=" in line:
+                    return line.split("=", 1)[1].strip().strip('"')
+    except OSError:
+        return None
+    return None
 
 
 _DEMO_PROGRAM = """
@@ -360,7 +437,9 @@ def main(argv: list[str] | None = None) -> int:
     p_check.set_defaults(fn=cmd_check)
 
     def _client(p):
-        p.add_argument("--server", default="http://127.0.0.1:8080")
+        # default resolves at call time: --server, else ./.varpulis.toml's
+        # url (written by `init`), else localhost:8080
+        p.add_argument("--server")
         p.add_argument("--api-key")
 
     p_dep = sub.add_parser("deploy", help="deploy a VPL program to a server")
@@ -382,6 +461,16 @@ def main(argv: list[str] | None = None) -> int:
     p_st.add_argument("--id", required=True)
     _client(p_st)
     p_st.set_defaults(fn=cmd_status)
+
+    p_cg = sub.add_parser("config-gen", help="emit an example configuration")
+    p_cg.add_argument("--format", default="yaml")
+    p_cg.add_argument("--output")
+    p_cg.set_defaults(fn=cmd_config_gen)
+
+    p_init = sub.add_parser("init", help="write .varpulis.toml project config")
+    p_init.add_argument("--server", default="http://127.0.0.1:8080")
+    p_init.add_argument("--force", action="store_true")
+    p_init.set_defaults(fn=cmd_init)
 
     p_demo = sub.add_parser("demo", help="run the built-in HVAC demo")
     p_demo.add_argument("--duration", type=int, default=10,
