@@ -1075,3 +1075,33 @@ def test_checkpoint_session_window_scenario(spark):
     )
     assert rows[-1] == (3, 300.0)  # restored session: 3 events, sum 300
     assert rows[0][0] == 1  # the gap event opened its own session
+
+
+def test_top_level_let_assignment_semantics(spark):
+    """Top-level `let` is immutable, `:=` reassigns mutable vars or
+    implicitly creates one, and assigning an immutable is a LOAD error
+    (variable_tests.rs:28,63,102,120)."""
+    res = run_inline(spark, """
+var counter: int = 0
+counter := 1
+counter := 2
+counter := 3
+implicit := 42
+let fixed = 7
+
+stream Out = Reading
+    .emit(c: counter, i: implicit, f: fixed)
+""", """
+Reading { value: 1.0 }
+""")
+    (r,) = res["Out"].collect()
+    assert (r.c, r.i, r.f) == (3, 42, 7)
+
+    with pytest.raises(ValueError, match="immutable"):
+        run_inline(spark, """
+let fixed = 7
+fixed := 100
+
+stream Out = Reading
+    .emit(f: fixed)
+""", "Reading { value: 1.0 }\n")

@@ -2596,7 +2596,18 @@ def run_program(
         env.fns[f.name] = f
     for e in prog.events:
         env.events[e.name] = e
+    immutable: set[str] = set()
     for v in prog.vars:
+        if v.assign:
+            # top-level `name := v` (engine/mod.rs:448-508): load error on
+            # an immutable target, implicit mutable creation otherwise
+            if v.name in immutable:
+                raise ValueError(
+                    f"cannot assign to immutable variable {v.name!r} "
+                    f"(declared let/const)"
+                )
+        elif v.const:
+            immutable.add(v.name)
         env.vars[v.name] = _const_eval(v.value, env)
     for p in prog.patterns:
         env.patterns[p.name] = p

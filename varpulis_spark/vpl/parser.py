@@ -332,6 +332,7 @@ class VarDecl:
     type: str | None
     value: object
     const: bool = False
+    assign: bool = False  # `name := v` at top level (re-/implicit assignment)
 
 
 # pattern-declaration combinators (SasePatternExpr, ast.rs:128-146)
@@ -505,6 +506,20 @@ class Parser:
                 prog.vars.append(self.var_decl(const=False))
             elif self.accept("const"):
                 prog.vars.append(self.var_decl(const=True))
+            elif self.peek() == ("ident", "let") and self.peek(1)[0] == "ident" \
+                    and self.peek(2)[1] in ("=", ":"):
+                # top-level `let name [: type] = v` — immutable like const
+                # (Stmt::Let at program level, variable_tests.rs:28)
+                self.next()
+                prog.vars.append(self.var_decl(const=True))
+            elif self.peek()[0] == "ident" and self.peek(1) == ("op", ":="):
+                # top-level assignment `name := v` (engine/mod.rs:448-508):
+                # reassigns a mutable var (load error if immutable), or
+                # creates an implicitly-mutable one (variable_tests.rs:102)
+                name = self.next()[1]
+                self.next()  # ':='
+                prog.vars.append(VarDecl(name, None, self.expr(),
+                                         const=False, assign=True))
             elif self.accept("pattern"):
                 prog.patterns.append(self.pattern_decl())
             elif self.peek()[1] == "connector" and self.peek(1)[0] == "ident" \
