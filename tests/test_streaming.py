@@ -1786,3 +1786,37 @@ stream Out = purchase
     bout = run_program(src_text, Stream.events(spark, sf_dir))["Out"]
     want = {(r.user, r.slot, r.scaled) for r in bout.collect()}
     assert want and got == want
+
+
+def test_vpl_imperative_fn_in_emit_on_streaming(spark, sf_dir, replay_dir):
+    """A statement-bodied fn in expression position lowers to a pandas UDF,
+    which must run per micro-batch on a streaming frame too."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src_text = """
+fn collatz_len(n0: int) -> int:
+    var n = n0
+    var steps = 0
+    while n > 1:
+        if n % 2 == 0:
+            n := n / 2
+        else:
+            n := 3 * n + 1
+        steps := steps + 1
+    return steps
+
+stream Out = purchase
+    .emit(user: user_id, eid: event_id, c: collatz_len(event_id % 50 + 1))
+"""
+    schema = Stream.events(spark, sf_dir).df.schema
+    sstream = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = run_program(src_text, sstream)["Out"]
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("vpl_impexpr_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user, r.eid, r.c)
+           for r in spark.table("vpl_impexpr_stream").collect()}
+    bout = run_program(src_text, Stream.events(spark, sf_dir))["Out"]
+    want = {(r.user, r.eid, r.c) for r in bout.collect()}
+    assert want and got == want
