@@ -107,10 +107,40 @@ class Stream:
     filter = where  # alias, engine/mod.rs:1647-1650
     having = where  # post-aggregate filter (RuntimeOp::Having engine/types.rs:189)
 
-    def select(self, *cols: str | Column, **named: Column | str) -> "Stream":
+    def select(self, *cols: str | Column, **named: Column | str,
+               ) -> "Stream":
+        """Strict projection (exactly the requested columns). The VPL
+        front-end's `.select` uses keep_envelope() instead — the reference
+        narrows `data` while the Event keeps its timestamp/type
+        (event.rs:23-31), so windows downstream of a VPL select still
+        order correctly; the direct API stays a plain projection."""
         proj = [as_col(c) for c in cols]
         proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
         return self._with(self.df.select(*proj))
+
+    def select_with_envelope(self, *cols: str | Column,
+                             **named: Column | str) -> "Stream":
+        """`.select` with the event envelope (time column, arrival order,
+        event_type, partition keys) riding along implicitly when not
+        re-projected — the reference's select semantics (the Event keeps
+        its timestamp outside `data`, event.rs:23-31). Envelope names that
+        are absent or DUPLICATED are skipped: a join of aliased sides
+        carries each side's ts, where an unqualified ref is ambiguous and
+        the select must resolve time explicitly."""
+        projected = self.select(*cols, **named)
+        out_names = set(projected.df.columns)
+        have = self.df.columns
+        extra = [
+            F.col(c)
+            for c in (self.ts_col, self.order_col, "event_type",
+                      *(self.keys or []))
+            if c and have.count(c) == 1 and c not in out_names
+        ]
+        if not extra:
+            return projected
+        proj = [as_col(c) for c in cols]
+        proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
+        return self._with(self.df.select(*extra, *proj))
 
     def emit(self, event_type: str | None = None, **named: Column | str | Any) -> "Stream":
         """Project into a new output event (EmitConfig engine/types.rs:448).

@@ -2045,7 +2045,10 @@ def _apply_relational_ops(
         elif op.name == "select":
             cols = [".".join(a.parts) for a in op.args if isinstance(a, Ref)]
             named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
-            out = out.select(*cols, **named)
+            # reference semantics: select narrows the payload, the event
+            # keeps its timestamp/type (event.rs:23-31) — windows/patterns
+            # downstream of a select still order and route correctly
+            out = out.select_with_envelope(*cols, **named)
         elif op.name == "emit":
             if windowed is not None and (
                 pending_havings or any(_contains_agg(v) for v in op.kwargs.values())
