@@ -1105,3 +1105,14 @@ fixed := 100
 stream Out = Reading
     .emit(f: fixed)
 """, "Reading { value: 1.0 }\n")
+
+
+def test_checkpoint_passthrough_scenario(spark):
+    """checkpoint_passthrough.vpl (checkpoint_tests.rs:116-136): 5 events
+    in, 5 passthrough outputs — the metrics-counter fixture."""
+    res = run_scenario(spark, "checkpoint_passthrough")
+    rows = res["PassThrough"].collect()
+    assert len(rows) == 5
+    assert sorted(r.value for r in rows) == [1, 2, 3, 4, 5]
+
+
