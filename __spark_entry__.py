@@ -494,6 +494,34 @@ def q_audio_meta(spark, sf):
     )
 
 
+def q_collatz_steps(spark, sf):
+    """Imperative VPL fn in expression position (r7): the statement-bodied
+    `collatz_len` (while/if/:=/return, core/src/ast.rs:38-106) runs through
+    the compile-to-Python pandas-UDF path (vpl/pycompile.py) per event.
+    DuckDB oracle: a bounded recursive CTE over the 100 possible seeds —
+    integer semantics must agree exactly (Int/Int truncating division,
+    evaluator.rs:1056)."""
+    from varpulis_spark.vpl.compiler import run_program
+
+    src = """
+fn collatz_len(n0: int) -> int:
+    var n = n0
+    var steps = 0
+    while n > 1:
+        if n % 2 == 0:
+            n := n / 2
+        else:
+            n := 3 * n + 1
+        steps := steps + 1
+    return steps
+
+stream Out = purchase
+    .emit(event_id: event_id, user_id: user_id, steps: collatz_len(event_id % 100 + 1))
+"""
+    out = run_program(src, Stream.events(spark, sf))["Out"]
+    return out.select("event_id", "user_id", "steps")
+
+
 def q_knn_cosine(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
@@ -933,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_runs": q_forecast_runs,
         "props_dynamic": q_props_dynamic,
         "audio_meta": q_audio_meta,
+        "collatz_steps": q_collatz_steps,
     }
 
 
@@ -1437,6 +1466,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
             GROUP BY 1
+        """,
+        "collatz_steps": """
+            -- bounded recursive CTE: each seed's orbit is a single chain,
+            -- so MAX(steps) per seed is the step count at termination
+            WITH RECURSIVE c AS (
+              SELECT n0, n0 AS n, 0 AS steps
+              FROM (SELECT DISTINCT (event_id % 100) + 1 AS n0
+                    FROM events WHERE event_type = 'purchase')
+              UNION ALL
+              SELECT n0, CASE WHEN n % 2 = 0 THEN n // 2 ELSE 3*n + 1 END,
+                     steps + 1
+              FROM c WHERE n > 1
+            )
+            SELECT e.event_id AS event_id, e.user_id AS user_id,
+                   CAST(m.steps AS BIGINT) AS steps
+            FROM events e
+            JOIN (SELECT n0, MAX(steps) AS steps FROM c GROUP BY n0) m
+              ON (e.event_id % 100) + 1 = m.n0
+            WHERE e.event_type = 'purchase'
         """,
         "score_mlp": _score_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
