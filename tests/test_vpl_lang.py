@@ -1116,3 +1116,35 @@ def test_checkpoint_passthrough_scenario(spark):
     assert sorted(r.value for r in rows) == [1, 2, 3, 4, 5]
 
 
+
+
+def test_cross_context_emit_routing_is_noop(spark):
+    """`emit(context: analytics, ...)` (docs/language/syntax.md
+    "Cross-Context Emit") routes output to another execution context in
+    the reference; contexts are Spark partitions here, so the key is
+    accepted and dropped — unless a real column shadows the name."""
+    res = run_inline(spark, """
+context ingestion
+context analytics
+
+stream Processed = RawEvents
+    .context(ingestion)
+    .where(priority > 5)
+    .emit(context: analytics, data: data)
+""", """
+RawEvents { priority: 7, data: "x" }
+RawEvents { priority: 1, data: "y" }
+""")
+    rows = res["Processed"].collect()
+    assert len(rows) == 1 and rows[0].data == "x"
+    assert "context" not in res["Processed"].columns
+
+    # a real column named `context` still projects normally
+    res = run_inline(spark, """
+stream Out = Reading
+    .emit(context: context, v: value)
+""", """
+Reading { context: "prod", value: 1.0 }
+""")
+    (r,) = res["Out"].collect()
+    assert r.context == "prod" and r.v == 1.0

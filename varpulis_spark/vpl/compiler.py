@@ -2059,7 +2059,17 @@ def _apply_relational_ops(
                 windowed = None
                 pending_havings = []
                 continue
-            named = {k: to_column(v, resolver) for k, v in op.kwargs.items()}
+            kwargs = dict(op.kwargs)
+            ctx = kwargs.get("context")
+            if (isinstance(ctx, Ref) and len(ctx.parts) == 1
+                    and ctx.parts[0] not in out.df.columns):
+                # cross-context emit (`emit(context: analytics, ...)`,
+                # docs/language/syntax.md "Cross-Context Emit"): routes the
+                # output to another execution context. Contexts are Spark
+                # partitions here, so routing is a no-op — drop the key
+                # (unless a real column shadows the name).
+                kwargs.pop("context")
+            named = {k: to_column(v, resolver) for k, v in kwargs.items()}
             etype = None
             if op.args and isinstance(op.args[0], Lit):
                 etype = op.args[0].value
