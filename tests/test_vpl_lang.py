@@ -1148,3 +1148,20 @@ Reading { context: "prod", value: 1.0 }
 """)
     (r,) = res["Out"].collect()
     assert r.context == "prod" and r.v == 1.0
+
+
+def test_cross_context_emit_on_pattern_stream(spark):
+    """The routing key is also dropped on pattern-stream emits."""
+    res = run_inline(spark, """
+context analytics
+
+stream Funnel = Login as a
+    -> Purchase where user_id == a.user_id as b
+    .emit(context: analytics, user: a.user_id)
+""", """
+Login { user_id: "u1" }
+Purchase { user_id: "u1" }
+""")
+    rows = res["Funnel"].collect()
+    assert len(rows) == 1 and rows[0].user == "u1"
+    assert "context" not in res["Funnel"].columns

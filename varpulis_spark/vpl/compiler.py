@@ -1364,7 +1364,13 @@ def compile_pattern_decl(
                 )
             )
         elif op.name == "emit":
-            emit_kwargs = op.kwargs
+            emit_kwargs = dict(op.kwargs)
+            ctx = emit_kwargs.get("context")
+            if (isinstance(ctx, Ref) and len(ctx.parts) == 1
+                    and ctx.parts[0] not in stream.df.columns):
+                # cross-context routing key (syntax.md "Cross-Context
+                # Emit") — no-op here, same as the relational emit path
+                emit_kwargs.pop("context")
         elif op.name == "where":
             post_wheres.append(op.args[0])
         elif op.name == "kleene_emit":
