@@ -1165,3 +1165,53 @@ Purchase { user_id: "u1" }
     rows = res["Funnel"].collect()
     assert len(rows) == 1 and rows[0].user == "u1"
     assert "context" not in res["Funnel"].columns
+
+
+def test_parser_truncation_and_garbage_fail_cleanly():
+    """Malformed programs must raise SyntaxError/ValueError, never
+    IndexError or a hang: truncated trailing `context` decl (next() past
+    eof) and unbalanced parens inside a skipped decl (eof spin) were
+    found by mutation fuzzing; a seeded 500-mutation sweep keeps the
+    property pinned."""
+    import random
+
+    for src in [
+        "context",                    # decl cut at eof
+        "connector X = kafka (a: 1",  # unbalanced connector config
+        "stream S = ",                # stream cut mid-decl
+        "fn f(",                      # fn cut mid-params
+    ]:
+        with pytest.raises((SyntaxError, ValueError)):
+            parse_full(src)
+    # an unbalanced SKIPPED decl at eof parses to an empty program
+    # (contexts are skipped decls) rather than crashing
+    assert parse_full("context c (").streams == []
+
+    base = open(
+        "/root/reference/examples/mandelbrot/mandelbrot.vpl"
+    ).read()
+    rng = random.Random(42)
+    toks = list("():=.,{}[]<>+-*/%\n\t ") + [
+        "fn", "stream", "emit", "while", "if", "return", "var", "let",
+        "->", "..", ":=",
+    ]
+    for _ in range(500):
+        src = base
+        mode = rng.randrange(4)
+        if mode == 0:
+            p = rng.randrange(len(src))
+            src = src[:p] + rng.choice(toks) + src[p:]
+        elif mode == 1:
+            a = rng.randrange(len(src))
+            src = src[:a] + src[min(len(src), a + rng.randrange(1, 60)):]
+        elif mode == 2:
+            lines = src.split("\n")
+            j = rng.randrange(len(lines))
+            lines[j] = " " * rng.randrange(12) + lines[j].lstrip()
+            src = "\n".join(lines)
+        else:
+            src = src[: rng.randrange(1, len(src))]
+        try:
+            parse_full(src)
+        except (SyntaxError, ValueError):
+            pass  # clean parse failures are the property

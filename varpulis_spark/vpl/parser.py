@@ -475,7 +475,9 @@ class Parser:
         return self.toks[min(self.i + k, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
-        t = self.toks[self.i]
+        # clamp like peek(): consuming past the end keeps returning eof
+        # (a truncated program must fail with a parse error, not IndexError)
+        t = self.toks[min(self.i, len(self.toks) - 1)]
         self.i += 1
         return t
 
@@ -589,6 +591,8 @@ class Parser:
         depth = 0
         while True:
             k, tx = self.peek()
+            if k == "eof":  # unbalanced parens in the skipped decl
+                return
             if depth == 0 and (k in stop or (k == "ident" and tx in ("connector", "context"))):
                 return
             if (k, tx) == ("op", "("):
