@@ -329,6 +329,52 @@ def test_prefilter_none_when_nothing_pushable():
     assert pattern_prefilter(p4) is None
 
 
+def test_prefilter_bails_on_string_literals():
+    """A where_sql carrying a string literal is never pushed: the
+    alias-strip regex can't tell `a.x` in code from `a.x` INSIDE a quoted
+    literal (e.g. msg == 'a.x' would be corrupted to msg == 'x' and the
+    prefilter would silently drop events the NFA matches)."""
+    from varpulis_spark.operators.sase import pattern_prefilter
+
+    p = Pattern(
+        steps=[
+            step("A", "a", where=lambda e, b: e["msg"] == "a.x",
+                 where_sql="a.msg == 'a.x'"),
+            step("B", "b", where=lambda e, b: True, where_sql="true"),
+        ],
+        emit={"a_id": ("a", "event_id")},
+    )
+    cond = pattern_prefilter(p)
+    # the A-branch (quoted literal) must not appear; B's `true` is harmless
+    assert cond is None or "a.x" not in str(cond)
+
+
+def test_prefilter_string_literal_matches_unfiltered_nfa(spark):
+    """End-to-end: a predicate whose literal embeds the alias prefix
+    yields identical matches with and without the prefilter path."""
+    rows = [
+        (1, "A", "a.x", 10.0),
+        (2, "A", "x", 20.0),
+        (3, "B", "done", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, msg string, ts double")
+    from varpulis_spark.stream import Stream
+
+    p = Pattern(
+        steps=[
+            step("A", "a", where=lambda e, b: e["msg"] == "a.x",
+                 where_sql="a.msg == 'a.x'"),
+            step("B", "b", where=lambda e, b: True, where_sql="true"),
+        ],
+        emit={"a_id": ("a", "event_id"), "b_id": ("b", "event_id")},
+    )
+    s = Stream(df.withColumn("ts", F.col("ts").cast("timestamp")), ts_col="ts")
+    got = {tuple(r) for r in s.pattern(p).df.select("a_id", "b_id").collect()}
+    # only event 1 has msg == 'a.x'; a corrupted prefilter (msg == 'x')
+    # would instead admit event 2 and drop event 1
+    assert got == {(1, 3)}
+
+
 def test_prefilter_preserves_nfa_results(spark):
     """Pushdown is behavior-preserving: the NFA with the Catalyst prefilter
     returns exactly the matches of the NFA evaluating the same predicates

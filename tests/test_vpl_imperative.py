@@ -156,6 +156,58 @@ Seed { n: 1 }
     assert rows == {6: 8, 27: 111, 1: 0}
 
 
+def test_nullary_imperative_fn_in_expression_position(spark):
+    """A zero-parameter statement-bodied fn in expression position: the
+    pandas UDF gets a dummy length-carrier column (PySpark rejects 0-arg
+    series UDFs, and zip(*[]) would yield an empty batch)."""
+    res = run_inline(
+        spark,
+        """
+fn magic() -> int:
+    var total = 0
+    for i in 1..=4:
+        total := total + i
+    return total
+
+stream Out = Seed
+    .emit(n: n, m: magic())
+""",
+        """
+Seed { n: 1 }
+Seed { n: 2 }
+Seed { n: 3 }
+""",
+    )
+    rows = {r.n: r.m for r in res["Out"].collect()}
+    assert rows == {1: 10, 2: 10, 3: 10}
+
+
+def test_int_mod_exact_above_2_53(spark):
+    """Int % Int is exact i64 truncated remainder, not f64 fmod: for
+    |operands| >= 2^53 fmod loses low bits ((2^60+7) % 10 is 3, fmod says
+    6). Covers interpreter and compiled paths plus negative dividends
+    (evaluator.rs:1093-1103 sign-of-dividend semantics)."""
+    from varpulis_spark.vpl.compiler import vpl_mod
+    from varpulis_spark.vpl.pycompile import compile_fns
+    from varpulis_spark.vpl.parser import parse_full
+
+    assert vpl_mod(2**60 + 7, 10) == 3
+    assert vpl_mod(-(2**60 + 7), 10) == -3
+    assert vpl_mod(2**60 + 7, -10) == 3
+    assert vpl_mod(7, 3) == 1 and vpl_mod(-7, 3) == -1
+    assert vpl_mod(5, 0) is None
+    assert vpl_mod(7.5, 2.0) == 1.5  # float path stays fmod
+
+    prog = parse_full(
+        """
+fn big_mod(a: int, b: int) -> int:
+    return a % b
+"""
+    )
+    compiled = compile_fns({f.name: f for f in prog.fns}, {})
+    assert compiled["big_mod"](2**60 + 7, 10, [], [10_000]) == 3
+
+
 def test_break_continue_and_inclusive_range(spark):
     res = run_inline(
         spark,

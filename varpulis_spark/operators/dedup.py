@@ -900,9 +900,15 @@ def ngram_minshingle_pairs(
     # array_distinct keeps first-occurrence order in both shapes, and every
     # consumer (array_min blocking, intersect/union verify) is
     # order-insensitive, so results are bit-identical either way.
-    hashed = F.transform(
-        F.array_distinct(_char_shingles(F.col("__t"), k)),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    # the outer array_distinct guards the one case distinct-before-hash
+    # misses: two distinct shingles colliding in the 60-bit truncated md5
+    # would leave a duplicate long and inflate |A|+|B|−|A∩B| union sizing;
+    # hashes are already distinct in the common case so it is near-free.
+    hashed = F.array_distinct(
+        F.transform(
+            F.array_distinct(_char_shingles(F.col("__t"), k)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
     )
     keyed = _register_cache(
         docs.select("id", hashed.alias("sh"))

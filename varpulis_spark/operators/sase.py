@@ -897,6 +897,13 @@ def pattern_prefilter(pattern: Pattern):
                 # NFA doesn't apply; require both forms (declared identical)
                 ok = False
                 break
+            if "'" in s.where_sql or '"' in s.where_sql:
+                # the alias-strip regex below cannot distinguish `a.x` in
+                # code from `a.x` inside a string literal; a corrupted
+                # prefilter silently drops events the NFA would match —
+                # forgo the push-down rather than risk it
+                ok = False
+                break
             if any(
                 re.search(rf"\b{re.escape(a)}\.\w", s.where_sql)
                 for a in all_aliases

@@ -241,8 +241,12 @@ def vpl_mod(a, b):
     (sign of the dividend, like C fmod), zero divisor is null."""
     if b == 0 or a is None or b is None:
         return None
-    r = _math.fmod(a, b)
-    return int(r) if _is_i(a) and _is_i(b) else r
+    if _is_i(a) and _is_i(b):
+        # exact i64 truncated remainder — fmod goes through f64 and is
+        # wrong for |operands| >= 2^53 (e.g. (2**60+7) % 10 must be 3)
+        r = abs(a) % abs(b)
+        return r if a >= 0 else -r
+    return _math.fmod(a, b)
 
 
 def vpl_pow(a, b):
@@ -448,19 +452,29 @@ def _lower_imperative_call(e: "ImperativeCall", arg_cols: list[Column]) -> Colum
     compiled_all = compile_fns(fns, consts)
     compiled = compiled_all.get(fn.name) if compiled_all else None
 
+    nullary = not param_names
+
     @pandas_udf(ret)
     def run(*cols):
         import pandas as pd
 
+        # for a nullary fn the single input column is a dummy carrying
+        # only the batch length (PySpark rejects 0-arg series UDFs, and
+        # zip(*[]) would yield an empty result regardless of batch size)
+        rows = (
+            [() for _ in range(len(cols[0]))]
+            if nullary
+            else list(zip(*[c.tolist() for c in cols]))
+        )
         out = []
         if compiled is not None:
             sink: list = []  # emits from expression position are discarded
             budget = [_MAX_INTERP_STEPS]
-            for vals in zip(*[c.tolist() for c in cols]):
+            for vals in rows:
                 out.append(compiled(*vals, sink, budget))
         else:
             env = _SlimEnv(fns, consts)
-            for vals in zip(*[c.tolist() for c in cols]):
+            for vals in rows:
                 scope = dict(env.vars)
                 scope.update(zip(param_names, vals))
                 try:
@@ -470,7 +484,7 @@ def _lower_imperative_call(e: "ImperativeCall", arg_cols: list[Column]) -> Colum
                     out.append(r.value)
         return pd.Series(out)
 
-    return run(*arg_cols)
+    return run(*(arg_cols if arg_cols else [F.lit(0)]))
 
 
 def _const_eval(e, env: ProgramEnv):
