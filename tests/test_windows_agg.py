@@ -277,6 +277,24 @@ def test_custom_udaf_arithmetic_and_window(spark, sf_dir, duck):
     assert got == exp and len(got) > 0
 
 
+def test_custom_udaf_arrow_not_row_at_a_time(spark, sf_dir):
+    """Plain-callable UDAFs (ordered and unordered) lower to scalar pandas
+    UDFs over the collected arrays: the plan must show ArrowEvalPython and
+    never BatchEvalPython (the pickled row-at-a-time path) — and they stay
+    mix-safe with built-in aggregates in the same spec."""
+    rng = A.udaf(lambda s: float(s.max() - s.min()), "value")
+    swing = A.udaf(lambda vs: float(vs[-1] - vs[0]), "value", ordered=True)
+    out = (
+        Stream.events(spark, sf_dir)
+        .partition_by("user_id")
+        .aggregate(value_range=rng, swing=swing, total=A.sum("value"))
+    )
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    assert out.df.count() > 0
+
+
 def test_custom_udaf_vectorized(spark, sf_dir, duck):
     """The Arrow grouped-agg path (vectorized=True, all-pandas agg)."""
     rng = A.udaf(lambda s: float(s.max() - s.min()), "value", vectorized=True)

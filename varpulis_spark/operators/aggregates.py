@@ -123,21 +123,24 @@ class AggSpec(AggBase):
         """Custom aggregate (AggregateFunc trait, aggregation.rs:104-148).
 
         Default: collect_list (map-side partial list building) + ONE
-        scalar-UDF call per group — `fn` gets a pandas Series (unordered)
-        or a ts-ordered python list (ordered=True, the trait's
-        apply(events) contract). Python cost is per-GROUP, and the spec
-        mixes freely with built-in aggregates. A black-box fn cannot
-        partial-aggregate, so every path must ship the group's values;
-        vectorized=True uses a grouped-agg Pandas UDF instead (Arrow
-        transfer, no JVM array materialization) but Spark forbids mixing
-        those with non-pandas aggregates in one .aggregate()."""
+        SCALAR pandas UDF over the aggregated array column — `fn` gets a
+        pandas Series (unordered) or a ts-ordered python list
+        (ordered=True, the trait's apply(events) contract). A scalar
+        pandas UDF applied to an aggregate expression runs AFTER the
+        aggregation, so it mixes freely with built-in aggregates (which
+        Spark forbids for GROUPED_AGG pandas UDFs), and the group arrays
+        cross into Python as Arrow batches — no row-at-a-time pickling
+        (plan shows ArrowEvalPython, never BatchEvalPython). A black-box
+        fn cannot partial-aggregate, so every path ships the group's
+        values. vectorized=True keeps the grouped-agg pandas UDF (skips
+        the JVM array materialization) for all-pandas specs."""
         fn = self.params["fn"]
         rt = self.params.get("return_type", "double")
         f = self._field_col()
+        from pyspark.sql.functions import pandas_udf
+
         if self.params.get("vectorized"):
             import pandas as pd
-
-            from pyspark.sql.functions import pandas_udf
 
             py = {"double": float, "float": float, "int": int, "long": int,
                   "bigint": int, "string": str, "boolean": bool}.get(rt, float)
@@ -147,7 +150,6 @@ class AggSpec(AggBase):
 
             w.__annotations__ = {"s": pd.Series, "return": py}
             return pandas_udf(w, rt)(f)
-        from pyspark.sql.functions import udf
 
         if self.params.get("ordered"):
             pairs = F.sort_array(
@@ -156,14 +158,22 @@ class AggSpec(AggBase):
                 )
             )
             vals = F.transform(pairs, lambda s: s.getField("v"))
-            return udf(fn, rt)(vals)
 
-        def on_series(arr):
+            def on_lists(groups):
+                import pandas as pd
+
+                return pd.Series([fn(list(arr)) for arr in groups])
+
+            on_lists.__name__ = getattr(fn, "__name__", "udaf_ordered")
+            return pandas_udf(on_lists, rt)(vals)
+
+        def on_arrays(groups):
             import pandas as pd
 
-            return fn(pd.Series(arr))
+            return pd.Series([fn(pd.Series(arr)) for arr in groups])
 
-        return udf(on_series, rt)(F.collect_list(f))
+        on_arrays.__name__ = getattr(fn, "__name__", "udaf")
+        return pandas_udf(on_arrays, rt)(F.collect_list(f))
 
     def _ema(self, ts_col: str, order_col: str | None) -> Column:
         """EMA over ts-ordered values: seed = first value, then
