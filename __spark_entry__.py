@@ -15,14 +15,17 @@ to hash-match:
   results are rounded to 6 decimals on both sides;
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
-Queries without an oracle entry (`minhash_near_dup`, `simhash_near_dup`,
-`ann_ivf`, `forecast_pst`) are non-SQL-expressible (LSH banding / k-means
-quantization / prediction-suffix-tree probabilities depend on the hash
-family, trained centroids, or the PST model — not the data relation); the
-driver records rows-only checks for them — minhash/simhash recall is
-pinned against exact Jaccard in tests/test_dedup.py, ann_ivf recall
-against exact top-k and forecast calibration/discrimination in
-tests/test_extensions.py. Every other query is oracle-checked — including
+The one query without an oracle entry (`forecast_pst`) is
+non-SQL-expressible (prediction-suffix-tree probabilities depend on the
+PST model, not the data relation); the driver records a rows-only check
+for it, with calibration/discrimination pinned in tests/test_extensions.py.
+`minhash_near_dup` and `simhash_near_dup` are fully oracle-checked since
+r8: the OPH/SimHash kernels are deterministic 64-bit integer arithmetic
+(FNV rolling hash → murmur finalizer → per-(doc,bin) min / bit votes),
+ported verbatim into DuckDB HUGEINT/UBIGINT SQL (`_minhash_oracle_sql` /
+`_simhash_oracle_sql`); banding groups by the band TUPLE, which is
+equivalent to Spark's xxhash64 bucket modulo 2^-64 collisions.
+Every other query is oracle-checked — including
 `score_mlp`, where REAL .onnx inference (the pure-numpy mini-runtime)
 hash-matches a SQL oracle carrying the f32-rounded weights as literals —
 including the three non-obvious ones: `kleene_purchases` verifies the
@@ -993,6 +996,184 @@ _LANG_CASE = """
 """
 
 
+def _fnv_powers(k: int) -> list[int]:
+    """FNV-prime polynomial coefficients mod 2^64 (dedup._powers parity)."""
+    fnv, t64 = 1099511628211, 1 << 64
+    p = [1] * k
+    for i in range(1, k):
+        p[i] = (p[i - 1] * fnv) % t64
+    return p
+
+
+def _shingle_hash_cte(k: int) -> str:
+    """Shared CTE prefix: normalized text → uint64 FNV rolling k-shingle
+    window hashes, bit-identical to dedup._shingle_hashes_concat (docs
+    shorter than k hash their single zero-padded prefix window)."""
+    t64 = 1 << 64
+    powers = _fnv_powers(k)
+    poly = " + ".join(
+        f"CAST(CASE WHEN i+{j} <= length(t) THEN ascii(substr(t, i+{j}, 1)) "
+        f"ELSE 0 END AS HUGEINT) * {powers[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""
+norm AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+wins AS (
+  SELECT id, CAST(({poly}) % {t64}::HUGEINT AS UBIGINT) AS h
+  FROM norm,
+       unnest(range(1, greatest(length(t) - {k - 1}, least(length(t), 1)) + 1)) AS w(i)
+  WHERE length(t) > 0
+)"""
+
+
+def _minhash_oracle_sql(
+    num_perm: int = 128, bands: int = 32, k: int = 7, seed: int = 42,
+    threshold: float = 0.4, max_bucket: int = 64,
+) -> str:
+    """DuckDB port of the full OPH MinHash-LSH pipeline
+    (dedup._oph_signatures + minhash_near_dup_pairs): FNV rolling shingle
+    hash → murmur finalizer (exact 64-bit wraparound via 32-bit-split
+    mulmod in HUGEINT) → per-(doc,bin) 40-bit min → rotation
+    densification → banding by the band TUPLE (Spark buckets by xxhash64
+    of the tuple — equal modulo 2^-64 collisions) → per-bucket cap of the
+    {max_bucket} lowest ids (the salted two-level Spark cap is
+    output-equivalent to this global cap by construction) → signature
+    agreement ≥ threshold. Verified bit-identical to the numpy kernel in
+    tests/test_dedup.py."""
+    t64, t32 = 1 << 64, 1 << 32
+    bin_bits = num_perm.bit_length() - 1
+    rpb = num_perm // bands
+    m1 = ((0xFF51AFD7ED558CCD ^ (2 * seed + 1)) | 1) % t64
+    m2 = ((0xC4CEB9FE1A85EC53 ^ (2 * seed + 1)) | 1) % t64
+    sent = (1 << 61) - 1
+    val_mask = (1 << 40) - 1
+
+    def mulmod(a: str, m: int) -> str:
+        # (a * m) mod 2^64 without INT128 overflow: split a at 32 bits
+        return (
+            f"CAST((( (CAST({a} AS HUGEINT) % {t32}) * {m}::HUGEINT"
+            f" + ((CAST({a} AS HUGEINT) // {t32}) * {m}::HUGEINT % {t32})"
+            f" * {t32}::HUGEINT ) % {t64}::HUGEINT) AS UBIGINT)"
+        )
+
+    agree = (
+        f"len(list_filter(range({num_perm}), "
+        f"i -> a.sig[CAST(i+1 AS INT)] = b.sig[CAST(i+1 AS INT)]))"
+    )
+    return f"""
+WITH {_shingle_hash_cte(k)},
+mixed AS (
+  SELECT id,
+    xor(h, h >> 33) AS a1,
+    {mulmod('a1', m1)} AS a2,
+    xor(a2, a2 >> 29) AS a3,
+    {mulmod('a3', m2)} AS a4,
+    xor(a4, a4 >> 32) AS hh
+  FROM wins
+),
+slotmin AS (
+  SELECT id, CAST(hh >> {64 - bin_bits} AS INT) AS bin,
+         min(CAST(hh & {val_mask} AS BIGINT)) AS v
+  FROM mixed GROUP BY 1, 2
+),
+origs AS (
+  SELECT n.id,
+         list_transform(range({num_perm}),
+           b -> coalesce(m[CAST(b AS INT)][1], {sent}::BIGINT)) AS orig
+  FROM norm n LEFT JOIN (
+    SELECT id, map(list(bin), list(v)) AS m FROM slotmin GROUP BY id
+  ) s ON n.id = s.id
+),
+dens AS (
+  -- rotation densification: an empty slot borrows the nearest ORIGINAL
+  -- non-empty slot to the right, cyclically (Shrivastava & Li, ICML'14)
+  SELECT id,
+    list_transform(range({num_perm}), j ->
+      CASE WHEN orig[CAST(j+1 AS INT)] != {sent} THEN orig[CAST(j+1 AS INT)]
+           ELSE coalesce(list_filter(list_slice(orig || orig, j+2, j+{num_perm}),
+                                     x -> x != {sent})[1], {sent}::BIGINT)
+      END) AS sig
+  FROM origs
+),
+banded AS (
+  SELECT id, j, list_slice(sig, j*{rpb}+1, j*{rpb}+{rpb}) AS bk
+  FROM dens, unnest(range({bands})) AS g(j)
+),
+buckets AS (
+  SELECT list_sort(list(id))[1:{max_bucket}] AS ids
+  FROM banded GROUP BY j, bk
+  HAVING count(*) >= 2
+),
+cand AS (
+  SELECT DISTINCT ua.id_a, ub.id_b
+  FROM buckets, unnest(ids) AS ua(id_a), unnest(ids) AS ub(id_b)
+  WHERE ua.id_a < ub.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(CAST({agree} AS DOUBLE) / {num_perm}, 6) AS est_jaccard
+FROM cand c JOIN dens a ON a.id = c.id_a JOIN dens b ON b.id = c.id_b
+WHERE CAST({agree} AS DOUBLE) / {num_perm} >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(
+    k: int = 7, max_hamming: int = 3, max_bucket: int = 64,
+) -> str:
+    """DuckDB port of the SimHash near-dup pipeline (dedup._simhash_batch +
+    simhash_near_dup_pairs): per-doc DISTINCT shingle hashes vote per bit
+    (bit q set iff 2·Σ bit_q(h) > n_shingles — the numpy kernel's
+    unpack/pack byte permutation cancels, so this is position-exact),
+    4×16-bit pigeonhole bands grouped by the band value (Spark buckets by
+    xxhash64 — equal modulo collisions), per-bucket cap of the lowest
+    {max_bucket} ids, Hamming ≤ {max_hamming} verify."""
+    t64 = 1 << 64
+    return f"""
+WITH {_shingle_hash_cte(k)},
+dwins AS (SELECT DISTINCT id, h FROM wins),
+bits AS (
+  SELECT id, q,
+         CASE WHEN 2 * sum(CAST((h >> CAST(q AS INT)) & 1 AS BIGINT)) > count(*)
+              THEN 1 ELSE 0 END AS bit
+  FROM dwins, unnest(range(64)) AS t(q)
+  GROUP BY id, q
+),
+usig AS (
+  SELECT id, sum(CAST(bit AS HUGEINT) * (1::HUGEINT << CAST(q AS INT))) AS us
+  FROM bits GROUP BY id
+),
+sigs AS (
+  -- reinterpret the uint64 bit pattern as the signed int64 Spark carries
+  SELECT n.id,
+         CAST(CASE WHEN coalesce(us, 0) >= {1 << 63}::HUGEINT
+                   THEN coalesce(us, 0) - {t64}::HUGEINT
+                   ELSE coalesce(us, 0) END AS BIGINT) AS sh
+  FROM norm n LEFT JOIN usig u ON n.id = u.id
+),
+banded AS (
+  -- arithmetic >> then & 65535 equals the logical band extraction
+  SELECT id, j, (sh >> CAST(j*16 AS INT)) & 65535 AS bk
+  FROM sigs, unnest(range(4)) AS g(j)
+),
+buckets AS (
+  SELECT list_sort(list(id))[1:{max_bucket}] AS ids
+  FROM banded GROUP BY j, bk
+  HAVING count(*) >= 2
+),
+cand AS (
+  SELECT DISTINCT ua.id_a, ub.id_b
+  FROM buckets, unnest(ids) AS ua(id_a), unnest(ids) AS ub(id_b)
+  WHERE ua.id_a < ub.id_b
+)
+SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM cand c JOIN sigs a ON a.id = c.id_a JOIN sigs b ON b.id = c.id_b
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "high_value_filter": """
@@ -1360,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text)
         """,
+        "minhash_near_dup": _minhash_oracle_sql(),
+        "simhash_near_dup": _simhash_oracle_sql(),
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -448,3 +448,73 @@ def test_dedup_clusters_property_vs_union_find(spark, monkeypatch):
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r.id: r.canon_id for r in D.dedup_clusters(pairs).collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_oph_signature_duckdb_oracle_bit_identity():
+    """The r8 DuckDB oracle for minhash_near_dup re-derives the OPH
+    signatures in pure SQL (HUGEINT wraparound arithmetic). Pin the
+    signature matrix bit-identical to the numpy kernel on adversarial
+    texts: empty, whitespace-only, shorter-than-k, uppercase/collapsed
+    whitespace, and near-dup long docs."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    texts = [
+        "",
+        "   ",
+        "ab",
+        "abcdef",  # len == k-1
+        "abcdefg",  # len == k
+        "The   QUICK  brown\tfox jumps over the lazy dog. " * 12,
+        "The quick brown fox jumped over the lazy dog. " * 12,
+        "x" * 300,
+        "lorem ipsum dolor sit amet, consectetur adipiscing elit " * 8,
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(range(9)) AS doc_id, "
+        "unnest($1::VARCHAR[]) AS text",
+        [texts],
+    )
+    # reuse the full oracle's signature CTEs, select sigs directly
+    full = entry._minhash_oracle_sql()
+    sig_sql = full[: full.index("banded AS (")].rstrip().rstrip(",")
+    got = {
+        r[0]: list(r[1])
+        for r in con.execute(sig_sql + "\nSELECT id, sig FROM dens").fetchall()
+    }
+    sig = D._oph_signatures(pd.Series(texts), 128, 7, 42)
+    for i in range(len(texts)):
+        assert got[i] == sig[i].tolist(), f"doc {i} signature mismatch"
+
+
+def test_simhash_signature_duckdb_oracle_bit_identity():
+    """Same pin for the SimHash oracle's signature CTEs vs the numpy
+    bit-voting kernel."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    texts = [
+        "",
+        "ab",
+        "The   QUICK  brown\tfox jumps over the lazy dog. " * 12,
+        "The quick brown fox jumped over the lazy dog. " * 12,
+        "lorem ipsum dolor sit amet, consectetur adipiscing elit " * 8,
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(range(5)) AS doc_id, "
+        "unnest($1::VARCHAR[]) AS text",
+        [texts],
+    )
+    full = entry._simhash_oracle_sql()
+    sig_sql = full[: full.index("banded AS (")].rstrip().rstrip(",")
+    got = {
+        r[0]: r[1]
+        for r in con.execute(sig_sql + "\nSELECT id, sh FROM sigs").fetchall()
+    }
+    exp = D._simhash_batch(pd.Series(texts), 7)
+    for i in range(len(texts)):
+        assert got[i] == int(exp[i]), f"doc {i} simhash mismatch"
