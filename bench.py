@@ -252,6 +252,8 @@ def compact_line(out: dict, detail_path: str) -> str:
         }
     elif isinstance(sf1, dict):
         c["sf1"] = sf1  # best-effort error record
+    if out.get("streaming_compact"):
+        c["streaming"] = out["streaming_compact"]
     return json.dumps(c)
 
 
@@ -347,6 +349,25 @@ def main() -> None:
         out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         # the complete record (sf0.1 + sf1) goes to the detail file; the
         # LAST stdout line is the compact summary the driver can always parse
+        with open(detail, "w") as f:
+            f.write(json.dumps(out) + "\n")
+        print(compact_line(out, detail), flush=True)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        # streaming section (VERDICT r7 task 1): live sustained evt/s +
+        # event-to-alert latency through three streaming twins, against
+        # the reference's Flink-comparison 554 ms average alert latency
+        try:
+            import bench_streaming
+
+            out["streaming"] = bench_streaming.run_streaming_bench(spark)
+            out["streaming_compact"] = bench_streaming.compact_streaming(
+                out["streaming"]
+            )
+        except Exception as e:  # noqa: BLE001 - streaming block is best-effort
+            out["streaming"] = {"error": repr(e)}
+            out["streaming_compact"] = {"error": repr(e)[:200]}
+        out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         with open(detail, "w") as f:
             f.write(json.dumps(out) + "\n")
         print(compact_line(out, detail), flush=True)
