@@ -360,3 +360,36 @@ def test_incremental_fallback_on_undeclared_field(server):
     status, info = _req(f"{server.url}/api/v1/pipelines/{pid}")
     assert info["mode"] == "replay"
     _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")
+
+
+def test_prometheus_metrics_endpoint(server, spark):
+    """GET /metrics serves Prometheus exposition text (metrics.rs families:
+    events_total by type, events_processed / output_events_total by
+    stream, active_streams gauge, processing-latency histogram). Exact
+    counts are pinned on a FRESH handler (the shared server accumulates
+    counts across tests); the HTTP content type on the live server."""
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    # content type + transport over real HTTP
+    req = urllib.request.Request(f"{server.url}/metrics")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+
+    srv = PipelineServer(spark)
+    st, resp = srv.handle("POST", "/api/v1/pipelines",
+                          json.dumps({"name": "prom", "source": source}).encode(), {})
+    pid = resp["id"]
+    srv.handle("POST", f"/api/v1/pipelines/{pid}/events", json.dumps(
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "s1", "zone": "server_room",
+                    "value": 31.0}}).encode(), {})
+    st, text = srv.handle("GET", "/metrics", b"", {})
+    assert st == 200 and isinstance(text, str)
+    assert '# TYPE varpulis_events_total counter' in text
+    assert 'varpulis_events_total{event_type="TemperatureReading"} 1' in text
+    assert 'varpulis_output_events_total{stream="HighTempAlert"' in text
+    assert "# TYPE varpulis_active_streams gauge" in text
+    assert "varpulis_processing_latency_seconds_bucket" in text
+    assert 'le="+Inf"' in text
+    srv.stop()

@@ -169,3 +169,45 @@ def test_cli_config_gen_and_init(tmp_path, monkeypatch, capsys, spark):
         assert rc == 0 and "0 pipeline(s)" in out
     finally:
         srv.stop()
+
+
+def test_cli_simulate_reference_invocation(spark, tmp_path, monkeypatch):
+    """`varpulis simulate` (main.rs:560-598) with the reference's exact
+    flag surface runs a scenario unmodified, honors -q/--checkpoint-dir,
+    and accepts the pass-through flags."""
+    import json
+
+    import varpulis_spark.__main__ as M
+
+    monkeypatch.setattr(M, "_build_spark", lambda cores: spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "simulate", "-p", FRAUD_VPL, "-e", FRAUD_EVT,
+            "--immediate", "--preload", "-q", "-w", "4",
+            "--partition-by", "user_id",
+            "--checkpoint-dir", str(tmp_path / "cp"),
+            "--checkpoint-interval", "30",
+        ])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "simulated 11 events" in out
+    assert "events/sec" in out
+    # quiet mode: no per-stream row dumps
+    assert "== " not in out
+    cp = json.load(open(tmp_path / "cp" / "checkpoint.json"))
+    assert cp["events_processed"] == 11 and "stream" in cp["source"]
+
+
+def test_cli_simulate_verbose_shows_outputs(spark, monkeypatch):
+    import varpulis_spark.__main__ as M
+
+    monkeypatch.setattr(M, "_build_spark", lambda cores: spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["simulate", "-p", FRAUD_VPL, "-e", FRAUD_EVT,
+                   "--immediate", "-v"])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "AccountTakeover: 1 rows" in out
+    assert "attacker1" in out

@@ -17,6 +17,7 @@ given. `--table` binds connector names to dimension parquet for
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -72,6 +73,78 @@ def cmd_run(args) -> int:
             df.write.mode("overwrite").parquet(f"{args.output}/{name}")
     if args.output:
         print(f"results written under {args.output}/")
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    """`varpulis simulate` (main.rs:560-598 / Commands::Simulate
+    main.rs:170-211): timed .evt replay with the reference's flag surface,
+    so reference users' scripts run unmodified.
+
+    Flag mapping onto the Spark replay model:
+      --immediate      replay is ALWAYS immediate here (batch execution
+                       computes all results at once); without the flag a
+                       note says timing delays are not reproduced —
+                       results are identical either way.
+      --preload        no-op (events always load up front).
+      --workers/-w     Spark cores (local[N]).
+      --partition-by   accepted; partitioning comes from the program's
+                       `partition by` clauses — noted, not applied.
+      --quiet/-q       counts only (benchmark mode).
+      --verbose/-v     show output events.
+      --checkpoint-dir exact {source, event log} checkpoint written at end
+                       (the replay model's checkpoint is exact by
+                       construction; interval-based snapshots of a batch
+                       run collapse to one final write).
+    """
+    import json as _json
+    import time as _time
+
+    from varpulis_spark.sources import load_evt
+    from varpulis_spark.stream import Stream
+    from varpulis_spark.vpl.compiler import run_program
+
+    if not args.immediate:
+        print("note: replay executes immediately; event-time offsets are "
+              "honored in results, wall-clock pacing is not reproduced")
+    if args.partition_by:
+        print(f"note: --partition-by {args.partition_by!r} accepted; "
+              "partitioning follows the program's `partition by` clauses")
+    spark = _build_spark(args.workers)
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(args.program) as f:
+        source = f.read()
+    t0 = _time.time()
+    if args.events.endswith(".evt"):
+        events = Stream(load_evt(spark, args.events), ts_col="ts",
+                        order_col="event_id")
+    else:
+        from varpulis_spark.engine import read_parquet
+
+        events = Stream(read_parquet(spark, args.events), ts_col="ts",
+                        order_col="event_id")
+    n_in = events.df.count()
+    results = run_program(source, events)
+    total_out = 0
+    for name in sorted(results):
+        df = results[name]
+        n = df.count()
+        total_out += n
+        if args.quiet:
+            continue
+        print(f"== {name}: {n} rows")
+        if args.verbose and n:
+            df.show(min(n, 50), truncate=False)
+    wall = _time.time() - t0
+    print(f"simulated {n_in} events -> {total_out} outputs in {wall:.2f}s "
+          f"({n_in / wall:,.0f} events/sec)")
+    if args.checkpoint_dir:
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        cp_path = os.path.join(args.checkpoint_dir, "checkpoint.json")
+        with open(cp_path, "w") as f:
+            _json.dump({"source": source, "events_file": args.events,
+                        "events_processed": n_in}, f)
+        print(f"checkpoint written to {cp_path}")
     return 0
 
 
@@ -427,6 +500,32 @@ def main(argv: list[str] | None = None) -> int:
     p_srv.add_argument("--api-key")
     p_srv.add_argument("--cores", type=int)
     p_srv.set_defaults(fn=cmd_server)
+
+    p_sim = sub.add_parser(
+        "simulate", help="simulate events from an event file (.evt)"
+    )
+    p_sim.add_argument("-p", "--program", required=True,
+                       help="path to the VPL program (.vpl)")
+    p_sim.add_argument("-e", "--events", required=True,
+                       help="path to the event file (.evt)")
+    p_sim.add_argument("--immediate", action="store_true",
+                       help="run without timing delays (always true here)")
+    p_sim.add_argument("-v", "--verbose", action="store_true",
+                       help="verbose output (show output events)")
+    p_sim.add_argument("--preload", action="store_true",
+                       help="preload all events into memory (always true here)")
+    p_sim.add_argument("-w", "--workers", type=int,
+                       help="worker threads (Spark local[N] cores)")
+    p_sim.add_argument("--partition-by", dest="partition_by",
+                       help="accepted; program `partition by` wins")
+    p_sim.add_argument("-q", "--quiet", action="store_true",
+                       help="benchmark mode: only count outputs")
+    p_sim.add_argument("--checkpoint-dir", dest="checkpoint_dir",
+                       help="write a {source, event log} checkpoint here")
+    p_sim.add_argument("--checkpoint-interval", dest="checkpoint_interval",
+                       type=int, default=60,
+                       help="accepted; batch runs write one final checkpoint")
+    p_sim.set_defaults(fn=cmd_simulate)
 
     p_parse = sub.add_parser("parse", help="parse a VPL program and show declarations")
     p_parse.add_argument("--file", required=True)

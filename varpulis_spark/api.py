@@ -338,6 +338,7 @@ class PipelineServer:
         self.port = port
         self.api_key = api_key
         self._pipelines: dict[str, _Pipeline] = {}
+        self._latency: dict = {}  # stream label → LatencyHistogram
         self._server = None
         import threading
 
@@ -362,6 +363,11 @@ class PipelineServer:
                              "message": "Invalid API key"}
         if body and payload_too_large(body):
             return 413, {"error": "payload_too_large"}
+        if path.split("?")[0] == "/metrics" and method == "GET":
+            # Prometheus exposition endpoint (runtime/src/metrics.rs —
+            # the reference serves this on its metrics port; scrapers
+            # consume the text format directly). String reply = text/plain.
+            return 200, self._prometheus()
         if not path.startswith(API_PREFIX + "/"):
             return 404, {"error": "not_found"}
         path, _, qs = path.partition("?")
@@ -563,11 +569,40 @@ class PipelineServer:
         except Exception as e:  # noqa: BLE001
             return 500, {"error": "execution_error", "message": str(e)}
         p.output_log.extend(new_rows)
+        from varpulis_spark.metrics import LatencyHistogram
+
+        self._latency.setdefault(p.name, LatencyHistogram()).record(
+            time.time() - t0
+        )
         return 200, {
             "accepted": len(events),
             "output_events": new_rows,
             "processing_time_us": int((time.time() - t0) * 1e6),
         }
+
+    def _prometheus(self) -> str:
+        """Aggregate pipeline counters into the reference's metric families
+        (varpulis_events_total / events_processed / output_events_total /
+        active_streams / processing_latency_seconds)."""
+        from varpulis_spark.metrics import prometheus_text
+
+        events_by_type: dict[str, int] = {}
+        processed: dict[str, int] = {}
+        output: dict[tuple[str, str], int] = {}
+        active = 0
+        for p in self._pipelines.values():
+            if p.status == "running":
+                active += len(p.emit_streams)
+            for _off, et, _f in p.events:
+                events_by_type[et] = events_by_type.get(et, 0) + 1
+            for row in p.output_log:
+                s = row.get("stream", "")
+                et = row.get("event_type", s)
+                processed[s] = processed.get(s, 0) + 1
+                output[(s, et)] = output.get((s, et), 0) + 1
+        return prometheus_text(
+            events_by_type, processed, output, active, self._latency
+        )
 
     def _fallback_to_replay(self, p: _Pipeline) -> None:
         """Tear down the push runner and re-baseline the replay-mode delta
@@ -667,9 +702,14 @@ class PipelineServer:
                     method, self.path, body,
                     {k.lower(): v for k, v in self.headers.items()},
                 )
-                data = json.dumps(reply).encode()
+                if isinstance(reply, str):  # /metrics exposition format
+                    data = reply.encode()
+                    ctype = "text/plain; version=0.0.4; charset=utf-8"
+                else:
+                    data = json.dumps(reply).encode()
+                    ctype = "application/json"
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
