@@ -142,12 +142,14 @@ class Stream:
         proj += [as_col(expr).alias(alias) for alias, expr in named.items()]
         return self._with(self.df.select(*extra, *proj))
 
-    def emit(self, event_type: str | None = None, **named: Column | str | Any) -> "Stream":
+    def emit(self, event_type: str | None = None, /, **named: Column | str | Any) -> "Stream":
         """Project into a new output event (EmitConfig engine/types.rs:448).
 
         Keeps the time column; sets `event_type` when a new type name is
-        given (`.emit as Type`).
-        """
+        given (`.emit as Type`). Positional-only so a VPL
+        `emit(event_type: "X", ...)` kwarg lowers as a plain data column —
+        the reference does the same (pipeline.rs:528: envelope type is the
+        STREAM name; an `event_type` arg is just a field)."""
         proj: list[Column] = []
         cols = set(self.df.columns)
         if self.ts_col not in named and self.ts_col in cols:

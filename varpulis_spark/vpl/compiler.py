@@ -2069,6 +2069,11 @@ def _apply_relational_ops(
             # keeps its timestamp/type (event.rs:23-31) — windows/patterns
             # downstream of a select still order and route correctly
             out = out.select_with_envelope(*cols, **named)
+            # the projected frame carries the select's OUTPUT names; a
+            # caller-provided resolver (join-source qualification) is
+            # stale past this point — join_tests.rs's select→emit chains
+            # reference the select aliases as bare columns
+            resolver = None
         elif op.name == "emit":
             if windowed is not None and (
                 pending_havings or any(_contains_agg(v) for v in op.kwargs.values())
@@ -2326,13 +2331,23 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
         c = F.lit(True)
         for x in now:
             c = c & to_column(x, qualified)
-        if win_ns is not None:
+        band_ns = win_ns
+        if band_ns is not None and not (
+            base.ts_col in base.df.columns and dfs[n].ts_col in dfs[n].df.columns
+        ):
+            # joining AGGREGATED streams (join_tests.rs
+            # test_aggregate_comparison_join): count-window aggregate
+            # outputs carry no event-time column — the reference's 1m
+            # join window bounds ARRIVAL skew, which batch replay has
+            # none of, so the band reduces to the key equi-join
+            band_ns = None
+        if band_ns is not None:
             lt_col = F.col(f"{base_name}.{base.ts_col}")
             rt_col = F.col(f"{n}.{dfs[n].ts_col}")
             if streaming:
                 from varpulis_spark.operators.joins import _interval_us
 
-                iv = _interval_us(win_ns // 1000)
+                iv = _interval_us(band_ns // 1000)
                 c = c & (rt_col >= lt_col - iv) & (rt_col <= lt_col + iv)
             else:
                 # µs precision (unix_micros), matching pos() in sase.py — a
@@ -2341,7 +2356,7 @@ def _compile_join(decl: StreamDecl, stream: Stream, env: ProgramEnv,
                 c = c & (
                     F.abs(F.unix_micros(lt_col) - F.unix_micros(rt_col))
                     * F.lit(1_000)
-                    <= F.lit(win_ns)
+                    <= F.lit(band_ns)
                 )
         joined = joined.join(dfs[n].df.alias(n), c, "inner")
 
