@@ -1,0 +1,100 @@
+"""sf1 → sf10 decade bench (VERDICT r7 task 4).
+
+Runs the dedup/ANN tail plus five headline queries at localdata/sf1 and
+localdata/sf10 (~10M events / ~50k docs ×10) and reports the per-query
+eps ratio (events-per-second at sf10 vs sf1, the same convention as
+bench.py's eps_ratio_vs_sf0.1): ratio ≥ 1 means the query processes
+events at least as fast per event at 10× the data — nothing
+super-linear. Writes BENCH_DECADE_r{round}.json and prints one compact
+line.
+
+Excluded by spec: embedding_near_dup (labeled O(n²) — its scale paths
+ivf_near_dup / minhash / simhash ARE in the list), plus everything not
+in the tail/headline set (the full suite runs at sf0.1/sf1 in bench.py).
+
+Run: python scripts/bench_decade.py  (~10-20 min at sf10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+QUERIES = [
+    # five headlines (BASELINE classes)
+    "high_value_filter",
+    "windowed_join_10m",
+    "ema_macd",
+    "seq_signup_purchase",
+    "kleene_purchases",
+    # dedup/ANN tail
+    "exact_dedup_docs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "minshingle_near_dup",
+    "near_dup_clusters",
+    "ann_ivf",
+    "ivf_near_dup",
+    "knn_cosine",
+    "text_stats",
+    "lang_distribution",
+]
+
+
+def main() -> None:
+    import bench
+    import make_sf
+
+    import __spark_entry__ as entrymod
+    from varpulis_spark.engine import get_spark
+
+    sf1 = make_sf.ensure()
+    sf10 = make_sf.ensure_sf10()
+    spark = get_spark("varpulis-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"queries": QUERIES}
+    results = {}
+    all_queries = entrymod.queries()
+    skip = set(all_queries) - set(QUERIES)
+    for label, sf_dir in (("sf1", sf1), ("sf10", sf10)):
+        n = bench.warmup(spark, sf_dir)
+        runs = 2 if label == "sf1" else 1
+        times, spread, rows, skipped = bench.run_suite(spark, sf_dir, runs, skip=skip)
+        results[label] = {"n_events": n, "times": times, "rows": rows,
+                          "spread": spread, "skipped": skipped}
+    eps1 = {k: results["sf1"]["n_events"] / v
+            for k, v in results["sf1"]["times"].items() if v > 0}
+    eps10 = {k: results["sf10"]["n_events"] / v
+             for k, v in results["sf10"]["times"].items() if v > 0}
+    ratio = {k: round(eps10[k] / eps1[k], 2) for k in eps10 if k in eps1}
+    out.update(
+        sf1=results["sf1"], sf10=results["sf10"],
+        eps_ratio_sf10_vs_sf1=ratio,
+        ratio_floor=min(ratio.values()) if ratio else None,
+        ratio_median=sorted(ratio.values())[len(ratio) // 2] if ratio else None,
+        loadavg=[round(x, 2) for x in os.getloadavg()],
+        ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
+    )
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
+    path = os.path.join(REPO, f"BENCH_DECADE_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "decade_eps_ratio_sf10_vs_sf1",
+        "ratio_floor": out["ratio_floor"],
+        "ratio_median": out["ratio_median"],
+        "ratios": ratio,
+        "sf10_wall": round(sum(t for t in results["sf10"]["times"].values() if t > 0), 1),
+        "detail": os.path.basename(path),
+    }))
+
+
+if __name__ == "__main__":
+    main()

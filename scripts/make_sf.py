@@ -37,16 +37,27 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DST = os.path.join(REPO, "localdata", "sf1")
+DST10 = os.path.join(REPO, "localdata", "sf10")
 COPIES = 10
 SEED = 42
 
+# module-level src/dst so ensure() and ensure_sf10() reuse the same
+# generator functions; swapped by _target()
+_src = SRC
+_dst = DST
+
+
+def _target(src: str, dst: str) -> None:
+    global _src, _dst
+    _src, _dst = src, dst
+
 
 def _read(name: str) -> pa.Table:
-    return pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+    return pq.read_table(os.path.join(_src, f"{name}.parquet"))
 
 
 def _write(name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(DST, f"{name}.parquet"))
+    pq.write_table(table, os.path.join(_dst, f"{name}.parquet"))
 
 
 def _shift_copies(table: pa.Table, shifts: dict[str, int]) -> pa.Table:
@@ -96,11 +107,18 @@ def make_documents() -> None:
 
     n_out = t.num_rows * COPIES
     lang_choices = rng.choice(langs, size=n_out)  # empirical lang mix
-    out_texts: list[str] = []
-    for i in range(n_out):
-        ws, ps, ls = tables[lang_choices[i]]
-        nw = int(rng.choice(ls))
-        out_texts.append(" ".join(rng.choice(ws, size=max(1, nw), p=ps)) + " ")
+    # vectorized per language: one big word draw split by doc lengths
+    # (the per-doc rng.choice loop costs ~1 ms/doc — minutes at sf10)
+    out_texts: list[str] = [""] * n_out
+    for lg, (ws, ps, ls) in tables.items():
+        idx = np.flatnonzero(lang_choices == lg)
+        if idx.size == 0:
+            continue
+        nw = np.maximum(rng.choice(ls, size=idx.size), 1)
+        pool = rng.choice(ws, size=int(nw.sum()), p=ps)
+        bounds = np.concatenate(([0], np.cumsum(nw)))
+        for j, i in enumerate(idx):
+            out_texts[i] = " ".join(pool[bounds[j]:bounds[j + 1]]) + " "
     # planted exact dups (0.2%) and near-dups (0.5%), like the source corpus
     for _ in range(n_out // 500):
         i, j = rng.integers(0, n_out, 2)
@@ -179,23 +197,40 @@ def make_tpch() -> None:
         _write(name, _read(name))
 
 
-def ensure(force: bool = False) -> str:
-    """Generate localdata/sf1 if absent; returns the directory."""
-    marker = os.path.join(DST, ".complete")
+def _generate(src: str, dst: str, force: bool) -> str:
+    marker = os.path.join(dst, ".complete")
     if os.path.exists(marker) and not force:
-        return DST
-    os.makedirs(DST, exist_ok=True)
+        return dst
+    _target(src, dst)
+    os.makedirs(dst, exist_ok=True)
     make_events()
     make_documents()
     make_embeddings()
     make_tpch()
     with open(marker, "w") as f:
         f.write("ok\n")
-    return DST
+    return dst
+
+
+def ensure(force: bool = False) -> str:
+    """Generate localdata/sf1 if absent; returns the directory."""
+    return _generate(SRC, DST, force)
+
+
+def ensure_sf10(force: bool = False) -> str:
+    """localdata/sf10 (~10M events, ~1 GB): another 10x decade derived
+    from sf1 with the SAME distribution-preserving rules (VERDICT r7
+    task 4) — key-shifted copies for events/embeddings/TPC-H, resampled
+    documents from sf1's empirical per-language tables."""
+    ensure(force=False)  # sf10 derives from sf1
+    return _generate(DST, DST10, force)
 
 
 if __name__ == "__main__":
-    path = ensure(force="--force" in sys.argv)
+    if "--sf10" in sys.argv:
+        path = ensure_sf10(force="--force" in sys.argv)
+    else:
+        path = ensure(force="--force" in sys.argv)
     for f in sorted(os.listdir(path)):
         full = os.path.join(path, f)
         print(f"{f}: {os.path.getsize(full) // 1024} KiB")
