@@ -587,38 +587,15 @@ def minhash_near_dup_pairs(
         ).alias("bucket"),
     )
 
-    # skew guard: cap degenerate mega-buckets. Pairs are NOT deduped here:
-    # verifying the (few-×-duplicated) raw candidates through the broadcast
-    # joins is map-side work, while deduping 100s of K candidates first
-    # costs a full shuffle; the dedup runs after the est filter, on the few
-    # surviving rows.
-    pairs = _bucket_pairs(banded, dedup_pairs=False)
-
-    # verify on signatures joined back by id. The banding S-curve lets
-    # through orders of magnitude more false-positive candidates than
-    # survivors near the threshold (measured 2.7M candidates → 347 pairs at
-    # sf1), so the verify join dominated the query; AQE won't broadcast the
-    # sig table on its own (it exceeds autoBroadcastJoinThreshold), but at
-    # n_docs × num_perm × 8 B it is often broadcastable — hint it
-    # explicitly when the exact size is under VERIFY_BROADCAST_MAX_BYTES
-    # (the count is free: base is persisted and consumed by banding
-    # anyway). Above the cap — billions of docs — the strategy falls back
-    # to AQE's shuffle join, same contract as before.
-    a_sig = base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b_sig = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    if base.count() * num_perm * 8 <= VERIFY_BROADCAST_MAX_BYTES:
-        a_sig = F.broadcast(a_sig)
-        b_sig = F.broadcast(b_sig)
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    ).cast("double") / F.lit(float(num_perm))
-    return (
-        pairs.join(a_sig, "id_a").join(b_sig, "id_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # bucket-local verification (r8): the banding S-curve lets through
+    # orders of magnitude more false-positive candidates than survivors
+    # near the threshold (2.7M candidates → 347 pairs at sf1; 86M at
+    # sf10 on the high-baseline-similarity corpus) — the old
+    # pairs→join-sigs-back shape shipped 2 KB of signatures per raw
+    # candidate through a shuffle join and blew the sf10 timeout. The
+    # agreement check now runs inline during the per-bucket pair explode;
+    # failing candidates never materialize (see _bucket_verified_pairs).
+    return _bucket_verified_pairs(banded, base, num_perm, threshold)
 
 
 def _bucketed_near_dup_streaming(
@@ -832,6 +809,116 @@ def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
     if dedup_pairs:
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def _bucket_verified_pairs(
+    banded: DataFrame, base: DataFrame, num_perm: int, threshold: float
+) -> DataFrame:
+    """(id, bucket) candidates → verified (id_a, id_b, est_jaccard) with
+    the signature-agreement check computed INSIDE the per-bucket pair
+    explode (the minhash scale path, r8).
+
+    Why not pairs → join sigs back (the pre-r8 shape): on a high-baseline-
+    similarity corpus the banding S-curve admits ~10^8 raw candidates at
+    ~10^6 docs, and the verify join then ships TWO full signatures
+    (2 × num_perm × 8 B ≈ 2 KB) per candidate THROUGH A SHUFFLE — ~170 GB
+    at sf10, where it blew the per-query bench timeout. Here the sig
+    table joins onto the capped bucket MEMBERSHIP once (≤ MAX_BUCKET rows
+    per bucket, linear in buckets), the per-bucket (id, sig) lists are
+    regrouped, and the pairwise agreement runs inline in whole-stage
+    codegen during the explode — candidates that fail the threshold die
+    map-side and never materialize, let alone shuffle. Same two-level
+    salted cap, same output as the join shape (pinned by the sf0.01
+    oracle and test_dedup parity)."""
+    p = _parallelism(banded)
+    salted = banded.withColumn(
+        "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
+    )
+    lvl1 = (
+        salted.repartition(p, "bucket", "__salt")
+        .groupBy("bucket", "__salt")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, MAX_BUCKET).alias("ids"))
+    )
+    capped = (
+        lvl1.repartition(p, "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("ids"))), 1, MAX_BUCKET
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+        .select("bucket", F.explode("ids").alias("id"))
+    )
+    items = (
+        capped.join(base, "id")  # (bucket, id, sig); AQE picks the strategy
+        .repartition(p, "bucket")
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("items"))
+        # one flat int64 buffer per bucket: Arrow hands it to numpy as a
+        # single array (a list<struct> would arrive as per-row dicts)
+        .select(
+            F.expr("transform(items, x -> x.id)").alias("ids"),
+            F.flatten(F.expr("transform(items, x -> x.sig)")).alias("flat_sigs"),
+        )
+    )
+
+    # per-bucket pairwise agreement as ONE numpy broadcast per bucket
+    # ((m, P) matrix → (m, m) agreement counts). A zip_with-per-pair SQL
+    # verify measured ~11e9 JVM array ops at sf10 (200 s); the same work
+    # is seconds as C-level int64 comparisons.
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        # buckets grouped by size m and processed as ONE stacked
+        # (B, m, P) comparison per chunk — most buckets are tiny (m=2-3),
+        # and a per-bucket numpy call costs ~20 µs of dispatch overhead,
+        # which dominated at millions of buckets. Chunked so the
+        # (B, m, m, P) bool intermediate stays ~64 MB.
+        budget = 64 << 20
+
+        for pdf in batches:
+            sizes = pdf["ids"].map(len).to_numpy()
+            out_a: list = []
+            out_b: list = []
+            out_e: list = []
+            for m in np.unique(sizes):
+                m = int(m)
+                rows = np.flatnonzero(sizes == m)
+                ia, ib = np.triu_indices(m, k=1)
+                chunk = max(1, budget // max(1, m * m * num_perm))
+                for c0 in range(0, rows.size, chunk):
+                    sel = rows[c0 : c0 + chunk]
+                    ids = np.stack(
+                        [np.asarray(pdf["ids"].iat[i], dtype=np.int64) for i in sel]
+                    )
+                    sigs = np.stack(
+                        [
+                            np.asarray(pdf["flat_sigs"].iat[i], dtype=np.int64)
+                            for i in sel
+                        ]
+                    ).reshape(len(sel), m, num_perm)
+                    agree = (sigs[:, :, None, :] == sigs[:, None, :, :]).sum(
+                        axis=3, dtype=np.int32
+                    )
+                    est = agree[:, ia, ib] / float(num_perm)  # (B, n_pairs)
+                    bk, pk = np.nonzero(est >= threshold)
+                    out_a.append(ids[bk, ia[pk]])
+                    out_b.append(ids[bk, ib[pk]])
+                    out_e.append(est[bk, pk])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "est_jaccard": np.concatenate(out_e),
+                    }
+                )
+
+    return items.mapInPandas(
+        verify, "id_a long, id_b long, est_jaccard double"
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def _char_shingles(text: Column, k: int) -> Column:
