@@ -48,6 +48,11 @@ QUERIES = [
 
 
 def main() -> None:
+    # sf10 runs 10x the data under the same per-query cap — widen it so a
+    # perfectly linear 60 s query isn't recorded as a timeout (bench reads
+    # the env at import)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "300")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_SUITE_BUDGET", "1800")
     import bench
     import make_sf
 
