@@ -82,6 +82,17 @@ class AggSpec(AggBase):
     def to_column(self, ts_col: str, order_col: str | None) -> Column:
         k = self.kind
         f = self._field_col() if self.field is not None else None
+        if f is not None and k in (
+            "sum", "avg", "min", "max", "stddev", "variance",
+            "median", "percentile", "ema",
+        ):
+            # the reference FILTERS NaN from every numeric aggregate
+            # (aggregation.rs:183-198 and siblings; pinned by the
+            # aggregation_coverage_tests port) where Spark would propagate
+            # it — and F.max even ranks NaN above every real double.
+            # `f = f` is false exactly for NaN and type-preserving for
+            # every non-floating column, so longs/strings are untouched.
+            f = F.when(f == f, f)
         if k == "count":
             return F.count(F.lit(1)) if f is None else F.count(f)
         if k == "sum":
@@ -183,13 +194,24 @@ class AggSpec(AggBase):
         higher-order F.aggregate — no Python UDF. Per-window lists are bounded
         by the window size; for unbounded groups prefer a windowed query.
         """
+        # Ema::new(0) clamps the period to 1 (module-level `max` is the
+        # aggregate factory, hence the conditional)
         period = self.params.get("period", 12)
+        if period < 1:
+            period = 1
         k = 2.0 / (float(period) + 1.0)
         f = self._field_col().cast("double")
+        # NaN → null here, then null entries are FILTERED from the fold
+        # input (collect_list skips bare nulls but keeps structs with a
+        # null field), matching the reference's get_float + NaN filter
+        # before the fold (missing/NaN values are skipped, not zeroed)
+        f = F.when(f == f, f)
         pairs = F.sort_array(
             F.collect_list(F.struct(self._order(ts_col, order_col).alias("o"), f.alias("v")))
         )
-        vals = F.transform(pairs, lambda s: s.getField("v"))
+        vals = F.filter(
+            F.transform(pairs, lambda s: s.getField("v")), lambda v: v.isNotNull()
+        )
         seed = F.element_at(vals, 1)
         rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
         return F.aggregate(rest, seed, lambda acc, x: x * F.lit(k) + acc * F.lit(1.0 - k))
