@@ -774,3 +774,32 @@ stream Enriched = Filtered
     (row,) = out["Enriched"]
     assert row["sensor"] == "TEMP01" and row["reading"] == 23.5
     assert abs(row["quality_score"] - 95.0) < 0.001
+
+
+# -- timer_tests.rs -----------------------------------------------------------
+
+
+def test_timer_stream_parsing_and_registration(spark):
+    """timer_tests.rs:11 — timer(1s) parses, registers, and ticks carry
+    the Timer_<stream> event type; replay synthesizes ticks over the
+    driving stream's event-time span."""
+    out = run(spark, """
+stream heartbeat = timer(1s)
+    .emit(type: "heartbeat", etype: event_type)
+""", "\n".join(f"@{i}s Dummy {{ x: 1 }}" for i in range(5)))
+    rows = out["heartbeat"]
+    assert len(rows) == 5  # one tick per second over the 0..4s span
+    assert all(r["type"] == "heartbeat" for r in rows)
+    assert all(r["etype"] == "Timer_heartbeat" for r in rows)
+
+
+def test_timer_with_initial_delay(spark):
+    """timer_tests.rs:34 — timer(5s, initial_delay: 2s): first tick at
+    +2s, then every 5s."""
+    out = run(spark, """
+stream delayed = timer(5s, initial_delay: 2s)
+    .emit(type: "delayed")
+""", "\n".join(f"@{i}s Dummy {{ x: 1 }}" for i in range(13)))
+    rows = sorted(out["delayed"], key=lambda r: r["ts"])
+    # span 0..12s, delay 2s, interval 5s -> ticks at 2, 7, 12
+    assert [int(r["ts"].timestamp() % 100) for r in rows] == [2, 7, 12]

@@ -2403,9 +2403,12 @@ def _compile_timer(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
         F.unix_micros(F.max(ts_col)).alias("hi"),
     ).collect()[0]
     spark = stream.df.sparkSession
+    # timer events are typed Timer_<stream name> (engine/mod.rs timer
+    # registration; pinned by timer_tests.rs:30)
+    etype = f"Timer_{decl.name}"
     if bounds.lo is None:
         ticks = spark.range(0).select(
-            F.lit("Timer").alias("event_type"), F.lit(None).cast("timestamp").alias(ts_col)
+            F.lit(etype).alias("event_type"), F.lit(None).cast("timestamp").alias(ts_col)
         )
     else:
         iv_us = max(1, iv_ns // 1_000)
@@ -2413,7 +2416,7 @@ def _compile_timer(decl: StreamDecl, stream: Stream, env: ProgramEnv) -> Stream:
         hi_us = bounds.hi
         n = max(0, (hi_us - lo_us) // iv_us + 1)
         ticks = spark.range(int(n)).select(
-            F.lit("Timer").alias("event_type"),
+            F.lit(etype).alias("event_type"),
             F.timestamp_micros(F.lit(lo_us) + F.col("id") * F.lit(iv_us)).alias(ts_col),
         )
     out = Stream(ticks, ts_col=ts_col)
