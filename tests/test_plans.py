@@ -173,22 +173,30 @@ def test_minhash_exchanges_carry_no_text(spark, sf_dir):
     D.release_caches()
 
 
-def test_near_dup_verify_joins_broadcast_when_small(spark, sf_dir):
-    """Banding false-positives dwarf surviving pairs near the threshold, so
-    the verify joins must hash-probe a BROADCAST signature/shingle table
-    when its exact size fits (VERIFY_BROADCAST_MAX_BYTES) instead of
-    shuffling wide arrays per candidate — AQE won't do it on its own above
-    autoBroadcastJoinThreshold."""
+def test_near_dup_verify_plan_shapes(spark, sf_dir):
+    """Banding false-positives dwarf surviving pairs near the threshold,
+    so signatures must never ride a per-candidate shuffle.
+
+    minhash (r8): verification is BUCKET-LOCAL — signatures join the
+    capped bucket membership once and agreement runs in a mapInPandas
+    kernel, so the plan must show ArrowEvalPython (the verify kernel) and
+    NO per-pair signature join (the pre-r8 shape shuffled ~2 KB of sigs
+    per raw candidate — ~170 GB at sf10).
+
+    minshingle: the shingle-array verify joins must hash-probe a
+    BROADCAST (id, shingles) table when its exact size fits
+    (VERIFY_BROADCAST_MAX_BYTES) — AQE won't broadcast it on its own
+    above autoBroadcastJoinThreshold."""
     from varpulis_spark.operators import dedup as D
     from varpulis_spark.engine import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    for df in (
-        D.minhash_near_dup_pairs(docs, threshold=0.4),
-        D.ngram_minshingle_pairs(docs),
-    ):
-        plan = plan_of(df)
-        assert plan.count("BroadcastHashJoin") >= 2, plan
+    mh_plan = plan_of(D.minhash_near_dup_pairs(docs, threshold=0.4))
+    assert "MapInPandas" in mh_plan or "mapInPandas" in mh_plan, mh_plan
+    assert "zip_with" not in mh_plan  # no per-pair JVM array comparison
+
+    ms_plan = plan_of(D.ngram_minshingle_pairs(docs))
+    assert ms_plan.count("BroadcastHashJoin") >= 2, ms_plan
     D.release_caches()
 
 
