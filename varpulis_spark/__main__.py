@@ -171,37 +171,43 @@ def cmd_parse(args) -> int:
 
 
 def cmd_check(args) -> int:
-    """`varpulis check` (main.rs:481-484): syntax + reference checks —
-    undeclared fns in .process, duplicate stream names. Exit 1 on any."""
+    """`varpulis check` (main.rs:481-484): syntax + the reference's full
+    semantic validation pass (varpulis-core/src/validate — duplicate
+    decls, op ordering, type-shaped expression checks, connector
+    references, function arity; vpl/validate.py carries the code list).
+    Exit 1 on any error; warnings print but do not fail."""
     with open(args.file) as f:
         source = f.read()
     from varpulis_spark.vpl.parser import Call, parse_full
+    from varpulis_spark.vpl.validate import validate
 
     try:
         prog = parse_full(source, base_path=_dirname(args.file))
     except (SyntaxError, ValueError) as ex:
         print(f"parse error: {ex}", file=sys.stderr)
         return 1
-    problems: list[str] = []
-    seen: set[str] = set()
+    result = validate(prog)
+    # legacy extra check kept: .process must reference a declared fn
     fn_names = {f.name for f in prog.fns}
+    extra: list[str] = []
     for s in prog.streams:
-        if s.name in seen:
-            problems.append(f"duplicate stream name {s.name!r}")
-        seen.add(s.name)
         for op in s.ops:
             if op.name == "process" and op.args:
                 a = op.args[0]
                 if isinstance(a, Call) and a.name not in fn_names:
-                    problems.append(
+                    extra.append(
                         f"stream {s.name}: .process references undeclared "
                         f"fn {a.name!r}"
                     )
-    for p in problems:
-        print(f"check: {p}", file=sys.stderr)
-    if problems:
+    out = result.format()
+    if out:
+        print(out, file=sys.stderr)
+    for p in extra:
+        print(f"error[E050]: {p}", file=sys.stderr)
+    if result.errors or extra:
         return 1
-    print(f"{args.file}: OK")
+    print(f"{args.file}: OK"
+          + (f" ({len(result.warnings)} warning(s))" if result.warnings else ""))
     return 0
 
 
