@@ -393,3 +393,13 @@ def test_prometheus_metrics_endpoint(server, spark):
     assert "varpulis_processing_latency_seconds_bucket" in text
     assert 'le="+Inf"' in text
     srv.stop()
+
+
+def test_deploy_rejects_validation_errors(server):
+    """Deploy gates on semantic validation like the reference's
+    Engine::load_with_source (engine/mod.rs:337): a program with a
+    validation ERROR is rejected with the diagnostics."""
+    status, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                        {"name": "bad", "source": "stream S = A\n    .where(42)\n"})
+    assert status == 400 and resp["error"] == "validation_error"
+    assert any("E060" in d for d in resp["diagnostics"])

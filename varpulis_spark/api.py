@@ -512,9 +512,21 @@ class PipelineServer:
         from varpulis_spark.vpl.parser import parse_full
 
         try:
-            prog = parse_full(source)  # validate at deploy (api.rs deploy path)
+            prog = parse_full(source)
         except Exception as e:  # noqa: BLE001
             return 400, {"error": "parse_error", "message": str(e)}
+        # semantic validation gates the load, exactly like the reference's
+        # Engine::load_with_source (engine/mod.rs:337-344): errors reject
+        # the deploy, warnings ride along in the response
+        from varpulis_spark.vpl.validate import validate as _validate
+
+        vres = _validate(prog)
+        if vres.errors:
+            return 400, {
+                "error": "validation_error",
+                "diagnostics": [d.format() for d in vres.errors],
+            }
+        warnings = [d.format() for d in vres.warnings]
         # output events = what `.emit` produces (the reference's output
         # channel carries emitted events; pass-through/merge/`.to` streams
         # relay them and would duplicate the response)
@@ -529,8 +541,10 @@ class PipelineServer:
         except _NotIncremental:
             p.runner = None  # replay mode (full-log re-run per injection)
         self._pipelines[pid] = p
-        return 200, {"id": pid, "name": name, "status": "running",
-                     "mode": p.mode}
+        out = {"id": pid, "name": name, "status": "running", "mode": p.mode}
+        if warnings:
+            out["warnings"] = warnings
+        return 200, out
 
     def _info(self, p: _Pipeline, with_source: bool = False) -> dict:
         out = {
