@@ -698,3 +698,43 @@ class RestApiSink:
             headers=self.config.headers,
             timeout_s=self.config.timeout_ms / 1000.0,
         ).write_batch(df, epoch)
+
+
+class FileSink:
+    """`connector F = file(path: ...)` sink (engine/sink_factory.rs file
+    connector): appends one JSON line per output event, the reference's
+    JSONL sink format (integration_scenarios.rs test_to_file_connector_*
+    asserts the lines parse as JSON carrying the emitted fields). Rows
+    land in (ts, event_id) order; the envelope ts serializes as the
+    `timestamp` key, matching Event::to_sink_payload."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        import json as _json
+
+        cols = df.columns
+        order = [c for c in ("ts", "event_id") if c in cols]
+        rows = df.orderBy(*order).collect() if order else df.collect()
+        with open(self.path, "a") as f:
+            for row in rows:
+                d = row.asDict()
+                out = {}
+                for k, v in d.items():
+                    if k == "ts":
+                        out["timestamp"] = v.isoformat() if v is not None else None
+                    elif hasattr(v, "isoformat"):
+                        out[k] = v.isoformat()
+                    else:
+                        out[k] = v
+                f.write(_json.dumps(out) + "\n")
+
+
+class ConsoleSink:
+    """`connector C = console()` sink: prints each output event
+    (ConsoleSink, engine/sink_factory.rs)."""
+
+    def write_batch(self, df: DataFrame, epoch: int) -> None:
+        for row in df.collect():
+            print(f"[SINK] {row.asDict()}")

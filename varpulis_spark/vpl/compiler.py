@@ -2504,6 +2504,24 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
             reduce(lambda a, b: a.unionByName(b), [s.df for s in outs]),
             ts_col=stream.ts_col,
         )
+    if isinstance(node, PatAnd) and (
+        isinstance(node.left, PatNot) or isinstance(node.right, PatNot)
+    ):
+        # `(A -> B) and not C` (apama complex pattern): the negated side is
+        # a guard over the positive branch's span — exactly the chain
+        # compiler's global `.not()` negation
+        pos, neg = (
+            (node.right, node.left)
+            if isinstance(node.left, PatNot)
+            else (node.left, node.right)
+        )
+        steps, neg_ops = steps_of(pos)
+        src = resolve_sources(steps)
+        neg_ops.append(OpCall("not", [dc_replace(neg.operand)]))
+        synth = StreamDecl(use.name, steps, extra_ops + neg_ops + use.ops)
+        if pdecl.partition_by:
+            src = src.partition_by(pdecl.partition_by)
+        return compile_pattern_decl(synth, src, env)
     if isinstance(node, PatAnd):
         if not (isinstance(node.left, PatternStep) and isinstance(node.right, PatternStep)):
             raise ValueError("AND patterns support two event items")
@@ -2673,6 +2691,22 @@ def run_program(
 
     stream = _apply_event_casts(stream, env)
 
+    # file/console connectors are self-contained (no broker): auto-bind
+    # them so `.to(FileOut)` writes its JSONL in replay mode like the
+    # reference's sink factory, unless the host bound the name itself
+    sinks = dict(sinks or {})
+    for c in prog.connectors:
+        if c.name in sinks:
+            continue
+        if c.kind == "file" and "path" in c.kwargs:
+            from varpulis_spark.sinks import FileSink
+
+            sinks[c.name] = FileSink(str(_const_eval(c.kwargs["path"], env)))
+        elif c.kind == "console":
+            from varpulis_spark.sinks import ConsoleSink
+
+            sinks[c.name] = ConsoleSink()
+
     results: dict[str, DataFrame] = {}
     env_streams: dict[str, Stream] = {}
     base_stream = stream
@@ -2689,7 +2723,28 @@ def run_program(
         decl.ops = [op for op in decl.ops if op.name != "from"]
         _expand_decl(decl, env)
 
-        if isinstance(decl.source, MergeSource):
+        inline_pat = next(
+            (
+                (i, k, v)
+                for i, op in enumerate(decl.ops)
+                if op.name == "pattern"
+                for k, v in op.kwargs.items()
+                if isinstance(v, (PatSeq, PatAnd, PatOr, PatNot, PatternStep))
+            ),
+            None,
+        )
+        if inline_pat is not None:
+            # Apama-style inline pattern op (`.pattern(chain: A -> B)`,
+            # integration_scenarios.rs apama tests): lower exactly like a
+            # named pattern declaration used at this site. The pattern
+            # analyzer observes the WHOLE ingest stream — the declared
+            # source type is just the attachment anchor (the reference's
+            # and/or tests match on events of OTHER types arriving first).
+            i, alias, node = inline_pat
+            pdecl = PatternDecl(alias, node)
+            use = StreamDecl(decl.name, [], decl.ops[i + 1 :])
+            out = _compile_named_pattern(pdecl, use, base_stream, env, env_streams)
+        elif isinstance(decl.source, MergeSource):
             out = _compile_merge(decl, stream, env, env_streams)
             synth = StreamDecl(decl.name, [], decl.ops)
             out = _apply_relational_ops(synth, out, typed=False, env=env)
@@ -2784,10 +2839,23 @@ def run_program(
         env_streams[decl.name] = out
         results[decl.name] = out.df
         if sinks:
-            for op in decl.ops:
+            # ops may hang off the source step (single-step chains) or the
+            # decl; a positional `.to(Name)` arg parses as a PatternStep
+            # (the op-chain grammar), a Ref, or a Lit — all three carried
+            # the connector name, but only Ref was read before r8, so
+            # `sinks=` bindings silently never fired (caught porting
+            # integration_scenarios.rs test_to_file_connector_basic)
+            all_ops = [
+                op for s in decl.steps for op in getattr(s, "ops", [])
+            ] + list(decl.ops)
+            for op in all_ops:
                 if op.name == "to" and op.args:
                     a = op.args[0]
-                    conn = a.parts[0] if hasattr(a, "parts") else getattr(a, "value", None)
+                    conn = (
+                        getattr(a, "event_type", None)
+                        or (a.parts[0] if hasattr(a, "parts") else None)
+                        or getattr(a, "value", None)
+                    )
                     sink = sinks.get(conn)
                     if sink is not None:
                         sink.write_batch(out.df, 0)

@@ -732,13 +732,69 @@ class Parser:
                 if self.peek()[0] == "ident" and self.peek(1) == ("op", ":"):
                     key = self.next()[1]
                     self.next()
-                    kwargs[key] = self.op_arg()
+                    if name == "pattern" and self._at_inline_pattern():
+                        # Apama-style inline pattern value
+                        # (`.pattern(chain: A -> B and not C)`,
+                        # integration_scenarios.rs apama tests) — the
+                        # expression grammar has no `->`
+                        kwargs[key] = self.pat_inline()
+                    else:
+                        kwargs[key] = self.op_arg()
                 else:
                     args.append(self.op_arg())
                 if self.accept("op", ")"):
                     break
                 self.expect("op", ",")
         return OpCall(name, args, kwargs)
+
+    def _at_inline_pattern(self) -> bool:
+        """True when the upcoming `.pattern(name: ...)` value is a pattern
+        expression rather than a predicate lambda: a `not`/`(` opener, or
+        an event name followed by a combinator (`->` / `and` / `or`)."""
+        k, tx = self.peek()
+        if k == "not":
+            return True
+        if (k, tx) == ("op", "("):
+            return True  # parenthesized pattern (the lambda form never
+            #              opens with a paren in op-arg position)
+        if k == "ident" and tx[:1].isupper():
+            nk, ntx = self.peek(1)
+            return nk in ("arrow", "and", "or") or (nk, ntx) == ("op", ")")
+        return False
+
+    def pat_inline(self):
+        """Inline SasePatternExpr (ast.rs:128-146 lowercase form):
+        `or` < `and` < `->` < `not`/parens/event."""
+        left = self._pat_inline_and()
+        while self.accept("or"):
+            left = PatOr(left, self._pat_inline_and())
+        return left
+
+    def _pat_inline_and(self):
+        left = self._pat_inline_seq()
+        while self.accept("and"):
+            left = PatAnd(left, self._pat_inline_seq())
+        return left
+
+    def _pat_inline_seq(self):
+        left = self._pat_inline_unary()
+        if self.peek()[0] == "arrow":
+            items = [left]
+            while self.accept("arrow"):
+                items.append(self._pat_inline_unary())
+            if any(not isinstance(i, PatternStep) for i in items):
+                raise SyntaxError("-> chains plain event steps")
+            return PatSeq(items)
+        return left
+
+    def _pat_inline_unary(self):
+        if self.accept("not"):
+            return PatNot(self._pat_inline_unary())
+        if self.accept("op", "("):
+            node = self.pat_inline()
+            self.expect("op", ")")
+            return node
+        return self.pattern_step()
 
     def op_arg(self):
         # `.not(Type where expr)` takes a pattern-step-shaped argument
