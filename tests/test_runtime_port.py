@@ -803,3 +803,133 @@ stream delayed = timer(5s, initial_delay: 2s)
     rows = sorted(out["delayed"], key=lambda r: r["ts"])
     # span 0..12s, delay 2s, interval 5s -> ticks at 2, 7, 12
     assert [int(r["ts"].timestamp() % 100) for r in rows] == [2, 7, 12]
+
+
+# -- context_tests.rs (contexts = Spark partitions here; .context() is a
+#    routing no-op, so these pin that programs behave IDENTICALLY with
+#    and without context declarations) -----------------------------------------
+
+
+def test_single_context_basic(spark):
+    """context_tests.rs:93 — context + .context() routing, exact output."""
+    out = run(spark, """
+context ingest
+
+stream HighTemp = SensorReading
+    .context(ingest)
+    .where(temperature > 100.0)
+    .emit(sensor: sensor_id, temp: temperature)
+""", 'SensorReading { sensor_id: "S1", temperature: 105.5 }\n'
+     'SensorReading { sensor_id: "S2", temperature: 95.0 }\n'
+     'SensorReading { sensor_id: "S3", temperature: 110.0 }')
+    rows = sorted(out["HighTemp"], key=lambda r: r["sensor"])
+    assert [(r["sensor"], r["temp"]) for r in rows] == [("S1", 105.5), ("S3", 110.0)]
+
+
+def test_two_context_pipeline(spark):
+    """context_tests.rs:131 — stream chaining across contexts."""
+    out = run(spark, """
+context ingest
+context analytics
+
+stream Filtered = SensorReading
+    .context(ingest)
+    .where(temperature > 50.0)
+    .emit(sensor: sensor_id, temp: temperature)
+
+stream Analysis = Filtered
+    .context(analytics)
+    .where(temp > 100.0)
+    .emit(alert_sensor: sensor, alert_temp: temp)
+""", 'SensorReading { sensor_id: "S1", temperature: 105.5 }\n'
+     'SensorReading { sensor_id: "S2", temperature: 75.0 }\n'
+     'SensorReading { sensor_id: "S3", temperature: 30.0 }')
+    assert len(out["Filtered"]) == 2
+    (row,) = out["Analysis"]
+    assert row["alert_sensor"] == "S1"
+
+
+def test_three_context_chain(spark):
+    """context_tests.rs:182 — 3-stage context chain narrows to S1."""
+    out = run(spark, """
+context ingest
+context compute
+context alert
+
+stream Raw = SensorReading
+    .context(ingest)
+    .where(temperature > 0.0)
+    .emit(sensor: sensor_id, temp: temperature)
+
+stream Computed = Raw
+    .context(compute)
+    .where(temp > 50.0)
+    .emit(device: sensor, value: temp)
+
+stream Alert = Computed
+    .context(alert)
+    .where(value > 100.0)
+    .emit(critical_device: device, critical_value: value)
+""", 'SensorReading { sensor_id: "S1", temperature: 150.0 }\n'
+     'SensorReading { sensor_id: "S2", temperature: 75.0 }')
+    (row,) = out["Alert"]
+    assert row["critical_device"] == "S1" and row["critical_value"] == 150.0
+
+
+def test_context_isolation(spark):
+    """context_tests.rs:232 — per-context streams see only their types."""
+    out = run(spark, """
+context ctx1
+context ctx2
+
+stream StreamA = EventA
+    .context(ctx1)
+    .where(value > 10)
+    .emit(result: value)
+
+stream StreamB = EventB
+    .context(ctx2)
+    .where(score > 5)
+    .emit(output: score)
+""", "EventA { value: 20 }\nEventB { score: 8 }\n"
+     "EventA { value: 5 }\nEventB { score: 3 }")
+    assert [r["result"] for r in out["StreamA"]] == [20]
+    assert [r["output"] for r in out["StreamB"]] == [8]
+
+
+def test_context_with_window_aggregate(spark):
+    """context_tests.rs:310 — count-window(3) aggregate inside a context."""
+    out = run(spark, """
+context compute
+
+stream AvgTemp = SensorReading
+    .context(compute)
+    .window(3)
+    .aggregate(avg_temp: avg(temperature), count: count())
+    .emit(average: avg_temp, total: count)
+""", "\n".join(
+        f"SensorReading {{ temperature: {t} }}" for t in (100.0, 200.0, 300.0)
+    ))
+    (row,) = out["AvgTemp"]
+    assert abs(row["average"] - 200.0) < 0.01 and row["total"] == 3
+
+
+def test_session_window_basic(spark):
+    """context_tests.rs:615 — session(5s): events at 0/1/2s form one
+    session, the 8s event another. Divergence (documented): batch replay
+    flushes ALL sessions at end-of-input, so the still-open session 2
+    also emits — the reference's push engine reported only the closed
+    one."""
+    out = run(spark, """
+stream SessionAvg = SensorReading
+    .window(session: 5s)
+    .aggregate(avg_temp: avg(temperature), count: count())
+    .emit(average: avg_temp, total: count)
+""", "@0s SensorReading { temperature: 100.0 }\n"
+     "@1s SensorReading { temperature: 200.0 }\n"
+     "@2s SensorReading { temperature: 300.0 }\n"
+     "@8s SensorReading { temperature: 400.0 }")
+    rows = sorted(out["SessionAvg"], key=lambda r: r["total"], reverse=True)
+    assert len(rows) == 2
+    assert rows[0]["total"] == 3 and abs(rows[0]["average"] - 200.0) < 0.01
+    assert rows[1]["total"] == 1 and abs(rows[1]["average"] - 400.0) < 0.01
