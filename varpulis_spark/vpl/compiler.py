@@ -218,6 +218,20 @@ _PY_FNS = {
     "is_array": lambda v: isinstance(v, list),
     "is_map": lambda v: isinstance(v, dict),
     "is_null": lambda v: v is None,
+    # string/collection builtins the interpreter lacked until the
+    # evaluator_coverage_tests port (r8); semantics per evaluator.rs
+    "split": lambda s, sep: s.split(sep),
+    "join": lambda xs, sep: sep.join(
+        x if isinstance(x, str) else _vpl_display(x) for x in xs
+    ),
+    "substring": lambda s, a, b: s[int(a):int(b)],
+    "replace": lambda s, old, new: s.replace(old, new),
+    "range": lambda *a: list(range(*[int(x) for x in a])),
+    "unique": lambda xs: list(dict.fromkeys(xs)),
+    "zip": lambda a, b: [[x, y] for x, y in zip(a, b)],
+    "clamp": lambda v, lo, hi: lo if v < lo else (hi if v > hi else v),
+    "coalesce": lambda *a: next((x for x in a if x is not None), None),
+    "if_null": lambda v, d: d if v is None else v,
 }
 
 def _is_i(v) -> bool:
@@ -1059,20 +1073,29 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
             st = _spark_type(ftype)
             if st:
                 declared[fname] = st
+    def _infer(v) -> str:
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, list):
+            # element-typed arrays (evaluator emits Value::Array); mixed
+            # or empty arrays carry stringified elements
+            elem = {_infer(x) for x in v if not isinstance(x, (list, dict))}
+            if len(elem) == 1:
+                return f"array<{elem.pop()}>"
+            if elem == {"long", "double"}:
+                return "array<double>"
+            return "array<string>"
+        return "string"  # str, dict (stringified), None
+
     out_fields: dict[str, str] = {}
     for _etype, fields in probe:
         for k, v in fields.items():
             if k not in out_fields:
-                if k in declared:
-                    out_fields[k] = declared[k]
-                elif isinstance(v, bool):
-                    out_fields[k] = "boolean"
-                elif isinstance(v, int):
-                    out_fields[k] = "long"
-                elif isinstance(v, float):
-                    out_fields[k] = "double"
-                else:
-                    out_fields[k] = "string"
+                out_fields[k] = declared.get(k) or _infer(v)
     if not probe:
         # probe crashed: schema from declared event fields only
         out_fields = dict(declared)
@@ -1082,6 +1105,22 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
     )
     fn_body = fn.body
     col_names = list(out_fields)
+    col_types = [out_fields[c] for c in col_names]
+
+    def _coerce(v, t: str):
+        # keep Arrow happy when an emitted value's runtime type drifts
+        # from the probed column type (e.g. a dict lands in a string
+        # column, or a list of ints in array<string>)
+        if v is None:
+            return None
+        if t == "string" and not isinstance(v, str):
+            return _vpl_display(v)
+        if t.startswith("array<") and isinstance(v, list):
+            et = t[6:-1]
+            return [_coerce(x, et) for x in v]
+        if t == "double" and isinstance(v, int) and not isinstance(v, bool):
+            return float(v)
+        return v
 
     def gen(batches):
         import pandas as pd
@@ -1104,7 +1143,9 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
                         env._emit_sink = None
                 for etype, fields in emitted:
                     rows.append(
-                        [etype] + [fields.get(c) for c in col_names] + [scope.get(ts_col)]
+                        [etype]
+                        + [_coerce(fields.get(c), t) for c, t in zip(col_names, col_types)]
+                        + [scope.get(ts_col)]
                     )
             yield pd.DataFrame(rows, columns=["event_type"] + col_names + [ts_col])
 

@@ -89,6 +89,10 @@ def _coalesce(a, b):
 
 def _hof(name, recv, lam=None):
     if not isinstance(recv, list):
+        # len/count/size apply to strings and maps too (evaluator.rs len);
+        # the other HOF methods are list-only
+        if name in ("len", "count", "size") and recv is not None:
+            return len(recv)
         raise ValueError(f"{name}() receiver is not a list: {recv!r}")
     if name == "filter":
         return [x for x in recv if lam(x)]
