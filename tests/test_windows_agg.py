@@ -307,3 +307,47 @@ def test_custom_udaf_vectorized(spark, sf_dir, duck):
     }
     got = {r.user_id: round(r.value_range, 6) for r in out.df.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_sliding_count_window_slide_equals_window(spark):
+    """window_coverage_tests.rs:722 — slide == size is tumbling: 6 events
+    in windows of (3, slide 3) yield exactly two complete windows of 3."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["T"] * 6,
+        "v": [float(i) for i in range(6)],
+        "ts": pd.to_datetime(range(1, 7), unit="s", utc=True),
+        "event_id": range(6),
+    }))
+    out = (
+        Stream(df, ts_col="ts", order_col="event_id")
+        .window(3, sliding=3)
+        .aggregate(n=A.count(), first_v=A.first("v"), last_v=A.last("v"))
+    )
+    rows = sorted(
+        (r.window_id, r.n, r.first_v, r.last_v) for r in out.df.collect()
+    )
+    assert rows == [(0, 3, 0.0, 2.0), (1, 3, 3.0, 5.0)]
+
+
+def test_sliding_count_window_slide_one(spark):
+    """window_coverage_tests.rs:751 — slide 1 emits per event once full:
+    4 events in windows of (3, slide 1) yield windows [0..2] and [1..3]."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["T"] * 4,
+        "v": [float(i + 1) for i in range(4)],
+        "ts": pd.to_datetime(range(1, 5), unit="s", utc=True),
+        "event_id": range(4),
+    }))
+    out = (
+        Stream(df, ts_col="ts", order_col="event_id")
+        .window(3, sliding=1)
+        .aggregate(n=A.count(), first_v=A.first("v"), last_v=A.last("v"))
+    )
+    rows = sorted(
+        (r.window_id, r.n, r.first_v, r.last_v) for r in out.df.collect()
+    )
+    assert rows == [(0, 3, 1.0, 3.0), (1, 3, 2.0, 4.0)]
