@@ -403,3 +403,50 @@ def test_deploy_rejects_validation_errors(server):
                         {"name": "bad", "source": "stream S = A\n    .where(42)\n"})
     assert status == 400 and resp["error"] == "validation_error"
     assert any("E060" in d for d in resp["diagnostics"])
+
+
+def test_incremental_pattern_state_carries_across_injections(server, spark):
+    """The push-engine claim, end to end: a SASE sequence deployed in
+    incremental mode matches across SEPARATE injections — the Order from
+    injection 1 lives in the streaming twin's keyed state and completes
+    when the Payment arrives in injection 2 (the reference's per-event
+    process loop does exactly this; replay mode only got there by
+    re-running the log)."""
+    src = """
+event Order:
+    id: int
+    user: str
+
+event Payment:
+    order_id: int
+    user: str
+    amount: float
+
+stream Paid = Order as o
+    -> Payment where order_id == o.id as p
+    .partition_by(user)
+    .emit(status: "paid", order_id: o.id, amount: p.amount)
+"""
+    srv = PipelineServer(spark)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "pat", "source": src}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental"
+    pid = r["id"]
+
+    def inject(ev):
+        st, r = srv.handle("POST", f"/api/v1/pipelines/{pid}/events",
+                           json.dumps(ev).encode(), {})
+        assert st == 200
+        return r["output_events"]
+
+    assert inject({"event_type": "Order",
+                   "fields": {"id": 1, "user": "alice"}}) == []
+    out = inject({"event_type": "Payment",
+                  "fields": {"order_id": 1, "user": "alice", "amount": 99.5}})
+    (row,) = out
+    assert row["stream"] == "Paid"
+    assert row["fields"]["order_id"] == 1 and row["fields"]["amount"] == 99.5
+    # a Payment for an order never seen stays unmatched
+    assert inject({"event_type": "Payment",
+                   "fields": {"order_id": 7, "user": "bob", "amount": 1.0}}) == []
+    srv.stop()
