@@ -223,6 +223,31 @@ def test_max_with_nan_filters_correctly(spark):
     assert agg_one(spark, [NAN, 50.0, 10.0], A.max("value")) == 50.0
 
 
+def test_sum_all_nan_returns_zero(spark):
+    # Sum filters NaN then folds the EMPTY slice to Float(0.0)
+    # (aggregation.rs apply_refs + simd sum_f64) — not null like min/max
+    assert agg_one(spark, [NAN, NAN], A.sum("value")) == 0.0
+
+
+def test_sum_integer_type_preserved(spark):
+    # the all-NaN zero fallback is float-only; integer sums keep Long
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "event_type": ["T", "T"],
+            "n": pd.array([2, 3], dtype="Int64"),
+            "ts": pd.to_datetime([1, 2], unit="s", utc=True),
+            "event_id": [0, 1],
+        }
+    )
+    out = Stream(spark.createDataFrame(rows), ts_col="ts", order_col="event_id").aggregate(
+        r=A.sum("n")
+    )
+    assert dict(out.df.dtypes)["r"] == "bigint"
+    assert out.df.collect()[0].r == 5
+
+
 def test_min_all_nan_returns_null(spark):
     assert agg_one(spark, [NAN, NAN], A.min("value")) is None
 

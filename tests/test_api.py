@@ -362,6 +362,38 @@ def test_incremental_fallback_on_undeclared_field(server):
     _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")
 
 
+def test_incremental_fallback_on_non_coercible_value(server):
+    """ADVICE r8: a DECLARED field carrying a value the spool column type
+    cannot coerce (string "abc" in a float field) must not 500 after the
+    event log advanced — check_declared validates coercibility and the
+    injection falls back to replay like any undeclared shape."""
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    status, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                        {"name": "fbcoerce", "source": source})
+    assert status == 200 and resp["mode"] == "incremental"
+    pid = resp["id"]
+    ev = {"event_type": "TemperatureReading",
+          "fields": {"sensor_id": "s1", "zone": "server_room", "value": 33.0}}
+    status, resp = _req(f"{server.url}/api/v1/pipelines/{pid}/events", "POST", ev)
+    assert status == 200 and len(resp["output_events"]) >= 1
+
+    # declared field, non-coercible value -> replay fallback, not a 500
+    bad = {"event_type": "TemperatureReading",
+           "fields": {"sensor_id": "s1", "zone": "server_room",
+                      "value": "abc"}}
+    status, resp = _req(f"{server.url}/api/v1/pipelines/{pid}/events", "POST", bad)
+    assert status == 200, resp
+    status, info = _req(f"{server.url}/api/v1/pipelines/{pid}")
+    assert info["mode"] == "replay"
+    # both events stayed in the log (lossless fallback)
+    assert info["events_ingested"] == 2
+    # the first injection's 33.0 alert was not re-announced
+    assert all(e["fields"].get("temperature") != 33.0
+               for e in resp["output_events"])
+    _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")
+
+
 def test_prometheus_metrics_endpoint(server, spark):
     """GET /metrics serves Prometheus exposition text (metrics.rs families:
     events_total by type, events_processed / output_events_total by

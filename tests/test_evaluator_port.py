@@ -195,6 +195,22 @@ def test_string_substring(spark):
     assert r["sub"] == "world"
 
 
+def test_string_substring_two_arg_defaults_end(spark):
+    # end defaults to s.len() (evaluator.rs:745-748)
+    (r,) = one(spark, gen('emit R(sub: substring("hello world", 6))'))
+    assert r["sub"] == "world"
+
+
+def test_string_substring_out_of_range_is_null(spark):
+    # start > end or end > len → None, not a clamped slice (rs:752-754)
+    (r,) = one(spark, gen(
+        'emit R(a: substring("abc", 2, 1) ?? "N", '
+        'b: substring("abc", 0, 9) ?? "N", '
+        'c: substring("abc", -1, 2) ?? "N")'
+    ))
+    assert r["a"] == "N" and r["b"] == "N" and r["c"] == "N"
+
+
 def test_string_length(spark):
     (r,) = one(spark, gen('emit R(l: len("hello"))'))
     assert r["l"] == 5

@@ -78,6 +78,29 @@ def test_parse_timing_prefix_no_space():
         parse_evt("@5s")
 
 
+def test_parse_timing_prefix_rejects_decimal():
+    # reference parses timing as u64 (event_file.rs:146-169) — no decimals
+    with pytest.raises(ValueError, match="Invalid timing value"):
+        parse_evt("@1.5s Event { x: 1 }")
+
+
+def test_parse_timing_prefix_rejects_negative():
+    with pytest.raises(ValueError, match="Invalid timing value"):
+        parse_evt("@-100 Event { x: 1 }")
+
+
+def test_parse_timing_prefix_rejects_hours_unit():
+    # the reference only knows ms/s/m; '2h' falls through to the bare
+    # u64 parse and errors
+    with pytest.raises(ValueError, match="Invalid timing value"):
+        parse_evt("@2h Event { x: 1 }")
+
+
+def test_batch_rejects_non_u64():
+    with pytest.raises(ValueError, match="Invalid BATCH time"):
+        parse_evt("BATCH -5\nA { x: 1 }\n")
+
+
 # -- evt lines ----------------------------------------------------------------
 
 
@@ -90,6 +113,12 @@ def test_parse_line_positional_format():
     _, etype, p = one('StockTick(100.5, "AAPL")')
     assert etype == "StockTick"
     assert p == {"field_0": 100.5, "field_1": "AAPL"}
+
+
+def test_parse_line_bare_event_type_rejected():
+    # neither '{' nor '(' → 'Invalid event format' (event_file.rs:179-187)
+    with pytest.raises(ValueError, match="Invalid event format"):
+        parse_evt("Heartbeat\n")
 
 
 def test_parse_comments_and_batch():

@@ -79,6 +79,20 @@ def test_within_outside_sequence():
     assert has_error(v, "E020"), v.format()
 
 
+def test_ops_before_inline_pattern():
+    # ours (E091): the lowering would silently drop ops preceding
+    # .pattern(...) — must be a hard diagnostic instead
+    v = diags(
+        "stream S = E\n    .where(x > 1)\n    .pattern(chain: A -> B)\n"
+    )
+    assert has_error(v, "E091"), v.format()
+
+
+def test_inline_pattern_first_op_is_clean():
+    v = diags("stream S = E\n    .pattern(chain: A -> B)\n")
+    assert not any(d.code == "E091" for d in v.errors), v.format()
+
+
 def test_aggregate_without_window_warning():
     v = diags("stream S = A\n    .aggregate(c: count())\n")
     assert has_warning(v, "W001"), v.format()

@@ -208,11 +208,39 @@ class _IncrementalRunner:
 
     def check_declared(self, events: list[tuple[float, str, dict]]) -> None:
         """Raise _NotIncremental if any event carries an undeclared type or
-        field — the fixed spool schema cannot represent it."""
+        field — the fixed spool schema cannot represent it — or a declared
+        field whose VALUE the spool column type cannot coerce (a coercion
+        error inside inject() would 500 after the event log had already
+        advanced, leaving announced state inconsistent)."""
+        reserved = {"event_id", "ts", "event_type"}
+        raw_types: dict[str, str] = {}
+        for name, typ in self.fields.items():
+            raw = (
+                name[: -len("_payload")]
+                if name.endswith("_payload")
+                and name[: -len("_payload")] in reserved
+                else name
+            )
+            raw_types[raw] = typ
         for _off, etype, payload in events:
             known = self.declared.get(etype)
             if known is None or any(k not in known for k in payload):
                 raise _NotIncremental(f"undeclared event shape: {etype}")
+            for k, v in payload.items():
+                if v is None:
+                    continue
+                t = raw_types.get(k)
+                try:
+                    if t == "double":
+                        float(v)
+                    elif t == "long":
+                        int(v)
+                    elif t == "boolean" and not isinstance(v, bool):
+                        raise ValueError(v)
+                except (TypeError, ValueError):
+                    raise _NotIncremental(
+                        f"non-coercible value for {etype}.{k}: {v!r}"
+                    ) from None
 
     def inject(self, events: list[tuple[float, str, dict]]) -> list[dict]:
         """Append one spool file with `events`, drain every query, return
@@ -581,6 +609,10 @@ class PipelineServer:
             else:
                 new_rows = self._run_delta(p)
         except Exception as e:  # noqa: BLE001
+            if p.runner is not None and triples:
+                # the client is told these events failed — they must not
+                # stay in the log for a later replay/checkpoint to process
+                del p.events[-len(triples):]
             return 500, {"error": "execution_error", "message": str(e)}
         p.output_log.extend(new_rows)
         from varpulis_spark.metrics import LatencyHistogram

@@ -61,7 +61,9 @@ class AggBase:
     def __rtruediv__(self, other):
         return self._bin(other, operator.truediv, rev=True)
 
-    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+    def to_column(
+        self, ts_col: str, order_col: str | None, float_fields: frozenset | None = None
+    ) -> Column:
         raise NotImplementedError
 
 
@@ -79,7 +81,9 @@ class AggSpec(AggBase):
             return F.struct(F.col(ts_col), F.col(order_col))
         return F.col(ts_col)
 
-    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+    def to_column(
+        self, ts_col: str, order_col: str | None, float_fields: frozenset | None = None
+    ) -> Column:
         k = self.kind
         f = self._field_col() if self.field is not None else None
         if f is not None and k in (
@@ -96,7 +100,15 @@ class AggSpec(AggBase):
         if k == "count":
             return F.count(F.lit(1)) if f is None else F.count(f)
         if k == "sum":
-            return F.sum(f)
+            s = F.sum(f)
+            if float_fields and isinstance(self.field, str) and self.field in float_fields:
+                # the reference's Sum filters NaN then sums the remaining
+                # slice — an empty slice folds to Float(0.0), not null
+                # (aggregation.rs apply_refs + simd sum_f64), so an all-NaN
+                # or all-missing float group yields 0.0. Only floating
+                # fields get this (integer sums keep their Long type).
+                s = F.coalesce(s, F.lit(0.0))
+            return s
         if k == "avg":
             return F.avg(f)
         if k == "min":
@@ -224,9 +236,15 @@ class AggArith(AggBase):
     op: Callable
     rev: bool = False
 
-    def to_column(self, ts_col: str, order_col: str | None) -> Column:
+    def to_column(
+        self, ts_col: str, order_col: str | None, float_fields: frozenset | None = None
+    ) -> Column:
         def lower(x):
-            return x.to_column(ts_col, order_col) if isinstance(x, AggBase) else F.lit(x)
+            return (
+                x.to_column(ts_col, order_col, float_fields)
+                if isinstance(x, AggBase)
+                else F.lit(x)
+            )
 
         l, r = lower(self.left), lower(self.right)
         return self.op(r, l) if self.rev else self.op(l, r)
@@ -318,11 +336,21 @@ def udaf(
 
 
 def compile_aggs(
-    aggs: dict[str, AggBase | Column], ts_col: str, order_col: str | None
+    aggs: dict[str, AggBase | Column],
+    ts_col: str,
+    order_col: str | None,
+    float_fields: frozenset | None = None,
 ) -> list[Column]:
-    """Lower alias→spec mappings to aliased aggregate Columns."""
+    """Lower alias→spec mappings to aliased aggregate Columns.
+
+    `float_fields` is the set of floating-typed column names in the input
+    frame — used to match the reference's all-NaN Sum → Float(0.0)."""
     out = []
     for alias, spec in aggs.items():
-        col = spec.to_column(ts_col, order_col) if isinstance(spec, AggBase) else spec
+        col = (
+            spec.to_column(ts_col, order_col, float_fields)
+            if isinstance(spec, AggBase)
+            else spec
+        )
         out.append(col.alias(alias))
     return out

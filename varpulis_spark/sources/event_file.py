@@ -14,18 +14,12 @@ Driver-side parsing is deliberate: .evt files are test/replay fixtures
 from __future__ import annotations
 
 import json
-import re
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
 EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
-_EVENT_RE = re.compile(r"^(\w+)\s*\{(.*)\}\s*$")
-_BATCH_RE = re.compile(r"^BATCH\s+(\d+)\s*$")
-_AT_RE = re.compile(r"^@(\d+(?:\.\d+)?)(ms|s|m|h)\s+(.*)$")
-_KEY_RE = re.compile(r"([{,]\s*)(\w+)\s*:")
-_AT_UNITS = {"ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
 
 
 def _split_fields(content: str) -> list[str]:
@@ -121,25 +115,35 @@ def _parse_value(s: str, depth: int | None = None):
     return s  # unquoted identifier-like string
 
 
+def _parse_u64(s: str) -> int:
+    """Rust `str::parse::<u64>()`: optional leading '+', ASCII digits only —
+    no sign, decimals, underscores, or unicode digits."""
+    body = s[1:] if s.startswith("+") else s
+    if not body or any(c not in "0123456789" for c in body):
+        raise ValueError(s)
+    return int(body)
+
+
 def _parse_timing_prefix(line: str) -> tuple[float, str]:
     """@10s / @100ms / @2m / @100 (bare = ms) → (offset_seconds, rest).
-    Raises on a missing event or non-numeric value, like the reference
-    (event_file.rs:133-171)."""
+    Raises on a missing event or non-u64 value, like the reference
+    (event_file.rs:133-171) — which means NO decimals, NO negatives, and
+    no 'h' unit (the reference only knows ms/s/m)."""
     body = line.lstrip("@")
     sp = next((i for i, c in enumerate(body) if c.isspace()), None)
     if sp is None:
         raise ValueError("Invalid timing prefix format")
     timing, rest = body[:sp], body[sp:].strip()
-    units = (("ms", 1e-3), ("s", 1.0), ("m", 60.0), ("h", 3600.0))
+    units = (("ms", 1e-3), ("s", 1.0), ("m", 60.0))
     for suffix, mult in units:
         if timing.endswith(suffix):
             num = timing[: -len(suffix)]
             try:
-                return float(num) * mult, rest
+                return _parse_u64(num) * mult, rest
             except ValueError:
                 raise ValueError(f"Invalid timing value: {timing}") from None
     try:
-        return float(timing) * 1e-3, rest  # bare number = milliseconds
+        return _parse_u64(timing) * 1e-3, rest  # bare number = milliseconds
     except ValueError:
         raise ValueError(f"Invalid timing value: {timing}") from None
 
@@ -171,8 +175,10 @@ def _parse_jsonl_line(line: str) -> tuple[str, dict]:
 
 
 def _parse_event_line(line: str) -> tuple[str, dict]:
-    """`EventType { k: v, ... }` / `EventType(v1, v2)` positional /
-    bare `EventType` (event_file.rs:173-243)."""
+    """`EventType { k: v, ... }` / `EventType(v1, v2)` positional
+    (event_file.rs:173-243). A bare `EventType` with neither brace nor
+    paren is a hard 'Invalid event format' error, like the reference
+    (event_file.rs:179-187)."""
     line = line.strip().rstrip(";")
     brace = line.find("{")
     paren = line.find("(")
@@ -181,9 +187,7 @@ def _parse_event_line(line: str) -> tuple[str, dict]:
     elif paren >= 0:
         etype, rest = line[:paren].strip(), line[paren:]
     else:
-        if not line or not line.replace("_", "a").isalnum():
-            raise ValueError(f"Invalid event format: {line}")
-        return line, {}
+        raise ValueError(f"Invalid event format: {line}")
     payload: dict = {}
     if rest.startswith("{"):
         content = rest.lstrip("{").rstrip("}").strip()
@@ -209,9 +213,10 @@ def parse_evt(source: str) -> list[tuple[float, str, dict]]:
     r8 — previously a json.loads shim that silently DROPPED JSONL lines,
     bare-ms timing prefixes, and malformed lines, and crashed on
     single-quoted strings): `# / //` comments, `BATCH <ms>`, `@N[unit]`
-    per-line offsets (bare number = ms), JSONL lines, `Type { k: v }` /
-    `Type(v1, v2)` / bare `Type` events — and HARD errors with line
-    numbers on anything malformed, matching the reference."""
+    per-line offsets (bare number = ms, u64 only), JSONL lines,
+    `Type { k: v }` / `Type(v1, v2)` events — and HARD errors with line
+    numbers on anything malformed (including a bare `Type` with no
+    braces/parens), matching the reference."""
     out = []
     offset = 0.0
     for line_num, raw in enumerate(source.splitlines()):
@@ -222,7 +227,7 @@ def parse_evt(source: str) -> list[tuple[float, str, dict]]:
             parts = line.split()
             if len(parts) >= 2:
                 try:
-                    offset = int(parts[1]) / 1000.0
+                    offset = _parse_u64(parts[1]) / 1000.0
                 except ValueError:
                     raise ValueError(
                         f"Invalid BATCH time at line {line_num + 1}"

@@ -41,6 +41,12 @@ from varpulis_spark.operators import joins as join_mod
 from varpulis_spark.operators import windows as win_mod
 
 
+def _float_fields(df: DataFrame) -> frozenset:
+    """Floating-typed column names — drives the reference's all-NaN
+    Sum → Float(0.0) semantics in compile_aggs."""
+    return frozenset(n for n, t in df.dtypes if t in ("double", "float"))
+
+
 class Stream:
     """A (possibly streaming) typed event flow."""
 
@@ -304,7 +310,9 @@ class Stream:
 
     def aggregate(self, **aggs) -> "Stream":
         """Global/keyed aggregate without a window (whole-stream fold)."""
-        cols = agg_mod.compile_aggs(aggs, self.ts_col, self.order_col)
+        cols = agg_mod.compile_aggs(
+            aggs, self.ts_col, self.order_col, _float_fields(self.df)
+        )
         if self.keys:
             out = self.df.groupBy(*[F.col(k) for k in self.keys]).agg(*cols)
         else:
@@ -530,7 +538,7 @@ class WindowedStream:
                 "{alias: (fn, field)}, slide=...) — the Column-expression "
                 "form cannot be introspected into per-batch counters"
             )
-        cols = agg_mod.compile_aggs(aggs, s.ts_col, s.order_col)
+        cols = agg_mod.compile_aggs(aggs, s.ts_col, s.order_col, _float_fields(s.df))
         key_cols = [F.col(k) for k in s.keys]
 
         if self.kind == "time":

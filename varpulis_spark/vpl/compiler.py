@@ -113,12 +113,27 @@ _SCALAR_FNS = {
     "pow": F.pow, "sin": F.sin, "cos": F.cos, "tan": F.tan,
     "contains": F.contains, "starts_with": F.startswith,
     "ends_with": F.endswith, "replace": F.replace, "split": F.split,
-    "concat": F.concat, "substring": F.substring,
+    "concat": F.concat,
+    "substring": lambda s, a, b=None: _substring_col(s, a, b),
     "now": F.current_timestamp,
     "to_int": lambda c: c.cast("long"), "to_float": lambda c: c.cast("double"),
     "to_str": lambda c: c.cast("string"), "to_bool": lambda c: c.cast("boolean"),
 }
 _SCALAR_MULTI = {"min": F.least, "max": F.greatest}  # scalar min/max (2+ args)
+
+
+def _substring_col(s, a, b=None):
+    """Column twin of the VPL `substring(s, start[, end])` builtin
+    (evaluator.rs:738-757): 0-based [start, end) char slice; end defaults
+    to the BYTE length; null when start > end or end > char-length or
+    either index is negative (the reference's `as usize` wrap)."""
+    start = a.cast("long") if isinstance(a, Column) else F.lit(int(a))
+    if b is None:
+        end = F.octet_length(s).cast("long")
+    else:
+        end = b.cast("long") if isinstance(b, Column) else F.lit(int(b))
+    valid = (start >= 0) & (end >= 0) & (start <= end) & (end <= F.length(s))
+    return F.when(valid, s.substr(start + 1, end - start))
 
 # SQL spellings for the join-compiled pattern path (Spark SQL dialect)
 _SQL_FNS = {
@@ -169,6 +184,24 @@ def _vpl_type_of(v) -> str:
     if isinstance(v, dict):
         return "map"
     return "unknown"
+
+
+def _vpl_substring(s, a, b=None):
+    """`substring(s, start[, end])` (evaluator.rs:738-757): 0-based
+    [start, end) CHAR slice. end defaults to the BYTE length (the
+    reference's `s.len()`), the bounds check is against the char count —
+    so the 2-arg form on a multi-byte string is null, faithfully. Null on
+    start > end, end > len, negative indices (`as usize` wrap), or
+    non-int/non-string arguments."""
+    if not isinstance(s, str):
+        return None
+    if not _is_i(a) or (b is not None and not _is_i(b)):
+        return None
+    start = int(a)
+    end = int(b) if b is not None else len(s.encode("utf-8"))
+    if start < 0 or end < 0 or start > end or end > len(s):
+        return None
+    return s[start:end]
 
 
 def _vpl_sort(xs):
@@ -224,7 +257,7 @@ _PY_FNS = {
     "join": lambda xs, sep: sep.join(
         x if isinstance(x, str) else _vpl_display(x) for x in xs
     ),
-    "substring": lambda s, a, b: s[int(a):int(b)],
+    "substring": lambda s, a, b=None: _vpl_substring(s, a, b),
     "replace": lambda s, old, new: s.replace(old, new),
     "range": lambda *a: list(range(*[int(x) for x in a])),
     "unique": lambda xs: list(dict.fromkeys(xs)),
@@ -794,6 +827,21 @@ def to_sql(e, self_alias: str, aliases: set[str]) -> str:
             )
         op = {"==": "=", "and": "AND", "or": "OR"}.get(e.op, e.op)
         return f"({to_sql(e.left, self_alias, aliases)} {op} {to_sql(e.right, self_alias, aliases)})"
+    if isinstance(e, Call) and e.name == "substring" and len(e.args) >= 2:
+        # VPL substring is a 0-based [start, end) char slice with null on
+        # out-of-range (evaluator.rs:738-757) — not SQL's (pos, len)
+        s = to_sql(e.args[0], self_alias, aliases)
+        a = to_sql(e.args[1], self_alias, aliases)
+        b = (
+            to_sql(e.args[2], self_alias, aliases)
+            if len(e.args) >= 3
+            else f"octet_length({s})"
+        )
+        return (
+            f"(CASE WHEN ({a}) >= 0 AND ({b}) >= 0 AND ({a}) <= ({b}) "
+            f"AND ({b}) <= length({s}) "
+            f"THEN substring({s}, ({a}) + 1, ({b}) - ({a})) END)"
+        )
     if isinstance(e, Call) and e.name in _SQL_FNS:
         args = ", ".join(to_sql(a, self_alias, aliases) for a in e.args)
         return f"{_SQL_FNS[e.name]}({args})"
@@ -2782,6 +2830,16 @@ def run_program(
             # source type is just the attachment anchor (the reference's
             # and/or tests match on events of OTHER types arriving first).
             i, alias, node = inline_pat
+            if i > 0:
+                # ops before .pattern(...) have nothing well-defined to
+                # apply to (the analyzer observes the whole ingest stream);
+                # silently dropping them changed match results — hard error
+                # (validate.py E091 catches this pre-deploy)
+                raise ValueError(
+                    f"stream {decl.name}: .{decl.ops[i - 1].name} precedes "
+                    f"inline .pattern(...) — ops before an inline pattern "
+                    f"are not supported; move them after the pattern"
+                )
             pdecl = PatternDecl(alias, node)
             use = StreamDecl(decl.name, [], decl.ops[i + 1 :])
             out = _compile_named_pattern(pdecl, use, base_stream, env, env_streams)

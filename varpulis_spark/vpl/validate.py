@@ -40,6 +40,10 @@ from varpulis_spark.vpl.parser import (
     Call,
     Dur,
     Lit,
+    PatAnd,
+    PatNot,
+    PatOr,
+    PatSeq,
     PatternStep,
     Program,
     Ref,
@@ -210,6 +214,25 @@ def validate(program: Program) -> ValidationResult:
             or any(getattr(s, "negated", False) for s in decl.steps)
             or (decl.steps and decl.steps[0].event_type in patterns)
         )
+        # inline `.pattern(chain: A -> B)` must be the FIRST op: the
+        # lowering attaches the pattern analyzer to the ingest stream, so
+        # ops before it have nothing well-defined to apply to (E091 is
+        # ours — the reference's apama programs never precede .pattern)
+        for idx, op in enumerate(decl.ops):
+            if op.name == "pattern" and any(
+                isinstance(v, (PatSeq, PatAnd, PatOr, PatNot, PatternStep))
+                for v in op.kwargs.values()
+            ):
+                if idx > 0:
+                    prev = decl.ops[idx - 1].name
+                    emit(Diagnostic(
+                        ERROR, "E091",
+                        f"ops before inline .pattern(...) are not supported "
+                        f"(found .{prev} preceding it)",
+                        "move the op after .pattern(...) or filter inside "
+                        "the pattern's step predicates",
+                    ))
+                break
         seen_aggregate = seen_window = False
         ops = [op for s in decl.steps for op in getattr(s, "ops", [])] + list(decl.ops)
         for op in ops:
