@@ -15,10 +15,12 @@ to hash-match:
   results are rounded to 6 decimals on both sides;
 - ANN top-k emits ids + rank only (ranking at full float64 precision).
 
-The one query without an oracle entry (`forecast_pst`) is
-non-SQL-expressible (prediction-suffix-tree probabilities depend on the
-PST model, not the data relation); the driver records a rows-only check
-for it, with calibration/discrimination pinned in tests/test_extensions.py.
+Every query has an oracle entry since r9: `forecast_pst` is hash-checked
+against a full DuckDB port of the PST + Hawkes completion probability
+(`_forecast_pst_oracle_sql` — variable-order Markov counts as windowed
+n-gram joins, the Hawkes intensity fold as a recursive CTE, the linear-NFA
+fixed point in closed form); calibration/discrimination stay pinned in
+tests/test_extensions.py.
 `minhash_near_dup` and `simhash_near_dup` are fully oracle-checked since
 r8: the OPH/SimHash kernels are deterministic 64-bit integer arithmetic
 (FNV rolling hash → murmur finalizer → per-(doc,bin) min / bit votes),
@@ -841,9 +843,10 @@ def _score_oracle_sql() -> str:
 
 def q_forecast(spark, sf):
     """`.forecast` (PST + Hawkes + conformal) over the signup→purchase→error
-    pattern per user — rows-only: the prediction-suffix-tree probabilities
-    are not SQL-expressible; calibration/monotonicity are pinned in
-    tests/test_extensions.py. Deterministic given the data (no RNG)."""
+    pattern per user. Hash-checked since r9 against a full DuckDB port of
+    the PST + Hawkes arithmetic (`_forecast_pst_oracle_sql`);
+    calibration/monotonicity are pinned in tests/test_extensions.py.
+    Deterministic given the data (no RNG)."""
     from varpulis_spark.operators.forecast import forecast as forecast_op
 
     s = (
@@ -915,6 +918,236 @@ FORECAST_RUNS_ORACLE = """
     WHERE e.pos >= 10
     GROUP BY e.user_id, e.event_id
 """
+
+
+def _forecast_pst_oracle_sql() -> str:
+    """Full DuckDB port of the `.forecast` completion probability
+    (forecast.py OnlinePST + HawkesIntensity + _completion_prob), the same
+    way r8 ported the OPH minhash kernel — so `forecast_pst` is
+    hash-checked end to end, not rows-only.
+
+    Faithful pieces:
+    - run/NFA bookkeeping: FORECAST_RUNS_ORACLE verbatim (hash-green).
+    - PST (variable-order Markov, max_depth=5, +1 smoothing): training
+      rows are (context-before-event, symbol) for every depth 0..5;
+      lookup at event pos uses the deepest context ENDING AT pos (the
+      engine updates before it forecasts, so counts include pos itself)
+      with any data; alphabet V = cumulative distinct event types.
+    - Hawkes (per user x pattern-type tracker): the exact per-event fold
+      (EMA dt/dt^2, conditional mu/beta re-estimation at n>=10,
+      intensity recursion with max clamp) as a recursive CTE over each
+      (user, type) chain; boost = clamp(cur/mu, 1, 5) from the tracker
+      state at the last type event <= pos (ASOF join).
+    - completion: for next_step=2, prob = min(1, p_err'); for
+      next_step=1, prob = 0 when p_err' <= 1e-10 (the fixed-point's
+      early-stop) else min(1, p_pur' * p_err'), p' = min(1, p * boost) —
+      the scalar form of markov_chain.rs:351-471 for a linear chain.
+
+    Arithmetic is written in the engine's exact evaluation order; exp and
+    sqrt hit the same libm on this box, so round(x, 6) hashes match."""
+    return """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    runs AS (
+      SELECT s.user_id, s.pos AS p0,
+             (SELECT min(p.pos) FROM ev p
+               WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+                 AND p.pos > s.pos) AS p_pur
+      FROM ev s WHERE s.event_type = 'signup'
+    ),
+    runs2 AS (
+      SELECT r.user_id, r.p0, r.p_pur,
+             (SELECT min(e.pos) FROM ev e
+               WHERE e.user_id = r.user_id AND e.event_type = 'error'
+                 AND e.pos > r.p_pur) AS p_err
+      FROM runs r
+    ),
+    fired AS (
+      SELECT e.user_id, e.event_id, e.pos, e.ts_ns,
+             CAST(max(CASE WHEN r.p_pur IS NOT NULL AND e.pos >= r.p_pur
+                           THEN 2 ELSE 1 END) AS INT) AS next_step,
+             CAST(count(*) AS INT) AS active_runs
+      FROM ev e
+      JOIN runs2 r
+        ON r.user_id = e.user_id
+       AND e.pos >= r.p0
+       AND (r.p_err IS NULL OR e.pos < r.p_err)
+      WHERE e.pos >= 10
+      GROUP BY e.user_id, e.event_id, e.pos, e.ts_ns
+    ),
+    -- contexts ENDING at pos, lengths 1..5 ('|'-separated; types have no '|')
+    ctx AS (
+      SELECT user_id, pos, event_type,
+             event_type AS c1,
+             CASE WHEN l1 IS NOT NULL
+                  THEN l1 || '|' || event_type END AS c2,
+             CASE WHEN l2 IS NOT NULL
+                  THEN l2 || '|' || l1 || '|' || event_type END AS c3,
+             CASE WHEN l3 IS NOT NULL
+                  THEN l3 || '|' || l2 || '|' || l1 || '|' || event_type END AS c4,
+             CASE WHEN l4 IS NOT NULL
+                  THEN l4 || '|' || l3 || '|' || l2 || '|' || l1 || '|' || event_type END AS c5
+      FROM (
+        SELECT user_id, pos, event_type,
+               lag(event_type, 1) OVER w AS l1,
+               lag(event_type, 2) OVER w AS l2,
+               lag(event_type, 3) OVER w AS l3,
+               lag(event_type, 4) OVER w AS l4
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+      )
+    ),
+    -- PST training rows: (context before event, symbol) per depth 0..5
+    prevctx AS (
+      SELECT user_id, pos, event_type AS symbol,
+             lag(c1) OVER w AS p1, lag(c2) OVER w AS p2,
+             lag(c3) OVER w AS p3, lag(c4) OVER w AS p4,
+             lag(c5) OVER w AS p5
+      FROM ctx
+      WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+    ),
+    train AS (
+      SELECT user_id, pos, symbol, 0 AS d, '' AS tctx FROM prevctx
+      UNION ALL
+      SELECT user_id, pos, symbol, 1, p1 FROM prevctx WHERE p1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, pos, symbol, 2, p2 FROM prevctx WHERE p2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, pos, symbol, 3, p3 FROM prevctx WHERE p3 IS NOT NULL
+      UNION ALL
+      SELECT user_id, pos, symbol, 4, p4 FROM prevctx WHERE p4 IS NOT NULL
+      UNION ALL
+      SELECT user_id, pos, symbol, 5, p5 FROM prevctx WHERE p5 IS NOT NULL
+    ),
+    -- lookup: counts at the fired pos for every candidate depth
+    lk AS (
+      SELECT f.user_id, f.pos, dd.d,
+             CASE dd.d WHEN 0 THEN '' WHEN 1 THEN c.c1 WHEN 2 THEN c.c2
+                       WHEN 3 THEN c.c3 WHEN 4 THEN c.c4 ELSE c.c5 END AS ctx
+      FROM fired f
+      JOIN ctx c ON c.user_id = f.user_id AND c.pos = f.pos
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5]) AS d) dd
+    ),
+    lkc AS (
+      SELECT l.user_id, l.pos, l.d,
+             count(t.pos) AS tot,
+             count(t.pos) FILTER (WHERE t.symbol = 'purchase') AS n_pur,
+             count(t.pos) FILTER (WHERE t.symbol = 'error') AS n_err
+      FROM lk l
+      LEFT JOIN train t
+        ON t.user_id = l.user_id AND t.d = l.d AND t.tctx = l.ctx
+       AND t.pos <= l.pos
+      WHERE l.ctx IS NOT NULL
+      GROUP BY l.user_id, l.pos, l.d
+    ),
+    -- back-off: deepest context with data wins (prob_sufs)
+    psel AS (
+      SELECT k.user_id, k.pos, k.tot, k.n_pur, k.n_err
+      FROM lkc k
+      JOIN (SELECT user_id, pos, max(d) FILTER (WHERE tot > 0) AS bd
+            FROM lkc GROUP BY user_id, pos) b
+        ON b.user_id = k.user_id AND b.pos = k.pos AND k.d = b.bd
+    ),
+    -- alphabet size V at pos: cumulative distinct event types
+    vsz AS (
+      SELECT user_id, pos,
+             CAST(SUM(CASE WHEN rn1 = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY pos) AS BIGINT) AS v
+      FROM (SELECT user_id, pos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY user_id, event_type ORDER BY pos) AS rn1
+            FROM ev)
+    ),
+    -- Hawkes: per (user, pattern type) event chain, exact engine fold
+    typed AS (
+      SELECT user_id, event_type AS t, pos, ts_ns,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY pos) AS k
+      FROM ev WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    hk AS (
+      SELECT user_id, t, k, pos, ts_ns,
+             1e-9 AS mu, 0.5e-9 AS alpha, 1e-9 AS beta,
+             1e-9 + 0.5e-9 AS intensity,
+             ts_ns AS last_ns, 1 AS n,
+             CAST(0.0 AS DOUBLE) AS ema_d, CAST(0.0 AS DOUBLE) AS ema_d2
+      FROM typed WHERE k = 1
+      UNION ALL
+      SELECT user_id, t, k, pos, ts_ns,
+             CASE WHEN cond THEN greatest(1e-15, 1.0 / ema_d1) ELSE mu END,
+             CASE WHEN cond THEN greatest(1e-15, 1.0 / ema_d1) * 0.5
+                  ELSE alpha END,
+             CASE WHEN cond AND (ema_d21 - ema_d1 * ema_d1) > 0
+                  THEN greatest(1e-15, 1.0 / sqrt(ema_d21 - ema_d1 * ema_d1))
+                  ELSE beta END,
+             CASE WHEN cond
+                  THEN greatest(int_pre, greatest(1e-15, 1.0 / ema_d1))
+                  ELSE int_pre END,
+             ts_ns, n + 1, ema_d1, ema_d21
+      FROM (
+        SELECT *, (n + 1 >= 10 AND ema_d1 > 0) AS cond,
+               mu + (intensity - mu + alpha) * exp(-beta * dt) AS int_pre
+        FROM (
+          SELECT e.user_id, e.t, e.k, e.pos, e.ts_ns,
+                 h.mu, h.alpha, h.beta, h.intensity, h.n,
+                 greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE)) AS dt,
+                 CASE WHEN h.n = 1
+                      THEN greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                      ELSE 0.05 * greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                           + (1 - 0.05) * h.ema_d END AS ema_d1,
+                 CASE WHEN h.n = 1
+                      THEN greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                           * greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                      ELSE 0.05 * greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                             * greatest(0.0, CAST(e.ts_ns - h.last_ns AS DOUBLE))
+                           + (1 - 0.05) * h.ema_d2 END AS ema_d21
+          FROM hk h
+          JOIN typed e ON e.user_id = h.user_id AND e.t = h.t AND e.k = h.k + 1
+        )
+      )
+    ),
+    -- boost at the fired event = tracker state at last type event <= pos
+    fx AS (
+      SELECT f.user_id, f.pos, f.ts_ns, tt.t
+      FROM fired f
+      CROSS JOIN (SELECT unnest(['purchase', 'error']) AS t) tt
+    ),
+    bst AS (
+      SELECT fx.user_id, fx.pos, fx.t,
+             CASE WHEN h.n IS NULL THEN 1.0
+                  ELSE least(5.0, greatest(1.0,
+                    (h.mu + (h.intensity - h.mu)
+                       * exp(-h.beta
+                             * greatest(0.0,
+                                 CAST(fx.ts_ns - h.last_ns AS DOUBLE))))
+                    / h.mu))
+             END AS boost
+      FROM fx
+      ASOF LEFT JOIN hk h
+        ON h.user_id = fx.user_id AND h.t = fx.t AND h.pos <= fx.pos
+    ),
+    probs AS (
+      SELECT f.user_id, f.event_id, f.next_step, f.active_runs,
+             least(1.0, ((p.n_pur + 1) * 1.0 / (p.tot + v.v)) * bp.boost) AS pp,
+             least(1.0, ((p.n_err + 1) * 1.0 / (p.tot + v.v)) * be.boost) AS pe
+      FROM fired f
+      JOIN psel p ON p.user_id = f.user_id AND p.pos = f.pos
+      JOIN vsz v ON v.user_id = f.user_id AND v.pos = f.pos
+      JOIN bst bp ON bp.user_id = f.user_id AND bp.pos = f.pos
+                 AND bp.t = 'purchase'
+      JOIN bst be ON be.user_id = f.user_id AND be.pos = f.pos
+                 AND be.t = 'error'
+    )
+    SELECT user_id, event_id, next_step, active_runs,
+           round(CASE WHEN next_step = 2 THEN least(1.0, pe)
+                      WHEN pe <= 1e-10 THEN 0.0
+                      ELSE least(1.0, pp * pe) END, 6) AS completion_prob
+    FROM probs
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1673,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle_sql(),
         "ivf_near_dup": _ivf_near_dup_oracle_sql(),
         "forecast_runs": FORECAST_RUNS_ORACLE,
+        "forecast_pst": _forecast_pst_oracle_sql(),
         "score_sequence": """
             -- mean-pool + linear head over each user's LAST 8 events:
             -- score = avg(f)·w with w = (0.25, -0.5, 1.5, 0.125)
