@@ -109,18 +109,43 @@ def _percentiles(lat_ms: list[float]) -> dict:
 
 STREAM_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
 
+# RocksDB + changelog checkpointing: measured r9 on the pattern twin
+# (p50 916 → 777 ms, the changelog skips the per-batch full-snapshot
+# upload) and the dedup twin (sustained 3.2K → 3.5K eps, drain 2.7 → 1.6 s
+# at 4K offered); the trend twin showed no win (853 vs 825 eps — pane
+# state is tiny and rewritten wholesale), so scenarios opt in.
+ROCKSDB_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
 
-def _drive(spark, stream, sink_fn, producer, checkpoint: str) -> dict:
+
+def _drive(
+    spark, stream, sink_fn, producer, checkpoint: str, conf: dict | None = None
+) -> dict:
     """Start the query, run the producer to completion, drain, stop.
-    Returns wall-clock accounting; alert latencies land via sink_fn."""
+    Returns wall-clock accounting; alert latencies land via sink_fn.
+    `conf` entries (e.g. state-store provider, shuffle partitions) are
+    pinned at query start via the session conf and restored after — a
+    streaming query captures them at start."""
     # Stateful micro-batches pay a fixed per-partition cost (task launch +
     # Python state-worker round-trip) EVERY batch; at the bench's key
     # cardinality 8 state partitions beat the batch suite's 32 by ~4× on
-    # batch wall time. Pinned at first start via the query's own conf;
-    # restored after — the batch suite keeps its 32.
+    # batch wall time (the group-heavy dedup scenario overrides to 32).
+    # Pinned at first start via the query's own conf; restored after — the
+    # batch suite keeps its 32.
     producer.write_warmup()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE)
+    pinned = {"spark.sql.shuffle.partitions": STREAM_SHUFFLE, **(conf or {})}
+    saved: dict = {}
+    for k, v in pinned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
     try:
         q = (
             stream.df.writeStream.outputMode("append")
@@ -129,7 +154,11 @@ def _drive(spark, stream, sink_fn, producer, checkpoint: str) -> dict:
             .start()
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     # warmup: the FIRST micro-batch pays one-time costs (query planning,
     # state-store init, Python worker spin-up — measured ~7 s) that would
     # otherwise queue the whole run behind it. Feed one warmup tick
@@ -268,7 +297,10 @@ def bench_pattern_runcap(spark, workdir: str, rows_per_tick: int = 2000) -> dict
         now = _now_us()
         alerts[0] += len(rows)
         lat_ms.extend((now - r.done_ingest_us) / 1000.0 for r in rows)
-    acct = _drive(spark, out, sink, producer, os.path.join(workdir, "ckpt_pattern"))
+    acct = _drive(
+        spark, out, sink, producer, os.path.join(workdir, "ckpt_pattern"),
+        conf=ROCKSDB_CONF,
+    )
     return _finish(acct, producer, lat_ms, alerts[0])
 
 
@@ -369,11 +401,20 @@ def _slow_tick() -> float:
 # ---------------------------------------------------------------------------
 
 
-def bench_dedup_history(spark, workdir: str, docs_per_tick: int = 64) -> dict:
+def bench_dedup_history(spark, workdir: str, docs_per_tick: int = 2048) -> dict:
     """SimHash streaming near-dup mining: sequential doc ids, ~15% of each
     tick's docs lightly mutated clones of earlier docs. Pair (a, b)
     completes when the larger id arrives (id-ordered arrival), so latency
-    reads the producer's {id → write time} map."""
+    reads the producer's {id → write time} map.
+
+    r8's "114 evt/s sustained" was this harness's own offered-rate cap
+    (64 docs × 0.5 s tick = 128 eps offered; the twin was KEEPING UP, not
+    failing — the signature kernel already runs as a stateless Arrow stage
+    before the keyed state update). r9 raised the offered load to find the
+    real ceiling: ~3.5K eps sustained at 4K offered (RocksDB + 32 state
+    partitions); the per-batch floor is the stateful stage's fixed cost ×
+    the ~4-mostly-distinct-buckets-per-doc group fan-out, not the
+    shingling."""
     from types import SimpleNamespace
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -438,6 +479,11 @@ def bench_dedup_history(spark, workdir: str, docs_per_tick: int = 64) -> dict:
         sink,
         producer,
         os.path.join(workdir, "ckpt_dedup"),
+        # ~4 mostly-distinct LSH buckets per doc → thousands of state
+        # GROUPS per batch (unlike the 64-key pattern/trend scenarios), so
+        # this scenario wants the batch suite's parallelism back: 32 state
+        # partitions sustained 3.2K vs 2.7K eps at 8 (r9 probe)
+        conf={**ROCKSDB_CONF, "spark.sql.shuffle.partitions": "32"},
     )
     return _finish(acct, producer, lat_ms, alerts[0])
 
