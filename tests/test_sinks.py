@@ -451,3 +451,67 @@ stream Hot = Reading
     rows = res["Hot"].collect()
     # 200.0 from the spool qualifies; the ingest 999.0 is NOT read
     assert [r.x for r in rows] == [200.0]
+
+
+# ---------------------------------------------------------------------------
+# file / console sinks: alert-storm safety (VERDICT r8 "what's wrong" #1)
+# ---------------------------------------------------------------------------
+
+def test_file_sink_100k_batch_streams_without_collect(spark, tmp_path, monkeypatch):
+    """A 100k-row output batch goes through FileSink with bounded driver
+    memory: rows stream via toLocalIterator (one partition at a time) and
+    DataFrame.collect is never called — pinned by making collect raise."""
+    import json as _json
+
+    from pyspark.sql import DataFrame, functions as F
+    from varpulis_spark.sinks import FileSink
+
+    n = 100_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            (F.col("id") * 2).alias("value"),
+        )
+        .repartition(16)  # deliberately unordered partitions
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("FileSink must not collect() the batch")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    path = str(tmp_path / "alerts.jsonl")
+    FileSink(path).write_batch(df, epoch=0)
+    with open(path) as f:
+        lines = f.readlines()
+    assert len(lines) == n
+    first, last = _json.loads(lines[0]), _json.loads(lines[-1])
+    # global (ts, event_id) order survived partition-wise iteration
+    assert first["event_id"] == 0 and last["event_id"] == n - 1
+    assert first["value"] == 0 and "timestamp" in first
+
+
+def test_console_sink_caps_output(spark, capsys):
+    from varpulis_spark.sinks import ConsoleSink
+
+    sink = ConsoleSink(max_rows_per_batch=5)
+    df = spark.range(12).selectExpr("id", "id * 10 AS v")
+    sink.write_batch(df, epoch=0)
+    out = capsys.readouterr().out
+    shown = [l for l in out.splitlines() if l.startswith("[SINK] {")]
+    assert len(shown) == 5
+    assert "7 more rows suppressed this batch" in out
+    # counter accumulates across batches
+    sink.write_batch(df, epoch=1)
+    out2 = capsys.readouterr().out
+    assert "14 total" in out2
+
+
+def test_console_sink_small_batch_prints_everything(spark, capsys):
+    from varpulis_spark.sinks import ConsoleSink
+
+    ConsoleSink().write_batch(spark.range(3).selectExpr("id"), epoch=0)
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.startswith("[SINK]")]) == 3
+    assert "suppressed" not in out
