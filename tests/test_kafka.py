@@ -209,3 +209,178 @@ def test_registry_builds_kafka_connector():
     assert opts["kafka.security.protocol"] == "SASL_SSL"
     assert [t for _n, t, _r in reg.health_reports()] == ["kafka"]
     reg.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# exactly-once transactional sink (kafka.rs:331-431 send_batch_transactional)
+# ---------------------------------------------------------------------------
+
+
+class FakeTxnProducer:
+    """librdkafka-surface fake recording the transaction call sequence.
+    `fail_on` is a set of (method, call_index) pairs that raise."""
+
+    def __init__(self, fail_on=()):
+        self.log = []  # flat call trace
+        self.records = []  # (topic, key, value) of the CURRENT transaction
+        self.committed = []  # records visible to a read_committed consumer
+        self.fail_on = set(fail_on)
+        self.counts = {}
+
+    def _call(self, name):
+        i = self.counts.get(name, 0)
+        self.counts[name] = i + 1
+        self.log.append(name)
+        if (name, i) in self.fail_on:
+            raise RuntimeError(f"injected {name} failure #{i}")
+
+    def init_transactions(self):
+        self._call("init_transactions")
+
+    def begin_transaction(self):
+        self._call("begin_transaction")
+        self.records = []
+
+    def produce(self, topic, key=None, value=None):
+        self._call("produce")
+        self.records.append((topic, key, value))
+
+    def commit_transaction(self):
+        self._call("commit_transaction")
+        self.committed.extend(self.records)
+        self.records = []
+
+    def abort_transaction(self):
+        self._call("abort_transaction")
+        self.records = []
+
+
+def _mini_batch(spark, values):
+    import pyspark.sql.functions as F
+
+    return (
+        spark.createDataFrame([(float(v),) for v in values], "value double")
+        .select(
+            F.lit("Alert").alias("event_type"),
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+            "value",
+        )
+    )
+
+
+def test_txn_sink_commit_sequence(spark):
+    """Happy path: init once, then begin → produce rows → produce the epoch
+    marker → commit, atomically per epoch."""
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    fake = FakeTxnProducer()
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    assert sink.write_batch(_mini_batch(spark, [1, 2]), epoch=0) == "committed"
+    assert fake.log[0] == "init_transactions"
+    assert fake.log[1] == "begin_transaction"
+    assert fake.log.count("produce") == 3  # 2 rows + 1 epoch marker
+    assert fake.log[-1] == "commit_transaction"
+    data = [r for r in fake.committed if r[0] == "out"]
+    marks = [r for r in fake.committed if r[0].endswith(".__varpulis_epochs")]
+    assert len(data) == 2 and all(r[1] == "Alert" for r in data)
+    assert marks == [("out.__varpulis_epochs", "app-1", "0")]
+    # second epoch: no re-init, fresh transaction
+    sink.write_batch(_mini_batch(spark, [3]), epoch=1)
+    assert fake.log.count("init_transactions") == 1
+    assert fake.log.count("begin_transaction") == 2
+
+
+def test_txn_sink_abort_on_failure_then_retry_commits_once(spark):
+    """A commit failure aborts the transaction (nothing visible), the error
+    propagates so Spark retries the SAME epoch, and the retry lands the
+    batch exactly once (kafka.rs:413-428 abort-on-error contract)."""
+    import pytest as _pytest
+
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    fake = FakeTxnProducer(fail_on={("commit_transaction", 0)})
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    batch = _mini_batch(spark, [1, 2])
+    with _pytest.raises(RuntimeError, match="injected commit"):
+        sink.write_batch(batch, epoch=0)
+    # aborted: a read_committed consumer saw NOTHING
+    assert fake.committed == []
+    assert fake.log[-1] == "abort_transaction"
+    assert sink.last_committed_epoch == -1
+    # Spark redelivers epoch 0 → a fresh transaction commits exactly once
+    assert sink.write_batch(batch, epoch=0) == "committed"
+    assert len([r for r in fake.committed if r[0] == "out"]) == 2
+    assert fake.log.count("begin_transaction") == 2
+
+
+def test_txn_sink_send_failure_aborts(spark):
+    import pytest as _pytest
+
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    fake = FakeTxnProducer(fail_on={("produce", 1)})
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    with _pytest.raises(RuntimeError, match="injected produce"):
+        sink.write_batch(_mini_batch(spark, [1, 2]), epoch=0)
+    assert fake.committed == [] and fake.log[-1] == "abort_transaction"
+
+
+def test_txn_sink_skips_already_committed_epoch(spark):
+    """foreachBatch redelivers the last epoch after a restart; the epoch
+    marker committed with the data makes the redelivery a no-op — the
+    at-least-once → exactly-once conversion."""
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    fake = FakeTxnProducer()
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    batch = _mini_batch(spark, [1, 2])
+    assert sink.write_batch(batch, epoch=5) == "committed"
+    n = len(fake.committed)
+    assert sink.write_batch(batch, epoch=5) == "skipped"
+    assert sink.write_batch(batch, epoch=4) == "skipped"
+    assert len(fake.committed) == n  # nothing re-produced
+    # recovery shape: a fresh sink re-baselined from the marker topic
+    sink2 = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+        last_committed_epoch=5,
+    )
+    assert sink2.write_batch(batch, epoch=5) == "skipped"
+    assert sink2.write_batch(batch, epoch=6) == "committed"
+
+
+def test_txn_sink_requires_transactional_id():
+    import pytest as _pytest
+
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    with _pytest.raises(ValueError, match="transactional_id"):
+        TransactionalKafkaSink(KafkaConfig(brokers="b", topic="t"))
+
+
+def test_sink_handle_routes_transactional(spark):
+    """KafkaSinkHandle with a transactional id delivers through the
+    transactional path (one txn per epoch), not the built-in writer."""
+    from varpulis_spark.sources.kafka import KafkaConfig, KafkaSinkHandle
+
+    fake = FakeTxnProducer()
+    h = KafkaSinkHandle(
+        "k",
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    h.write_batch(_mini_batch(spark, [7]), epoch=0)
+    assert fake.log.count("commit_transaction") == 1
+    assert len([r for r in fake.committed if r[0] == "out"]) == 1

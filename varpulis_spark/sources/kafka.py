@@ -7,10 +7,15 @@ reference-parity pieces AROUND the built-in format:
 
 - `KafkaConfig` mirrors KafkaConfig (kafka.rs:19-55): brokers, topic,
   optional consumer group, pass-through client properties (internally
-  managed keys are skipped exactly like apply_properties, kafka.rs:180-192),
-  and the transactional id lowering to idempotent production (Spark's
-  Kafka sink is at-least-once — it never opens producer transactions, so
-  `transactional.id` itself must not reach the client).
+  managed keys are skipped exactly like apply_properties, kafka.rs:180-192).
+- `TransactionalKafkaSink` (r9): exactly-once delivery when
+  `transactional_id` is set — one producer transaction per foreachBatch
+  epoch (begin → produce → epoch marker → commit, abort-and-reraise on
+  failure, already-committed epochs skipped), the Spark analog of
+  kafka.rs send_batch_transactional. The built-in `format("kafka")`
+  writer stays the non-transactional path (it is at-least-once and must
+  never see `transactional.id`, which `kafka_writer_options` therefore
+  lowers to idempotence only).
 - `kafka_reader_options` / `kafka_writer_options` lower the config to the
   Spark option maps (client properties get the `kafka.` prefix Spark
   forwards verbatim to the underlying client).
@@ -80,11 +85,14 @@ def kafka_writer_options(config: KafkaConfig) -> dict[str, str]:
     """writeStream options for the producer side.
 
     `transactional_id` (KafkaConfig, kafka.rs:24-26) lowers to IDEMPOTENT
-    production only: Spark's Kafka sink never calls initTransactions/
-    beginTransaction on its producer, so passing `transactional.id` through
-    would make every send throw IllegalStateException against a real broker
-    (ADVICE r5). Spark's Kafka sink is at-least-once; dedupe downstream on
-    a key if exactly-once delivery matters."""
+    production only HERE: Spark's built-in Kafka sink never calls
+    initTransactions/beginTransaction on its producer, so passing
+    `transactional.id` through would make every send throw
+    IllegalStateException against a real broker (ADVICE r5). For true
+    exactly-once delivery use `TransactionalKafkaSink` (r9) — one driver-
+    side transaction per foreachBatch epoch with an atomic epoch marker;
+    `KafkaSinkHandle` routes there automatically when transactional_id is
+    set."""
     opts = {
         "kafka.bootstrap.servers": config.brokers,
         "topic": config.topic,
@@ -180,19 +188,153 @@ class KafkaSourceHandle:
 class KafkaSinkHandle:
     """Registry-facing sink: `write_batch(df, epoch)` frames rows as
     (key=event_type, value=to_sink_payload JSON) and writes through the
-    built-in batch Kafka writer (kafka.rs:405-412 delivery contract)."""
+    built-in batch Kafka writer (kafka.rs:405-412 delivery contract).
 
-    def __init__(self, name: str, config: KafkaConfig, ts_col: str = "ts"):
+    With `transactional_id` set the handle routes through
+    `TransactionalKafkaSink` (exactly-once, one transaction per epoch,
+    kafka.rs send_batch_transactional) — that path needs a driver-side
+    transactional client (confluent_kafka by default, or inject
+    `producer_factory`); without a transactional id the built-in
+    distributed writer delivers idempotent at-least-once."""
+
+    def __init__(
+        self,
+        name: str,
+        config: KafkaConfig,
+        ts_col: str = "ts",
+        producer_factory=None,
+    ):
         self.name = name
         self.config = config
         self.ts_col = ts_col
+        self._txn_sink = (
+            TransactionalKafkaSink(config, ts_col, producer_factory)
+            if config.transactional_id
+            else None
+        )
 
     def write_batch(self, df: DataFrame, epoch: int = 0) -> None:
+        if self._txn_sink is not None:
+            self._txn_sink.write_batch(df, epoch)
+            return
         framed = kafka_sink_frame(df, self.ts_col)
         writer = framed.write.format("kafka")
         for k, v in kafka_writer_options(self.config).items():
             writer = writer.option(k, v)
         writer.save()
+
+
+class TransactionalKafkaSink:
+    """Exactly-once Kafka delivery for foreachBatch (kafka.rs:331-431
+    `send_batch_transactional`, managed_kafka.rs) — the piece Spark's
+    built-in Kafka sink does not provide (it is at-least-once and never
+    opens producer transactions).
+
+    Semantics, mapped onto Spark's micro-batch retry model:
+    - one Kafka TRANSACTION per (epoch) batch: begin → produce every
+      framed row → produce one epoch MARKER record → commit. A consumer
+      in `read_committed` sees all of the batch or none of it
+      (kafka.rs:397-398).
+    - any send/commit failure ABORTS the transaction and re-raises; the
+      aborted records are never visible, and Spark's retry of the same
+      epoch re-sends them in a fresh transaction (kafka.rs:413-415).
+    - a RE-DELIVERED epoch (foreachBatch replays the last batch after a
+      restart) is SKIPPED: the epoch marker committed atomically with the
+      data records who owns the epoch, so `last_committed_epoch` recovery
+      + the skip turns at-least-once redelivery into exactly-once output.
+
+    The producer runs on the driver (a Kafka transaction is single-
+    producer, like the reference's single-process sink); rows stream in
+    via toLocalIterator, so driver memory stays bounded by one partition.
+
+    `producer_factory()` must return an object with the librdkafka-style
+    surface: init_transactions(), begin_transaction(),
+    produce(topic, key=, value=), commit_transaction(),
+    abort_transaction(). The default factory builds a confluent_kafka
+    Producer; tests inject a fake (tests/test_kafka.py)."""
+
+    MARKER_TOPIC_SUFFIX = ".__varpulis_epochs"
+
+    def __init__(
+        self,
+        config: KafkaConfig,
+        ts_col: str = "ts",
+        producer_factory=None,
+        last_committed_epoch: int = -1,
+    ):
+        if not config.transactional_id:
+            raise ValueError(
+                "TransactionalKafkaSink requires KafkaConfig.transactional_id "
+                "(unique per application instance, kafka.rs:24-26)"
+            )
+        self.config = config
+        self.ts_col = ts_col
+        self._factory = producer_factory or self._default_factory
+        self._producer = None
+        self.last_committed_epoch = last_committed_epoch
+
+    def _default_factory(self):
+        try:
+            from confluent_kafka import Producer  # type: ignore
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "transactional Kafka delivery needs the confluent_kafka "
+                "client on the driver (Spark's built-in sink cannot open "
+                "producer transactions); install confluent-kafka or drop "
+                "transactional_id for idempotent at-least-once delivery"
+            ) from e
+        conf = {
+            "bootstrap.servers": self.config.brokers,
+            "transactional.id": self.config.transactional_id,
+            "enable.idempotence": True,
+        }
+        for k, v in self.config.properties.items():
+            if k in _MANAGED_KEYS or k == "transactional.id":
+                continue
+            conf[k] = v
+        return Producer(conf)
+
+    def _ensure_producer(self):
+        if self._producer is None:
+            self._producer = self._factory()
+            self._producer.init_transactions()
+        return self._producer
+
+    def write_batch(self, df: DataFrame, epoch: int = 0) -> str:
+        """Returns "committed" or "skipped" (already-committed epoch)."""
+        if epoch <= self.last_committed_epoch:
+            return "skipped"
+        p = self._ensure_producer()
+        framed = kafka_sink_frame(df, self.ts_col)
+        p.begin_transaction()
+        try:
+            for row in framed.toLocalIterator():
+                p.produce(self.config.topic, key=row.key, value=row.value)
+            # the marker commits atomically with the data: recovery reads
+            # the latest marker for this transactional id to re-baseline
+            # last_committed_epoch after a restart
+            p.produce(
+                self.config.topic + self.MARKER_TOPIC_SUFFIX,
+                key=self.config.transactional_id,
+                value=str(epoch),
+            )
+            p.commit_transaction()
+        except Exception:
+            try:
+                p.abort_transaction()
+            except Exception:
+                pass  # broker may have already fenced/aborted it
+            raise
+        self.last_committed_epoch = epoch
+        return "committed"
+
+    def foreach_batch(self):
+        """`writeStream.foreachBatch(sink.foreach_batch())`."""
+
+        def fn(df, epoch):
+            self.write_batch(df, epoch)
+
+        return fn
 
 
 def kafka_source(
