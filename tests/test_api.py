@@ -482,3 +482,200 @@ stream Paid = Order as o
     assert inject({"event_type": "Payment",
                    "fields": {"order_id": 7, "user": "bob", "amount": 1.0}}) == []
     srv.stop()
+
+
+def test_live_reload_preserves_pattern_state(server, spark):
+    """VERDICT r8 task 5, end to end: deploy incremental, inject an Order
+    (opens a SASE run in the streaming twin's state store), hot-reload with
+    a COMPATIBLE edit (filter-constant change — the reference's 'filter
+    changes preserve state' rule), inject the Payment — the pre-reload
+    Order's run completes WITHOUT replaying the log: the pipeline stays in
+    incremental mode and the post-reload micro-batches read only the
+    injected delta (the replay path would re-read the whole log)."""
+    src_v1 = """
+event Order:
+    id: int
+    user: str
+
+event Payment:
+    order_id: int
+    user: str
+    amount: float
+
+stream Paid = Order as o
+    -> Payment where order_id == o.id as p
+    .partition_by(user)
+    .where(p.amount > 50.0)
+    .emit(status: "paid", order_id: o.id, amount: p.amount)
+"""
+    srv = PipelineServer(spark)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "lr", "source": src_v1}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental"
+    pid = r["id"]
+    p = srv._pipelines[pid]
+
+    def inject(ev):
+        st, r = srv.handle("POST", f"/api/v1/pipelines/{pid}/events",
+                           json.dumps(ev).encode(), {})
+        assert st == 200
+        return r["output_events"]
+
+    assert inject({"event_type": "Order",
+                   "fields": {"id": 1, "user": "alice"}}) == []
+    runner_before = p.runner
+    assert runner_before is not None
+
+    # compatible edit: same steps/ops, different filter constant
+    src_v2 = src_v1.replace("> 50.0", "> 10.0")
+    st, rep = srv.handle("POST", f"/api/v1/pipelines/{pid}/reload",
+                         json.dumps({"source": src_v2}).encode(), {})
+    assert st == 200 and rep["mode"] == "incremental"
+    assert rep["state_preserved"] == ["Paid"] and rep["state_reset"] == []
+    # SAME runner object — no teardown, no replay
+    assert p.runner is runner_before
+
+    # the Order injected BEFORE the reload completes now: its run survived
+    # the swap inside the streaming state store
+    out = inject({"event_type": "Payment",
+                  "fields": {"order_id": 1, "user": "alice", "amount": 20.0}})
+    (row,) = out
+    assert row["stream"] == "Paid" and row["fields"]["amount"] == 20.0
+    # and the post-reload batch read ONLY the injected delta, not the log
+    assert all(n <= 1 for n in p.runner.last_batch_rows().values())
+    srv.stop()
+
+
+def test_live_reload_resets_updated_stream_and_announces_rederivation(
+    server, spark
+):
+    """An UPDATED stream under live reload gets a fresh checkpoint and
+    re-derives from the spool; its catch-up rows announce with the next
+    injection (replay-reload parity), while the pipeline stays
+    incremental."""
+    src_v1 = """
+event Reading:
+    value: float
+
+stream Hot = Reading
+    .where(value > 1.0)
+    .emit(alert: "hot", v: value)
+"""
+    srv = PipelineServer(spark)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "lr2", "source": src_v1}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental"
+    pid = r["id"]
+
+    def inject(ev):
+        st, r = srv.handle("POST", f"/api/v1/pipelines/{pid}/events",
+                           json.dumps(ev).encode(), {})
+        assert st == 200
+        return r["output_events"]
+
+    assert [e["fields"]["v"] for e in inject(
+        {"event_type": "Reading", "fields": {"value": 7.0}})] == [7.0]
+
+    # v2 adds an op to Hot → sig change → state reset (fresh checkpoint)
+    src_v2 = """
+event Reading:
+    value: float
+
+stream Hot = Reading
+    .where(value > 1.0)
+    .distinct(value)
+    .emit(alert: "hot", v: value)
+"""
+    st, rep = srv.handle("POST", f"/api/v1/pipelines/{pid}/reload",
+                         json.dumps({"source": src_v2}).encode(), {})
+    assert st == 200 and rep["mode"] == "incremental"
+    assert rep["streams_updated"] == ["Hot"] == rep["state_reset"]
+    # next injection announces the catch-up re-derivation (7.0) + the new
+    # event, exactly like the replay-mode reload contract
+    got = sorted(e["fields"]["v"] for e in inject(
+        {"event_type": "Reading", "fields": {"value": 9.0}}))
+    assert got == [7.0, 9.0]
+    srv.stop()
+
+
+def test_live_reload_schema_change_falls_back_to_replay(server, spark):
+    """A reload that CHANGES the declared event schema cannot keep the
+    fixed-schema spool: the pipeline falls back to replay mode, losslessly
+    (the event log re-derives everything; announced rows stay baseline)."""
+    src_v1 = """
+event Reading:
+    value: float
+
+stream Hot = Reading
+    .where(value > 1.0)
+    .emit(alert: "hot", v: value)
+"""
+    srv = PipelineServer(spark)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "lr3", "source": src_v1}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental"
+    pid = r["id"]
+    st, r = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading",
+                    "fields": {"value": 7.0}}).encode(), {})
+    assert [e["fields"]["v"] for e in r["output_events"]] == [7.0]
+
+    src_v2 = src_v1.replace("value: float", "value: float\n    unit: str")
+    st, rep = srv.handle("POST", f"/api/v1/pipelines/{pid}/reload",
+                         json.dumps({"source": src_v2}).encode(), {})
+    assert st == 200 and rep["mode"] == "replay"
+    assert rep["state_preserved"] == ["Hot"]
+    # preserved baseline: 7.0 not re-announced; the new event still alerts
+    st, r = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading",
+                    "fields": {"value": 9.0, "unit": "C"}}).encode(), {})
+    assert [e["fields"]["v"] for e in r["output_events"]] == [9.0]
+    srv.stop()
+
+
+def test_incremental_pattern_with_trailing_where(server, spark):
+    """r9 regression: a post-pattern `.where(p.amount > ...)` references
+    the final step through its alias; the streaming NFA evaluated it while
+    the alias was still unbound (KeyError → False → no match, ever). Batch
+    hid the bug behind the join-compiled path."""
+    src = """
+event Order:
+    id: int
+    user: str
+
+event Payment:
+    order_id: int
+    user: str
+    amount: float
+
+stream Paid = Order as o
+    -> Payment where order_id == o.id as p
+    .partition_by(user)
+    .where(p.amount > 50.0)
+    .emit(status: "paid", order_id: o.id, amount: p.amount)
+"""
+    srv = PipelineServer(spark)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "pw", "source": src}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental"
+    pid = r["id"]
+
+    def inject(ev):
+        st, r = srv.handle("POST", f"/api/v1/pipelines/{pid}/events",
+                           json.dumps(ev).encode(), {})
+        assert st == 200
+        return r["output_events"]
+
+    assert inject({"event_type": "Order",
+                   "fields": {"id": 1, "user": "alice"}}) == []
+    out = inject({"event_type": "Payment",
+                  "fields": {"order_id": 1, "user": "alice", "amount": 60.0}})
+    assert [e["fields"]["amount"] for e in out] == [60.0]
+    # below the threshold: filtered by the merged step predicate
+    assert inject({"event_type": "Order",
+                   "fields": {"id": 2, "user": "bob"}}) == []
+    assert inject({"event_type": "Payment",
+                   "fields": {"order_id": 2, "user": "bob", "amount": 10.0}}) == []
+    srv.stop()

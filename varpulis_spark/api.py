@@ -82,16 +82,16 @@ class _IncrementalRunner:
     pipeline falls back to replay mode (lossless: the event log is the
     source of truth in both modes)."""
 
-    def __init__(self, spark, source_text: str, prog, emit_streams: set[str]):
-        import shutil as _shutil
-        import tempfile
-
-        from varpulis_spark import streaming as S
-        from varpulis_spark.vpl.compiler import _TYPES, run_program
+    @staticmethod
+    def _merged_schema(prog) -> tuple[dict[str, str], dict[str, set]]:
+        """Unified payload schema across all declared event types, with the
+        same reserved-name suffixing + type-widening rules as events_to_df
+        so both modes present identical column names. Returns
+        (col → sql type, event type → declared field names)."""
+        from varpulis_spark.vpl.compiler import _TYPES
 
         if not getattr(prog, "events", None):
             raise _NotIncremental("no event declarations")
-        self.spark = spark
         decls = {d.name: d for d in prog.events}
 
         def fields_of(name: str) -> list:
@@ -99,9 +99,6 @@ class _IncrementalRunner:
             base = fields_of(d.base) if d.base and d.base in decls else []
             return base + list(d.fields)
 
-        # unified payload schema across all declared event types, with the
-        # same reserved-name suffixing + type-widening rules as
-        # events_to_df so both modes present identical column names
         reserved = {"event_id", "ts", "event_type"}
         merged: dict[str, str] = {}
         for name in decls:
@@ -115,11 +112,10 @@ class _IncrementalRunner:
                     merged[col] = "double"
                 else:
                     merged[col] = "string"
-        self.fields = dict(sorted(merged.items()))
-        self.declared = {
-            name: {f for f, _t in fields_of(name)} for name in decls
-        }
+        declared = {name: {f for f, _t in fields_of(name)} for name in decls}
+        return dict(sorted(merged.items())), declared
 
+    def _spool_schema(self):
         from pyspark.sql.types import (
             BooleanType,
             DoubleType,
@@ -136,7 +132,7 @@ class _IncrementalRunner:
             "string": StringType(),
             "boolean": BooleanType(),
         }
-        schema = StructType(
+        return StructType(
             [
                 StructField("event_id", LongType()),
                 StructField("ts", TimestampType()),
@@ -144,67 +140,148 @@ class _IncrementalRunner:
             ]
             + [StructField(n, sql_t[t]) for n, t in self.fields.items()]
         )
+
+    def _start_query(self, rdf, ckpt: str, rows: list, sname: str):
+        def sink(df, epoch):
+            for row in df.collect():
+                fields = {k: _jsonable(v) for k, v in row.asDict().items()}
+                rows.append(
+                    {
+                        "event_type": fields.get("event_type", sname),
+                        "stream": sname,
+                        "fields": fields,
+                    }
+                )
+
+        return (
+            rdf.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    def _compile_streaming(self, source_text: str, emit_streams: set[str]):
+        """run_program over the live spool; returns {stream → streaming df}
+        for the emit streams, raising _NotIncremental on any batch
+        lowering. Stateful micro-batches pay per-partition fixed cost every
+        injection; 8 state partitions (not the session's 32) keep the
+        per-injection wall low at control-plane key counts."""
+        from varpulis_spark import streaming as S
+        from varpulis_spark.vpl.compiler import run_program
+
+        src = S.file_source(
+            self.spark, self.spool, self._spool_schema(), order_col="event_id"
+        )
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            results = run_program(source_text, src)
+            out = {}
+            for sname in sorted(emit_streams & set(results)):
+                rdf = results[sname]
+                if not rdf.isStreaming:
+                    raise _NotIncremental(f"stream {sname} lowered to batch")
+                out[sname] = rdf
+            if not out:
+                raise _NotIncremental("no streaming emit streams")
+            return out
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def __init__(self, spark, source_text: str, prog, emit_streams: set[str]):
+        import shutil as _shutil
+        import tempfile
+
+        self.spark = spark
+        self.fields, self.declared = self._merged_schema(prog)
         self._tmp = tempfile.mkdtemp(prefix="vapi_inc_")
         self.spool = os.path.join(self._tmp, "spool")
         os.makedirs(self.spool)
         self.next_event_id = 0
         self._n_files = 0
+        self._gen = 0  # checkpoint generation for reset streams
         self.queries: dict[str, object] = {}
         self.sink_rows: dict[str, list] = {}
         self._rmtree = _shutil.rmtree
         try:
-            src = S.file_source(spark, self.spool, schema, order_col="event_id")
-            results = run_program(source_text, src)
-            # stateful micro-batches pay per-partition fixed cost every
-            # injection; 8 state partitions (not the session's 32) keep
-            # the per-injection wall low at control-plane key counts
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            try:
-                for sname in sorted(emit_streams & set(results)):
-                    rdf = results[sname]
-                    if not rdf.isStreaming:
-                        raise _NotIncremental(f"stream {sname} lowered to batch")
-                    rows: list = []
-                    self.sink_rows[sname] = rows
-
-                    def make_sink(sink_list, stream_name):
-                        def sink(df, epoch):
-                            for row in df.collect():
-                                fields = {
-                                    k: _jsonable(v) for k, v in row.asDict().items()
-                                }
-                                sink_list.append(
-                                    {
-                                        "event_type": fields.get(
-                                            "event_type", stream_name
-                                        ),
-                                        "stream": stream_name,
-                                        "fields": fields,
-                                    }
-                                )
-
-                        return sink
-
-                    self.queries[sname] = (
-                        rdf.writeStream.outputMode("append")
-                        .option(
-                            "checkpointLocation",
-                            os.path.join(self._tmp, f"ckpt_{sname}"),
-                        )
-                        .foreachBatch(make_sink(rows, sname))
-                        .start()
-                    )
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-            if not self.queries:
-                raise _NotIncremental("no streaming emit streams")
+            for sname, rdf in self._compile_streaming(
+                source_text, emit_streams
+            ).items():
+                rows: list = []
+                self.sink_rows[sname] = rows
+                self.queries[sname] = self._start_query(
+                    rdf, os.path.join(self._tmp, f"ckpt_{sname}"), rows, sname
+                )
         except _NotIncremental:
             self.close()
             raise
         except Exception as e:  # streaming lowering failed → replay mode
             self.close()
             raise _NotIncremental(str(e)) from e
+
+    def reload(
+        self,
+        source_text: str,
+        prog,
+        emit_streams: set[str],
+        preserved: set[str],
+    ) -> list[dict]:
+        """State-preserving hot reload (engine/mod.rs:3254-3390
+        ReloadReport semantics, r9): restart each PRESERVED emit stream's
+        query against its EXISTING checkpoint — the streaming state store
+        carries pattern/window/distinct state across the swap and the
+        resumed query reads only FUTURE spool files (wall time independent
+        of log length). Updated/added streams get a fresh checkpoint and
+        re-derive from the full spool (lossless reset — an upgrade over
+        the reference's lost NFA state); their catch-up rows are returned
+        for the server to announce (replay-mode reload parity). Raises
+        _NotIncremental when the new program cannot host incremental mode
+        (schema change, batch lowering) — caller falls back to replay."""
+        fields, declared = self._merged_schema(prog)
+        if fields != self.fields:
+            raise _NotIncremental("reload changes the spool schema")
+        compiled = self._compile_streaming(source_text, emit_streams)
+        # one checkpoint dir cannot serve two live queries: stop the old
+        # generation before starting the new one
+        for q in self.queries.values():
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        new_queries: dict[str, object] = {}
+        new_rows: dict[str, list] = {}
+        reset: list[str] = []
+        try:
+            for sname, rdf in compiled.items():
+                if sname in preserved and sname in self.queries:
+                    rows = self.sink_rows[sname]
+                    ckpt = os.path.join(self._tmp, f"ckpt_{sname}")
+                else:
+                    rows = []
+                    self._gen += 1
+                    ckpt = os.path.join(
+                        self._tmp, f"ckpt_{sname}_g{self._gen}"
+                    )
+                    reset.append(sname)
+                new_rows[sname] = rows
+                new_queries[sname] = self._start_query(rdf, ckpt, rows, sname)
+        except Exception as e:
+            for q in new_queries.values():
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+            raise _NotIncremental(str(e)) from e
+        self.queries = new_queries
+        self.sink_rows = new_rows
+        self.declared = declared
+        # reset/added streams chew through the whole spool now; everything
+        # they emit during catch-up is the re-derivation of history
+        catchup: list[dict] = []
+        for sname in reset:
+            self.queries[sname].processAllAvailable()
+            catchup.extend(self.sink_rows[sname])
+        return catchup
 
     def check_declared(self, events: list[tuple[float, str, dict]]) -> None:
         """Raise _NotIncremental if any event carries an undeclared type or
@@ -342,6 +419,9 @@ class _Pipeline:
         self.status = "running"
         # push-engine runner (incremental mode); None = replay mode
         self.runner: _IncrementalRunner | None = None
+        # reset-stream catch-up rows from a live reload, announced with
+        # the next injection (replay-reload announcement parity)
+        self.pending_outputs: list[dict] = []
         # every output event ever announced, in order (the reference
         # broadcasts these over an SSE channel, handle_logs api.rs:896;
         # we record them for the polling GET /logs endpoint)
@@ -508,27 +588,53 @@ class PipelineServer:
                 except Exception as e:  # noqa: BLE001
                     return 400, {"error": "parse_error", "message": str(e)}
                 report = _reload_report(parse_full(p.source), prog)
-                # incremental mode: the live queries compile the OLD
-                # program — tear down and drop to replay (lossless; the
-                # event log re-derives everything). A future deploy of the
-                # new source starts incremental again.
-                self._fallback_to_replay(p)
-                p.source = payload["source"]
-                p.emit_streams = {
+                new_emit = {
                     d.name for d in prog.streams
                     if any(op.name == "emit" for op in d.ops)
                 }
-                # delta baselines: preserved streams keep theirs (their
-                # already-announced outputs are not re-announced); updated/
-                # removed streams drop theirs — the next injection
-                # re-derives the updated streams from the full event log,
-                # which the reference's live-state reset CANNOT (its NFA
-                # state is simply lost; replay makes the reset lossless)
-                drop = set(report["streams_updated"]) | set(report["streams_removed"])
-                p.prev_counts = {
-                    k: v for k, v in p.prev_counts.items() if k[0] not in drop
+                live = False
+                if p.runner is not None:
+                    # incremental mode (r9): swap the program IN PLACE —
+                    # preserved streams restart on their existing
+                    # checkpoints (live state survives, no replay; the
+                    # resumed queries read only future spool files), reset
+                    # streams re-derive from the spool with a fresh
+                    # checkpoint and their catch-up rows announce with the
+                    # next injection (replay-reload parity). Falls back to
+                    # replay when the new program cannot host incremental.
+                    try:
+                        p.pending_outputs.extend(
+                            p.runner.reload(
+                                payload["source"], prog, new_emit,
+                                set(report["state_preserved"]),
+                            )
+                        )
+                        live = True
+                    except _NotIncremental:
+                        self._fallback_to_replay(p)
+                else:
+                    self._fallback_to_replay(p)
+                p.source = payload["source"]
+                p.emit_streams = new_emit
+                if not live:
+                    # replay-mode delta baselines: preserved streams keep
+                    # theirs (their already-announced outputs are not
+                    # re-announced); updated/removed streams drop theirs —
+                    # the next injection re-derives the updated streams
+                    # from the full event log, which the reference's
+                    # live-state reset CANNOT (its NFA state is simply
+                    # lost; replay makes the reset lossless)
+                    drop = set(report["streams_updated"]) | set(
+                        report["streams_removed"]
+                    )
+                    p.prev_counts = {
+                        k: v for k, v in p.prev_counts.items()
+                        if k[0] not in drop
+                    }
+                return 200, {
+                    "id": p.id, "status": "reloaded", "mode": p.mode,
+                    **report,
                 }
-                return 200, {"id": p.id, "status": "reloaded", **report}
         return 404, {"error": "not_found"}
 
     # -- handlers ----------------------------------------------------------
@@ -614,6 +720,11 @@ class PipelineServer:
                 # stay in the log for a later replay/checkpoint to process
                 del p.events[-len(triples):]
             return 500, {"error": "execution_error", "message": str(e)}
+        if p.pending_outputs:
+            # reset-stream catch-up from a live reload rides the next
+            # injection's announcement, like replay-reload re-derivation
+            new_rows = p.pending_outputs + new_rows
+            p.pending_outputs = []
         p.output_log.extend(new_rows)
         from varpulis_spark.metrics import LatencyHistogram
 
@@ -657,6 +768,10 @@ class PipelineServer:
         if p.runner is not None:
             p.runner.close()
             p.runner = None
+        # un-announced reload catch-up rows are not in output_log, so the
+        # next replay run re-derives them anyway — keeping them here would
+        # announce them twice
+        p.pending_outputs = []
         counts: dict[tuple[str, str], int] = {}
         for row in p.output_log:
             key = (row["stream"], json.dumps(row["fields"], sort_keys=True))

@@ -1506,7 +1506,18 @@ def compile_pattern_decl(
         last = sase_steps[-1]
         py = to_python(w, aliases)
         old_py = last.where
-        last.where = (lambda old, new: (lambda ev, b: (old is None or old(ev, b)) and new(ev, b)))(old_py, py)
+        # the post-where references the last step through its ALIAS
+        # (`p.amount > 50`), but while the NFA is TESTING a candidate for
+        # that step the alias is not bound yet — bind it to the candidate
+        # event for the evaluation (r9 bug: the unbound lookup raised
+        # KeyError → pred_ok False → the streaming NFA path never matched;
+        # batch hid it by lowering to the join-compiled path)
+        last.where = (
+            lambda old, new, a: (
+                lambda ev, b: (old is None or old(ev, b))
+                and new(ev, {**b, a: ev})
+            )
+        )(old_py, py, last.alias)
         sql = _try_sql(w, last.alias, aliases)
         if sql is None:
             last.where_sql = None
