@@ -560,13 +560,21 @@ class PipelineServer:
                 # handle_checkpoint (api.rs:674, CheckpointResponse :85):
                 # in the replay model the pipeline's full state IS
                 # {source, event log}, so the checkpoint is exact by
-                # construction — no live NFA serialization needed.
+                # construction — no live NFA serialization needed. The
+                # blob carries the schema version + counters
+                # (EngineCheckpoint, persistence.rs:705-744).
+                from varpulis_spark.persistence import new_checkpoint
+
                 return 200, {
                     "pipeline_id": p.id,
                     "checkpoint": {
-                        "name": p.name,
-                        "source": p.source,
-                        "events": [[off, et, f] for off, et, f in p.events],
+                        **new_checkpoint(
+                            name=p.name,
+                            source=p.source,
+                            events=[[off, et, f] for off, et, f in p.events],
+                            events_processed=len(p.events),
+                            output_events_emitted=len(p.output_log),
+                        ),
                     },
                     "events_processed": len(p.events),
                 }
@@ -779,8 +787,15 @@ class PipelineServer:
         p.prev_counts = counts
 
     def _restore(self, pid: str, cp: dict) -> tuple[int, dict]:
+        from varpulis_spark.persistence import StoreError, validate_and_migrate
         from varpulis_spark.vpl.parser import parse_full
 
+        try:
+            # version gating (persistence.rs:746-766): a checkpoint from a
+            # FUTURE schema version is rejected; missing version = 1
+            cp = validate_and_migrate(dict(cp))
+        except StoreError as e:
+            return 400, {"error": "version_error", "message": str(e)}
         try:
             prog = parse_full(cp["source"])
         except Exception as e:  # noqa: BLE001
