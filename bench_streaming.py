@@ -218,7 +218,9 @@ def _finish(acct: dict, producer, lat_ms: list[float], alerts: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def bench_pattern_runcap(spark, workdir: str, rows_per_tick: int = 2000) -> dict:
+def bench_pattern_runcap(
+    spark, workdir: str, rows_per_tick: int = 2000, users: int = 64
+) -> dict:
     """SEQ(signup → purchase) within 2s, keyed by user, max_runs cap with
     evict_oldest backpressure — the pattern+run-management streaming twin.
     80% of offered events are filler types the type-index drops JVM-side
@@ -237,7 +239,6 @@ def bench_pattern_runcap(spark, workdir: str, rows_per_tick: int = 2000) -> dict
     import varpulis_spark.streaming as S
     from varpulis_spark.operators.sase import Pattern, step
 
-    users = 64
     spool = os.path.join(workdir, "pattern_spool")
     os.makedirs(spool)
 

@@ -47,6 +47,49 @@ QUERIES = [
 ]
 
 
+def run_streaming_decade(spark) -> dict:
+    """Streaming state-store scaling (VERDICT r8 task 6): run the pattern
+    and trend twins at 1× and 10× KEY cardinality (64 → 640 keys) and
+    compare sustained eps + p50/p99 — the axis the batch decade cannot
+    see is per-key state count (store lookups, snapshot size, group
+    fan-out per micro-batch). A healthy engine holds sustained eps
+    roughly flat: state is keyed, so 10× keys means 10× state ENTRIES but
+    the same per-event work."""
+    import shutil
+    import tempfile
+
+    import bench_streaming as B
+
+    out: dict = {}
+    for name, fn, kw in (
+        ("pattern_runcap", B.bench_pattern_runcap, "users"),
+        ("trend_windowed", B.bench_trend_windowed, "users"),
+    ):
+        per_scale: dict = {}
+        for label, keys in (("keys_1x", 64), ("keys_10x", 640)):
+            wd = tempfile.mkdtemp(prefix=f"vdecade_{name}_{label}_")
+            try:
+                r = fn(spark, wd, **{kw: keys})
+            except Exception as e:  # record, never kill the artifact
+                r = {"error": f"{type(e).__name__}: {e}"[:300]}
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+            per_scale[label] = r
+        r1, r10 = per_scale["keys_1x"], per_scale["keys_10x"]
+        if "error" not in r1 and "error" not in r10 and r1.get("sustained_eps"):
+            per_scale["sustained_eps_ratio_10x"] = round(
+                r10["sustained_eps"] / r1["sustained_eps"], 2
+            )
+        out[name] = per_scale
+    out["note"] = (
+        "pattern_runcap offers a CONSTANT rate (ratio ~1.0 = flat per-event "
+        "cost at 10x state keys); trend_windowed's offered rate scales WITH "
+        "keys (one event per key per tick), so a healthy ratio is ~10 — "
+        "sub-linear sustained growth there would flag per-key state cost"
+    )
+    return out
+
+
 def main() -> None:
     # sf10 runs 10x the data under the same per-query cap — widen it so a
     # perfectly linear 60 s query isn't recorded as a timeout (bench reads
@@ -87,7 +130,8 @@ def main() -> None:
         loadavg=[round(x, 2) for x in os.getloadavg()],
         ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
+    out["streaming"] = run_streaming_decade(spark)
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
     path = os.path.join(REPO, f"BENCH_DECADE_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -97,6 +141,10 @@ def main() -> None:
         "ratio_median": out["ratio_median"],
         "ratios": ratio,
         "sf10_wall": round(sum(t for t in results["sf10"]["times"].values() if t > 0), 1),
+        "streaming_eps_ratio_10x_keys": {
+            k: v.get("sustained_eps_ratio_10x")
+            for k, v in out["streaming"].items()
+        },
         "detail": os.path.basename(path),
     }))
 
