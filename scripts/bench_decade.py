@@ -144,6 +144,7 @@ def main() -> None:
         "streaming_eps_ratio_10x_keys": {
             k: v.get("sustained_eps_ratio_10x")
             for k, v in out["streaming"].items()
+            if isinstance(v, dict)
         },
         "detail": os.path.basename(path),
     }))
