@@ -538,3 +538,76 @@ def test_has_interest_with_global_negation():
     p = Pattern(steps=[step("A", "a"), not_step("Cancel"), step("B", "b")],
                 emit={})
     assert set(p.relevant_types()) == {"A", "B", "Cancel"}
+
+
+def test_streaming_and_pattern_matches_reverse_order(request):
+    """r9 regression (found writing this port): a VPL `and` pattern
+    (any_order) on a STREAMING input only matched its declared step order —
+    apply_pattern_batch permuted externally, but the streaming NFA called
+    the enumerator directly. Pinned end-to-end: B-then-A completes
+    AND(A, B) across separate incremental injections."""
+    import json
+
+    from varpulis_spark.api import PipelineServer
+    from varpulis_spark.engine import get_spark
+
+    spark = get_spark("sase-coverage-port")
+    src = """
+event DoorOpen:
+    site: str
+
+event MotionSeen:
+    site: str
+
+pattern Intrusion = DoorOpen as d AND MotionSeen as m
+
+stream Alerts = Intrusion
+    .partition_by(site)
+    .emit(kind: "intrusion", site: d.site)
+"""
+    srv = PipelineServer(spark)
+    request.addfinalizer(srv.stop)
+    st, r = srv.handle("POST", "/api/v1/pipelines",
+                       json.dumps({"name": "and9", "source": src}).encode(), {})
+    assert st == 200 and r["mode"] == "incremental", r
+    pid = r["id"]
+
+    def inject(ev):
+        st, r = srv.handle("POST", f"/api/v1/pipelines/{pid}/events",
+                           json.dumps(ev).encode(), {})
+        assert st == 200
+        return r["output_events"]
+
+    # REVERSE order: MotionSeen first, DoorOpen second
+    assert inject({"event_type": "MotionSeen", "fields": {"site": "hq"}}) == []
+    out = inject({"event_type": "DoorOpen", "fields": {"site": "hq"}})
+    assert [e["fields"]["site"] for e in out] == ["hq"]
+
+
+def test_and_pattern_partition_by_isolates_keys(request):
+    """The same r9 bug's batch face: with `.partition_by(site)` dropped,
+    an AND pattern matched ACROSS sites. Pinned: DoorOpen at site A +
+    MotionSeen at site B must NOT complete."""
+    from varpulis_spark.engine import get_spark
+    from varpulis_spark.sources.event_file import load_evt
+    from varpulis_spark.stream import Stream
+    from varpulis_spark.vpl.compiler import run_program
+
+    spark = get_spark("sase-coverage-port")
+    src = """
+pattern Intrusion = DoorOpen as d AND MotionSeen as m
+
+stream Alerts = Intrusion
+    .partition_by(site)
+    .emit(kind: "intrusion", site: d.site)
+"""
+    evt = (
+        'DoorOpen { site: "a" }\n'
+        '@100 MotionSeen { site: "b" }\n'
+        '@200 MotionSeen { site: "a" }\n'
+    )
+    res = run_program(src, Stream(load_evt(spark, evt), ts_col="ts",
+                                  order_col="event_id"))
+    rows = res["Alerts"].collect()
+    assert [r.site for r in rows] == ["a"], \
+        "cross-site DoorOpen+MotionSeen must not match"

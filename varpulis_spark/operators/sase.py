@@ -674,9 +674,31 @@ def _run_nfa(cols: dict, ts: "np.ndarray", n: int, pattern: Pattern) -> list[dic
 def _enumerate_matches(events: list[dict], pattern: Pattern) -> list[dict]:
     """Compat shim over `_run_nfa` for callers holding per-event dicts
     (the streaming state path pickles dict events). `events` sorted by
-    (ts, tiebreak); each dict has `__ts` int64 ns."""
+    (ts, tiebreak); each dict has `__ts` int64 ns.
+
+    AND (any_order) patterns lower HERE to the union of per-permutation
+    sequences, so the streaming NFA path gets the same semantics as
+    batch (r9 bug: apply_pattern_batch permuted externally, the streaming
+    path called this enumerator directly and an AND pattern only matched
+    its declared step order — each event set matches under exactly one
+    ts-ordering, so the union is duplicate-free)."""
     if not events:
         return []
+    if pattern.any_order:
+        from dataclasses import replace as _dc_replace
+        from itertools import permutations as _perms
+
+        if any(s.negated for s in pattern.steps):
+            raise ValueError("any_order with negation is not supported")
+        out: list[dict] = []
+        for perm in _perms(pattern.steps):
+            out.extend(
+                _enumerate_matches(
+                    events,
+                    _dc_replace(pattern, steps=list(perm), any_order=False),
+                )
+            )
+        return out
     pdf = pd.DataFrame(events)
     cols = {c: pdf[c].to_numpy() for c in pdf.columns}
     ts = np.asarray(cols["__ts"], dtype=np.int64)

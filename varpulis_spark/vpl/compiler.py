@@ -2638,14 +2638,23 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
                 where_sql=_try_sql(s.where, alias, aliases),
             ))
         last_alias = sase_steps[-1].alias
-        # use-site emit handling mirrors compile_pattern_decl
+        # use-site emit + partition_by handling mirrors compile_pattern_decl
+        # (r9 bug: the use-site `.partition_by(k)` was silently dropped
+        # here — batch matched ACROSS keys and streaming refused to lower)
         emit_kwargs = {}
+        explicit_keys: list[str] | None = None
         for op in use.ops:
             if op.name == "emit":
                 emit_kwargs = op.kwargs
+            elif op.name == "partition_by":
+                explicit_keys = [
+                    ".".join(a.parts) for a in op.args if isinstance(a, Ref)
+                ]
+        if explicit_keys is None and pdecl.partition_by:
+            explicit_keys = [pdecl.partition_by]
         emit, lits, post = _classify_emit(emit_kwargs, aliases, set(), last_alias)
         p = Pattern(steps=sase_steps, within=within, emit=emit, any_order=True,
-                    partition_by=[pdecl.partition_by] if pdecl.partition_by else None)
+                    partition_by=explicit_keys)
         df = src.pattern(p).df
         for k, v in lits.items():
             df = df.withColumn(k, F.lit(v))
