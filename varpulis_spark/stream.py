@@ -195,13 +195,21 @@ class Stream:
                     cols.append(name)
                     tmp.append(name)
             if not cols:
-                cols = list(self.df.columns)  # whole-event distinct
+                cols = self._payload_columns()  # whole-event distinct
             out = distinct_streaming(src, *cols, ttl=ttl)
             return out._with(out.df.drop(*tmp)) if tmp else out
         if ttl is not None:
             raise ValueError("distinct ttl applies to streaming inputs only")
         if not exprs:
-            return self._with(self.df.distinct())
+            # whole-event dedup hashes the event DATA (DistinctState hashes
+            # event.data — payload fields only, engine/types.rs:289): two
+            # events with identical fields dedupe even though their
+            # envelope (ts, arrival id) always differs. r9 bug: this was
+            # df.distinct() over ALL columns — a silent no-op, since
+            # event_id is unique per event.
+            exprs = tuple(self._payload_columns())
+            if not exprs:
+                return self._with(self.df.limit(1))  # no payload: all equal
         # keep the earliest event per distinct key (arrival order analog)
         key_cols = [as_col(e).alias(f"__k{i}") for i, e in enumerate(exprs)]
         order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
@@ -211,6 +219,12 @@ class Stream:
         spec = W.partitionBy(*[F.col(f"__k{i}") for i in range(len(exprs))]).orderBy(*order)
         df = df.withColumn("__rn", F.row_number().over(spec)).filter(F.col("__rn") == 1)
         return self._with(df.drop("__rn", *[f"__k{i}" for i in range(len(exprs))]))
+
+    def _payload_columns(self) -> list[str]:
+        """Data fields = everything outside the envelope (ts, arrival id,
+        event type) — the reference's `event.data` map."""
+        env = {self.ts_col, self.order_col, "event_type"}
+        return [c for c in self.df.columns if c not in env]
 
     def prev(self, field: str, n: int = 1, default=None, alias: str | None = None) -> "Stream":
         """Previous-event tracker: `prev_<field>` = the field's value n

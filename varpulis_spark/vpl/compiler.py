@@ -1575,9 +1575,13 @@ def compile_pattern_decl(
         df = df.withColumn(k, F.lit(v))
     for k, expr in post:
         df = df.withColumn(k, to_column(expr))
-    # final projection in emit order (hidden columns dropped)
+    # final projection in emit order (hidden columns dropped); matches
+    # carry the stream name as their envelope type (pipeline.rs:528)
     if emit_kwargs:
         keep = list(emit_kwargs.keys())
+        if "event_type" not in keep:
+            df = df.withColumn("event_type", F.lit(decl.name))
+            keep.append("event_type")
         if ts_name not in keep and ts_name in df.columns:
             keep.append(ts_name)
         df = df.select(*keep)
@@ -2024,7 +2028,8 @@ def _contains_agg(e) -> bool:
 
 
 def _compile_windowed_emit(
-    windowed, out: Stream, emit_op: OpCall, havings: list, resolver
+    windowed, out: Stream, emit_op: OpCall, havings: list, resolver,
+    stream_name: str | None = None,
 ) -> Stream:
     """`.window(n) .where(first(x) < first(y)) .emit(a: last(x), b: "lit")`
     — aggregate expressions directly in where/emit over a pending window
@@ -2054,8 +2059,10 @@ def _compile_windowed_emit(
     if emit_op.args and isinstance(emit_op.args[0], (Lit, Ref)):
         a0 = emit_op.args[0]
         etype = a0.value if isinstance(a0, Lit) else a0.parts[0]
+    if etype is None:
+        etype = stream_name  # envelope type defaults to the stream name
     sel = [to_column(v, resolver).alias(k) for k, v in emit_rw.items()]
-    if etype is not None:
+    if etype is not None and "event_type" not in emit_rw:
         sel.insert(0, F.lit(etype).alias("event_type"))
     # keep the window's event time for downstream windowing/joins
     if res.ts_col in df.columns and res.ts_col not in emit_rw:
@@ -2179,7 +2186,8 @@ def _apply_relational_ops(
                 pending_havings or any(_contains_agg(v) for v in op.kwargs.values())
             ):
                 out = _compile_windowed_emit(
-                    windowed, out, op, pending_havings, resolver
+                    windowed, out, op, pending_havings, resolver,
+                    stream_name=decl.name,
                 )
                 windowed = None
                 pending_havings = []
@@ -2200,6 +2208,13 @@ def _apply_relational_ops(
                 etype = op.args[0].value
             elif op.args and isinstance(op.args[0], Ref):
                 etype = op.args[0].parts[0]  # `.emit as Type` sugar
+            if etype is None:
+                # the envelope type of an emitted event defaults to the
+                # STREAM name (pipeline.rs:528; engine_extended_tests
+                # select_multiple_events_preserves_event_type) — `.emit as
+                # Type` overrides it, an `event_type:` kwarg stays a data
+                # column that shadows the stamp
+                etype = decl.name
             out = out.emit(etype, **named)
         elif op.name == "partition_by":
             out = out.partition_by(*[".".join(a.parts) for a in op.args])
@@ -2661,7 +2676,11 @@ def _compile_named_pattern(pdecl: PatternDecl, use: StreamDecl, stream: Stream,
         for k, expr in post:
             df = df.withColumn(k, to_column(expr))
         if emit_kwargs:
-            df = df.select(*emit_kwargs.keys())
+            keep = list(emit_kwargs.keys())
+            if "event_type" not in keep:
+                df = df.withColumn("event_type", F.lit(use.name))
+                keep.append("event_type")
+            df = df.select(*keep)
         return Stream(df, ts_col=stream.ts_col)
     raise ValueError(f"pattern form not supported: {node}")
 
@@ -2897,24 +2916,28 @@ def run_program(
                 # `LoginStream` matches exactly the rows that stream
                 # produced.
                 refs = {s.event_type for s in decl.steps if s.event_type in env_streams}
+                # steps naming raw event types still read the ingest
+                plain = {
+                    s.event_type for s in decl.steps
+                    if s.event_type and s.event_type not in env_streams
+                }
                 src = stream
-                if len(refs) == 1:
+                if len(refs) == 1 and not plain:
+                    # every step reads the same derived stream
                     src = env_streams[next(iter(refs))]
                     for s in decl.steps:
                         if s.event_type in env_streams:
                             s.event_type = None
-                elif len(refs) > 1:
+                elif refs:
+                    # mixed sources (r9: `HighTemp as ht -> Ack` previously
+                    # took the single-ref shortcut and ran over ONLY the
+                    # derived stream, so the raw-typed Ack step starved)
                     from varpulis_spark.operators.joins import merge_frames
 
                     parts = [
                         env_streams[r].df.withColumn("event_type", F.lit(r))
                         for r in sorted(refs)
                     ]
-                    # steps naming raw event types still read the ingest
-                    plain = {
-                        s.event_type for s in decl.steps
-                        if s.event_type and s.event_type not in env_streams
-                    }
                     if plain:
                         parts.append(
                             stream.df.filter(F.col("event_type").isin(sorted(plain)))
