@@ -211,7 +211,7 @@ def run_suite(
 
 def _detail_path() -> str:
     """Full per-query detail lands here; the stdout line stays compact."""
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
     )
