@@ -49,7 +49,13 @@ def test_select_computed(spark, sf_dir, duck):
 
 def test_distinct_whole_and_expr(spark, sf_dir, duck):
     s = Stream.events(spark, sf_dir)
-    assert s.distinct().count() == duck.execute("SELECT count(*) FROM (SELECT DISTINCT * FROM events)").fetchone()[0]
+    # whole-event distinct hashes the event DATA (payload fields), not the
+    # envelope (ts / arrival id) — DistinctState hashes event.data (r9)
+    payload = [c for c in s.df.columns
+               if c not in {s.ts_col, s.order_col, "event_type"}]
+    assert s.distinct().count() == duck.execute(
+        f"SELECT count(*) FROM (SELECT DISTINCT {', '.join(payload)} FROM events)"
+    ).fetchone()[0]
     # distinct by expr keeps earliest event per key
     d = s.distinct(F.col("event_type")).df
     assert d.count() == duck.execute("SELECT count(DISTINCT event_type) FROM events").fetchone()[0]
