@@ -702,6 +702,14 @@ def _lower_array_method(e: Call, rec, scope: dict) -> Column | None:
                 return bind(a)
 
     if name == "filter" and lam is not None:
+        if len(lam.params) >= 2:
+            # two-param lambda destructures array PAIRS (evaluator.rs
+            # :1408-1420, `.sliding_pairs().filter((a, b) => ...)`) — not
+            # Spark's (element, index) two-arg filter signature
+            return F.filter(
+                rec(args[0], scope),
+                lambda el: bind(el.getItem(0), el.getItem(1)),
+            )
         return F.filter(rec(args[0], scope), lam_fn)
     if name == "map" and lam is not None:
         if len(lam.params) >= 2:
@@ -724,6 +732,32 @@ def _lower_array_method(e: Call, rec, scope: dict) -> Column | None:
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double"),
         )
+    if name == "avg" and len(args) == 1 and _looks_arrayish(args[0]):
+        # avg over a capture array → Float; EMPTY array → 0.0
+        # (evaluator.rs fn_avg / evaluator_pattern_tests fn_avg_empty)
+        arr = rec(args[0], scope)
+        total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        return F.when(F.size(arr) > 0, total / F.size(arr)).otherwise(F.lit(0.0))
+    if name in ("min", "max") and len(args) == 1 and _looks_arrayish(args[0]):
+        # array min/max → Float; EMPTY → null (the reference's INFINITY
+        # fold yields None, evaluator_pattern_tests fn_min_empty)
+        arr = rec(args[0], scope)
+        agg = F.array_min(arr) if name == "min" else F.array_max(arr)
+        return agg.cast("double")
+    if name == "variance" and len(args) == 1 and _looks_arrayish(args[0]):
+        # POPULATION variance ([2,4,4,4,5,5,7,9] → 4.0); empty → 0.0
+        arr = rec(args[0], scope)
+        n = F.size(arr)
+        total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        mean = total / n
+        ss = F.aggregate(
+            arr, F.lit(0.0),
+            lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean),
+        )
+        return F.when(n > 0, ss / n).otherwise(F.lit(0.0))
+    if name in ("first", "last") and len(args) == 1 and _looks_arrayish(args[0]):
+        arr = rec(args[0], scope)
+        return F.element_at(arr, 1 if name == "first" else -1)
     if name == "sliding_pairs" and len(args) == 1:
         # [a,b,c] -> [[a,b],[b,c]] (evaluator.rs sliding_pairs)
         arr = rec(args[0], scope)
