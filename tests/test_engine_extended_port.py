@@ -487,3 +487,23 @@ def test_reload_empty_report_for_identical_program(spark, request):
     assert st == 200
     assert rep["streams_added"] == [] and rep["streams_removed"] == []
     assert rep["streams_updated"] == [] and rep["state_preserved"] == ["S"]
+
+
+def test_global_var_readable_in_fn_body(spark):
+    """r9: a declared global `var` is READABLE inside .process fn bodies
+    (it initialized to None and `counter := counter + 1` crashed).
+    Writes stay local to the invocation — a distributed engine cannot
+    sequence global mutation across executors (documented divergence
+    from the single-process reference's engine-global set_variable)."""
+    out = run(spark, """
+var counter: int = 10
+
+fn tick():
+    counter := counter + 1
+    emit Out(n: counter, doubled: counter * 2)
+
+stream S = Tick
+    .process(tick())
+""", "Tick { x: 1 }\n@100 Tick { x: 2 }\n")
+    assert [r["n"] for r in out] == [11, 11]
+    assert all(r["doubled"] == 22 for r in out)

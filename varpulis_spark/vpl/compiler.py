@@ -1121,7 +1121,7 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
     sentinel_scope = {
         c: _SENTINELS.get(t, "") for c, t in stream.df.dtypes
     }
-    probe_scope = dict(sentinel_scope)
+    probe_scope = {**env.vars, **sentinel_scope}
     probe_scope.update(
         {p: _eval_expr(a, dict(sentinel_scope), env) for p, a in zip(params, arg_exprs)}
     )
@@ -1210,7 +1210,13 @@ def _compile_process(op: OpCall, stream: Stream, env: ProgramEnv) -> Stream:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                scope = dict(zip(pdf.columns, rec))
+                # globals are READABLE in fn bodies (their declared values);
+                # event fields shadow them. Writes stay local to the
+                # invocation — a distributed engine cannot sequence global
+                # mutation across executors (documented divergence from the
+                # single-process reference).
+                scope = dict(env.vars)
+                scope.update(zip(pdf.columns, rec))
                 scope.update({p: _eval_expr(a, scope, env) for p, a in zip(params, arg_exprs)})
                 emitted: list = []
                 if compiled is not None:

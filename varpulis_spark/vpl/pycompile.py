@@ -363,7 +363,15 @@ def compile_body(stmts: list, fns: dict, consts: dict):
     for name in sorted(free):
         lines.append(f"    _u_{name} = __scope.get({name!r})")
     for name in sorted(local):
-        lines.append(f"    _u_{name} = None")
+        if name in consts:
+            # an ASSIGNED global var starts from its declared value (read
+            # through the scope so event fields still shadow it); the
+            # write stays local to the invocation, like every other
+            # assignment here (r9: this initialized to None and
+            # `counter := counter + 1` crashed on None + 1)
+            lines.append(f"    _u_{name} = __scope.get({name!r}, {consts[name]!r})")
+        else:
+            lines.append(f"    _u_{name} = None")
     try:
         cg.stmts(stmts, free | local, "    ", in_loop=False)
     except _Unsupported:
