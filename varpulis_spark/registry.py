@@ -133,8 +133,20 @@ def connector_configs(source_or_program) -> dict[str, dict]:
     return out
 
 
+# type aliases (connector_registry_tests.rs:250-335): postgres/mysql/
+# sqlite are database drivers, api = rest, es = elasticsearch
+_TYPE_ALIASES = {
+    "postgres": "database",
+    "mysql": "database",
+    "sqlite": "database",
+    "api": "rest",
+    "es": "elasticsearch",
+}
+
+
 def _build(name: str, cfg: dict, spool_root: str | None):
     kind = cfg.get("type")
+    kind = _TYPE_ALIASES.get(kind, kind)
     params = {k: v for k, v in cfg.items() if k != "type"}
     spool = params.pop("spool_dir", None) or (
         f"{spool_root}/{name}" if spool_root else None
@@ -211,6 +223,19 @@ def _build(name: str, cfg: dict, spool_root: str | None):
         return _Entry(
             kind, None, RestApiSink(name, RestApiConfig(**params), path)
         )
+    if kind == "console":
+        from varpulis_spark.sinks import ConsoleSink
+
+        return _Entry(kind, None, ConsoleSink(**params))
+    if kind in ("s3", "file"):
+        # S3/file connector (connector/s3.rs): the sink appends JSONL to
+        # `path` (an s3a:// URI on a real cluster, a directory/file
+        # locally); the source side is the directory replay/streaming
+        # reader (streaming.file_source) bound at .from() time
+        from varpulis_spark.sinks import FileSink
+
+        path = params.get("path") or params.get("bucket") or need_spool()
+        return _Entry(kind, None, FileSink(path))
     raise ValueError(f"unknown connector type '{kind}' for '{name}'")
 
 
