@@ -287,9 +287,11 @@ def test_pattern_analyzer_all_with_alias_source(spark):
     out = run(spark, """
 stream S = all SensorReading as readings
     .within(60s)
-    .emit(matched: "yes")
+    .emit(matched: "yes", n: count(readings))
 """, "SensorReading { v: 1 }\n@100 SensorReading { v: 2 }\n")
     assert out, "Kleene-at-source must compile and match"
+    # count(kleene_alias) = closure size (r9: only len() lowered before)
+    assert max(r["n"] for r in out) == 2
 
 
 def test_pattern_analyzer_kleene_in_followed_by(spark):

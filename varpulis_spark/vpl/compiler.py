@@ -1387,7 +1387,8 @@ def _classify_emit(kwargs: dict, aliases: set[str], kleene_aliases: set[str],
                     return node
                 name = hidden.setdefault(key, f"__h_{key[0]}_{key[1]}")
                 return Ref([name])
-            if isinstance(node, Call) and node.name == "len" and len(node.args) == 1 \
+            if isinstance(node, Call) and node.name in ("len", "count", "size") \
+                    and len(node.args) == 1 \
                     and isinstance(node.args[0], Ref) and len(node.args[0].parts) == 1 \
                     and node.args[0].parts[0] in kleene_aliases:
                 key = (node.args[0].parts[0], "__count")
@@ -1405,10 +1406,14 @@ def _classify_emit(kwargs: dict, aliases: set[str], kleene_aliases: set[str],
         elif isinstance(v, Lit):
             lits[k] = v.value
         elif (
-            isinstance(v, Call) and v.name == "len" and len(v.args) == 1
+            isinstance(v, Call) and v.name in ("len", "count", "size")
+            and len(v.args) == 1
             and isinstance(v.args[0], Ref) and len(v.args[0].parts) == 1
             and v.args[0].parts[0] in kleene_aliases
         ):
+            # len/count/size over a Kleene alias = the closure size
+            # (evaluator.rs array receivers; engine_coverage's
+            # `all X as readings … count(readings)`)
             emit[k] = (v.args[0].parts[0], "__count")
         else:
             post.append((k, qualify(v)))
