@@ -421,3 +421,82 @@ def test_future_version_rejected_by_validate():
     cp["version"] = CHECKPOINT_VERSION + 5
     with pytest.raises(StoreError, match="newer than supported"):
         validate_and_migrate(cp)
+
+
+# =============================================================================
+# Operator-state preservation across checkpoint/restore
+# (engine_coverage_final_tests.rs:318-460)
+# =============================================================================
+
+
+def test_checkpoint_preserves_distinct_state(srv):
+    """rs:318-375: a duplicate id injected AFTER restore is still
+    filtered — the replay-model checkpoint carries the whole event log, so
+    distinct state re-derives exactly."""
+    src = """
+event Tick:
+    id: int
+
+stream S = Tick
+    .distinct(id)
+    .emit(id: id)
+"""
+    pid = deploy(srv, "cpd", src)
+    assert len(inject(srv, pid, "Tick", {"id": 1})) == 1
+    assert len(inject(srv, pid, "Tick", {"id": 2})) == 1
+    cp = take_checkpoint(srv, pid)
+    assert cp["events_processed"] == 2 and cp["output_events_emitted"] == 2
+
+    st, _ = restore(srv, "cpd-restored", cp)
+    assert st == 200
+    assert inject(srv, "cpd-restored", "Tick", {"id": 1}) == [], \
+        "duplicate from before the restore must stay filtered"
+    out = inject(srv, "cpd-restored", "Tick", {"id": 3})
+    assert [e["fields"]["id"] for e in out] == [3]
+
+
+def test_checkpoint_preserves_limit_state(srv):
+    """rs:377-428: limit(3) with 2 pre-checkpoint events passes exactly
+    ONE more after the restore."""
+    src = """
+event Tick:
+    x: int
+
+stream S = Tick
+    .limit(3)
+    .emit(x: x)
+"""
+    pid = deploy(srv, "cpl", src)
+    for i in (1, 2):
+        assert len(inject(srv, pid, "Tick", {"x": i})) == 1
+    cp = take_checkpoint(srv, pid)
+
+    st, _ = restore(srv, "cpl-restored", cp)
+    assert st == 200
+    out3 = inject(srv, "cpl-restored", "Tick", {"x": 3})
+    assert [e["fields"]["x"] for e in out3] == [3]
+    assert inject(srv, "cpl-restored", "Tick", {"x": 4}) == [], \
+        "limit(3) already produced 3 across the restore boundary"
+
+
+def test_checkpoint_preserves_variable_declarations(srv):
+    """rs:430-460: variables survive via the checkpointed source (the
+    replay model re-declares them on restore)."""
+    src = """
+var threshold: int = 42
+
+event Tick:
+    x: int
+
+stream S = Tick
+    .emit(x: x)
+"""
+    pid = deploy(srv, "cpv", src)
+    inject(srv, pid, "Tick", {"x": 1})
+    cp = take_checkpoint(srv, pid)
+    st, _ = restore(srv, "cpv-restored", cp)
+    assert st == 200
+    from varpulis_spark.vpl.parser import parse_full
+
+    decls = {v.name for v in parse_full(cp["source"]).vars}
+    assert "threshold" in decls
