@@ -209,11 +209,18 @@ def run_suite(
     return times, spread, rows, skipped
 
 
-def _detail_path() -> str:
-    """Full per-query detail lands here; the stdout line stays compact."""
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
+def _detail_path(contended: bool = False) -> str:
+    """Full per-query detail lands here; the stdout line stays compact.
+
+    Contended runs (idle-wait budget exhausted with load still high) write
+    to a `_contended`-suffixed file so they can NEVER overwrite the
+    committed idle artifact the compact line's `detail` field points at
+    (VERDICT r8 finding #3, repeated r9 finding #1)."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    suffix = "_contended" if contended else ""
     return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_r{rnd}.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LOCAL_r{rnd}{suffix}.json",
     )
 
 
@@ -308,7 +315,7 @@ def main() -> None:
     # line is COMPACT (the driver parses the last line from a bounded tail
     # capture); the full record goes to the detail file.
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
-    detail = _detail_path()
+    detail = _detail_path(contended)
     with open(detail, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(compact_line(out, detail), flush=True)
