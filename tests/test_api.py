@@ -679,3 +679,141 @@ stream Paid = Order as o
     assert inject({"event_type": "Payment",
                    "fields": {"order_id": 2, "user": "bob", "amount": 10.0}}) == []
     srv.stop()
+
+
+def test_reload_report_transitive_reset(spark):
+    """A stream downstream of an UPDATED derived stream compiles to a
+    different plan even with an unchanged signature: it must land in
+    state_reset (transitively), never resume on its old checkpoint
+    (ADVICE r9 #2)."""
+    import json as _json
+
+    from varpulis_spark.api import _reload_report
+    from varpulis_spark.vpl.parser import parse_full
+
+    v1 = (
+        "stream Hot = Reading\n"
+        "    .where(value > 10)\n"
+        "stream Loud = Hot\n"
+        "    .emit(v: value)\n"
+        "stream Other = Reading\n"
+        "    .where(value < 0)\n"
+        "    .emit(v: value)\n"
+    )
+    # Hot gains an op → updated; Loud's own signature is unchanged but it
+    # reads Hot; Other is genuinely independent
+    v2 = v1.replace(".where(value > 10)\n", ".where(value > 10)\n    .distinct(value)\n")
+    rep = _reload_report(parse_full(v1), parse_full(v2))
+    assert rep["streams_updated"] == ["Hot"]
+    assert rep["state_reset"] == ["Hot", "Loud"]
+    assert rep["state_preserved"] == ["Other"]
+
+    # chain depth 2: Loud2 reads Loud reads Hot — all reset
+    v1c = v1 + "stream Loud2 = Loud\n    .emit(v: value)\n"
+    v2c = v2 + "stream Loud2 = Loud\n    .emit(v: value)\n"
+    repc = _reload_report(parse_full(v1c), parse_full(v2c))
+    assert repc["state_reset"] == ["Hot", "Loud", "Loud2"]
+
+    # a REMOVED upstream also dirties its readers
+    v2r = (
+        "stream Loud = Hot\n"
+        "    .emit(v: value)\n"
+        "stream Other = Reading\n"
+        "    .where(value < 0)\n"
+        "    .emit(v: value)\n"
+    )
+    repr_ = _reload_report(parse_full(v1), parse_full(v2r))
+    assert repr_["streams_removed"] == ["Hot"]
+    assert "Loud" in repr_["state_reset"]
+    assert repr_["state_preserved"] == ["Other"]
+    _ = _json  # silence linter
+
+
+def test_inject_failure_rolls_back_log_in_replay_mode(spark):
+    """A replay-mode (_run_delta) failure must not leave the failed events
+    in the log for later replays/checkpoints to silently include
+    (ADVICE r9 #4)."""
+    srv = PipelineServer(spark)
+    src = (
+        "stream Hot = Reading\n"
+        "    .where(value > 10)\n"
+        "    .emit(v: value)\n"
+    )
+    st, resp = srv.handle(
+        "POST", "/api/v1/pipelines",
+        json.dumps({"name": "rb", "source": src}).encode(), {})
+    pid = resp["id"]
+    p = srv._pipelines[pid]
+    srv._fallback_to_replay(p)  # force replay mode
+    assert p.runner is None
+    orig = srv._run_delta
+    calls = {"n": 0}
+
+    def boom(pipeline):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected delta failure")
+        return orig(pipeline)
+
+    srv._run_delta = boom
+    st, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 20.0}}).encode(), {})
+    assert st == 500
+    assert p.events == []  # rolled back in replay mode too
+    # retry succeeds and announces exactly once
+    st, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 20.0}}).encode(), {})
+    assert st == 200
+    assert [e["fields"]["v"] for e in resp["output_events"]] == [20.0]
+    assert len(p.events) == 1
+
+
+def test_inject_failure_in_runner_mode_falls_back_to_replay(spark):
+    """A runner-mode inject failure leaves the runner's streaming state
+    ahead of the rolled-back log; the server must tear the runner down and
+    rebuild from the consistent log instead of 500ing forever
+    (ADVICE r9 #2/#4)."""
+    srv = PipelineServer(spark)
+    src = (
+        "event Reading:\n"
+        "    value: float\n"
+        "\n"
+        "stream Hot = Reading\n"
+        "    .where(value > 10)\n"
+        "    .emit(v: value)\n"
+    )
+    st, resp = srv.handle(
+        "POST", "/api/v1/pipelines",
+        json.dumps({"name": "fb", "source": src}).encode(), {})
+    pid = resp["id"]
+    p = srv._pipelines[pid]
+    assert p.runner is not None
+
+    class BoomRunner:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def check_declared(self, ev):
+            return self.inner.check_declared(ev)
+
+        def inject(self, ev):
+            raise RuntimeError("injected runner failure")
+
+        def close(self):
+            return self.inner.close()
+
+    p.runner = BoomRunner(p.runner)
+    st, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 20.0}}).encode(), {})
+    assert st == 500
+    assert p.events == []  # rolled back
+    assert p.runner is None  # fell back to replay mode
+    # the pipeline is NOT wedged: next inject answers 200 with the row
+    st, resp = srv.handle(
+        "POST", f"/api/v1/pipelines/{pid}/events",
+        json.dumps({"event_type": "Reading", "fields": {"value": 21.0}}).encode(), {})
+    assert st == 200
+    assert [e["fields"]["v"] for e in resp["output_events"]] == [21.0]

@@ -66,6 +66,26 @@ def test_distinct_whole_and_expr(spark, sf_dir, duck):
     assert got == first_login
 
 
+def test_distinct_no_payload_keeps_earliest(spark, sf_dir):
+    """Whole-event distinct on a stream with ZERO payload columns: every
+    event is 'equal', and the reference's DistinctState keeps the FIRST
+    arrival — the surviving envelope must be the earliest (ts, order) row,
+    not an arbitrary limit(1) pick (ADVICE r9 #5)."""
+    s = Stream.events(spark, sf_dir)
+    envelope_only = s._with(
+        s.df.select(s.ts_col, s.order_col, "event_type")
+    )
+    assert envelope_only._payload_columns() == []
+    out = envelope_only.distinct().df.collect()
+    first = (
+        s.df.orderBy(s.ts_col, s.order_col)
+        .select(s.ts_col, s.order_col)
+        .head(1)[0]
+    )
+    assert len(out) == 1
+    assert (out[0][s.ts_col], out[0][s.order_col]) == tuple(first)
+
+
 def test_limit_order(spark, sf_dir, duck):
     s = Stream.events(spark, sf_dir)
     rows = s.limit(10).df.select("event_id").collect()

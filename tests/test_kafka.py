@@ -384,3 +384,147 @@ def test_sink_handle_routes_transactional(spark):
     h.write_batch(_mini_batch(spark, [7]), epoch=0)
     assert fake.log.count("commit_transaction") == 1
     assert len([r for r in fake.committed if r[0] == "out"]) == 1
+
+
+class FakeRecoveryConsumer:
+    """Minimal read_committed consumer surface over a FakeTxnProducer's
+    committed records: subscribe / poll / close."""
+
+    def __init__(self, committed):
+        self._committed = committed
+        self._queue = []
+        self.closed = False
+        self.subscribed = None
+
+    def subscribe(self, topics):
+        self.subscribed = list(topics)
+
+        class _Msg:
+            def __init__(self, key, value):
+                self._k, self._v = key, value
+
+            def key(self):
+                return self._k.encode() if isinstance(self._k, str) else self._k
+
+            def value(self):
+                return self._v.encode() if isinstance(self._v, str) else self._v
+
+            def error(self):
+                return None
+
+        self._queue = [
+            _Msg(k, v) for t, k, v in self._committed if t in self.subscribed
+        ]
+
+    def poll(self, timeout):
+        return self._queue.pop(0) if self._queue else None
+
+    def close(self):
+        self.closed = True
+
+
+def test_txn_sink_recovers_epoch_from_marker_topic(spark):
+    """Driver restart: a fresh sink re-baselines last_committed_epoch from
+    the marker topic (read_committed), so foreachBatch's redelivery of the
+    pre-crash epoch is skipped — no duplicates (ADVICE r9 #1)."""
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    cfg = KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1")
+    fake = FakeTxnProducer()
+    sink = TransactionalKafkaSink(cfg, producer_factory=lambda: fake)
+    batch = _mini_batch(spark, [1, 2])
+    sink.write_batch(batch, epoch=3)
+    sink.write_batch(batch, epoch=4)
+    n_before = len(fake.committed)
+
+    # "restart": fresh sink over the same broker state, default -1 baseline
+    consumer = FakeRecoveryConsumer(fake.committed)
+    sink2 = TransactionalKafkaSink(
+        cfg, producer_factory=lambda: fake, consumer_factory=lambda: consumer
+    )
+    # redelivered last epoch → recovered baseline skips it
+    assert sink2.write_batch(batch, epoch=4) == "skipped"
+    assert sink2.last_committed_epoch == 4
+    assert consumer.closed and consumer.subscribed == ["out.__varpulis_epochs"]
+    assert len(fake.committed) == n_before  # nothing re-produced
+    # next epoch proceeds normally
+    assert sink2.write_batch(batch, epoch=5) == "committed"
+
+
+def test_txn_sink_recovery_ignores_other_transactional_ids(spark):
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    committed = [
+        ("out.__varpulis_epochs", "other-app", "99"),
+        ("out.__varpulis_epochs", "app-1", "2"),
+        ("out.__varpulis_epochs", "app-1", "not-an-int"),
+    ]
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: FakeTxnProducer(),
+        consumer_factory=lambda: FakeRecoveryConsumer(committed),
+    )
+    assert sink.recover_last_committed_epoch() == 2
+
+
+def test_txn_sink_no_consumer_means_process_lifetime_only(spark):
+    """An injected producer without a consumer factory cannot recover —
+    behaves as before (epoch 0 commits after 'restart')."""
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    fake = FakeTxnProducer()
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    assert sink.write_batch(_mini_batch(spark, [1]), epoch=0) == "committed"
+
+
+def test_txn_sink_produce_buffer_overflow_flushes_and_retries(spark):
+    """librdkafka queue-full: produce raises BufferError; the sink must
+    flush and retry inside the transaction instead of aborting (ADVICE r9
+    #3 — otherwise Spark retries the identical batch forever)."""
+    from varpulis_spark.sources.kafka import KafkaConfig, TransactionalKafkaSink
+
+    class OverflowingProducer(FakeTxnProducer):
+        def __init__(self):
+            super().__init__()
+            self.flushes = 0
+            self.polls = 0
+            self._fail_next = True
+
+        def poll(self, timeout):
+            self.polls += 1
+
+        def flush(self, *a):
+            self.flushes += 1
+
+        def produce(self, topic, key=None, value=None):
+            if self._fail_next and topic == "out":
+                self._fail_next = False
+                raise BufferError("Local: Queue full")
+            super().produce(topic, key=key, value=value)
+
+    fake = OverflowingProducer()
+    sink = TransactionalKafkaSink(
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+    )
+    assert sink.write_batch(_mini_batch(spark, [1, 2]), epoch=0) == "committed"
+    assert fake.flushes == 1  # overflow drained, not aborted
+    assert fake.polls >= 3  # poll(0) services callbacks per produce
+    assert len([r for r in fake.committed if r[0] == "out"]) == 2
+
+
+def test_sink_handle_passes_consumer_factory(spark):
+    from varpulis_spark.sources.kafka import KafkaConfig, KafkaSinkHandle
+
+    fake = FakeTxnProducer()
+    fake.committed = [("out.__varpulis_epochs", "app-1", "7")]
+    h = KafkaSinkHandle(
+        "k",
+        KafkaConfig(brokers="b:9092", topic="out", transactional_id="app-1"),
+        producer_factory=lambda: fake,
+        consumer_factory=lambda: FakeRecoveryConsumer(fake.committed),
+    )
+    assert h._txn_sink.write_batch(_mini_batch(spark, [1]), epoch=7) == "skipped"

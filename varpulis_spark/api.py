@@ -632,7 +632,7 @@ class PipelineServer:
                     # from the full event log, which the reference's
                     # live-state reset CANNOT (its NFA state is simply
                     # lost; replay makes the reset lossless)
-                    drop = set(report["streams_updated"]) | set(
+                    drop = set(report["state_reset"]) | set(
                         report["streams_removed"]
                     )
                     p.prev_counts = {
@@ -723,10 +723,18 @@ class PipelineServer:
             else:
                 new_rows = self._run_delta(p)
         except Exception as e:  # noqa: BLE001
-            if p.runner is not None and triples:
+            if triples:
                 # the client is told these events failed — they must not
                 # stay in the log for a later replay/checkpoint to process
+                # (BOTH modes, ADVICE r9 #4: a replay-mode failure used to
+                # leave them for later replays to silently include)
                 del p.events[-len(triples):]
+            if p.runner is not None:
+                # the runner's spool already consumed the failed events, so
+                # its streaming state disagrees with the rolled-back log;
+                # rebuild from the (consistent) log in replay mode instead
+                # of 500ing every future inject on the broken query
+                self._fallback_to_replay(p)
             return 500, {"error": "execution_error", "message": str(e)}
         if p.pending_outputs:
             # reset-stream catch-up from a live reload rides the next
@@ -936,8 +944,30 @@ def _stream_sig(d) -> tuple:
     )
 
 
+def _stream_deps(d) -> set[str]:
+    """Names a stream declaration READS: its typed/pattern steps plus any
+    merge/join/sequence source parts. Names that turn out to be raw event
+    types (not streams) are harmless — the caller intersects with the
+    program's stream names."""
+    deps = {s.event_type for s in d.steps}
+    src = getattr(d, "source", None)
+    if src is not None:
+        for attr in ("parts", "steps"):
+            for part in getattr(src, attr, None) or []:
+                deps.add(part if isinstance(part, str) else part.event_type)
+    deps.discard(d.name)
+    return deps
+
+
 def _reload_report(old_prog, new_prog) -> dict:
-    """ReloadReport parity (ReloadReport fields, engine/mod.rs:3254-3384)."""
+    """ReloadReport parity (ReloadReport fields, engine/mod.rs:3254-3384).
+
+    `streams_updated` is the reference's per-stream signature diff;
+    `state_reset` additionally closes over the stream DEPENDENCY graph
+    (ADVICE r9 #2): a stream downstream of an updated/added/removed
+    derived stream compiles to a different query plan even when its own
+    signature is unchanged — resuming it on its old streaming checkpoint
+    would fail asynchronously at the next micro-batch."""
     old = {d.name: d for d in old_prog.streams}
     new = {d.name: d for d in new_prog.streams}
     added = sorted(set(new) - set(old))
@@ -948,12 +978,27 @@ def _reload_report(old_prog, new_prog) -> dict:
             updated.append(name)
         else:
             preserved.append(name)
+    # a dep can point at a CURRENT stream or a REMOVED one (still dirty:
+    # the reader's plan changes when its upstream disappears); names in
+    # neither set are raw event types and don't count
+    stream_names = set(new) | set(old)
+    deps = {d.name: _stream_deps(d) & stream_names for d in new_prog.streams}
+    dirty = set(updated) | set(added) | set(removed)
+    reset = set(updated)
+    changed = True
+    while changed:
+        changed = False
+        for name in preserved:
+            if name not in reset and deps.get(name, set()) & dirty:
+                reset.add(name)
+                dirty.add(name)
+                changed = True
     return {
         "streams_added": added,
         "streams_removed": removed,
         "streams_updated": updated,
-        "state_preserved": preserved,
-        "state_reset": updated,
+        "state_preserved": sorted(set(preserved) - reset),
+        "state_reset": sorted(reset),
     }
 
 

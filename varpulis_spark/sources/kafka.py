@@ -203,12 +203,15 @@ class KafkaSinkHandle:
         config: KafkaConfig,
         ts_col: str = "ts",
         producer_factory=None,
+        consumer_factory=None,
     ):
         self.name = name
         self.config = config
         self.ts_col = ts_col
         self._txn_sink = (
-            TransactionalKafkaSink(config, ts_col, producer_factory)
+            TransactionalKafkaSink(
+                config, ts_col, producer_factory, consumer_factory=consumer_factory
+            )
             if config.transactional_id
             else None
         )
@@ -261,6 +264,7 @@ class TransactionalKafkaSink:
         ts_col: str = "ts",
         producer_factory=None,
         last_committed_epoch: int = -1,
+        consumer_factory=None,
     ):
         if not config.transactional_id:
             raise ValueError(
@@ -269,9 +273,12 @@ class TransactionalKafkaSink:
             )
         self.config = config
         self.ts_col = ts_col
+        self._producer_factory_injected = producer_factory is not None
         self._factory = producer_factory or self._default_factory
+        self._consumer_factory = consumer_factory
         self._producer = None
         self.last_committed_epoch = last_committed_epoch
+        self._recovery_attempted = False
 
     def _default_factory(self):
         try:
@@ -294,14 +301,105 @@ class TransactionalKafkaSink:
             conf[k] = v
         return Producer(conf)
 
+    def _default_consumer_factory(self):
+        try:
+            from confluent_kafka import Consumer  # type: ignore
+        except ImportError:  # pragma: no cover - env-dependent
+            return None
+        return Consumer(
+            {
+                "bootstrap.servers": self.config.brokers,
+                "group.id": f"{self.config.transactional_id}.__recovery",
+                "isolation.level": "read_committed",
+                "enable.auto.commit": False,
+                "auto.offset.reset": "earliest",
+            }
+        )
+
+    def _make_recovery_consumer(self):
+        if self._consumer_factory is not None:
+            return self._consumer_factory()
+        if self._producer_factory_injected:
+            # custom producer without a matching consumer: recovery is not
+            # possible — exactly-once holds for the process lifetime only
+            return None
+        return self._default_consumer_factory()
+
+    def recover_last_committed_epoch(self, idle_timeout: float = 5.0) -> int:
+        """Re-baseline `last_committed_epoch` from the epoch-marker topic
+        after a driver restart: scan the marker topic with a read_committed
+        consumer (markers from aborted transactions are invisible) and keep
+        the max epoch recorded under this transactional id. Without this,
+        foreachBatch's redelivery of the last pre-crash epoch would be
+        re-committed — duplicates visible to read_committed consumers
+        (ADVICE r9). The marker topic carries one tiny keyed record per
+        epoch, so it should be log-compacted by key in production.
+
+        The consumer needs: subscribe([topic]), poll(timeout) -> message
+        with .key()/.value()/.error() or None when drained, close()."""
+        c = self._make_recovery_consumer()
+        if c is None:
+            return self.last_committed_epoch
+        try:
+            c.subscribe([self.config.topic + self.MARKER_TOPIC_SUFFIX])
+            latest = self.last_committed_epoch
+            while True:
+                msg = c.poll(idle_timeout)
+                if msg is None:
+                    break
+                err = getattr(msg, "error", None)
+                if err is not None and err():
+                    continue
+                key = msg.key()
+                if isinstance(key, bytes):
+                    key = key.decode("utf-8", "replace")
+                if key != self.config.transactional_id:
+                    continue
+                val = msg.value()
+                if isinstance(val, bytes):
+                    val = val.decode("utf-8", "replace")
+                try:
+                    latest = max(latest, int(val))
+                except (TypeError, ValueError):
+                    continue
+            self.last_committed_epoch = latest
+            return latest
+        finally:
+            c.close()
+
     def _ensure_producer(self):
         if self._producer is None:
             self._producer = self._factory()
             self._producer.init_transactions()
         return self._producer
 
+    @staticmethod
+    def _produce_with_backpressure(p, topic: str, key, value) -> None:
+        """librdkafka's local queue is bounded (default 100k messages);
+        produce() raises BufferError when it fills. poll(0) services
+        delivery callbacks each call to drain it, and on overflow we
+        flush-and-retry instead of letting the exception abort the
+        transaction — an epoch larger than the queue would otherwise abort
+        and Spark would retry the identical batch forever (ADVICE r9)."""
+        poll = getattr(p, "poll", None)
+        if poll is not None:
+            poll(0)
+        try:
+            p.produce(topic, key=key, value=value)
+        except BufferError:
+            flush = getattr(p, "flush", None)
+            if flush is not None:
+                flush()
+            elif poll is not None:
+                poll(1.0)
+            p.produce(topic, key=key, value=value)
+
     def write_batch(self, df: DataFrame, epoch: int = 0) -> str:
         """Returns "committed" or "skipped" (already-committed epoch)."""
+        if not self._recovery_attempted:
+            self._recovery_attempted = True
+            if self.last_committed_epoch < 0:
+                self.recover_last_committed_epoch()
         if epoch <= self.last_committed_epoch:
             return "skipped"
         p = self._ensure_producer()
@@ -309,14 +407,17 @@ class TransactionalKafkaSink:
         p.begin_transaction()
         try:
             for row in framed.toLocalIterator():
-                p.produce(self.config.topic, key=row.key, value=row.value)
+                self._produce_with_backpressure(
+                    p, self.config.topic, row.key, row.value
+                )
             # the marker commits atomically with the data: recovery reads
             # the latest marker for this transactional id to re-baseline
             # last_committed_epoch after a restart
-            p.produce(
+            self._produce_with_backpressure(
+                p,
                 self.config.topic + self.MARKER_TOPIC_SUFFIX,
-                key=self.config.transactional_id,
-                value=str(epoch),
+                self.config.transactional_id,
+                str(epoch),
             )
             p.commit_transaction()
         except Exception:

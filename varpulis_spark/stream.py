@@ -209,7 +209,13 @@ class Stream:
             # event_id is unique per event.
             exprs = tuple(self._payload_columns())
             if not exprs:
-                return self._with(self.df.limit(1))  # no payload: all equal
+                # no payload: all events equal — keep the FIRST-arriving one
+                # (DistinctState keeps first; bare limit(1) kept an arbitrary
+                # row whose envelope could differ, ADVICE r9)
+                order = [F.col(self.ts_col)] + (
+                    [F.col(self.order_col)] if self.order_col else []
+                )
+                return self._with(self.df.orderBy(*order).limit(1))
         # keep the earliest event per distinct key (arrival order analog)
         key_cols = [as_col(e).alias(f"__k{i}") for i, e in enumerate(exprs)]
         order = [F.col(self.ts_col)] + ([F.col(self.order_col)] if self.order_col else [])
