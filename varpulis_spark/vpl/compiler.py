@@ -122,6 +122,32 @@ _SCALAR_FNS = {
 _SCALAR_MULTI = {"min": F.least, "max": F.greatest}  # scalar min/max (2+ args)
 
 
+_STR_RETURNING_FNS = {
+    "lower", "upper", "lowercase", "uppercase", "trim", "replace",
+    "concat", "substring", "to_str", "to_string",
+}
+
+
+def _stringy(e) -> bool:
+    """Static is-this-a-string inference over the expression AST, used to
+    pick concat vs numeric add for `+` (reference Add concatenates
+    Str+Str, engine/evaluator.rs:1027-1041). Conservative: only returns
+    True when a string is certain."""
+    if isinstance(e, Lit):
+        return isinstance(e.value, str)
+    if isinstance(e, Bin):
+        if e.op == "+":
+            return _stringy(e.left) or _stringy(e.right)
+        if e.op == "??":
+            return _stringy(e.left) and _stringy(e.right)
+        return False
+    if isinstance(e, If):
+        return _stringy(e.then) and _stringy(e.other)
+    if isinstance(e, Call):
+        return e.name in _STR_RETURNING_FNS
+    return False
+
+
 def _substring_col(s, a, b=None):
     """Column twin of the VPL `substring(s, start[, end])` builtin
     (evaluator.rs:738-757): 0-based [start, end) char slice; end defaults
@@ -646,6 +672,14 @@ def to_column(e, resolver=None) -> Column:
                 fn = F.shiftleft if e.op == "<<" else F.shiftright
                 return fn(left.cast("long"), bits)
             if e.op == "+":
+                # reference Add concatenates Str+Str (engine/evaluator.rs:
+                # 1027-1041); Spark's numeric `+` on strings casts-to-double
+                # and yields null (r10 port-caught bug). Statically stringy
+                # operands (literals, string fns, chained concats) lower to
+                # concat; column-only string+string without a static hint
+                # still needs one side annotated (documented divergence).
+                if _stringy(e.left) or _stringy(e.right):
+                    return F.concat(left, right)
                 return left + right
             if e.op == "-":
                 return left - right
@@ -857,6 +891,12 @@ def to_sql(e, self_alias: str, aliases: set[str]) -> str:
         if e.op == "??":
             return (
                 f"COALESCE({to_sql(e.left, self_alias, aliases)}, "
+                f"{to_sql(e.right, self_alias, aliases)})"
+            )
+        if e.op == "+" and (_stringy(e.left) or _stringy(e.right)):
+            # Str+Str concatenates in the reference (evaluator.rs:1027-1041)
+            return (
+                f"concat({to_sql(e.left, self_alias, aliases)}, "
                 f"{to_sql(e.right, self_alias, aliases)})"
             )
         op = {"==": "=", "and": "AND", "or": "OR"}.get(e.op, e.op)
@@ -2346,8 +2386,13 @@ def _apply_relational_ops(
                     cols.append(F.col(".".join(a.operand.parts)).desc())
             out = out.order_by(*cols)
         elif op.name == "watermark":
-            w = op.kwargs.get("out_of_order") or op.args[0]
-            out = out.watermark(w.text if isinstance(w, Dur) else w.value)
+            # the reference reads ONLY `out_of_order:` from the kwarg list;
+            # any other kwargs (e.g. `value:`/`delay:`) are silently ignored
+            # and max_ooo stays 0 (engine/mod.rs:811-825) — mirror that
+            # instead of crashing (engine_coverage watermark_basic)
+            w = op.kwargs.get("out_of_order") or (op.args[0] if op.args else None)
+            if w is not None:
+                out = out.watermark(w.text if isinstance(w, Dur) else w.value)
         elif op.name == "allowed_lateness":
             # Late-tolerance extends window retention in the live engine
             # (WatermarkConfig engine/types.rs); batch replay sees the whole
