@@ -44,10 +44,12 @@ class _Entry:
 
 
 _VPL_RENAMES = {
-    # VPL declaration params (reference config field names) → our configs
-    "mqtt": {"host": "broker"},
+    # VPL declaration params (reference config field names) → our configs;
+    # the managed config's generic `url:` maps onto each kind's endpoint
+    # (managed_registry.rs:100-160)
+    "mqtt": {"host": "broker", "url": "broker"},
     "nats": {"url": "servers", "server": "servers"},
-    "kafka": {},
+    "kafka": {"url": "brokers"},
 }
 
 
@@ -160,14 +162,25 @@ def _build(name: str, cfg: dict, spool_root: str | None):
             )
         return spool
 
+    # the managed config's generic `url:` field maps onto each kind's
+    # endpoint param, and mqtt/nats default their topic/subject wildcards
+    # (managed_registry.rs:100-160)
+    if "url" in params:
+        endpoint = {"mqtt": "broker", "kafka": "brokers", "nats": "servers"}
+        if kind in endpoint:
+            params.setdefault(endpoint[kind], params.pop("url"))
+
     if kind == "mqtt":
         from varpulis_spark.sources.mqtt import MqttConfig, MqttSink, MqttSource
 
+        params.setdefault("topic", "#")
         c = MqttConfig(**params)
         return _Entry(kind, MqttSource(name, c, need_spool()), MqttSink(name, c))
     if kind == "nats":
         from varpulis_spark.sources.nats import NatsConfig, NatsSink, NatsSource
 
+        if not params.get("subject"):
+            params["subject"] = ">"  # managed default (managed_registry.rs:157)
         c = NatsConfig(**params)
         return _Entry(kind, NatsSource(name, c, need_spool()), NatsSink(name, c))
     if kind == "kinesis":

@@ -2359,7 +2359,15 @@ def _apply_relational_ops(
             df2 = res.df
             for tmp, k in renames.items():
                 df2 = df2.drop(k).withColumnRenamed(tmp, k)
-            out = res._with(df2) if renames else res
+            # PARTITIONED aggregate results additionally carry `_partition`
+            # = the stringified partition-key value (pipeline.rs:475-489),
+            # addressable in downstream emit/having (`emit(region:
+            # _partition)`, engine_coverage_final partition_by_* cases)
+            if out.keys and "_partition" not in df2.columns:
+                df2 = df2.withColumn(
+                    "_partition", F.col(out.keys[0]).cast("string")
+                )
+            out = res._with(df2)
             windowed = None
         elif op.name == "distinct":
             # `ttl:` kwarg (streaming extension: re-admit keys after
