@@ -2287,7 +2287,29 @@ def _apply_relational_ops(
                 # partitions here, so routing is a no-op — drop the key
                 # (unless a real column shadows the name).
                 kwargs.pop("context")
-            named = {k: to_column(v, resolver) for k, v in kwargs.items()}
+            # the reference's SIMPLE Emit path (every value a bare ident or
+            # string literal, engine/mod.rs:1519-1553) resolves each ident
+            # against the event's fields and falls back to the ident's NAME
+            # as a literal string (pipeline.rs:533-542) — `emit(missing:
+            # nonexistent_field)` emits the string "nonexistent_field"
+            all_simple = all(
+                (isinstance(v, Ref) and len(v.parts) == 1)
+                or (isinstance(v, Lit) and isinstance(v.value, str))
+                for v in kwargs.values()
+            )
+
+            def _emit_col(v):
+                if (
+                    all_simple
+                    and isinstance(v, Ref)
+                    and v.parts[0] not in out.df.columns
+                    and v.parts[0] not in env.vars
+                    and (resolver is None or resolver(v) is None)
+                ):
+                    return F.lit(v.parts[0])
+                return to_column(v, resolver)
+
+            named = {k: _emit_col(v) for k, v in kwargs.items()}
             etype = None
             if op.args and isinstance(op.args[0], Lit):
                 etype = op.args[0].value

@@ -642,8 +642,12 @@ class Parser:
                 name = self.expect("ident")[1]
                 self.expect("op", "=")
                 etype = self.expect("ident")[1]
+                # both clause forms: `stream H = T where c` and
+                # `stream H = T .where(c)` (InlineStreamDecl carries a full
+                # op chain; bare where is the merge-part shorthand)
+                where = self.expr() if self.accept("where") else None
                 ops = self._op_chain()
-                parts.append(StreamDecl(name, [PatternStep(etype, None, None)], ops))
+                parts.append(StreamDecl(name, [PatternStep(etype, None, where)], ops))
             else:
                 etype = self.expect("ident")[1]
                 where = self.expr() if self.accept("where") else None
@@ -991,12 +995,16 @@ class Parser:
         node = self.pat_or()
         within = None
         part = None
-        while self.peek()[0] == "ident" and self.peek()[1] in ("within", "partition"):
-            kw = self.next()[1]
+        # accepted in either case: the reference's own tests write
+        # `SEQ(...) WITHIN 5s` (engine_pipeline_extended_tests.rs:1008)
+        while self.peek()[0] == "ident" and self.peek()[1].lower() in ("within", "partition"):
+            kw = self.next()[1].lower()
             if kw == "within":
                 within = self.expr()
             else:
-                self.expect("ident", "by")
+                by = self.next()
+                if by[1].lower() != "by":
+                    raise SyntaxError(f"expected 'by' after partition, got {by}")
                 part = self.expect("ident")[1]
         return PatternDecl(name, node, within, part)
 
