@@ -1705,6 +1705,108 @@ def test_streaming_simhash_near_dup_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_simhash_sharded_state_matches_batch(spark, sf_dir, tmp_path):
+    """`state_shards` is a physical re-keying only: buckets are mutually
+    independent, so colocating many buckets' memberships in one state row
+    must yield the IDENTICAL pair set as per-bucket state (and therefore
+    as batch, under id-ordered replay). This is the config the streaming
+    bench's dedup twin runs (per-touched-bucket Python round-trips are the
+    throughput knee at high offered rates)."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.engine import load_table
+    from varpulis_spark.operators.dedup import (
+        release_caches,
+        simhash_near_dup_pairs,
+        simhash_near_dup_streaming,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.orderBy("doc_id").collect()
+    flat = _id_ordered_replay(spark, rows, docs.schema, str(tmp_path / "shs"), 3)
+    src = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    out = simhash_near_dup_streaming(src, max_hamming=3, state_shards=8)
+    S.run_to_memory(SimpleNamespace(df=out), "sh_sharded")
+    got = {(r.id_a, r.id_b, r.hamming) for r in spark.table("sh_sharded").collect()}
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    release_caches()
+    assert got == want and len(want) > 0
+
+
+def test_streaming_minhash_sharded_state_matches_batch(spark, tmp_path):
+    """Sharded-state parity for the MinHash twin on a small synthetic
+    corpus (clone pairs + noise), including the hot-bucket cap inside a
+    shard: same pair set as per-bucket state."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.operators.dedup import minhash_near_dup_streaming
+
+    boiler = "the same boilerplate text repeated in every clone of this doc"
+    rows = [(i, boiler) for i in range(12)] + [
+        (100 + i, f"unique document number {i} with entirely distinct words {i * 7}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = _id_ordered_replay(spark, rows, df.schema, str(tmp_path / "mhs"), 2)
+
+    def run(shards, name):
+        src = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(flat)
+        out = minhash_near_dup_streaming(
+            src, threshold=0.9, max_bucket=4, state_shards=shards
+        )
+        S.run_to_memory(SimpleNamespace(df=out), name)
+        return {(r.id_a, r.id_b) for r in spark.table(name).collect()}
+
+    assert run(4, "mh_shard4") == run(None, "mh_shard_none") == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+
+
+def test_streaming_sharded_member_cap_evicts_lru(spark, tmp_path):
+    """`shard_member_cap` bounds a shard's history by evicting
+    least-recently-touched BUCKETS (reference DistinctState's LRU≈TTL cap
+    policy): doc 0 and doc 2 are exact clones (all 4 pigeonhole bands
+    collide) separated by a batch of unrelated docs; uncapped they pair,
+    but with a cap small enough that the middle batch's buckets evict
+    doc 0's history, the clone arrives to empty buckets and no pair is
+    emitted."""
+    from types import SimpleNamespace
+
+    from varpulis_spark.operators.dedup import simhash_near_dup_streaming
+
+    text = "a near identical document body with many shared words across copies"
+    other = [
+        "zebra quartz umbrella kitchen paradox wavelength nomad circuit",
+        "harvest lantern mosaic thunder velvet origami sapphire dune",
+        "glacier trumpet ember willow cascade prism falcon meadow",
+        "anchor nebula crimson jigsaw hammock turbine orchid basalt",
+    ]
+    rows = [(0, text)] + [(1 + i, t) for i, t in enumerate(other)] + [(9, text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = _id_ordered_replay(spark, rows, df.schema, str(tmp_path / "cap"), 3)
+
+    def run(cap, name):
+        src = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(flat)
+        out = simhash_near_dup_streaming(
+            src, max_hamming=3, state_shards=1, shard_member_cap=cap
+        )
+        S.run_to_memory(SimpleNamespace(df=out), name)
+        return {(r.id_a, r.id_b) for r in spark.table(name).collect()}
+
+    assert run(None, "cap_none") == {(0, 9)}
+    # 4 filler docs x 4 bands = 16 fresher members; cap 8 evicts doc 0's
+    assert run(8, "cap_eight") == set()
+
+
 def test_streaming_embedding_near_dup_recall_and_precision(spark, tmp_path):
     """Streaming embedding near-dup: jittered clone pairs (cos >= ~0.97)
     among random background vectors. Precision is EXACT by construction

@@ -606,6 +606,8 @@ def _bucketed_near_dup_streaming(
     metric_col: str,
     max_bucket: int,
     payload_col: str = "sig",
+    state_shards: int | None = None,
+    shard_member_cap: int | None = None,
 ) -> DataFrame:
     """Shared stateful driver for streaming near-dup mining: `banded` is a
     streaming (id long, <payload>, bucket long) frame where a doc appears
@@ -622,10 +624,97 @@ def _bucketed_near_dup_streaming(
     Under globally id-ordered arrival the emitted pair SET therefore
     equals the batch op's exactly; out-of-order arrival keeps the same
     capped membership but cannot retract pairs an evicted doc already
-    emitted."""
+    emitted.
+
+    `state_shards`: with per-BUCKET state keys, every micro-batch pays one
+    Python state round-trip per touched bucket — ~bands × docs mostly
+    distinct groups per batch, a per-doc overhead that does NOT amortize
+    with batch size and becomes the throughput knee (~3.5K docs/s measured
+    at 4 bands). Setting `state_shards=N` re-keys state on
+    `hash(bucket) % N`: each shard's state is the dict of its buckets'
+    memberships, so a batch pays at most N round-trips regardless of rate,
+    and each call vectorizes over many rows. Per-bucket semantics (id
+    order, cap, eviction, emitted pair set) are IDENTICAL — buckets are
+    independent, so where they live is a physical choice (parity-tested).
+    The trade: a touched shard rewrites its whole membership dict, so
+    per-batch state churn is ~(total history)/N instead of touched-only —
+    bound the history with `shard_member_cap` (LRU on buckets, the same
+    policy the reference's DistinctState LRU≈TTL cap applies,
+    runtime/src/engine/mod.rs distinct) for long-lived streams, or leave
+    None for exact dedup-against-all-history."""
     import pickle
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if state_shards:
+        banded = banded.withColumn(
+            "skey", F.pmod(F.xxhash64(F.lit(7), F.col("bucket")), F.lit(state_shards))
+        )
+
+        def run_sharded(key, pdfs, state):
+            hist: dict = {}
+            touched = 0
+            if state.exists:
+                (buf,) = state.get
+                hist = pickle.loads(buf)
+            chunks = [p for p in pdfs if len(p)]
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_m: list = []
+            if chunks:
+                batch = pd.concat(chunks).sort_values(["bucket", "id"])
+                b_np = batch["bucket"].to_numpy()
+                id_np = batch["id"].to_numpy()
+                pay_np = batch[payload_col].to_numpy()
+                # iterate bucket runs (sorted, so each bucket is one slice)
+                starts = np.flatnonzero(np.concatenate(([True], b_np[1:] != b_np[:-1])))
+                ends = np.concatenate((starts[1:], [b_np.size]))
+                for s, e in zip(starts, ends):
+                    bkt = int(b_np[s])
+                    ids, pays = hist.pop(bkt, (np.zeros(0, dtype=np.int64), None))
+                    for rid, raw in zip(id_np[s:e], pay_np[s:e]):
+                        rid = int(rid)
+                        if ids.size and (ids == rid).any():
+                            continue
+                        if ids.size >= max_bucket and rid > int(ids.max()):
+                            continue
+                        p = payload_np(raw)
+                        if pays is None:
+                            pays = np.zeros((0,) + p.shape, dtype=p.dtype)
+                        if ids.size:
+                            hit, metric = verify(pays, p)
+                            for a, m in zip(
+                                ids[hit].tolist(), np.asarray(metric)[hit].tolist()
+                            ):
+                                out_a.append(min(a, rid))
+                                out_b.append(max(a, rid))
+                                out_m.append(m)
+                        ids = np.append(ids, np.int64(rid))
+                        pays = np.vstack([pays, p[None, :]])
+                        if ids.size > max_bucket:
+                            j = int(np.argmax(ids))
+                            keep = np.ones(ids.size, dtype=bool)
+                            keep[j] = False
+                            ids = ids[keep]
+                            pays = pays[keep]
+                    hist[bkt] = (ids, pays)  # pop+reinsert = LRU touch
+                    touched += 1
+            if shard_member_cap:
+                total = sum(v[0].size for v in hist.values())
+                for bkt in list(hist):  # insertion order = LRU order
+                    if total <= shard_member_cap:
+                        break
+                    total -= hist.pop(bkt)[0].size
+            state.update((pickle.dumps(hist),))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, metric_col: out_m})
+
+        return banded.groupBy("skey").applyInPandasWithState(
+            run_sharded,
+            out_schema,
+            "buf binary",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
 
     def run(key, pdfs, state):
         ids = np.zeros(0, dtype=np.int64)
@@ -685,6 +774,8 @@ def minhash_near_dup_streaming(
     shingle_k: int = 7,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    state_shards: int | None = None,
+    shard_member_cap: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash near-dup mining: as documents arrive, emit
     (id_a, id_b, est_jaccard) pairs against EVERYTHING seen so far — the
@@ -756,6 +847,8 @@ def minhash_near_dup_streaming(
         out_schema="id_a long, id_b long, est_jaccard double",
         metric_col="est_jaccard",
         max_bucket=max_bucket,
+        state_shards=state_shards,
+        shard_member_cap=shard_member_cap,
     )
 
 
@@ -1275,6 +1368,8 @@ def simhash_near_dup_streaming(
     max_hamming: int = 3,
     shingle_k: int = 7,
     max_bucket: int = MAX_BUCKET,
+    state_shards: int | None = None,
+    shard_member_cap: int | None = None,
 ) -> DataFrame:
     """Streaming SimHash near-dup mining — the dedup-against-history twin
     of `simhash_near_dup_pairs`, on the shared bucketed-state driver (see
@@ -1316,4 +1411,6 @@ def simhash_near_dup_streaming(
         out_schema="id_a long, id_b long, hamming long",
         metric_col="hamming",
         max_bucket=max_bucket,
+        state_shards=state_shards,
+        shard_member_cap=shard_member_cap,
     )

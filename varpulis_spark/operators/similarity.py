@@ -578,6 +578,8 @@ def embedding_near_dup_streaming(
     probe: int = 1,
     max_bucket: int = 64,
     seed: int = 42,
+    state_shards: int | None = None,
+    shard_member_cap: int | None = None,
 ) -> DataFrame:
     """Streaming embedding near-dup mining: as vectors arrive, emit
     (id_a, id_b, cosine) pairs with cosine ≥ threshold against everything
@@ -656,4 +658,6 @@ def embedding_near_dup_streaming(
         out_schema="id_a long, id_b long, cosine double",
         metric_col="cosine",
         max_bucket=max_bucket,
+        state_shards=state_shards,
+        shard_member_cap=shard_member_cap,
     )
