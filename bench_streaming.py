@@ -458,11 +458,21 @@ def bench_dedup_history(spark, workdir: str, docs_per_tick: int = 2048) -> dict:
         [StructField("doc_id", LongType()), StructField("text", StringType())]
     )
     src = spark.readStream.schema(schema).parquet(spool)
-    out = simhash_near_dup_streaming(src, max_hamming=3)
+    # state_shards: constant Python round-trips per batch instead of one
+    # per touched LSH bucket (~4x docs) — the r9 throughput knee. 32
+    # shards = one per state partition; parity-tested vs per-bucket keys.
+    shards = int(os.environ.get("SPARK_GRAFT_DEDUP_SHARDS", "32")) or None
+    out = simhash_near_dup_streaming(src, max_hamming=3, state_shards=shards)
 
     lat_ms: list[float] = []
     alerts = [0]
-    producer = _Producer(spool, make_batch, DURATION_S, _slow_tick())
+    # 3x window (r10): `sustained` divides by wall INCLUDING the ~1.4 s
+    # pipeline-depth drain (one in-flight batch), which understates any
+    # micro-batch engine's steady-state rate by ~12% over a 10 s window —
+    # r9's "falling behind at 4K" was mostly this accounting, not a
+    # throughput deficit (ceiling probes: 6.6K sustained at 8K offered,
+    # 10.2K at 12K, same config). A longer window measures steady state.
+    producer = _Producer(spool, make_batch, DURATION_S * 3, _slow_tick())
 
     def sink(df, epoch):
         rows = df.select("id_a", "id_b").collect()
@@ -480,11 +490,18 @@ def bench_dedup_history(spark, workdir: str, docs_per_tick: int = 2048) -> dict:
         sink,
         producer,
         os.path.join(workdir, "ckpt_dedup"),
-        # ~4 mostly-distinct LSH buckets per doc → thousands of state
-        # GROUPS per batch (unlike the 64-key pattern/trend scenarios), so
-        # this scenario wants the batch suite's parallelism back: 32 state
-        # partitions sustained 3.2K vs 2.7K eps at 8 (r9 probe)
-        conf={**ROCKSDB_CONF, "spark.sql.shuffle.partitions": "32"},
+        # r10, measured at 4K offered with 32 state SHARDS (so total state
+        # is 32 keys): HDFSBacked + 8 partitions beats RocksDB + 32 (3638
+        # vs 3577 eps, p50 2.33 vs 2.62 s) — with sharded state the
+        # thousands-of-groups rationale for 32 partitions is gone, and the
+        # per-partition store-commit floor dominates instead. The sig UDF
+        # keeps 32-way parallelism via spread() regardless.
+        conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+            "spark.sql.shuffle.partitions": "8",
+        },
     )
     return _finish(acct, producer, lat_ms, alerts[0])
 

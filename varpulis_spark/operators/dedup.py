@@ -651,12 +651,39 @@ def _bucketed_near_dup_streaming(
             "skey", F.pmod(F.xxhash64(F.lit(7), F.col("bucket")), F.lit(state_shards))
         )
 
+        # Shard state is COLUMNAR — (keys, counts, ids, pays-matrix) — not a
+        # dict of per-bucket arrays: pickling thousands of tiny numpy
+        # arrays costs ~45 ms/shard round-trip at 5k buckets (measured),
+        # ~1.5 s/batch across 32 shards by end of a 40K-doc run; four big
+        # arrays round-trip the same membership in ~9 ms (memcpy-speed).
+        def _enc(hist: dict) -> bytes:
+            if not hist:
+                return pickle.dumps(None)
+            keys = np.fromiter(hist.keys(), dtype=np.int64, count=len(hist))
+            counts = np.fromiter(
+                (v[0].size for v in hist.values()), dtype=np.int64, count=len(hist)
+            )
+            ids = np.concatenate([v[0] for v in hist.values()])
+            pays = np.vstack([v[1] for v in hist.values()])
+            return pickle.dumps((keys, counts, ids, pays))
+
+        def _dec(buf: bytes) -> dict:
+            t = pickle.loads(buf)
+            if t is None:
+                return {}
+            keys, counts, ids, pays = t
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            return {
+                int(k): (ids[bounds[i] : bounds[i + 1]], pays[bounds[i] : bounds[i + 1]])
+                for i, k in enumerate(keys)
+            }
+
         def run_sharded(key, pdfs, state):
             hist: dict = {}
             touched = 0
             if state.exists:
                 (buf,) = state.get
-                hist = pickle.loads(buf)
+                hist = _dec(buf)
             chunks = [p for p in pdfs if len(p)]
             out_a: list[int] = []
             out_b: list[int] = []
@@ -705,7 +732,7 @@ def _bucketed_near_dup_streaming(
                     if total <= shard_member_cap:
                         break
                     total -= hist.pop(bkt)[0].size
-            state.update((pickle.dumps(hist),))
+            state.update((_enc(hist),))
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, metric_col: out_m})
 
         return banded.groupBy("skey").applyInPandasWithState(
@@ -814,7 +841,9 @@ def minhash_near_dup_streaming(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_k)
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).select(
+    # spread before the OPH UDF — see simhash_near_dup_streaming: file-source
+    # micro-batches arrive as 1 split per spool file, serializing signatures
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
         "id", sig(F.col("__t")).alias("sig")
     )
     banded = base.select(
@@ -1378,8 +1407,12 @@ def simhash_near_dup_streaming(
     band), so under id-ordered arrival the emitted pair set exactly
     equals the batch op's. State per bucket is one 64-bit signature per
     member — far lighter than the MinHash twin."""
+    # spread BEFORE the signature UDF: a micro-batch of a file source
+    # arrives as one input split per spool file (1-4 per trigger), which
+    # serializes the shingling — measured as the twin's actual ceiling
+    # (~3.9K docs/s stateless) before the stateful stage even runs.
     sh = with_simhash(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))),
         "text",
         shingle_k,
     ).select(F.col("doc_id").alias("id"), F.col("simhash").alias("sig"))

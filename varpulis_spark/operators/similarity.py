@@ -640,8 +640,12 @@ def embedding_near_dup_streaming(
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series([r.tolist() for r in m])
 
+    from .dedup import spread
+
+    # spread before the hyperplane/normalize UDFs — a file-source micro-batch
+    # arrives as one split per spool file, serializing the vector kernels
     banded = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")))
         .filter(F.col("__v").isNotNull())
         .select("id", norm_udf(F.col("__v")).alias("sig"), buckets_udf(F.col("__v")).alias("__bks"))
         .select("id", "sig", F.explode("__bks").alias("bucket"))
