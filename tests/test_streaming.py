@@ -231,6 +231,60 @@ def test_streaming_sliding_count_window(spark, sf_dir, replay_dir):
     assert got == exp and len(got) > 0
 
 
+def _tws_available():
+    from varpulis_spark import pbvendor
+
+    return pbvendor.tws_available()
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+@pytest.mark.parametrize("size,slide", [(20, None), (50, 25)])
+def test_streaming_count_window_tws_parity(spark, sf_dir, replay_dir, size, slide):
+    """transformWithStateInPandas count-window twin must reproduce the
+    batch count-window result exactly — same windows, ids, and aggregates
+    as the applyInPandasWithState path it parallels (window.rs:274-444).
+    Exercises the arbitrary-state-v2 protocol end-to-end: native ListState
+    row buffer + ValueState cursor over RocksDB column families."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        schema = Stream.events(spark, sf_dir).df.schema
+        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+        out = S.count_window_streaming(
+            src.partition_by("user_id"), size,
+            {"n": ("count", None), "total": ("sum", "value")},
+            slide=slide, engine="tws",
+        )
+        name = f"tws_cw_{size}_{slide or 0}"
+        S.run_to_memory(out, name)
+        got = sorted(
+            (r.user_id, r.window_id, r.n, round(r.total, 6))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        exp = sorted(
+            (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+            for r in (
+                Stream.events(spark, sf_dir)
+                .partition_by("user_id")
+                .window(size, sliding=slide)
+                .aggregate(n=A.count(), total=A.sum("value"))
+                .df.select("user_id", "window_id", "n", "total")
+                .collect()
+            )
+        )
+        assert got == exp and len(got) > 0
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
 def test_streaming_windowed_trend_aggregate_matches_batch(
     spark, sf_dir, replay_dir
 ):

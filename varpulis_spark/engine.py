@@ -42,6 +42,13 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> SparkSession:
     """Create (or return) a SparkSession with scale-aware defaults."""
+    # Vendor a protobuf runtime (if one is discoverable) BEFORE the JVM
+    # launches so Python workers inherit PYTHONPATH — unlocks
+    # transformWithStateInPandas. No-op when protobuf is already present
+    # or no bundled runtime exists; see pbvendor module docstring.
+    from varpulis_spark import pbvendor
+
+    pbvendor.ensure_protobuf()
     cores = cores or default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -62,6 +69,10 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # On a real cluster executors don't inherit the driver's environment;
+    # ship the shim's PYTHONPATH/version-waiver explicitly (no-op locally).
+    for k, v in pbvendor.executor_env().items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -438,7 +438,7 @@ _COUNT_AGG_FNS = {
 
 def count_window_streaming(
     stream: Stream, size: int, aggs: dict[str, tuple[str, str | None]],
-    slide: int | None = None,
+    slide: int | None = None, engine: str = "auto",
 ) -> Stream:
     """Streaming count window: emit one aggregate row per completed window
     per key, in arrival order (CountWindow window.rs:274-444 — the trailing
@@ -452,8 +452,24 @@ def count_window_streaming(
     State per key = (next window id, absolute position of the buffer head,
     leftover rows) — the buffer never holds more than `size + slide` rows:
     rows before the next window's start are dropped as windows complete.
+
+    `engine` selects the stateful backend: "pandas" = applyInPandasWithState
+    (default, works on every state store); "tws" = transformWithStateInPandas
+    (arbitrary-state v2 — native per-variable column families, requires the
+    RocksDB provider and a protobuf runtime, see pbvendor); "auto" = tws only
+    when VARPULIS_TWS_COUNT_WINDOW=1 and the runtime is available.
     """
+    import os as _os
     import pickle
+
+    if engine == "auto":
+        engine = (
+            "tws"
+            if _os.environ.get("VARPULIS_TWS_COUNT_WINDOW") == "1"
+            else "pandas"
+        )
+    if engine == "tws":
+        return _count_window_streaming_tws(stream, size, aggs, slide)
 
     import pandas as pd
 
@@ -508,6 +524,113 @@ def count_window_streaming(
 
     out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return Stream(out, ts_col=stream.ts_col, keys=keys)
+
+
+def _count_window_streaming_tws(
+    stream: Stream, size: int, aggs: dict[str, tuple[str, str | None]],
+    slide: int | None = None,
+) -> Stream:
+    """transformWithStateInPandas twin of count_window_streaming (same
+    CountWindow semantics, window.rs:274-444).
+
+    Arbitrary-state v2 upgrades over the applyInPandasWithState path:
+    the leftover row buffer lives in a native ListState column family
+    (row-typed, RocksDB-resident — no whole-buffer pickle through every
+    micro-batch) and the (next-window, base-position) cursor in its own
+    ValueState. Count windows are count-triggered, so no timers are
+    needed; timer-driven ops (panes, negation confirmation) are the next
+    migration candidates now that the API runs (see SCALE.md).
+
+    Requires the RocksDB state-store provider (multiple column families)
+    — set on the session here — and a protobuf runtime (pbvendor).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from varpulis_spark import pbvendor
+
+    if not pbvendor.tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime; "
+            "none importable and no bundled runtime found (see pbvendor)"
+        )
+
+    slide = slide or size
+    df = stream.df
+    keys = stream.keys
+    if not keys:
+        raise ValueError("streaming count windows require partition_by")
+    sort_cols = [stream.ts_col] + ([stream.order_col] if stream.order_col else [])
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    out_fields = []
+    for alias, (fn, _field) in aggs.items():
+        out_fields.append(f"{alias} double" if fn != "count" else f"{alias} long")
+    out_schema = f"{key_fields}, window_id long, " + ", ".join(out_fields)
+    buf_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    buf_cols = [c for c, _ in df.dtypes]
+    n_keys = len(keys)
+    aggs_items = list(aggs.items())
+    out_cols = list(keys) + ["window_id"] + [a for a, _ in aggs_items]
+
+    class _CountWindowProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.meta = handle.getValueState("meta", "win long, base long")
+            self.buf = handle.getListState("buf", buf_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = self.meta.exists()
+            win, base = self.meta.get() if seen else (0, 0)
+            leftover = list(self.buf.get()) if seen else []
+            chunks = [pdf for pdf in rows if len(pdf)]
+            new = (
+                pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+                if chunks
+                else None
+            )
+            batches = []
+            if leftover:
+                batches.append(pd.DataFrame(leftover, columns=buf_cols))
+            if new is not None and not new.empty:
+                batches.append(new)
+            all_rows = pd.concat(batches) if batches else pd.DataFrame()
+            out = []
+            while base + len(all_rows) >= win * slide + size:
+                start = win * slide - base
+                chunk = all_rows.iloc[start : start + size]
+                row = list(key[:n_keys]) + [win]
+                for alias, (fn, field) in aggs_items:
+                    series = chunk[field] if field else chunk.iloc[:, 0]
+                    row.append(_COUNT_AGG_FNS[fn](series))
+                out.append(row)
+                win += 1
+                drop = win * slide - base
+                if drop > 0:
+                    all_rows = all_rows.iloc[drop:]
+                    base += drop
+            self.meta.update((win, base))
+            self.buf.clear()
+            if len(all_rows):
+                self.buf.appendList(
+                    list(all_rows[buf_cols].itertuples(index=False, name=None))
+                )
+            yield pd.DataFrame(out, columns=out_cols)
+
+        def close(self):
+            pass
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
+        statefulProcessor=_CountWindowProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
     )
     return Stream(out, ts_col=stream.ts_col, keys=keys)
 
