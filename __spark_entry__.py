@@ -1407,6 +1407,55 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
+_MINSHINGLE_D_CTE = """d AS (
+              SELECT doc_id AS id,
+                     -- 60-bit md5-prefix hashes (engine-identical), distinct
+                     list_distinct(list_transform(
+                       list_distinct([substr(lower(text), i, 8)
+                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+              FROM documents
+            )"""
+
+
+def _minshingle_block_sql(bands: int = 8, max_block: int = 64) -> str:
+    """Banded one-permutation min-shingle blocking (operators/dedup.py
+    ngram_minshingle_pairs) in DuckDB SQL: shingle hashes slotted by
+    h % (2·bands), band key j = (min of slot 2j, min of slot 2j+1) with a
+    -1 sentinel for empty slots, all-sentinel keys dropped, per-key blocks
+    capped at the max_block lowest ids, candidate pairs deduped across
+    bands. Shared by the minshingle_near_dup and near_dup_clusters oracles
+    so both block bit-for-bit like the engine. Expects a CTE `d(id, sh)`
+    in scope; leaves `cand(id_a, id_b)` in scope."""
+    slots = 2 * bands
+    slot_cols = ",\n                     ".join(
+        f"coalesce(list_min(list_filter(sh, h -> h % {slots} = {t})), -1) AS s{t}"
+        for t in range(slots)
+    )
+    band_arms = "\n              UNION ALL ".join(
+        f"SELECT id, {j} AS band, s{2 * j} AS m0, s{2 * j + 1} AS m1 "
+        f"FROM slots WHERE NOT (s{2 * j} = -1 AND s{2 * j + 1} = -1)"
+        for j in range(bands)
+    )
+    return f"""slots AS (
+              SELECT id,
+                     {slot_cols}
+              FROM d
+            ), blocks AS (
+              {band_arms}
+            ), capped AS (
+              SELECT id, band, m0, m1 FROM (
+                SELECT id, band, m0, m1,
+                       row_number() OVER (PARTITION BY band, m0, m1 ORDER BY id) AS rn
+                FROM blocks) WHERE rn <= {max_block}
+            ), cand AS (
+              SELECT DISTINCT a.id AS id_a, c.id AS id_b
+              FROM capped a JOIN capped c
+                ON a.band = c.band AND a.m0 = c.m0 AND a.m1 = c.m1
+               AND a.id < c.id
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "high_value_filter": """
@@ -1793,58 +1842,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(greatest(1, (12 + octet_length(encode(text))) // 64) / 10.0) AS BIGINT) AS n_frames
             FROM documents
         """,
-        "minshingle_near_dup": """
-            -- hashed-min-shingle blocking (one-permutation MinHash with
-            -- md5 as the permutation — md5 hex is identical across
-            -- engines, so both block bit-for-bit the same), blocks capped
-            -- at the 64 lowest ids (the operator's documented skew guard),
-            -- then exact Jaccard >= 0.6 in integer arithmetic
-            WITH d AS (
-              SELECT doc_id AS id,
-                     -- 60-bit md5-prefix hashes (engine-identical), distinct
-                     list_distinct(list_transform(
-                       list_distinct([substr(lower(text), i, 8)
-                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
-                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
-              FROM documents
-            ), b AS (
-              SELECT id, sh, list_min(sh) AS blk FROM d
-            ), capped AS (
-              SELECT id, sh, blk FROM (
-                SELECT id, sh, blk,
-                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
-                FROM b) WHERE rn <= 64
-            )
-            SELECT a.id AS id_a, c.id AS id_b,
+        "minshingle_near_dup": f"""
+            -- banded one-permutation min-shingle blocking (md5 hex is
+            -- identical across engines, so both block bit-for-bit the
+            -- same; _minshingle_block_sql mirrors dedup.py's banded keys
+            -- + per-band 64-id cap), then exact Jaccard >= 0.6 in
+            -- integer arithmetic
+            WITH {_MINSHINGLE_D_CTE}, {_minshingle_block_sql()}
+            SELECT p.id_a, p.id_b,
                    CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT) AS inter_size,
                    CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT) AS union_size
-            FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
+            FROM cand p JOIN d a ON a.id = p.id_a JOIN d c ON c.id = p.id_b
             WHERE 1000000 * len(list_intersect(a.sh, c.sh))
                   >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
         """,
-        "near_dup_clusters": """
+        "near_dup_clusters": f"""
             -- connected components over the SAME pair set as
             -- minshingle_near_dup, via recursive reachability: lbl
             -- candidates flow along edges, min per node = the component's
             -- minimum id (exactly the propagation fixpoint)
-            WITH RECURSIVE d AS (
-              SELECT doc_id AS id,
-                     -- 60-bit md5-prefix hashes (engine-identical), distinct
-                     list_distinct(list_transform(
-                       list_distinct([substr(lower(text), i, 8)
-                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
-                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
-              FROM documents
-            ), b AS (
-              SELECT id, sh, list_min(sh) AS blk FROM d
-            ), capped AS (
-              SELECT id, sh, blk FROM (
-                SELECT id, sh, blk,
-                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
-                FROM b) WHERE rn <= 64
-            ), pairs AS (
-              SELECT a.id AS id_a, c.id AS id_b
-              FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
+            WITH RECURSIVE {_MINSHINGLE_D_CTE}, {_minshingle_block_sql()}, pairs AS (
+              SELECT p.id_a, p.id_b
+              FROM cand p JOIN d a ON a.id = p.id_a JOIN d c ON c.id = p.id_b
               WHERE 1000000 * len(list_intersect(a.sh, c.sh))
                     >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
             ), edges AS (

@@ -90,6 +90,80 @@ def run_streaming_decade(spark) -> dict:
     return out
 
 
+def run_clusters_scale_probe(spark) -> dict:
+    """VERDICT r9 task 7: exercise dedup_clusters' DISTRIBUTED
+    label-propagation branch on a real large pair graph. At natural
+    planted-dup density even an sf30 corpus (~1.5M docs) yields a pair
+    graph well under CLUSTERS_LOCAL_MAX_EDGES — the adaptive driver-side
+    union-find remains the RIGHT production plan there (that is the
+    point of the threshold) — so the probe mines the sf30 pair graph
+    once, then clusters it through BOTH branches: adaptive, and with
+    VARPULIS_CLUSTERS_LOCAL_MAX_EDGES=0 forcing the distributed loop.
+    Done-criteria checked: the distributed branch converges, its wall
+    stays in the same class (no super-linear blowup), and its canon_id
+    assignment is IDENTICAL to the union-find's. Also records the
+    sf10→sf30 full-pipeline per-doc ratio (the 3× decade axis)."""
+    import make_sf
+
+    import __spark_entry__ as entrymod
+    from varpulis_spark.operators import dedup as D
+
+    out: dict = {}
+    q = entrymod.queries()["near_dup_clusters"]
+
+    # sf10 full-pipeline reference wall
+    sf10 = make_sf.ensure_sf10()
+    t0 = time.time()
+    rows10 = q(spark, sf10).count()
+    wall10 = time.time() - t0
+    import pyarrow.parquet as pq
+
+    docs10 = pq.read_metadata(os.path.join(sf10, "documents.parquet")).num_rows
+    out["sf10_full"] = {
+        "n_docs": docs10, "rows": rows10, "wall_sec": round(wall10, 2)
+    }
+
+    # sf30: mine once, cluster through both branches
+    sf30 = make_sf.ensure_docs30()
+    from varpulis_spark.engine import read_parquet
+
+    docs = read_parquet(spark, os.path.join(sf30, "documents.parquet"))
+    n_docs30 = docs.count()
+    t0 = time.time()
+    pairs = D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).persist()
+    n_pairs = pairs.count()
+    wall_mine = time.time() - t0
+
+    runs: dict[str, dict] = {}
+    assignments: dict[str, set] = {}
+    for label, forced in (("adaptive", False), ("distributed", True)):
+        if forced:
+            os.environ["VARPULIS_CLUSTERS_LOCAL_MAX_EDGES"] = "0"
+        try:
+            t0 = time.time()
+            cl = D.dedup_clusters(pairs)
+            got = {(r[0], r[1]) for r in cl.select("id", "canon_id").collect()}
+            wall = time.time() - t0
+        finally:
+            os.environ.pop("VARPULIS_CLUSTERS_LOCAL_MAX_EDGES", None)
+        runs[label] = {"wall_sec": round(wall, 2), "rows": len(got)}
+        assignments[label] = got
+    pairs.unpersist()
+
+    out["sf30"] = {
+        "n_docs": n_docs30,
+        "n_pairs": n_pairs,
+        "mine_wall_sec": round(wall_mine, 2),
+        "cluster": runs,
+        "branches_identical": assignments["adaptive"] == assignments["distributed"],
+    }
+    full30 = wall_mine + runs["adaptive"]["wall_sec"]
+    out["docs_per_sec_ratio_sf30_vs_sf10"] = round(
+        (n_docs30 / full30) / (docs10 / wall10), 2
+    )
+    return out
+
+
 def main() -> None:
     # sf10 runs 10x the data under the same per-query cap — widen it so a
     # perfectly linear 60 s query isn't recorded as a timeout (bench reads
@@ -131,7 +205,11 @@ def main() -> None:
         ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
     out["streaming"] = run_streaming_decade(spark)
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "9")
+    try:
+        out["clusters_scale_probe"] = run_clusters_scale_probe(spark)
+    except Exception as e:  # record, never kill the artifact
+        out["clusters_scale_probe"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
     path = os.path.join(REPO, f"BENCH_DECADE_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -146,6 +224,14 @@ def main() -> None:
             for k, v in out["streaming"].items()
             if isinstance(v, dict)
         },
+        "clusters_sf30_distributed_wall": out["clusters_scale_probe"]
+        .get("sf30", {})
+        .get("cluster", {})
+        .get("distributed", {})
+        .get("wall_sec"),
+        "clusters_branches_identical": out["clusters_scale_probe"]
+        .get("sf30", {})
+        .get("branches_identical"),
         "detail": os.path.basename(path),
     }))
 

@@ -83,7 +83,7 @@ def make_events() -> None:
     _write("events", _shift_copies(t, {"event_id": n, "user_id": n_users}))
 
 
-def make_documents() -> None:
+def make_documents(copies: int = COPIES) -> None:
     t = _read("documents")
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
@@ -105,7 +105,7 @@ def make_documents() -> None:
         ps = np.array(list(freq.values()), dtype=np.float64)
         tables[lg] = (ws, ps / ps.sum(), np.array(lens_by_lang[lg]))
 
-    n_out = t.num_rows * COPIES
+    n_out = t.num_rows * copies
     lang_choices = rng.choice(langs, size=n_out)  # empirical lang mix
     # vectorized per language: one big word draw split by doc lengths
     # (the per-doc rng.choice loop costs ~1 ms/doc — minutes at sf10)
@@ -224,6 +224,28 @@ def ensure_sf10(force: bool = False) -> str:
     documents from sf1's empirical per-language tables."""
     ensure(force=False)  # sf10 derives from sf1
     return _generate(DST, DST10, force)
+
+
+DST30D = os.path.join(REPO, "localdata", "sf30docs")
+
+
+def ensure_docs30(force: bool = False) -> str:
+    """documents-ONLY sf30 (~1.5M docs, resampled from sf10's empirical
+    tables with the same planted dup/near-dup density): the near-dup
+    clusters scale probe (VERDICT r9 task 7) needs a corpus big enough
+    that the distributed label-propagation branch is worth exercising;
+    events/embeddings/TPC-H are not read by that pipeline, so only
+    documents.parquet is generated (~0.5 GB)."""
+    ensure_sf10(force=False)
+    marker = os.path.join(DST30D, ".complete")
+    if os.path.exists(marker) and not force:
+        return DST30D
+    _target(DST10, DST30D)
+    os.makedirs(DST30D, exist_ok=True)
+    make_documents(copies=3)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return DST30D
 
 
 if __name__ == "__main__":

@@ -303,6 +303,8 @@ def test_minshingle_pairs_match_duckdb(spark, sf_dir):
     hash-match ANSI SQL, not just recall-track it."""
     import duckdb
 
+    import __spark_entry__ as entrymod
+
     docs = load_table(spark, sf_dir, "documents")
     got = sorted(
         tuple(r)
@@ -312,33 +314,10 @@ def test_minshingle_pairs_match_duckdb(spark, sf_dir):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
+    # pin against the SHIPPED oracle text — the exact SQL the driver runs
     want = sorted(
         tuple(r)
-        for r in con.sql(
-            """
-            WITH d AS (
-              SELECT doc_id AS id,
-                     list_distinct(list_transform(
-                       list_distinct([substr(lower(text), i, 8)
-                         for i in generate_series(1, greatest(length(lower(text)) - 7, 1))]),
-                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
-              FROM documents
-            ), b AS (
-              SELECT id, sh, list_min(sh) AS blk FROM d
-            ), capped AS (
-              SELECT id, sh, blk FROM (
-                SELECT id, sh, blk,
-                       row_number() OVER (PARTITION BY blk ORDER BY id) AS rn
-                FROM b) WHERE rn <= 64
-            )
-            SELECT a.id, c.id,
-                   CAST(len(list_intersect(a.sh, c.sh)) AS BIGINT),
-                   CAST(len(list_distinct(list_concat(a.sh, c.sh))) AS BIGINT)
-            FROM capped a JOIN capped c ON a.blk = c.blk AND a.id < c.id
-            WHERE 1000000 * len(list_intersect(a.sh, c.sh))
-                  >= 600000 * len(list_distinct(list_concat(a.sh, c.sh)))
-            """
-        ).fetchall()
+        for r in con.sql(entrymod.oracle_sql()["minshingle_near_dup"]).fetchall()
     )
     assert got == want
     assert len(got) > 0  # planted near-dups must survive blocking
@@ -379,22 +358,58 @@ def test_minshingle_no_single_task_verify(spark):
 
 def test_minshingle_mega_block_capped(spark):
     """A planted boilerplate corpus (every doc shares one dominant shingle
-    set) must stay bounded: blocks are capped at the 64 lowest ids, so a
-    B-doc mega-block yields at most C(64, 2) candidate pairs and the
-    near-identical docs among the low-64 are still found."""
+    set) must stay bounded: per-band blocks are capped at the 64 lowest
+    ids, so candidate volume is at most bands * C(64, 2) regardless of
+    corpus size, while banded keys keep finding true pairs beyond any one
+    block's cap."""
     import pandas as pd
 
-    # 300 docs, all sharing the same base text => one mega block; the cap
-    # keeps ids 0..63. Every pair within the cap is a true near-dup.
     base = "the quick brown fox jumps over the lazy dog again and again"
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(300), "text": [f"{base} {i % 7}" for i in range(300)]})
     )
     out = D.ngram_minshingle_pairs(docs, threshold=0.9).collect()
-    ids = {r.id_a for r in out} | {r.id_b for r in out}
-    assert len(out) <= 64 * 63 // 2
-    assert max(ids) <= 63  # only the capped low-64 ids participate
-    assert len(out) > 0  # near-identical docs inside the cap are caught
+    assert 0 < len(out) <= 8 * 64 * 63 // 2  # bounded by bands * C(cap, 2)
+    # every emitted pair is verified exact Jaccard >= 0.9 (no block is
+    # trusted without verification)
+    assert all(
+        r.inter_size * 1_000_000 >= 900_000 * r.union_size for r in out
+    )
+
+
+def test_minshingle_banded_blocking_recall_at_skew(spark):
+    """The r10 scale fix, pinned: single-min blocking collapses when a
+    COMMON shingle draws a small hash — every doc containing it lands in
+    one block and the 64-id cap silently drops true duplicate pairs
+    (measured at sf10: 98.5% of 500k docs in over-cap blocks, exact-dup
+    recall 0.021). Banded 2-minima keys require two independent
+    agreements, so a shared-boilerplate corpus cannot merge everything
+    into one block. This corpus plants exact dups at HIGH ids inside 600
+    docs of shared-vocabulary noise: the old blocking misses them
+    (mega-block cap keeps ids 0..63), the banded blocking must find every
+    one (identical shingle sets agree on every band)."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(7)
+    vocab = [f"word{v:03d}" for v in range(120)]  # small shared vocabulary
+    texts = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(600)
+    ]
+    # plant 20 exact dups among the HIGHEST ids (outside any low-64 cap)
+    planted = set()
+    for i in range(20):
+        a, b = 500 + 2 * i, 501 + 2 * i
+        texts[b] = texts[a]
+        planted.add((a, b))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(600), "text": texts})
+    )
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).collect()
+    }
+    missed = planted - got
+    assert not missed, f"banded blocking lost exact-dup pairs: {sorted(missed)}"
 
 
 def test_dedup_clusters_transitive_closure(spark):

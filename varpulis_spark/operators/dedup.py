@@ -42,6 +42,8 @@ north star. Scale design:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -1061,35 +1063,55 @@ def ngram_minshingle_pairs(
     k: int = 8,
     threshold: float = 0.6,
     max_block: int = 64,
+    bands: int = 8,
 ) -> DataFrame:
-    """Deterministic near-dup pairs: hashed-min-shingle blocking + exact
-    n-gram Jaccard, 100% JVM-side and ANSI-SQL-expressible (the
-    oracle-checkable member of the near-dup family;
-    `minhash_near_dup_pairs` is the tunable production path).
+    """Deterministic near-dup pairs: banded one-permutation min-shingle
+    blocking + exact n-gram Jaccard, 100% JVM-side and
+    ANSI-SQL-expressible (the oracle-checkable member of the near-dup
+    family; `minhash_near_dup_pairs` is the tunable production path).
 
-    Blocking = group by the k-shingle whose **md5 digest is minimal** —
-    one-permutation MinHash with md5 as the permutation, so block
-    membership is uniform over each doc's shingle set and per-pair recall
-    equals the pair's true Jaccard (J ≥ 0.6 ⇒ ≥ 60% catch rate). md5 is
-    computed identically by Spark and every SQL engine, so the oracle
-    blocks bit-for-bit the same. (The r4 version blocked on the
-    *lexicographic* minimum shingle, which is dominated by the corpus's
-    smallest-prefix substrings: measured on the real sf0.1 table, 5,000
-    docs collapsed into 251 blocks with a 257-doc mega-block → 222K
-    candidate pairs in ONE task. Hashed minima are ≈ unique per
-    near-dup cluster.)
+    Blocking = banded one-permutation MinHash with md5 as the permutation:
+    each doc's distinct hashed k-shingles are slotted by `h % (2·bands)`;
+    band j's key is the PAIR of minima of slots (2j, 2j+1); two docs are
+    candidates iff they agree on any band's full key. md5 is computed
+    identically by Spark and every SQL engine, so the oracle blocks
+    bit-for-bit the same. Per-band collision probability ≈ J² (two
+    independent slot minima must both agree), so recall is
+    1 − (1 − J²)^bands: ≥ 97% at the J = 0.6 threshold with the default
+    8 bands, → 1 as J → 1, and exact duplicates (identical shingle sets
+    ⇒ every slot minimum identical) ALWAYS collide. Empty slots take a −1
+    sentinel; all-sentinel band keys are dropped (they would block
+    unrelated shingle-poor docs together for free).
+
+    Why a 2-minima key and not the r4-r9 single global minimum: a
+    single-min block key is the doc's globally-minimal hashed shingle, and
+    shingle document-frequency is heavily skewed — once the corpus is
+    large enough that some COMMON shingle draws a tiny hash, every doc
+    containing it lands in one block. Measured on the derived sf10 corpus
+    (500k docs): 98.5% of docs sat in blocks larger than the 64-doc cap
+    (top block 29k docs), and exact-duplicate recall collapsed to 2% —
+    the cap was silently discarding true pairs, exactly the failure the
+    100 TB story cannot have. A 2-slot-minima key needs two independent
+    agreements, so random common-shingle collisions fall from P(1 shared
+    popular shingle is both docs' min) to ≈ J² per band; measured blocks
+    shrink to ≈ near-dup-cluster size and exact-dup recall returns to
+    1.0 at the same corpus scale.
 
     Scale shape:
     - shingle arrays are computed ONCE per doc and persisted narrow
-      (id, sh, blk); candidates join back by id — no per-pair
-      recomputation (the r4 plan rebuilt both arrays inside the join
-      projection: ~1.3e8 substring extractions for those 222K pairs);
+      (id, sh); candidates join back by id — no per-pair recomputation
+      (the r4 plan rebuilt both arrays inside the join projection:
+      ~1.3e8 substring extractions for those 222K pairs);
     - `spread()` pins UDF-free but CPU-heavy shingling to ≥ default
       parallelism (a small parquet arrives as one split);
-    - blocks are capped at the `max_block` lowest ids (window rank over
-      the narrow (id, blk) projection) — a boilerplate mega-block costs
-      at most C(max_block, 2) pairs. The cap is part of the operator
-      CONTRACT (mirrored in the oracle SQL), not a silent truncation.
+    - per-band blocks are capped at the `max_block` lowest ids (window
+      rank over the narrow (id, band, m0, m1) projection) — a boilerplate
+      mega-block costs at most bands · C(max_block, 2) pairs, and with
+      banded keys a block is ≈ one near-dup cluster, so the cap is a skew
+      guard rather than a recall tax. The cap is part of the operator
+      CONTRACT (mirrored in the oracle SQL), not a silent truncation;
+    - a pair co-blocking in several bands is deduped BEFORE the verify
+      join, so exact Jaccard runs once per candidate pair.
 
     Threshold compares in exact integer arithmetic (inter·10⁶ ≥ t·10⁶·union)
     so the boundary matches any SQL oracle bit-for-bit.
@@ -1120,22 +1142,72 @@ def ngram_minshingle_pairs(
         )
     )
     keyed = _register_cache(
-        docs.select("id", hashed.alias("sh"))
-        .withColumn("blk", F.array_min(F.col("sh")))
+        docs.select("id", hashed.alias("sh"), F.size(hashed).alias("n"))
         .persist()  # blocking + both verify sides read it; shingle once
     )
-    w = Window.partitionBy("blk").orderBy("id")
+    slots = 2 * bands
+    scaled_t = int(round(threshold * 1_000_000))
+    slot_min = [
+        F.coalesce(
+            F.array_min(F.filter(F.col("sh"), lambda h: h % slots == t)),
+            F.lit(-1).cast("long"),
+        )
+        for t in range(slots)
+    ]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                slot_min[2 * j].alias("m0"),
+                slot_min[2 * j + 1].alias("m1"),
+            )
+            for j in range(bands)
+        ]
+    )
+    blocks = (
+        keyed.select("id", "n", F.explode(band_keys).alias("bk"))
+        .select("id", "n", "bk.band", "bk.m0", "bk.m1")
+        .filter(~((F.col("m0") == -1) & (F.col("m1") == -1)))
+    )
+    w = Window.partitionBy("band", "m0", "m1").orderBy("id")
     capped = (
-        keyed.select("id", "blk")
-        .withColumn("__rn", F.row_number().over(w))
+        blocks.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_block)
         .drop("__rn")
     )
+    # pair WITHIN each capped block instead of self-joining capped with
+    # itself: post-cap groups hold ≤ max_block rows, so collect_list is
+    # bounded, and the groupBy lands on the window's own partitioning —
+    # no extra exchange. (The earlier self-join shape cost two more
+    # shuffles of the block table plus a second run of the slot-minima +
+    # window chain; Spark 4's WindowGroupLimit already does map-side
+    # top-k for the rank filter, so the cap itself is skew-optimal.)
+    grouped = capped.groupBy("band", "m0", "m1").agg(
+        F.collect_list(F.struct("id", "n")).alias("its")
+    )
     cand = (
-        capped.select(F.col("id").alias("id_a"), "blk")
-        .join(capped.select(F.col("id").alias("id_b"), "blk"), "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode("its").alias("a"), "its")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n").alias("na"),
+            F.explode(
+                F.filter(F.col("its"), lambda b: b["id"] > F.col("a.id"))
+            ).alias("b"),
+        )
+        # size-compatibility prefilter — RESULT-PRESERVING, not a heuristic:
+        # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≥ t requires
+        # min·10⁶ ≥ t·10⁶·max. Prunes cross-length junk pairs BEFORE the
+        # pair-dedup shuffle and the CPU-heavy array-intersect verify
+        # (mega-block candidates are mostly same-language random docs whose
+        # lengths differ; measured at sf10: 33.9M band-duplicated
+        # candidates → 16.6M size-compatible → 2.07M distinct verifies).
+        .filter(
+            (F.least("na", F.col("b.n")) * F.lit(1_000_000))
+            >= (F.lit(scaled_t) * F.greatest("na", F.col("b.n")))
+        )
+        .select("id_a", F.col("b.id").alias("id_b"))
+        # a pair can co-block in several bands; verify each pair once
+        .dropDuplicates(["id_a", "id_b"])
         # AQE sees a few MB of (id, id) pairs and would coalesce the verify
         # join onto 1-2 tasks; the intersect/union over ~300-element shingle
         # arrays per pair is CPU-heavy, so pin the parallelism (same hash
@@ -1152,7 +1224,16 @@ def ngram_minshingle_pairs(
     if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
         sh_a = F.broadcast(sh_a)
         sh_b = F.broadcast(sh_b)
-    scaled_t = int(round(threshold * 1_000_000))
+    else:
+        # above the broadcast cap: hash-join instead of sort-merge. The
+        # second join reshuffles rows already carrying a ~KB shingle-array
+        # payload; SMJ additionally SORTS that payload on both sides,
+        # which dominated the sf10 wall. Build side per partition is
+        # |corpus arrays| / shuffle-partitions — bounded by sizing
+        # spark.sql.shuffle.partitions to the cluster, same as every
+        # other shuffle here.
+        sh_a = sh_a.hint("shuffle_hash")
+        sh_b = sh_b.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     return (
         cand.join(sh_a, "id_a")
@@ -1224,7 +1305,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # sf0.1 on a 234-node graph). Above it, the propagation loop runs
     # fully distributed — the edge list never needs to fit anywhere.
     n_edges = edges.count()
-    if n_edges <= CLUSTERS_LOCAL_MAX_EDGES:
+    # env override for scale probes/tuning: force the distributed branch
+    # (0) or raise the local ceiling, without code changes
+    local_max = int(
+        os.environ.get("VARPULIS_CLUSTERS_LOCAL_MAX_EDGES", CLUSTERS_LOCAL_MAX_EDGES)
+    )
+    if n_edges <= local_max:
         rows = edges.filter(F.col("src") < F.col("dst")).collect()
         parent: dict = {}
 
