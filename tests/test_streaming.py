@@ -285,6 +285,83 @@ def test_streaming_count_window_tws_parity(spark, sf_dir, replay_dir, size, slid
             )
 
 
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_distinct_tws_parity(spark, sf_dir, replay_dir):
+    """transformWithStateInPandas distinct twin without TTL must equal
+    batch distinct-earliest exactly (same envelope rows)."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        schema = Stream.events(spark, sf_dir).df.schema
+        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+        out = S.distinct_streaming(src, "user_id", "event_type", engine="tws")
+        S.run_to_memory(out, "tws_dist")
+        got = {
+            (r.user_id, r.event_type, r.event_id)
+            for r in spark.sql("SELECT * FROM tws_dist").collect()
+        }
+        exp = {
+            (r.user_id, r.event_type, r.event_id)
+            for r in (
+                Stream.events(spark, sf_dir)
+                .distinct("user_id", "event_type")
+                .select("user_id", "event_type", "event_id")
+                .df.collect()
+            )
+        }
+        assert got == exp and len(got) > 0
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_distinct_tws_ttl_native_timers(spark, sf_dir, replay_dir):
+    """The TTL arm runs on NATIVE event-time timers (registerTimer +
+    handleExpiredTimer) instead of GroupStateTimeout: every exact-distinct
+    key must still surface (re-emission after expiry allowed, loss never),
+    matching the applyInPandasWithState twin's bound."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        schema = Stream.events(spark, sf_dir).df.schema
+        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+        out = S.distinct_streaming(
+            src, "user_id", "event_type", ttl="30m", engine="tws"
+        )
+        S.run_to_memory(out, "tws_dist_ttl")
+        got = [
+            (r.user_id, r.event_type)
+            for r in spark.sql("SELECT * FROM tws_dist_ttl").collect()
+        ]
+        exp = {
+            (r.user_id, r.event_type)
+            for r in (
+                Stream.events(spark, sf_dir)
+                .distinct("user_id", "event_type")
+                .df.collect()
+            )
+        }
+        assert set(got) == exp  # every distinct key surfaced, none lost
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
 def test_streaming_windowed_trend_aggregate_matches_batch(
     spark, sf_dir, replay_dir
 ):

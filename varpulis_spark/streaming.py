@@ -982,7 +982,7 @@ def trend_aggregate_windowed_streaming(
 
 def distinct_streaming(
     stream: Stream, *cols: str, ttl: str | None = None,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str = "0 seconds", engine: str = "auto",
 ) -> Stream:
     """Streaming `.distinct(cols...)` with BOUNDED state (DistinctState +
     DISTINCT_LRU_CAPACITY, engine/types.rs:286-295): emit the first event
@@ -998,10 +998,28 @@ def distinct_streaming(
     replay (processing-time timers would also schedule no-data
     micro-batches forever under the default trigger, hanging
     processAllAvailable). With `ttl` a watermark on the stream's ts column
-    is required; one is applied with `watermark_delay` if absent."""
+    is required; one is applied with `watermark_delay` if absent.
+
+    `engine` selects the stateful backend like count_window_streaming:
+    "pandas" (default) = applyInPandasWithState with EventTimeTimeout;
+    "tws" = transformWithStateInPandas with NATIVE event-time timers
+    (`registerTimer`/`handleExpiredTimer` replace the hand-rolled
+    timeout arm; requires RocksDB + a protobuf runtime, see pbvendor);
+    "auto" = tws only when VARPULIS_TWS_DISTINCT=1 and available."""
+    import os as _os
+
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if engine == "auto":
+        engine = (
+            "tws" if _os.environ.get("VARPULIS_TWS_DISTINCT") == "1" else "pandas"
+        )
+    if engine == "tws":
+        return _distinct_streaming_tws(
+            stream, *cols, ttl=ttl, watermark_delay=watermark_delay
+        )
 
     from varpulis_spark.functions import duration_ns
 
@@ -1050,6 +1068,111 @@ def distinct_streaming(
     )
     out = df.groupBy(*[F.col(c) for c in dcols]).applyInPandasWithState(
         run, out_schema, "seen int", "append", timeout
+    )
+    return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
+
+
+def _distinct_streaming_tws(
+    stream: Stream, *cols: str, ttl: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> Stream:
+    """transformWithStateInPandas twin of distinct_streaming, using the
+    arbitrary-state-v2 NATIVE TIMER API for the event-time TTL: the
+    hand-rolled `GroupStateTimeout.EventTimeTimeout` + `hasTimedOut` arm
+    becomes `handle.registerTimer(last_ts + ttl)` on refresh (old timer
+    deleted) and `handleExpiredTimer` clearing the key's memory when the
+    watermark passes expiry — the engine tracks and fires timers in its
+    own column family, no sentinel rows or timeout flags in user state.
+    Same semantics: emit the event-time-first row per distinct key; after
+    `ttl` of event-time inactivity the key may re-emit.
+
+    Requires the RocksDB state-store provider and a protobuf runtime
+    (pbvendor); the applyInPandasWithState twin remains the default."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from varpulis_spark import pbvendor
+    from varpulis_spark.functions import duration_ns
+
+    if not pbvendor.tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime; "
+            "none importable and no bundled runtime found (see pbvendor)"
+        )
+
+    df = stream.df
+    dcols = list(cols)
+    out_schema = ", ".join(f"{k} {t}" for k, t in df.dtypes)
+    ttl_ms = int(duration_ns(ttl) // 1_000_000) if ttl else None
+    if ttl_ms is not None and not df.isStreaming:
+        raise ValueError("ttl applies to streaming inputs only")
+    if ttl_ms is not None:
+        df = df.withWatermark(stream.ts_col, watermark_delay)
+    ts_col = stream.ts_col
+    sort_cols = [ts_col] + ([stream.order_col] if stream.order_col else [])
+    out_cols = [k for k, _ in df.dtypes]
+
+    class _DistinctProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            # value = the armed timer's expiry (-1 when no TTL): needed to
+            # delete the previous timer when refreshing on new activity
+            self.seen = handle.getValueState("seen", "timer_ms long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if not chunks:
+                return
+            all_rows = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            first = all_rows.iloc[:1]
+            last_ts_ms = int(all_rows[ts_col].astype("int64").max() // 1_000_000)
+
+            def arm(prev_timer_ms: int) -> int:
+                if ttl_ms is None:
+                    return -1
+                # expiry must sit strictly above the current watermark or
+                # the timer would fire in the very next batch
+                expiry = max(
+                    last_ts_ms + ttl_ms,
+                    timer_values.getCurrentWatermarkInMs() + 1,
+                )
+                if prev_timer_ms >= 0 and prev_timer_ms != expiry:
+                    self.handle.deleteTimer(prev_timer_ms)
+                if prev_timer_ms != expiry:
+                    self.handle.registerTimer(expiry)
+                return expiry
+
+            if self.seen.exists():
+                prev = self.seen.get()[0]
+                new_timer = arm(prev)
+                if new_timer != prev:
+                    self.seen.update((new_timer,))
+            else:
+                self.seen.update((arm(-1),))
+                yield first[out_cols]
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # (camelCase params: the runner invokes this with keyword
+            # arguments matching the StatefulProcessor base signature.)
+            # Watermark passed last activity + ttl: forget the key (it may
+            # re-emit); the fired timer is removed by the engine.
+            self.seen.clear()
+            return iter([])
+
+        def close(self):
+            pass
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = df.groupBy(*[F.col(c) for c in dcols]).transformWithStateInPandas(
+        statefulProcessor=_DistinctProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime" if ttl_ms is not None else "None",
     )
     return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
 
