@@ -1444,9 +1444,13 @@ def _minshingle_block_sql(bands: int = 8, max_block: int = 64) -> str:
             ), blocks AS (
               {band_arms}
             ), capped AS (
+              -- per-band pseudo-random cap order (md5 of band:id) so a
+              -- pair's cap survival is independent across bands; md5 of
+              -- the same string is engine-identical
               SELECT id, band, m0, m1 FROM (
                 SELECT id, band, m0, m1,
-                       row_number() OVER (PARTITION BY band, m0, m1 ORDER BY id) AS rn
+                       row_number() OVER (PARTITION BY band, m0, m1
+                                          ORDER BY md5(concat(band, ':', id)), id) AS rn
                 FROM blocks) WHERE rn <= {max_block}
             ), cand AS (
               SELECT DISTINCT a.id AS id_a, c.id AS id_b

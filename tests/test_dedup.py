@@ -369,7 +369,12 @@ def test_minshingle_mega_block_capped(spark):
         pd.DataFrame({"doc_id": range(300), "text": [f"{base} {i % 7}" for i in range(300)]})
     )
     out = D.ngram_minshingle_pairs(docs, threshold=0.9).collect()
-    assert 0 < len(out) <= 8 * 64 * 63 // 2  # bounded by bands * C(cap, 2)
+    # per band, a partition of n docs yields at most
+    # (n // cap)·C(cap,2) + C(n % cap, 2) capped candidate pairs
+    # (maximized by full cap-sized blocks); 8 bands of 300 docs
+    n, cap = 300, 64
+    per_band = (n // cap) * (cap * (cap - 1) // 2) + ((n % cap) * (n % cap - 1) // 2)
+    assert 0 < len(out) <= 8 * per_band
     # every emitted pair is verified exact Jaccard >= 0.9 (no block is
     # trusted without verification)
     assert all(

@@ -1169,11 +1169,23 @@ def ngram_minshingle_pairs(
         .select("id", "n", "bk.band", "bk.m0", "bk.m1")
         .filter(~((F.col("m0") == -1) & (F.col("m1") == -1)))
     )
-    w = Window.partitionBy("band", "m0", "m1").orderBy("id")
+    # cap order is per-band PSEUDO-RANDOM (md5 of band:id), not id order:
+    # with a deterministic id-order cap every band keeps the SAME lowest
+    # ids, so a pair capped out of one over-cap block is capped out of
+    # all `bands` of them (correlated loss — measured 7.6% exact-dup
+    # recall loss at sf10). Hashing the order per band makes survival
+    # independent across bands: a pair in a block of size s gets
+    # 1 − (1 − (cap/s)²)^bands odds instead of (cap/s)² once. md5 of the
+    # same string is engine-identical, so the oracle caps bit-for-bit
+    # the same; id tie-break keeps it total.
+    w = Window.partitionBy("band", "m0", "m1").orderBy("__ord", "id")
     capped = (
-        blocks.withColumn("__rn", F.row_number().over(w))
+        blocks.withColumn(
+            "__ord", F.md5(F.concat_ws(":", F.col("band"), F.col("id")))
+        )
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_block)
-        .drop("__rn")
+        .drop("__rn", "__ord")
     )
     # pair WITHIN each capped block instead of self-joining capped with
     # itself: post-cap groups hold ≤ max_block rows, so collect_list is
@@ -1224,16 +1236,11 @@ def ngram_minshingle_pairs(
     if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
         sh_a = F.broadcast(sh_a)
         sh_b = F.broadcast(sh_b)
-    else:
-        # above the broadcast cap: hash-join instead of sort-merge. The
-        # second join reshuffles rows already carrying a ~KB shingle-array
-        # payload; SMJ additionally SORTS that payload on both sides,
-        # which dominated the sf10 wall. Build side per partition is
-        # |corpus arrays| / shuffle-partitions — bounded by sizing
-        # spark.sql.shuffle.partitions to the cluster, same as every
-        # other shuffle here.
-        sh_a = sh_a.hint("shuffle_hash")
-        sh_b = sh_b.hint("shuffle_hash")
+    # above the broadcast cap the verify joins stay on the default
+    # sort-merge path: a shuffle_hash hint was measured (sf10) to save
+    # nothing (~2%) and it FAILS HARD under executor memory pressure
+    # ("Can't acquire memory to build hash relation") where SMJ spills
+    # gracefully — robustness wins at 100 TB.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     return (
         cand.join(sh_a, "id_a")
