@@ -111,11 +111,16 @@ def run_clusters_scale_probe(spark) -> dict:
     out: dict = {}
     q = entrymod.queries()["near_dup_clusters"]
 
+    def _drop_caches():
+        spark.catalog.clearCache()
+        D.release_caches()
+
     # sf10 full-pipeline reference wall
     sf10 = make_sf.ensure_sf10()
     t0 = time.time()
     rows10 = q(spark, sf10).count()
     wall10 = time.time() - t0
+    _drop_caches()
     import pyarrow.parquet as pq
 
     docs10 = pq.read_metadata(os.path.join(sf10, "documents.parquet")).num_rows
@@ -133,6 +138,9 @@ def run_clusters_scale_probe(spark) -> dict:
     pairs = D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).persist()
     n_pairs = pairs.count()
     wall_mine = time.time() - t0
+    # pairs is materialized; the op-internal signature cache (~4 GB at
+    # sf30) is no longer needed — release it, keep the pairs cache
+    D.release_caches()
 
     runs: dict[str, dict] = {}
     assignments: dict[str, set] = {}
@@ -149,6 +157,7 @@ def run_clusters_scale_probe(spark) -> dict:
         runs[label] = {"wall_sec": round(wall, 2), "rows": len(got)}
         assignments[label] = got
     pairs.unpersist()
+    _drop_caches()
 
     out["sf30"] = {
         "n_docs": n_docs30,
@@ -167,9 +176,14 @@ def run_clusters_scale_probe(spark) -> dict:
 def main() -> None:
     # sf10 runs 10x the data under the same per-query cap — widen it so a
     # perfectly linear 60 s query isn't recorded as a timeout (bench reads
-    # the env at import)
-    os.environ.setdefault("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "300")
-    os.environ.setdefault("SPARK_GRAFT_BENCH_SUITE_BUDGET", "1800")
+    # the env at import). 600 s: the r10 minshingle (full-recall banded
+    # blocking) runs ~190 s fresh / ~300 s session-aged at sf10.
+    os.environ.setdefault("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "600")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_SUITE_BUDGET", "2400")
+    # decade corpora cache multi-GB signature tables (sf10 ~1.4 GB, the
+    # sf30 probe ~4 GB) in ONE long session; the 8g default driver heap
+    # OOMed the probe on a 128 GiB box — size for the workload
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     import bench
     import make_sf
 
