@@ -92,53 +92,64 @@ def run_streaming_decade(spark) -> dict:
 
 def run_clusters_scale_probe(spark) -> dict:
     """VERDICT r9 task 7: exercise dedup_clusters' DISTRIBUTED
-    label-propagation branch on a real large pair graph. At natural
-    planted-dup density even an sf30 corpus (~1.5M docs) yields a pair
-    graph well under CLUSTERS_LOCAL_MAX_EDGES — the adaptive driver-side
-    union-find remains the RIGHT production plan there (that is the
-    point of the threshold) — so the probe mines the sf30 pair graph
-    once, then clusters it through BOTH branches: adaptive, and with
-    VARPULIS_CLUSTERS_LOCAL_MAX_EDGES=0 forcing the distributed loop.
-    Done-criteria checked: the distributed branch converges, its wall
-    stays in the same class (no super-linear blowup), and its canon_id
-    assignment is IDENTICAL to the union-find's. Also records the
-    sf10→sf30 full-pipeline per-doc ratio (the 3× decade axis)."""
+    label-propagation branch on a real large mined pair graph. At
+    natural planted-dup density even an sf30 corpus (~1.5M docs) yields
+    a pair graph well under CLUSTERS_LOCAL_MAX_EDGES — the adaptive
+    driver-side union-find remains the RIGHT production plan there (that
+    is the point of the threshold) — so the probe mines the sf30 pair
+    graph once, then clusters it through BOTH branches: adaptive, and
+    with VARPULIS_CLUSTERS_LOCAL_MAX_EDGES=0 forcing the distributed
+    loop. Done-criteria checked: the distributed branch converges, its
+    wall stays in the same class (no super-linear blowup), and its
+    canon_id assignment is IDENTICAL to the union-find's. Also records
+    the sf10→sf30 per-doc ratio for the same mine+cluster pipeline (the
+    3× decade axis).
+
+    Mining uses the PRODUCTION near-dup path (minhash_near_dup_pairs:
+    numpy OPH signatures, salted capped buckets, bucket-local verify —
+    recall 1.0 at sf10) rather than the oracle-checkable minshingle twin:
+    this is what a 100 TB pipeline feeds dedup_clusters, and the
+    minshingle verify join's shuffle footprint at sf30 (tens of GB of
+    sorted array payloads) measured DISK, not the clustering under
+    test."""
     import make_sf
 
-    import __spark_entry__ as entrymod
     from varpulis_spark.operators import dedup as D
 
     out: dict = {}
-    q = entrymod.queries()["near_dup_clusters"]
 
     def _drop_caches():
         spark.catalog.clearCache()
         D.release_caches()
 
-    # sf10 full-pipeline reference wall
-    sf10 = make_sf.ensure_sf10()
-    t0 = time.time()
-    rows10 = q(spark, sf10).count()
-    wall10 = time.time() - t0
-    _drop_caches()
-    import pyarrow.parquet as pq
+    from varpulis_spark.engine import read_parquet
 
-    docs10 = pq.read_metadata(os.path.join(sf10, "documents.parquet")).num_rows
+    def mine_and_cluster_wall(sf_dir: str) -> tuple[int, int, float]:
+        docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs.count()
+        t0 = time.time()
+        p = D.minhash_near_dup_pairs(docs, threshold=0.6)
+        rows = D.dedup_clusters(p).count()
+        wall = time.time() - t0
+        _drop_caches()
+        return n_docs, rows, wall
+
+    # sf10 reference wall for the same pipeline
+    sf10 = make_sf.ensure_sf10()
+    docs10, rows10, wall10 = mine_and_cluster_wall(sf10)
     out["sf10_full"] = {
         "n_docs": docs10, "rows": rows10, "wall_sec": round(wall10, 2)
     }
 
     # sf30: mine once, cluster through both branches
     sf30 = make_sf.ensure_docs30()
-    from varpulis_spark.engine import read_parquet
-
     docs = read_parquet(spark, os.path.join(sf30, "documents.parquet"))
     n_docs30 = docs.count()
     t0 = time.time()
-    pairs = D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).persist()
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.6).persist()
     n_pairs = pairs.count()
     wall_mine = time.time() - t0
-    # pairs is materialized; the op-internal signature cache (~4 GB at
+    # pairs is materialized; the op-internal signature cache (~GBs at
     # sf30) is no longer needed — release it, keep the pairs cache
     D.release_caches()
 
