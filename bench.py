@@ -215,13 +215,20 @@ def _detail_path(contended: bool = False) -> str:
     Contended runs (idle-wait budget exhausted with load still high) write
     to a `_contended`-suffixed file so they can NEVER overwrite the
     committed idle artifact the compact line's `detail` field points at
-    (VERDICT r8 finding #3, repeated r9 finding #1)."""
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
-    suffix = "_contended" if contended else ""
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_LOCAL_r{rnd}{suffix}.json",
-    )
+    (VERDICT r8 finding #3, repeated r9 finding #1). Contended re-runs
+    APPEND — first free `_contended[.k].json` slot — instead of silently
+    replacing an earlier (possibly committed) contended record
+    (VERDICT r10 finding #2)."""
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not contended:
+        return os.path.join(here, f"BENCH_LOCAL_r{rnd}.json")
+    path = os.path.join(here, f"BENCH_LOCAL_r{rnd}_contended.json")
+    k = 2
+    while os.path.exists(path):
+        path = os.path.join(here, f"BENCH_LOCAL_r{rnd}_contended.{k}.json")
+        k += 1
+    return path
 
 
 def compact_line(out: dict, detail_path: str) -> str:

@@ -234,7 +234,7 @@ def main() -> None:
         out["clusters_scale_probe"] = run_clusters_scale_probe(spark)
     except Exception as e:  # record, never kill the artifact
         out["clusters_scale_probe"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "10")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
     path = os.path.join(REPO, f"BENCH_DECADE_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -67,3 +67,26 @@ def test_compact_block_shape(bench_mod):
     }
     assert "error" in c["trend_windowed"]
     assert c["ref_flink_avg_alert_ms"] == 554
+
+
+def test_contended_artifact_path_appends_never_clobbers(monkeypatch, tmp_path):
+    """VERDICT r10 finding #2: a contended re-run must land in the first
+    free `_contended[.k].json` slot, leaving earlier (possibly committed)
+    contended records untouched. Idle paths stay stable."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "99")
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    idle = bench._detail_path(False)
+    assert idle.endswith("BENCH_LOCAL_r99.json")
+    assert bench._detail_path(False) == idle  # idle path is stable
+
+    first = bench._detail_path(True)
+    assert first.endswith("BENCH_LOCAL_r99_contended.json")
+    open(first, "w").write("{}")
+    second = bench._detail_path(True)
+    assert second.endswith("BENCH_LOCAL_r99_contended.2.json")
+    open(second, "w").write("{}")
+    assert bench._detail_path(True).endswith("BENCH_LOCAL_r99_contended.3.json")

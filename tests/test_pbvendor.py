@@ -1,0 +1,62 @@
+"""pbvendor shim hygiene (ADVICE r10): cluster shipping via a py-files
+zip instead of a driver-local PYTHONPATH, and full rollback on failure."""
+
+import os
+import zipfile
+
+import pytest
+
+from varpulis_spark import pbvendor
+
+
+needs_shim = pytest.mark.skipif(
+    not pbvendor.tws_available() or not pbvendor.shim_active(),
+    reason="no bundled protobuf runtime vendored in this environment",
+)
+
+
+@needs_shim
+def test_executor_env_ships_zip_not_driver_pythonpath():
+    """A real cluster's executors don't share the driver filesystem: the
+    deploy config must carry the runtime as a distributable py-files zip
+    (or, fallback, ONLY the shim dir — never the driver's whole
+    PYTHONPATH, which leaks unrelated driver-local entries)."""
+    conf = pbvendor.executor_env()
+    assert conf.get(f"spark.executorEnv.{pbvendor._SHIM_ENV}") == "true"
+    if "spark.submit.pyFiles" in conf:
+        assert os.path.isfile(conf["spark.submit.pyFiles"])
+        assert "spark.executorEnv.PYTHONPATH" not in conf
+    else:
+        # fallback: shim dir only, not the concatenated driver PYTHONPATH
+        pp = conf["spark.executorEnv.PYTHONPATH"]
+        assert os.pathsep not in pp and pp == pbvendor._state["shim_dir"]
+
+
+@needs_shim
+def test_pyfiles_zip_contains_importable_protobuf_package():
+    """The zip must be a self-contained google.protobuf package (zipimport
+    works for pure Python): namespace __init__ plus the modules the
+    StateMessage gencode imports at load time."""
+    zpath = pbvendor._pyfiles_zip()
+    assert zpath and os.path.isfile(zpath)
+    with zipfile.ZipFile(zpath) as z:
+        names = set(z.namelist())
+    assert "google/__init__.py" in names
+    for mod in (
+        "google/protobuf/__init__.py",
+        "google/protobuf/runtime_version.py",
+        "google/protobuf/descriptor_pool.py",
+        "google/protobuf/internal/builder.py",
+    ):
+        assert mod in names, f"zip missing {mod}"
+    # built once, reused (idempotent — no rebuild churn per session)
+    assert pbvendor._pyfiles_zip() == zpath
+
+
+@needs_shim
+def test_shim_exposes_only_protobuf():
+    """The shim's google/ namespace must contain ONLY the protobuf
+    symlink — never the SDK's sibling google.auth / google.appengine."""
+    gdir = os.path.join(pbvendor._state["shim_dir"], "google")
+    entries = {e for e in os.listdir(gdir) if not e.startswith("__")}
+    assert entries == {"protobuf"}

@@ -246,43 +246,42 @@ def test_streaming_count_window_tws_parity(spark, sf_dir, replay_dir, size, slid
     batch count-window result exactly — same windows, ids, and aggregates
     as the applyInPandasWithState path it parallels (window.rs:274-444).
     Exercises the arbitrary-state-v2 protocol end-to-end: native ListState
-    row buffer + ValueState cursor over RocksDB column families."""
+    row buffer + ValueState cursor over RocksDB column families.
+
+    The RocksDB provider must be QUERY-scoped (start_query set→start→restore,
+    ADVICE r10): the session conf is asserted untouched afterwards."""
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    try:
-        schema = Stream.events(spark, sf_dir).df.schema
-        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
-        out = S.count_window_streaming(
-            src.partition_by("user_id"), size,
-            {"n": ("count", None), "total": ("sum", "value")},
-            slide=slide, engine="tws",
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.count_window_streaming(
+        src.partition_by("user_id"), size,
+        {"n": ("count", None), "total": ("sum", "value")},
+        slide=slide, engine="tws",
+    )
+    name = f"tws_cw_{size}_{slide or 0}"
+    S.run_to_memory(out, name)
+    got = sorted(
+        (r.user_id, r.window_id, r.n, round(r.total, 6))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    exp = sorted(
+        (r.user_id, int(r.window_id), r.n, round(r.total, 6))
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window(size, sliding=slide)
+            .aggregate(n=A.count(), total=A.sum("value"))
+            .df.select("user_id", "window_id", "n", "total")
+            .collect()
         )
-        name = f"tws_cw_{size}_{slide or 0}"
-        S.run_to_memory(out, name)
-        got = sorted(
-            (r.user_id, r.window_id, r.n, round(r.total, 6))
-            for r in spark.sql(f"SELECT * FROM {name}").collect()
-        )
-        exp = sorted(
-            (r.user_id, int(r.window_id), r.n, round(r.total, 6))
-            for r in (
-                Stream.events(spark, sf_dir)
-                .partition_by("user_id")
-                .window(size, sliding=slide)
-                .aggregate(n=A.count(), total=A.sum("value"))
-                .df.select("user_id", "window_id", "n", "total")
-                .collect()
-            )
-        )
-        assert got == exp and len(got) > 0
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
+    )
+    assert got == exp and len(got) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    ), "TWS op leaked the RocksDB provider into the session conf"
 
 
 @pytest.mark.skipif(
@@ -294,32 +293,28 @@ def test_streaming_distinct_tws_parity(spark, sf_dir, replay_dir):
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    try:
-        schema = Stream.events(spark, sf_dir).df.schema
-        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
-        out = S.distinct_streaming(src, "user_id", "event_type", engine="tws")
-        S.run_to_memory(out, "tws_dist")
-        got = {
-            (r.user_id, r.event_type, r.event_id)
-            for r in spark.sql("SELECT * FROM tws_dist").collect()
-        }
-        exp = {
-            (r.user_id, r.event_type, r.event_id)
-            for r in (
-                Stream.events(spark, sf_dir)
-                .distinct("user_id", "event_type")
-                .select("user_id", "event_type", "event_id")
-                .df.collect()
-            )
-        }
-        assert got == exp and len(got) > 0
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.distinct_streaming(src, "user_id", "event_type", engine="tws")
+    S.run_to_memory(out, "tws_dist")
+    got = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in spark.sql("SELECT * FROM tws_dist").collect()
+    }
+    exp = {
+        (r.user_id, r.event_type, r.event_id)
+        for r in (
+            Stream.events(spark, sf_dir)
+            .distinct("user_id", "event_type")
+            .select("user_id", "event_type", "event_id")
+            .df.collect()
+        )
+    }
+    assert got == exp and len(got) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    ), "TWS op leaked the RocksDB provider into the session conf"
 
 
 @pytest.mark.skipif(
@@ -333,33 +328,29 @@ def test_streaming_distinct_tws_ttl_native_timers(spark, sf_dir, replay_dir):
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    try:
-        schema = Stream.events(spark, sf_dir).df.schema
-        src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
-        out = S.distinct_streaming(
-            src, "user_id", "event_type", ttl="30m", engine="tws"
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.distinct_streaming(
+        src, "user_id", "event_type", ttl="30m", engine="tws"
+    )
+    S.run_to_memory(out, "tws_dist_ttl")
+    got = [
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM tws_dist_ttl").collect()
+    ]
+    exp = {
+        (r.user_id, r.event_type)
+        for r in (
+            Stream.events(spark, sf_dir)
+            .distinct("user_id", "event_type")
+            .df.collect()
         )
-        S.run_to_memory(out, "tws_dist_ttl")
-        got = [
-            (r.user_id, r.event_type)
-            for r in spark.sql("SELECT * FROM tws_dist_ttl").collect()
-        ]
-        exp = {
-            (r.user_id, r.event_type)
-            for r in (
-                Stream.events(spark, sf_dir)
-                .distinct("user_id", "event_type")
-                .df.collect()
-            )
-        }
-        assert set(got) == exp  # every distinct key surfaced, none lost
-    finally:
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
+    }
+    assert set(got) == exp  # every distinct key surfaced, none lost
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    ), "TWS op leaked the RocksDB provider into the session conf"
 
 
 def test_streaming_windowed_trend_aggregate_matches_batch(

@@ -153,11 +153,13 @@ class _IncrementalRunner:
                     }
                 )
 
-        return (
+        from varpulis_spark.streaming import start_query
+
+        return start_query(
             rdf.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
-            .foreachBatch(sink)
-            .start()
+            .foreachBatch(sink),
+            df=rdf,
         )
 
     def _compile_streaming(self, source_text: str, emit_streams: set[str]):

@@ -44,11 +44,18 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
     """Create (or return) a SparkSession with scale-aware defaults."""
     # Vendor a protobuf runtime (if one is discoverable) BEFORE the JVM
     # launches so Python workers inherit PYTHONPATH — unlocks
-    # transformWithStateInPandas. No-op when protobuf is already present
-    # or no bundled runtime exists; see pbvendor module docstring.
-    from varpulis_spark import pbvendor
+    # transformWithStateInPandas. It cannot be deferred to the first TWS
+    # call: the JVM snapshots its environment at launch, so a PYTHONPATH
+    # set afterwards never reaches Python workers. No-op when a real
+    # protobuf is already importable (the shim never shadows an install)
+    # or no bundled runtime exists; processes embedding other
+    # google.protobuf consumers that must not see the version-check
+    # waiver can opt out with VARPULIS_TWS_VENDOR=off (TWS ops then
+    # raise unless a real protobuf is installed). See pbvendor docstring.
+    if os.environ.get("VARPULIS_TWS_VENDOR", "auto") != "off":
+        from varpulis_spark import pbvendor
 
-    pbvendor.ensure_protobuf()
+        pbvendor.ensure_protobuf()
     cores = cores or default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -70,9 +77,13 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
     )
     # On a real cluster executors don't inherit the driver's environment;
-    # ship the shim's PYTHONPATH/version-waiver explicitly (no-op locally).
-    for k, v in pbvendor.executor_env().items():
-        builder = builder.config(k, v)
+    # ship the vendored runtime as a py-files zip + the version waiver
+    # (no-op locally, and empty when the shim is inactive or opted out).
+    if os.environ.get("VARPULIS_TWS_VENDOR", "auto") != "off":
+        from varpulis_spark import pbvendor
+
+        for k, v in pbvendor.executor_env().items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -150,8 +150,23 @@ def ensure_protobuf() -> bool:
 
     _state["available"] = _gencode_loads()
     if not _state["available"]:
-        # Unload any partial import so retries with a real install work.
+        # Roll the shim back COMPLETELY so a broken bundled runtime can't
+        # shadow a later real install (ADVICE r10): waiver env var, sys.path
+        # and PYTHONPATH entries, and any partially-imported google modules.
         os.environ.pop(_SHIM_ENV, None)
+        if shim in sys.path:
+            sys.path.remove(shim)
+        parts = [
+            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and p != shim
+        ]
+        if parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+        else:
+            os.environ.pop("PYTHONPATH", None)
+        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            del sys.modules[mod]
+        _state["shim_dir"] = None
     return _state["available"]
 
 
@@ -164,12 +179,53 @@ def shim_active() -> bool:
     return _state.get("shim_dir") is not None
 
 
+def _pyfiles_zip() -> str | None:
+    """Zip the vendored runtime (google/__init__ + google/protobuf/**.py,
+    symlinks resolved) next to the shim so real clusters can ship it via
+    `spark.submit.pyFiles` — executor machines do NOT share the driver's
+    filesystem, so a bare PYTHONPATH pointing at the driver-local shim
+    would 404 there (ADVICE r10). ~0.5 MB zipped; built once, reused."""
+    shim = _state.get("shim_dir")
+    if not shim:
+        return None
+    zpath = os.path.join(shim, "pbshim.zip")
+    if os.path.isfile(zpath):
+        return zpath
+    import zipfile
+
+    gdir = os.path.join(shim, "google")
+    try:
+        with zipfile.ZipFile(zpath + ".tmp", "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("google/__init__.py", "")
+            runtime = os.path.realpath(os.path.join(gdir, "protobuf"))
+            for root, _dirs, files in os.walk(runtime):
+                rel_root = os.path.relpath(root, runtime)
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    arc = os.path.normpath(
+                        os.path.join("google/protobuf", rel_root, f)
+                    )
+                    z.write(os.path.join(root, f), arc)
+        os.replace(zpath + ".tmp", zpath)
+        return zpath
+    except OSError:
+        return None
+
+
 def executor_env() -> dict[str, str]:
-    """spark.executorEnv.* entries a cluster deploy needs when the shim is
-    active (local mode inherits os.environ; real executors do not)."""
+    """Builder configs a deploy needs when the shim is active. Local mode
+    inherits os.environ; a real cluster gets the runtime shipped as a
+    py-files zip (distributed by Spark's file server — no shared-filesystem
+    assumption) plus the version-check waiver in the executor env. Only the
+    shim path is exported, never the driver's whole PYTHONPATH."""
     if not shim_active():
         return {}
-    return {
-        "spark.executorEnv.PYTHONPATH": os.environ.get("PYTHONPATH", ""),
-        f"spark.executorEnv.{_SHIM_ENV}": "true",
-    }
+    conf = {f"spark.executorEnv.{_SHIM_ENV}": "true"}
+    zpath = _pyfiles_zip()
+    if zpath:
+        conf["spark.submit.pyFiles"] = zpath
+    else:
+        # Fallback: shim path only — requires a shared filesystem; documented.
+        conf["spark.executorEnv.PYTHONPATH"] = _state["shim_dir"]
+    return conf

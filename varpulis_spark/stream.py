@@ -67,6 +67,12 @@ class Stream:
         # equal-timestamp ties in order-dependent ops (ema/first/last/SASE)
         self.order_col = order_col
         self.name = name
+        # SQL confs the query needs at .start() time (e.g. the RocksDB
+        # state-store provider for transformWithStateInPandas ops). Applied
+        # query-scoped by the streaming sink helpers: Spark clones the
+        # session conf synchronously inside .start(), so set→start→restore
+        # never leaks into other queries in the session (ADVICE r10).
+        self.session_confs: dict[str, str] = {}
 
     # -- construction -------------------------------------------------------
 
@@ -99,6 +105,7 @@ class Stream:
         kw.update(overrides)
         s = Stream(df, **kw)
         s._watermarked = wm
+        s.session_confs = dict(self.session_confs)
         return s
 
     # -- stateless ops -------------------------------------------------------

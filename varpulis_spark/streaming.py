@@ -48,6 +48,16 @@ from pyspark.sql import functions as F
 from varpulis_spark.functions import duration_interval_str
 from varpulis_spark.stream import Stream
 
+# Per-query SQL confs the transformWithStateInPandas operators need at
+# .start() time (multi-column-family state ⇒ RocksDB provider). Attached to
+# the op's Stream/DataFrame and applied query-scoped by start_query() —
+# never set on the session, so co-resident queries and HDFS-checkpoint
+# restarts keep their own provider (ADVICE r10).
+_TWS_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
 
 # ---------------------------------------------------------------------------
 # sources
@@ -144,12 +154,45 @@ def kafka_source(
 # ---------------------------------------------------------------------------
 
 
+def start_query(writer, stream: Stream | None = None, df=None):
+    """Start a streaming query with any per-query SQL confs the pipeline
+    requires (Stream.session_confs / df._varpulis_session_confs — e.g. the
+    RocksDB state-store provider for transformWithStateInPandas ops).
+
+    Spark reads the provider conf from a clone of the session conf taken
+    SYNCHRONOUSLY inside .start(), so set→start→restore scopes the conf to
+    this one query: concurrent queries and later restarts from HDFS-backed
+    checkpoints in the same session are untouched (ADVICE r10, verified
+    empirically — a writeStream .option() is NOT honored for this conf)."""
+    confs: dict[str, str] = {}
+    if stream is not None:
+        # duck-typed streams (tests wrap bare DataFrames) may lack the attr
+        confs.update(getattr(stream, "session_confs", None) or {})
+        df = df if df is not None else stream.df
+    if df is not None:
+        confs.update(getattr(df, "_varpulis_session_confs", None) or {})
+    if not confs:
+        return writer.start()
+    spark = df.sparkSession
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        return writer.start()
+    finally:
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
 def to_memory(stream: Stream, name: str, output_mode: str = "append", trigger_once: bool = True):
     """Memory sink — the test/debug sink (ConsoleSink analog for asserts)."""
     w = stream.df.writeStream.format("memory").queryName(name).outputMode(output_mode)
     if trigger_once:
         w = w.trigger(availableNow=True)
-    return w.start()
+    return start_query(w, stream)
 
 
 def run_to_memory(stream: Stream, name: str, output_mode: str = "append"):
@@ -157,11 +200,11 @@ def run_to_memory(stream: Stream, name: str, output_mode: str = "append"):
     limits (maxFilesPerTrigger → one micro-batch per file, deterministic
     replay), then stop. `availableNow` may coalesce files into one batch;
     this helper is the timed-replay harness (.evt analog)."""
-    q = (
+    q = start_query(
         stream.df.writeStream.format("memory")
         .queryName(name)
-        .outputMode(output_mode)
-        .start()
+        .outputMode(output_mode),
+        stream,
     )
     q.processAllAvailable()
     q.stop()
@@ -170,16 +213,18 @@ def run_to_memory(stream: Stream, name: str, output_mode: str = "append"):
 
 
 def to_console(stream: Stream, output_mode: str = "append"):
-    return stream.df.writeStream.format("console").outputMode(output_mode).start()
+    return start_query(
+        stream.df.writeStream.format("console").outputMode(output_mode), stream
+    )
 
 
 def to_parquet(stream: Stream, path: str, checkpoint: str, output_mode: str = "append"):
-    return (
+    return start_query(
         stream.df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .start()
+        .outputMode(output_mode),
+        stream,
     )
 
 
@@ -189,7 +234,7 @@ def foreach_batch(stream: Stream, fn: Callable[[DataFrame, int], None], checkpoi
     w = stream.df.writeStream.foreachBatch(fn)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
-    return w.start()
+    return start_query(w, stream)
 
 
 class LateRouter:
@@ -544,7 +589,9 @@ def _count_window_streaming_tws(
     migration candidates now that the API runs (see SCALE.md).
 
     Requires the RocksDB state-store provider (multiple column families)
-    — set on the session here — and a protobuf runtime (pbvendor).
+    — attached as a query-scoped conf applied at .start() by
+    streaming.start_query, never set on the session — and a protobuf
+    runtime (pbvendor).
     """
     import pandas as pd
 
@@ -571,6 +618,26 @@ def _count_window_streaming_tws(
     out_schema = f"{key_fields}, window_id long, " + ", ".join(out_fields)
     buf_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
     buf_cols = [c for c, _ in df.dtypes]
+    # ListState round-trips rows as tuples; pd.DataFrame(tuples) comes back
+    # all-object (timestamps as scalar objects), so aggregates over leftover
+    # rows would run on object-dtype series. Restore the Arrow-path dtypes
+    # after reconstruction (ADVICE r10).
+    _pd_dtypes = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool", "timestamp": "datetime64[us]",
+        "timestamp_ntz": "datetime64[us]",
+    }
+    buf_dtypes = {c: _pd_dtypes[t] for c, t in df.dtypes if t in _pd_dtypes}
+
+    def _typed(leftover: list) -> "pd.DataFrame":
+        pdf = pd.DataFrame(leftover, columns=buf_cols)
+        for c, dt in buf_dtypes.items():
+            try:
+                pdf[c] = pdf[c].astype(dt)
+            except (TypeError, ValueError):
+                pass  # nullable ints etc. — keep object rather than crash
+        return pdf
     n_keys = len(keys)
     aggs_items = list(aggs.items())
     out_cols = list(keys) + ["window_id"] + [a for a, _ in aggs_items]
@@ -592,7 +659,7 @@ def _count_window_streaming_tws(
             )
             batches = []
             if leftover:
-                batches.append(pd.DataFrame(leftover, columns=buf_cols))
+                batches.append(_typed(leftover))
             if new is not None and not new.empty:
                 batches.append(new)
             all_rows = pd.concat(batches) if batches else pd.DataFrame()
@@ -621,18 +688,18 @@ def _count_window_streaming_tws(
         def close(self):
             pass
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     out = df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
         statefulProcessor=_CountWindowProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="None",
     )
-    return Stream(out, ts_col=stream.ts_col, keys=keys)
+    # TWS needs multi-column-family state: require RocksDB at START time,
+    # query-scoped (never mutate the session conf — ADVICE r10).
+    out._varpulis_session_confs = dict(_TWS_CONFS)
+    s = Stream(out, ts_col=stream.ts_col, keys=keys)
+    s.session_confs.update(_TWS_CONFS)
+    return s
 
 
 def forecast_streaming(
@@ -1163,18 +1230,16 @@ def _distinct_streaming_tws(
         def close(self):
             pass
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     out = df.groupBy(*[F.col(c) for c in dcols]).transformWithStateInPandas(
         statefulProcessor=_DistinctProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="EventTime" if ttl_ms is not None else "None",
     )
-    return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
+    out._varpulis_session_confs = dict(_TWS_CONFS)
+    s = Stream(out, ts_col=stream.ts_col, keys=stream.keys)
+    s.session_confs.update(_TWS_CONFS)
+    return s
 
 
 def limit_streaming(stream: Stream, n: int, per_key: bool = True) -> Stream:
