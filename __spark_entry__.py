@@ -1422,41 +1422,60 @@ def _minshingle_block_sql(bands: int = 8, max_block: int = 64) -> str:
     """Banded one-permutation min-shingle blocking (operators/dedup.py
     ngram_minshingle_pairs) in DuckDB SQL: shingle hashes slotted by
     h % (2·bands), band key j = (min of slot 2j, min of slot 2j+1) with a
-    -1 sentinel for empty slots, all-sentinel keys dropped, per-key blocks
-    capped at the max_block lowest ids, candidate pairs deduped across
-    bands. Shared by the minshingle_near_dup and near_dup_clusters oracles
-    so both block bit-for-bit like the engine. Expects a CTE `d(id, sh)`
-    in scope; leaves `cand(id_a, id_b)` in scope."""
+    -1 sentinel for empty slots, all-sentinel keys dropped, OVER-CAP blocks
+    subdivided by the band's secondary minimum m2 (min over
+    h % (slots·bands) ∈ [j·slots, (j+1)·slots) — the second base-`slots`
+    digit; -2 constant for under-cap blocks so their grouping is
+    unchanged), per-key blocks capped at the max_block lowest ids in
+    md5(band:id) order, candidate pairs deduped across bands. Shared by
+    the minshingle_near_dup and near_dup_clusters oracles so both block
+    bit-for-bit like the engine. Expects a CTE `d(id, sh)` in scope;
+    leaves `cand(id_a, id_b)` in scope."""
     slots = 2 * bands
+    sb = slots * bands
     slot_cols = ",\n                     ".join(
         f"coalesce(list_min(list_filter(sh, h -> h % {slots} = {t})), -1) AS s{t}"
         for t in range(slots)
     )
+    m2_cols = ",\n                     ".join(
+        f"coalesce(list_min(list_filter(sh, h -> h % {sb} >= {j * slots}"
+        f" AND h % {sb} < {(j + 1) * slots})), -1) AS t{j}"
+        for j in range(bands)
+    )
     band_arms = "\n              UNION ALL ".join(
-        f"SELECT id, {j} AS band, s{2 * j} AS m0, s{2 * j + 1} AS m1 "
+        f"SELECT id, {j} AS band, s{2 * j} AS m0, s{2 * j + 1} AS m1, t{j} AS m2raw "
         f"FROM slots WHERE NOT (s{2 * j} = -1 AND s{2 * j + 1} = -1)"
         for j in range(bands)
     )
     return f"""slots AS (
               SELECT id,
-                     {slot_cols}
+                     {slot_cols},
+                     {m2_cols}
               FROM d
             ), blocks AS (
               {band_arms}
+            ), split AS (
+              -- r11: blocks the cap would truncate are subdivided by the
+              -- band's secondary minimum; under-cap blocks keep -2
+              SELECT id, band, m0, m1,
+                     CASE WHEN count(*) OVER (PARTITION BY band, m0, m1)
+                               > {max_block}
+                          THEN m2raw ELSE -2 END AS m2
+              FROM blocks
             ), capped AS (
               -- per-band pseudo-random cap order (md5 of band:id) so a
               -- pair's cap survival is independent across bands; md5 of
               -- the same string is engine-identical
-              SELECT id, band, m0, m1 FROM (
-                SELECT id, band, m0, m1,
-                       row_number() OVER (PARTITION BY band, m0, m1
+              SELECT id, band, m0, m1, m2 FROM (
+                SELECT id, band, m0, m1, m2,
+                       row_number() OVER (PARTITION BY band, m0, m1, m2
                                           ORDER BY md5(concat(band, ':', id)), id) AS rn
-                FROM blocks) WHERE rn <= {max_block}
+                FROM split) WHERE rn <= {max_block}
             ), cand AS (
               SELECT DISTINCT a.id AS id_a, c.id AS id_b
               FROM capped a JOIN capped c
                 ON a.band = c.band AND a.m0 = c.m0 AND a.m1 = c.m1
-               AND a.id < c.id
+               AND a.m2 = c.m2 AND a.id < c.id
             )"""
 
 

@@ -1433,17 +1433,36 @@ def _merge_with_run_cap(old_events: list, new_events: list, pattern,
     return events, started, dropped, evicted
 
 
-def apply_pattern_streaming(stream: Stream, pattern, state_timeout: str | None = None):
+def apply_pattern_streaming(
+    stream: Stream, pattern, state_timeout: str | None = None,
+    engine: str = "auto",
+):
     """Run a SASE+ pattern over a streaming Stream.
 
     State per partition key = the ts-sorted buffer of relevant events still
     inside the `within` horizon (the reference's run/partial-match state,
     sase.rs:1728 Run::with_partition). Each micro-batch appends the new
     events, re-enumerates, and emits only matches whose LAST event is new —
-    incremental delivery without duplicate emission. Negation correctness
-    relies on the watermark: set `.watermark(...)` upstream so late events
-    that could veto a match are bounded (event-time confirmation,
-    sase.rs:702-716).
+    incremental delivery without duplicate emission.
+
+    TRAILING negations are CONFIRMED in event time (NegationConstraint,
+    sase.rs:675-716): a match whose confirmation deadline (first event ts +
+    `within`) has not been passed by the watermark is HELD, not emitted —
+    a veto event arriving in a later micro-batch (event-time before the
+    deadline) must still be able to kill it. The key's state arms an
+    event-time timeout at the earliest pending deadline so held matches
+    flush even if the key never receives another event (r11 — emission was
+    previously immediate, diverging from batch when the veto crossed a
+    micro-batch boundary). Requires `within` and an upstream
+    `.watermark(...)`; the idle-GC `state_timeout` (processing-time) is
+    unavailable for such patterns (Spark allows one timeout mode).
+
+    `engine`: "pandas" = applyInPandasWithState (default; hand-rolled
+    setTimeoutTimestamp arm); "tws" = transformWithStateInPandas with
+    NATIVE event-time timers — one registerTimer per pending deadline,
+    ListState row buffer instead of a whole-buffer pickle (requires
+    RocksDB + a protobuf runtime, see pbvendor); "auto" = tws only when
+    VARPULIS_TWS_PATTERN=1 and the runtime is available.
     """
     import pandas as pd
     import pickle
