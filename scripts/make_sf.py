@@ -100,10 +100,26 @@ def make_documents(copies: int = COPIES) -> None:
         for w in words:
             freq[w] = freq.get(w, 0) + 1
     tables = {}
+    heads = {}
     for lg, freq in by_lang.items():
         ws = np.array(list(freq.keys()))
         ps = np.array(list(freq.values()), dtype=np.float64)
-        tables[lg] = (ws, ps / ps.sum(), np.array(lens_by_lang[lg]))
+        ps = ps / ps.sum()
+        tables[lg] = (ws, ps, np.array(lens_by_lang[lg]))
+        # HEAD vocabulary = words covering the top 50% of probability mass
+        # (stopword-like; shared at any corpus size). TAIL words are
+        # sharded per copy below so the shingle vocabulary grows ~O(n)
+        # with the corpus (VERDICT r10 task 3): real corpora do not keep
+        # a frozen vocabulary at 10x the documents, and a frozen one makes
+        # LSH candidate density grow super-linearly — a generator
+        # artifact, not an engine property. The derivation chain
+        # compounds: sf10 re-learns its empirical tables from sf1's
+        # (already sharded) vocabulary and shards again, so each decade
+        # multiplies the tail vocabulary ~copies× alongside the docs.
+        order = np.argsort(-ps)
+        cum = np.cumsum(ps[order])
+        n_head = int(np.searchsorted(cum, 0.5)) + 1
+        heads[lg] = np.array(sorted(ws[order[:n_head]]))
 
     n_out = t.num_rows * copies
     lang_choices = rng.choice(langs, size=n_out)  # empirical lang mix
@@ -116,6 +132,12 @@ def make_documents(copies: int = COPIES) -> None:
             continue
         nw = np.maximum(rng.choice(ls, size=idx.size), 1)
         pool = rng.choice(ws, size=int(nw.sum()), p=ps)
+        # per-doc vocabulary shard (doc index mod copies): tail-word draws
+        # get a shard suffix, head words stay global — vectorized suffixing
+        shard = np.char.mod("%d", (idx % copies).astype(np.int64))
+        word_shard = np.repeat(shard, nw)
+        is_head = np.isin(pool, heads[lg])
+        pool = np.where(is_head, pool, np.char.add(pool, word_shard))
         bounds = np.concatenate(([0], np.cumsum(nw)))
         for j, i in enumerate(idx):
             out_texts[i] = " ".join(pool[bounds[j]:bounds[j + 1]]) + " "
@@ -126,9 +148,13 @@ def make_documents(copies: int = COPIES) -> None:
     for _ in range(n_out // 200):
         i, j = rng.integers(0, n_out, 2)
         words = out_texts[i].split()
-        ws, ps, _ = tables[lang_choices[i]]
+        lg = lang_choices[i]
+        ws, ps, _ = tables[lg]
+        head = heads[lg]
+        sfx = str(int(i) % copies)  # replacements stay in i's vocab shard
         for p in rng.integers(0, max(1, len(words)), max(1, len(words) // 10)):
-            words[p] = str(rng.choice(ws))
+            w = str(rng.choice(ws))
+            words[p] = w if w in head else w + sfx
         out_texts[j] = " ".join(words) + " "
     _write(
         "documents",

@@ -2044,3 +2044,129 @@ stream Out = purchase
     bout = run_program(src_text, Stream.events(spark, sf_dir))["Out"]
     want = {(r.user, r.eid, r.c) for r in bout.collect()}
     assert want and got == want
+
+
+# ---------------------------------------------------------------------------
+# trailing-negation event-time confirmation (NegationConstraint,
+# sase.rs:675-716) — r11: a match must NOT be emitted before the watermark
+# passes first_ts + within, so a veto crossing a micro-batch boundary can
+# still kill it; held matches flush via the state timeout / native timer.
+# ---------------------------------------------------------------------------
+
+
+def _trailing_neg_scenario(spark, tmp_path):
+    """One file per row (one micro-batch per event): A(1)→B(2) is vetoed by
+    an error in a LATER batch (event-time inside the window); A(5)→B(6) is
+    clean and must flush once the watermark passes its deadline."""
+    import pandas as pd
+
+    from varpulis_spark.operators.sase import not_step
+
+    rows = [
+        (pd.Timestamp("2024-01-01 00:00:00"), "signup",   1, 7, 1.0),
+        (pd.Timestamp("2024-01-01 00:00:10"), "purchase", 2, 7, 2.0),
+        (pd.Timestamp("2024-01-01 00:00:20"), "error",    3, 7, 0.0),
+        (pd.Timestamp("2024-01-02 00:00:00"), "signup",   4, 7, 0.0),
+        (pd.Timestamp("2024-01-02 01:00:00"), "signup",   5, 7, 1.0),
+        (pd.Timestamp("2024-01-02 01:00:10"), "purchase", 6, 7, 2.0),
+        # relevant far-future events so the WATERMARK advances past the
+        # (5,6) deadline: Catalyst pushes the relevant-type filter below
+        # the watermark node, so only pattern-relevant events drive it
+        (pd.Timestamp("2024-01-03 00:00:00"), "signup",   8, 7, 0.0),
+    ]
+    cols = ["ts", "event_type", "event_id", "user_id", "value"]
+    d = str(tmp_path / "neg_replay")
+    os.makedirs(d, exist_ok=True)
+    import pandas as _pd
+
+    for i, r in enumerate(rows):
+        _pd.DataFrame([r], columns=cols).to_parquet(
+            os.path.join(d, f"f{i:03d}.parquet"), coerce_timestamps="us"
+        )
+    schema = "ts timestamp, event_type string, event_id long, user_id long, value double"
+    df = spark.read.schema(schema).parquet(d)
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b"), not_step("error")],
+        within="1h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    batch = sorted(
+        (r.a_id, r.b_id)
+        for r in Stream.from_df(df, ts_col="ts", order_col="event_id")
+        .partition_by("user_id").pattern(p).df.collect()
+    )
+    return d, df.schema, p, batch
+
+
+def test_streaming_trailing_negation_confirms_in_event_time(
+    spark, tmp_path
+):
+    """The veto arrives one micro-batch AFTER the completing event: the
+    match must be held (not emitted) until its deadline passes the
+    watermark — r11; emission was previously immediate and diverged from
+    batch. The clean match must still flush via the event-time timeout."""
+    d, schema, p, batch = _trailing_neg_scenario(spark, tmp_path)
+    assert batch == [(5, 6)]  # scenario sanity: veto kills (1,2)
+    src = S.file_source(spark, d, schema, max_files_per_trigger=1,
+                        order_col="event_id")
+    out = src.watermark("0 seconds").partition_by("user_id").pattern(p)
+    S.run_to_memory(out, "neg_confirm")
+    got = sorted(
+        (r.a_id, r.b_id) for r in spark.table("neg_confirm").collect()
+    )
+    assert got == batch
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_trailing_negation_tws_native_timers(spark, tmp_path):
+    """transformWithStateInPandas twin: trailing-negation confirmation on
+    NATIVE event-time timers (one registerTimer per pending deadline,
+    handleExpiredTimer flushes) — same result as batch and as the
+    applyInPandasWithState arm; session provider conf stays untouched."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    d, schema, p, batch = _trailing_neg_scenario(spark, tmp_path)
+    src = S.file_source(spark, d, schema, max_files_per_trigger=1,
+                        order_col="event_id")
+    out = S.apply_pattern_streaming(
+        src.watermark("0 seconds").partition_by("user_id"), p, engine="tws"
+    )
+    S.run_to_memory(out, "neg_confirm_tws")
+    got = sorted(
+        (r.a_id, r.b_id) for r in spark.table("neg_confirm_tws").collect()
+    )
+    assert got == batch == [(5, 6)]
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    )
+
+
+def test_streaming_trailing_negation_validation(spark, sf_dir, replay_dir):
+    """Trailing negation in streaming REQUIRES within + watermark and is
+    incompatible with the processing-time idle GC (one timeout slot)."""
+    from varpulis_spark.operators.sase import not_step
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    p_no_within = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b"), not_step("error")],
+        emit={"a_id": ("a", "event_id")},
+    )
+    with pytest.raises(ValueError, match="within"):
+        src.watermark("1h").partition_by("user_id").pattern(p_no_within)
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b"), not_step("error")],
+        within="1h", emit={"a_id": ("a", "event_id")},
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        src.partition_by("user_id").pattern(p)
+    with pytest.raises(ValueError, match="state_timeout"):
+        S.apply_pattern_streaming(
+            src.watermark("1h").partition_by("user_id"), p,
+            state_timeout="5m",
+        )

@@ -1479,6 +1479,11 @@ def apply_pattern_streaming(
     # high key churn.
     timeout_ms = max(1, duration_ns(state_timeout) // 1_000_000) if state_timeout else None
 
+    if engine == "auto":
+        engine = (
+            "tws" if os.environ.get("VARPULIS_TWS_PATTERN") == "1" else "pandas"
+        )
+
     df = stream.df
     ts_col = stream.ts_col
     order_col = stream.order_col
@@ -1523,6 +1528,33 @@ def apply_pattern_streaming(
     id_pattern = _dc_replace(pattern, emit={**pattern.emit, **sig_emit})
     sig_cols = list(sig_emit.keys())
 
+    # trailing negations (NegationConstraint states, sase.rs:675-716) are
+    # confirmed in EVENT TIME: the match is held until the watermark passes
+    # first_ts + within, so a veto arriving in a later micro-batch (but
+    # event-time inside the window) still kills it.
+    _pos_idx = [i for i, s in enumerate(pattern.steps) if not s.negated]
+    _last_pos = _pos_idx[-1] if _pos_idx else -1
+    has_trailing = any(
+        s.negated and i > _last_pos for i, s in enumerate(pattern.steps)
+    )
+    if has_trailing:
+        if within is None:
+            raise ValueError(
+                "streaming patterns with trailing negation need `within` "
+                "(the event-time confirmation deadline, sase.rs:675-716)"
+            )
+        if not stream._watermarked:
+            raise ValueError(
+                "streaming patterns with trailing negation need an upstream "
+                ".watermark(...) — confirmation is watermark-driven"
+            )
+        if timeout_ms is not None:
+            raise ValueError(
+                "state_timeout (processing-time idle GC) is unavailable for "
+                "patterns with trailing negation: the state timeout slot "
+                "holds the event-time confirmation deadline"
+            )
+
     # BP-01 counters (EngineStats total_runs_{created,dropped,evicted},
     # sase.rs:876-878) — accumulators so the driver can read them live
     sc = df.sparkSession.sparkContext
@@ -1530,25 +1562,15 @@ def apply_pattern_streaming(
     acc_dropped = sc.accumulator(0)
     acc_evicted = sc.accumulator(0)
 
-    def run(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame(columns=list(pattern.emit.keys()))
-            return
-        old_events, emitted = [], {}
-        c_started = c_dropped = c_evicted = 0
-        if state.exists:
-            buf_pkl, emitted_pkl, c_started, c_dropped, c_evicted = state.get
-            old_events = pickle.loads(buf_pkl)
-            emitted = pickle.loads(emitted_pkl)
-        new_events = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            ts_ns = pdf[ts_col].astype("int64").to_numpy()
-            evs = pdf.to_dict("records")
-            for e, t in zip(evs, ts_ns):
-                e["__ts"] = int(t)
-            new_events.extend(evs)
+    def _advance(key, old_events, emitted, new_events, wm_ns, counters):
+        """Shared per-invocation core for BOTH stateful engines: merge new
+        events under the run cap, re-enumerate, gate trailing-negation
+        confirmation on the watermark, evict beyond the horizon.
+
+        Returns (events, emitted, fresh_rows, pending_min_ns, counters).
+        pending_min_ns = earliest unconfirmed deadline (the caller arms a
+        timer/timeout at it), None when nothing is pending."""
+        c_started, c_dropped, c_evicted = counters
         events, d_started, d_dropped, d_evicted = _merge_with_run_cap(
             old_events, new_events, pattern, key, c_started, c_dropped,
             c_evicted,
@@ -1562,6 +1584,7 @@ def apply_pattern_streaming(
         max_ts = events[-1]["__ts"] if events else 0
         rows = _enumerate_matches(events, id_pattern)
         fresh = []
+        pending_min = None
         for r in rows:
             sig_vals, first_ts = [], None
             for c in sig_cols:
@@ -1572,23 +1595,43 @@ def apply_pattern_streaming(
                     sig_vals.append(v)
                 if c.startswith("__sig_ts__"):
                     t = min(v) if isinstance(v, (list, tuple)) and v else v
-                    if isinstance(t, int) and (first_ts is None or t < first_ts):
+                    try:
+                        # _enumerate_matches hands back numpy int64 — a bare
+                        # isinstance(int) silently drops first_ts, which the
+                        # confirmation deadline (first_ts + within) must not
+                        t = int(t)
+                    except (TypeError, ValueError):
+                        t = None
+                    if t is not None and (first_ts is None or t < first_ts):
                         first_ts = t
             sig = tuple(sig_vals)
-            if sig not in emitted:
-                emitted[sig] = first_ts if first_ts is not None else max_ts
-                fresh.append(r)
+            if sig in emitted:
+                continue
+            eff_first = first_ts if first_ts is not None else max_ts
+            if has_trailing:
+                hi = eff_first + within
+                if wm_ns < hi:
+                    # unconfirmed: HOLD — a veto with ts < hi may still
+                    # arrive. The buffer keeps every event this match needs
+                    # (eviction floor is wm - within < eff_first), so a
+                    # later batch or the deadline timer re-enumerates it.
+                    if pending_min is None or hi < pending_min:
+                        pending_min = hi
+                    continue
+            emitted[sig] = eff_first
+            fresh.append(r)
         # evict events beyond the within horizon (bounded state). With an
         # upstream watermark, an event can still open/extend a match as long
         # as a future event ≤ its within-deadline may arrive, i.e. while
         # e.ts + within >= watermark; without one, fall back to batch max
-        # (exact for in-order replay).
+        # (exact for in-order replay). Confirmation-gated patterns always
+        # use the watermark floor — pending matches' first events must
+        # survive until their deadline passes (wm 0 ⇒ no eviction yet).
         if within is not None:
-            try:
-                wm_ns = state.getCurrentWatermarkMs() * 1_000_000
-            except Exception:  # no upstream withWatermark configured
-                wm_ns = 0
-            low = (wm_ns if wm_ns > 0 else max_ts) - within
+            if has_trailing:
+                low = wm_ns - within
+            else:
+                low = (wm_ns if wm_ns > 0 else max_ts) - within
             events = [e for e in events if e["__ts"] >= low]
             # a match can only be re-enumerated while its FIRST event is
             # still in the buffer — evict signatures in lockstep, so the
@@ -1600,17 +1643,101 @@ def apply_pattern_streaming(
         if events:
             buf_low = events[0]["__ts"]
             emitted = {s: t for s, t in emitted.items() if t >= buf_low}
-        state.update((
-            pickle.dumps(events), pickle.dumps(emitted),
+        new_counters = (
             c_started + d_started, c_dropped + d_dropped,
             c_evicted + d_evicted,
-        ))
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+        )
+        return events, emitted, fresh, pending_min, new_counters
+
+    def _chunks_to_events(pdfs) -> list:
+        new_events = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            evs = pdf.to_dict("records")
+            for e, t in zip(evs, ts_ns):
+                e["__ts"] = int(t)
+            new_events.extend(evs)
+        return new_events
+
+    if engine == "tws":
+        return _apply_pattern_streaming_tws(
+            stream, pattern, df, keys, out_schema, in_cols, has_trailing,
+            _advance, _chunks_to_events,
+            (acc_started, acc_dropped, acc_evicted),
+        )
+
+    def run(key, pdfs, state: GroupState):
+        _dbg = os.environ.get("VARPULIS_PATTERN_DEBUG")
+
+        def _log(msg):
+            if _dbg:
+                with open(_dbg, "a") as f:
+                    f.write(msg + "\n")
+
+        def _wm_ns() -> int:
+            try:
+                return state.getCurrentWatermarkMs() * 1_000_000
+            except Exception:  # no upstream withWatermark configured
+                return 0
+
+        def _load():
+            if state.exists:
+                buf_pkl, emitted_pkl, cs, cd, ce = state.get
+                return pickle.loads(buf_pkl), pickle.loads(emitted_pkl), (cs, cd, ce)
+            return [], {}, (0, 0, 0)
+
+        def _save(events, emitted, counters, pending_min, wm_ns):
+            state.update((
+                pickle.dumps(events), pickle.dumps(emitted), *counters,
+            ))
+            if has_trailing and pending_min is not None:
+                # fire once the watermark passes the earliest deadline
+                # (must sit strictly above the current watermark)
+                t = max(-(-pending_min // 1_000_000), wm_ns // 1_000_000 + 1)
+                _log(f"arm timeout key={key} t_ms={t} wm_ms={wm_ns//1_000_000}")
+                state.setTimeoutTimestamp(t)
+            elif timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+        if state.hasTimedOut:
+            _log(f"timed out key={key}")
+            if not has_trailing:
+                state.remove()  # idle-key GC (processing-time timeout)
+                yield pd.DataFrame(columns=list(pattern.emit.keys()))
+                return
+            # confirmation flush: the watermark passed a pending deadline
+            # with no new data for this key — re-enumerate and emit what is
+            # now confirmed (the hand-rolled analog of a native timer)
+            old_events, emitted, counters = _load()
+            wm_ns = _wm_ns()
+            events, emitted, fresh, pending_min, counters = _advance(
+                key, old_events, emitted, [], wm_ns, counters
+            )
+            if events or emitted or pending_min is not None:
+                _save(events, emitted, counters, pending_min, wm_ns)
+            else:
+                state.remove()  # fully drained key
+            yield pd.DataFrame(fresh, columns=list(pattern.emit.keys()))
+            return
+
+        old_events, emitted, counters = _load()
+        wm_ns = _wm_ns()
+        events, emitted, fresh, pending_min, counters = _advance(
+            key, old_events, emitted, _chunks_to_events(pdfs), wm_ns, counters
+        )
+        _log(
+            f"batch key={key} wm_ms={wm_ns//1_000_000} n_events={len(events)} "
+            f"fresh={len(fresh)} pending={pending_min}"
+        )
+        _save(events, emitted, counters, pending_min, wm_ns)
         yield pd.DataFrame(fresh, columns=list(pattern.emit.keys()))
 
     timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None
+        GroupStateTimeout.EventTimeTimeout if has_trailing
+        else GroupStateTimeout.ProcessingTimeTimeout if timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
     out = df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
@@ -1619,6 +1746,154 @@ def apply_pattern_streaming(
     out_stream = Stream(out, ts_col=stream.ts_col)
     # live BP-01 counters (ExtendedEngineStats, sase.rs:895-903); read
     # `.value` after a micro-batch completes
+    out_stream.run_stats = {
+        "runs_started": acc_started,
+        "runs_dropped": acc_dropped,
+        "runs_evicted": acc_evicted,
+    }
+    return out_stream
+
+
+def _apply_pattern_streaming_tws(
+    stream: Stream, pattern, df, keys, out_schema, in_cols, has_trailing,
+    _advance, _chunks_to_events, accs,
+):
+    """transformWithStateInPandas twin of apply_pattern_streaming — the r11
+    timer-driven migration (VERDICT r10 task 4).
+
+    Arbitrary-state v2 upgrades over the applyInPandasWithState arm:
+    - the event buffer lives in a native row-typed ListState column family
+      (RocksDB-resident) instead of a whole-buffer pickle round-tripped
+      through every micro-batch;
+    - trailing-negation confirmation (sase.rs:675-716) runs on NATIVE
+      event-time timers — one `registerTimer` per pending deadline,
+      `handleExpiredTimer` re-enumerates and emits the now-confirmed
+      matches when the watermark passes. The hand-rolled single-slot
+      `setTimeoutTimestamp` arm tracks only the EARLIEST deadline and
+      re-arms on every invocation; native timers hold one per deadline in
+      the engine's own timer column family.
+
+    Same `_advance` core as the pandas arm, so match semantics (run caps,
+    dedupe identity, eviction, confirmation gating) are shared by
+    construction. Requires RocksDB (query-scoped conf, see start_query)
+    and a protobuf runtime (pbvendor)."""
+    import pickle
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from varpulis_spark import pbvendor
+
+    if not pbvendor.tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime; "
+            "none importable and no bundled runtime found (see pbvendor)"
+        )
+
+    ts_col = stream.ts_col
+    buf_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", __ts long"
+    buf_cols = in_cols + ["__ts"]
+    _pd_dtypes = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool", "timestamp": "datetime64[us]",
+        "timestamp_ntz": "datetime64[us]",
+    }
+    buf_dtypes = {c: _pd_dtypes[t] for c, t in df.dtypes if t in _pd_dtypes}
+    buf_dtypes["__ts"] = "int64"
+    emit_cols = list(pattern.emit.keys())
+
+    class _PatternProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.buf = handle.getListState("buf", buf_schema)
+            # emitted dedupe dict + BP-01 counters + armed-timer set
+            self.meta = handle.getValueState(
+                "meta", "emitted binary, cs long, cd long, ce long, armed binary"
+            )
+
+        def _load(self):
+            if not self.meta.exists():
+                return [], {}, (0, 0, 0), set()
+            emitted_pkl, cs, cd, ce, armed_pkl = self.meta.get()
+            events = self._typed_events(list(self.buf.get()))
+            return events, pickle.loads(emitted_pkl), (cs, cd, ce), pickle.loads(armed_pkl)
+
+        def _typed_events(self, tuples: list) -> list:
+            if not tuples:
+                return []
+            pdf = pd.DataFrame(tuples, columns=buf_cols)
+            for c, dt in buf_dtypes.items():
+                try:
+                    pdf[c] = pdf[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+            evs = pdf.to_dict("records")
+            for e in evs:
+                e["__ts"] = int(e["__ts"])
+            return evs
+
+        def _save(self, events, emitted, counters, armed):
+            self.meta.update((pickle.dumps(emitted), *counters, pickle.dumps(armed)))
+            self.buf.clear()
+            if events:
+                self.buf.appendList(
+                    [tuple(e.get(c) for c in buf_cols) for e in events]
+                )
+
+        def _arm(self, pending_min, armed: set, wm_ms: int) -> set:
+            armed = {t for t in armed if t > wm_ms}  # fired timers are gone
+            if pending_min is not None:
+                t_ms = max(-(-pending_min // 1_000_000), wm_ms + 1)
+                if t_ms not in armed:
+                    self.handle.registerTimer(t_ms)
+                    armed.add(t_ms)
+            return armed
+
+        def handleInputRows(self, key, rows, timer_values):
+            events, emitted, counters, armed = self._load()
+            try:
+                wm_ms = timer_values.getCurrentWatermarkInMs()
+            except Exception:  # timeMode "None" carries no watermark
+                wm_ms = 0
+            wm_ns = max(wm_ms, 0) * 1_000_000
+            events, emitted, fresh, pending_min, counters = _advance(
+                key, events, emitted, _chunks_to_events(rows), wm_ns, counters
+            )
+            armed = self._arm(pending_min, armed, wm_ms)
+            self._save(events, emitted, counters, armed)
+            yield pd.DataFrame(fresh, columns=emit_cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark passed a pending confirmation deadline: re-enumerate
+            # with no new events and emit what is now confirmed
+            events, emitted, counters, armed = self._load()
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            events, emitted, fresh, pending_min, counters = _advance(
+                key, events, emitted, [], max(wm_ms, 0) * 1_000_000, counters
+            )
+            armed = self._arm(pending_min, armed, wm_ms)
+            if events or emitted or pending_min is not None:
+                self._save(events, emitted, counters, armed)
+            else:
+                self.buf.clear()
+                self.meta.clear()
+            yield pd.DataFrame(fresh, columns=emit_cols)
+
+        def close(self):
+            pass
+
+    out = df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
+        statefulProcessor=_PatternProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime" if has_trailing else "None",
+    )
+    out._varpulis_session_confs = dict(_TWS_CONFS)
+    out_stream = Stream(out, ts_col=stream.ts_col)
+    out_stream.session_confs.update(_TWS_CONFS)
+    acc_started, acc_dropped, acc_evicted = accs
     out_stream.run_stats = {
         "runs_started": acc_started,
         "runs_dropped": acc_dropped,
