@@ -403,16 +403,18 @@ class Stream:
 
     # -- patterns (SASE+) -----------------------------------------------------
 
-    def pattern(self, pattern) -> "Stream":
+    def pattern(self, pattern, engine: str = "auto") -> "Stream":
         """Run a SASE+ pattern (operators/sase.py) over this stream.
 
         On a streaming input this dispatches to the incremental NFA
-        (streaming.apply_pattern_streaming, applyInPandasWithState) — the
-        same program text runs in both modes, like trend_aggregate."""
+        (streaming.apply_pattern_streaming) — the same program text runs
+        in both modes, like trend_aggregate. `engine` selects the stateful
+        backend there ("pandas" default / "tws" native-timer twin /
+        "auto" = VARPULIS_TWS_PATTERN=1 opt-in); ignored in batch."""
         if self.df.isStreaming:
             from varpulis_spark.streaming import apply_pattern_streaming
 
-            return apply_pattern_streaming(self, pattern)
+            return apply_pattern_streaming(self, pattern, engine=engine)
         from varpulis_spark.operators.sase import apply_pattern_batch
 
         out = apply_pattern_batch(self, pattern)
