@@ -817,3 +817,38 @@ def test_inject_failure_in_runner_mode_falls_back_to_replay(spark):
         json.dumps({"event_type": "Reading", "fields": {"value": 21.0}}).encode(), {})
     assert st == 200
     assert [e["fields"]["v"] for e in resp["output_events"]] == [21.0]
+
+
+def test_usage_endpoint_single_tenant(server):
+    """GET /api/v1/usage (handle_usage api.rs:853-893): the last reference
+    control-plane route that 404'd here. Single-tenant semantics — the
+    server aggregates as one enterprise-quota tenant (multi-tenancy itself
+    is a declared non-goal); counters move with injections."""
+    status, before = _req(f"{server.url}/api/v1/usage")
+    assert status == 200
+    for k in ("tenant_id", "events_processed", "output_events_emitted",
+              "active_pipelines", "quota"):
+        assert k in before, f"missing UsageResponse field {k}"
+    assert before["quota"] == {
+        "max_pipelines": 1000,
+        "max_events_per_second": 500_000,
+        "max_streams_per_pipeline": 500,
+    }  # TenantQuota::enterprise() (tenant.rs:83-89)
+
+    with open(HVAC_VPL) as f:
+        source = f.read()
+    status, resp = _req(f"{server.url}/api/v1/pipelines", "POST",
+                        {"name": "usage_probe", "source": source})
+    assert status == 200
+    pid = resp["id"]
+    status, _ = _req(
+        f"{server.url}/api/v1/pipelines/{pid}/events", "POST",
+        {"event_type": "TemperatureReading",
+         "fields": {"sensor_id": "u1", "zone": "lab", "value": 35.0}})
+    assert status == 200
+    status, after = _req(f"{server.url}/api/v1/usage")
+    assert status == 200
+    assert after["events_processed"] >= before["events_processed"] + 1
+    assert after["output_events_emitted"] > before["output_events_emitted"]
+    assert after["active_pipelines"] >= 1
+    _req(f"{server.url}/api/v1/pipelines/{pid}", "DELETE")

@@ -26,6 +26,9 @@ Implements the deploy/inject demo workflow on the stdlib HTTP server:
   restored, events_restored} (RestoreRequest api.rs:92; creates or
   replaces the pipeline at :id, baselining announced outputs)
 - `POST /api/v1/pipelines/:id/reload`        {source} → ReloadReport
+- `GET /api/v1/usage`             single-tenant usage counters + quota
+  (handle_usage api.rs:853; multi-tenancy itself is a declared non-goal,
+  so the server aggregates as one enterprise-quota tenant)
 
 Auth mirrors with_api_key: when the server is constructed with an
 api_key, requests must carry it in `x-api-key` (401 otherwise). Request
@@ -490,6 +493,33 @@ class PipelineServer:
         except ValueError:
             return 400, {"error": "invalid_json"}
 
+        if parts == ["usage"] and method == "GET":
+            # handle_usage (varpulis-cli/src/api.rs:287-293,853-893):
+            # per-tenant usage counters + quota. Multi-tenancy is a
+            # declared non-goal (SURVEY — platform concern), so this
+            # server IS one tenant: counters aggregate the whole server
+            # (TenantUsage tenant.rs:94-105 field names preserved) and
+            # the quota mirrors TenantQuota::enterprise() (tenant.rs:83-89)
+            # — the tier with no practical caps, matching this server's
+            # unmetered behavior.
+            return 200, {
+                "tenant_id": "default",
+                "events_processed": sum(
+                    len(p.events) for p in self._pipelines.values()
+                ),
+                "output_events_emitted": sum(
+                    len(p.output_log) for p in self._pipelines.values()
+                ),
+                "active_pipelines": sum(
+                    1 for p in self._pipelines.values()
+                    if p.status == "running"
+                ),
+                "quota": {
+                    "max_pipelines": 1000,
+                    "max_events_per_second": 500_000,
+                    "max_streams_per_pipeline": 500,
+                },
+            }
         if parts == ["pipelines"]:
             if method == "POST":
                 return self._deploy(payload)
