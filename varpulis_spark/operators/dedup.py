@@ -1056,6 +1056,267 @@ def _char_shingles(text: Column, k: int) -> Column:
     )
 
 
+def _minshingle_blocks(
+    keyed: DataFrame, bands: int, max_block: int
+) -> DataFrame:
+    """Capped block MEMBERSHIPS (band, m0, m1, m2, id, n) of the banded
+    one-permutation blocking over a `keyed(id, sh, n)` frame — shared by
+    the bucket-local verify (production) and the candidate-density probe."""
+    from pyspark.sql.window import Window
+
+    slots = 2 * bands
+    slot_min = [
+        F.coalesce(
+            F.array_min(F.filter(F.col("sh"), lambda h: h % slots == t)),
+            F.lit(-1).cast("long"),
+        )
+        for t in range(slots)
+    ]
+    # per-band SECONDARY minimum from an independent hash digit — min over
+    # {h : (h div slots) % bands == j}, i.e. the SECOND base-`slots` digit
+    # of the 60-bit md5 prefix (the primary slotting reads the first).
+    # Expressed as a pure-modulo range test (h % (slots·bands) ∈
+    # [j·slots, (j+1)·slots)) so the arithmetic is exact int64 in both
+    # engines (a double division would lose bits above 2^53). Used ONLY to
+    # subdivide over-cap blocks; see the split below.
+    sb = slots * bands
+    m2_min = [
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.col("sh"),
+                    lambda h, j=j: (h % sb >= j * slots) & (h % sb < (j + 1) * slots),
+                )
+            ),
+            F.lit(-1).cast("long"),
+        )
+        for j in range(bands)
+    ]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                slot_min[2 * j].alias("m0"),
+                slot_min[2 * j + 1].alias("m1"),
+                m2_min[j].alias("m2raw"),
+            )
+            for j in range(bands)
+        ]
+    )
+    blocks = (
+        keyed.select("id", "n", F.explode(band_keys).alias("bk"))
+        .select("id", "n", "bk.band", "bk.m0", "bk.m1", "bk.m2raw")
+        .filter(~((F.col("m0") == -1) & (F.col("m1") == -1)))
+    )
+    # cap order is per-band PSEUDO-RANDOM (md5 of band:id), not id order:
+    # with a deterministic id-order cap every band keeps the SAME lowest
+    # ids, so a pair capped out of one over-cap block is capped out of
+    # all `bands` of them (correlated loss — measured 7.6% exact-dup
+    # recall loss at sf10). Hashing the order per band makes survival
+    # independent across bands: a pair in a block of size s gets
+    # 1 − (1 − (cap/s)²)^bands odds instead of (cap/s)² once. md5 of the
+    # same string is engine-identical, so the oracle caps bit-for-bit
+    # the same; id tie-break keeps it total.
+    # OVER-CAP SPLIT (r11, VERDICT r10 task 2): a block the cap would
+    # truncate is first subdivided by the band's secondary minimum m2 —
+    # under-cap blocks keep a constant -2 (grouping unchanged, which is
+    # 99%+ of blocks), so the split only spends recall odds where the cap
+    # was already losing pairs. For a true pair (J ≥ t) in an over-cap
+    # block, P(same sub-block) ≈ J per band (one more minhash agreement)
+    # vs the bare cap's (cap/s)² at block size s — at the measured
+    # pathological s = 3,163 that is 0.6 vs 4·10⁻⁴. Candidate cost stays
+    # bounded: ≤ C(cap,2) per SUB-block, ≤ ~s·cap/2 per over-cap block —
+    # linear in block size (the old hard C(cap,2) cutoff was constant but
+    # silently dropped the block's true pairs; linear-in-s is the honest
+    # price of mining it). Both the size window and the rank window hash
+    # by (band, m0, m1) — one exchange, the finer rank partitioning is a
+    # refinement co-located by the coarser hash.
+    w_cnt = Window.partitionBy("band", "m0", "m1")
+    w = Window.partitionBy("band", "m0", "m1", "m2").orderBy("__ord", "id")
+    capped = (
+        blocks.withColumn(
+            "m2",
+            F.when(
+                F.count(F.lit(1)).over(w_cnt) > max_block, F.col("m2raw")
+            ).otherwise(F.lit(-2).cast("long")),
+        )
+        .withColumn(
+            "__ord", F.md5(F.concat_ws(":", F.col("band"), F.col("id")))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_block)
+        .drop("__rn", "__ord", "m2raw")
+    )
+    return capped
+
+
+def _minshingle_candidates(
+    keyed: DataFrame, bands: int, max_block: int, scaled_t: int, p: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the banded blocking — the
+    diagnostic/probe half of the family, exposed so scale probes can count
+    candidates-per-doc without paying any verify (candidate density is THE
+    decade-scaling question for this family; PERF_NOTES r11). Applies the
+    per-band caps, the over-cap secondary split, the result-preserving
+    size prefilter, and cross-band dedup."""
+    capped = _minshingle_blocks(keyed, bands, max_block)
+    # pair WITHIN each capped block instead of self-joining capped with
+    # itself: post-cap groups hold ≤ max_block rows, so collect_list is
+    # bounded, and the groupBy lands on the window's own partitioning —
+    # no extra exchange. (The earlier self-join shape cost two more
+    # shuffles of the block table plus a second run of the slot-minima +
+    # window chain; Spark 4's WindowGroupLimit already does map-side
+    # top-k for the rank filter, so the cap itself is skew-optimal.)
+    grouped = capped.groupBy("band", "m0", "m1", "m2").agg(
+        F.collect_list(F.struct("id", "n")).alias("its")
+    )
+    return (
+        grouped.select(F.explode("its").alias("a"), "its")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n").alias("na"),
+            F.explode(
+                F.filter(F.col("its"), lambda b: b["id"] > F.col("a.id"))
+            ).alias("b"),
+        )
+        # size-compatibility prefilter — RESULT-PRESERVING, not a heuristic:
+        # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≥ t requires
+        # min·10⁶ ≥ t·10⁶·max. Prunes cross-length junk pairs BEFORE the
+        # pair-dedup shuffle and the CPU-heavy array-intersect verify
+        # (mega-block candidates are mostly same-language random docs whose
+        # lengths differ; measured at sf10: 33.9M band-duplicated
+        # candidates → 16.6M size-compatible → 2.07M distinct verifies).
+        .filter(
+            (F.least("na", F.col("b.n")) * F.lit(1_000_000))
+            >= (F.lit(scaled_t) * F.greatest("na", F.col("b.n")))
+        )
+        .select("id_a", F.col("b.id").alias("id_b"))
+        # a pair can co-block in several bands; verify each pair once
+        .dropDuplicates(["id_a", "id_b"])
+        # AQE sees a few MB of (id, id) pairs and would coalesce the verify
+        # join onto 1-2 tasks; the intersect/union over ~300-element shingle
+        # arrays per pair is CPU-heavy, so pin the parallelism (same hash
+        # distribution the id_a join needs — no extra exchange downstream).
+        .repartition(p, "id_a")
+    )
+
+
+def _minshingle_verified_pairs(
+    keyed: DataFrame, bands: int, max_block: int, scaled_t: int, p: int
+) -> DataFrame:
+    """BLOCK-LOCAL exact-Jaccard verify (r11, the minshingle scale knee):
+    shingle arrays join onto the capped block MEMBERSHIPS once (≤ max_block
+    rows per block, 1 array shipped per membership ≈ bands per doc), the
+    per-block (id, n, sh) lists are regrouped, and the pairwise
+    intersect/union runs as numpy int64 set intersections inside
+    mapInPandas — candidates never ship arrays.
+
+    Why not pairs → join arrays back (the pre-r11 shape): candidate density
+    is ~19 pairs/doc at sf10 (measured on the vocabulary-scaling corpus),
+    so the verify join shipped TWO ~300-long int64 arrays per candidate
+    (~2.4 KB each) through two sort-merge joins — ~46 GB of sorted array
+    payload at sf10, spilling ~20 GB to disk; the join, not the blocking
+    (12.6 s) or the intersections (seconds of C-level numpy), was the
+    394-of-407 s sf10 wall. Block-local shipping is memberships × array
+    (~9.6 GB in ONE exchange, no fat sort), the same shape as minhash's
+    `_bucket_verified_pairs` (r8). A pair co-blocking in several bands is
+    verified once per band and deduped after — cheaper than deduping first
+    and paying the array join. Results are bit-identical: exact integer
+    |A∩B|·10⁶ ≥ t·10⁶·|A∪B| on the same distinct 60-bit md5-prefix longs
+    (the DuckDB oracle keeps its join shape and hash-matches)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    capped = _minshingle_blocks(keyed, bands, max_block)
+    # arrays are shipped ONLY to memberships that can pair: singleton
+    # blocks (the vast majority — blocking collisions ≈ near-dups plus
+    # coincidences) are dropped BEFORE the array join, so the fat shuffle
+    # carries pairable memberships only. The size window reuses the cap
+    # windows' (band, m0, m1) exchange (refinement, co-located).
+    wb = Window.partitionBy("band", "m0", "m1", "m2")
+    members = (
+        capped.withColumn("__bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn") >= 2)
+        .drop("__bn", "n")
+    )
+    # membership←array join strategy by EXACT size (one cheap agg over the
+    # cached frame): broadcast keyed when it provably fits; above the cap,
+    # hash-build on the NARROW membership side (bounded: a few dozen bytes
+    # per pairable membership) and stream the arrays — never sort them.
+    # Catalyst's own estimate for a cached frame can undershoot and
+    # auto-broadcast a 1.2 GB array table (collects to the driver and dies
+    # on maxResultSize at sf10; observed r11), so the strategy is pinned
+    # both ways. (r10's shuffle_hash concern was hash-building the ARRAY
+    # side; the build side here is the narrow one.)
+    total_longs = keyed.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+    if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
+        items_src = members.join(F.broadcast(keyed.drop("n")), "id")
+    else:
+        items_src = members.hint("shuffle_hash").join(keyed.drop("n"), "id")
+    items = (
+        items_src.withColumn("n", F.size("sh"))
+        .repartition(p, "band", "m0", "m1", "m2")
+        .groupBy("band", "m0", "m1", "m2")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("id", "n", "sh"))
+            ).alias("its")
+        )
+        .filter(F.size("its") >= 2)
+        .select(
+            F.expr("transform(its, x -> x.id)").alias("ids"),
+            F.expr("transform(its, x -> x.n)").alias("ns"),
+            F.expr("transform(its, x -> x.sh)").alias("shs"),
+        )
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_i: list = []
+            out_u: list = []
+            for ids, ns, shs in zip(pdf["ids"], pdf["ns"], pdf["shs"]):
+                m = len(ids)
+                # presort once per member; intersections assume sorted+unique
+                arrs = [np.sort(np.asarray(s, dtype=np.int64)) for s in shs]
+                for x in range(m - 1):
+                    nx, ax, idx = int(ns[x]), arrs[x], int(ids[x])
+                    for y in range(x + 1, m):
+                        ny = int(ns[y])
+                        # size-compatibility prefilter (result-preserving):
+                        # J ≥ t needs min·10⁶ ≥ t·10⁶·max
+                        lo, hi = (nx, ny) if nx <= ny else (ny, nx)
+                        if lo * 1_000_000 < scaled_t * hi:
+                            continue
+                        inter = int(
+                            np.searchsorted(ax, arrs[y], side="right").sum()
+                            - np.searchsorted(ax, arrs[y], side="left").sum()
+                        )
+                        union = nx + ny - inter
+                        if inter * 1_000_000 >= scaled_t * union:
+                            out_a.append(idx)
+                            out_b.append(int(ids[y]))
+                            out_i.append(inter)
+                            out_u.append(union)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.asarray(out_a, dtype=np.int64),
+                        "id_b": np.asarray(out_b, dtype=np.int64),
+                        "inter_size": np.asarray(out_i, dtype=np.int64),
+                        "union_size": np.asarray(out_u, dtype=np.int64),
+                    }
+                )
+
+    return items.mapInPandas(
+        verify,
+        "id_a long, id_b long, inter_size long, union_size long",
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def ngram_minshingle_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1145,163 +1406,13 @@ def ngram_minshingle_pairs(
         docs.select("id", hashed.alias("sh"), F.size(hashed).alias("n"))
         .persist()  # blocking + both verify sides read it; shingle once
     )
-    slots = 2 * bands
     scaled_t = int(round(threshold * 1_000_000))
-    slot_min = [
-        F.coalesce(
-            F.array_min(F.filter(F.col("sh"), lambda h: h % slots == t)),
-            F.lit(-1).cast("long"),
-        )
-        for t in range(slots)
-    ]
-    # per-band SECONDARY minimum from an independent hash digit — min over
-    # {h : (h div slots) % bands == j}, i.e. the SECOND base-`slots` digit
-    # of the 60-bit md5 prefix (the primary slotting reads the first).
-    # Expressed as a pure-modulo range test (h % (slots·bands) ∈
-    # [j·slots, (j+1)·slots)) so the arithmetic is exact int64 in both
-    # engines (a double division would lose bits above 2^53). Used ONLY to
-    # subdivide over-cap blocks; see the split below.
-    sb = slots * bands
-    m2_min = [
-        F.coalesce(
-            F.array_min(
-                F.filter(
-                    F.col("sh"),
-                    lambda h, j=j: (h % sb >= j * slots) & (h % sb < (j + 1) * slots),
-                )
-            ),
-            F.lit(-1).cast("long"),
-        )
-        for j in range(bands)
-    ]
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                slot_min[2 * j].alias("m0"),
-                slot_min[2 * j + 1].alias("m1"),
-                m2_min[j].alias("m2raw"),
-            )
-            for j in range(bands)
-        ]
-    )
-    blocks = (
-        keyed.select("id", "n", F.explode(band_keys).alias("bk"))
-        .select("id", "n", "bk.band", "bk.m0", "bk.m1", "bk.m2raw")
-        .filter(~((F.col("m0") == -1) & (F.col("m1") == -1)))
-    )
-    # cap order is per-band PSEUDO-RANDOM (md5 of band:id), not id order:
-    # with a deterministic id-order cap every band keeps the SAME lowest
-    # ids, so a pair capped out of one over-cap block is capped out of
-    # all `bands` of them (correlated loss — measured 7.6% exact-dup
-    # recall loss at sf10). Hashing the order per band makes survival
-    # independent across bands: a pair in a block of size s gets
-    # 1 − (1 − (cap/s)²)^bands odds instead of (cap/s)² once. md5 of the
-    # same string is engine-identical, so the oracle caps bit-for-bit
-    # the same; id tie-break keeps it total.
-    # OVER-CAP SPLIT (r11, VERDICT r10 task 2): a block the cap would
-    # truncate is first subdivided by the band's secondary minimum m2 —
-    # under-cap blocks keep a constant -2 (grouping unchanged, which is
-    # 99%+ of blocks), so the split only spends recall odds where the cap
-    # was already losing pairs. For a true pair (J ≥ t) in an over-cap
-    # block, P(same sub-block) ≈ J per band (one more minhash agreement)
-    # vs the bare cap's (cap/s)² at block size s — at the measured
-    # pathological s = 3,163 that is 0.6 vs 4·10⁻⁴. Candidate cost stays
-    # bounded: ≤ C(cap,2) per SUB-block, ≤ ~s·cap/2 per over-cap block —
-    # linear in block size (the old hard C(cap,2) cutoff was constant but
-    # silently dropped the block's true pairs; linear-in-s is the honest
-    # price of mining it). Both the size window and the rank window hash
-    # by (band, m0, m1) — one exchange, the finer rank partitioning is a
-    # refinement co-located by the coarser hash.
-    w_cnt = Window.partitionBy("band", "m0", "m1")
-    w = Window.partitionBy("band", "m0", "m1", "m2").orderBy("__ord", "id")
-    capped = (
-        blocks.withColumn(
-            "m2",
-            F.when(
-                F.count(F.lit(1)).over(w_cnt) > max_block, F.col("m2raw")
-            ).otherwise(F.lit(-2).cast("long")),
-        )
-        .withColumn(
-            "__ord", F.md5(F.concat_ws(":", F.col("band"), F.col("id")))
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_block)
-        .drop("__rn", "__ord", "m2raw")
-    )
-    # pair WITHIN each capped block instead of self-joining capped with
-    # itself: post-cap groups hold ≤ max_block rows, so collect_list is
-    # bounded, and the groupBy lands on the window's own partitioning —
-    # no extra exchange. (The earlier self-join shape cost two more
-    # shuffles of the block table plus a second run of the slot-minima +
-    # window chain; Spark 4's WindowGroupLimit already does map-side
-    # top-k for the rank filter, so the cap itself is skew-optimal.)
-    grouped = capped.groupBy("band", "m0", "m1", "m2").agg(
-        F.collect_list(F.struct("id", "n")).alias("its")
-    )
-    cand = (
-        grouped.select(F.explode("its").alias("a"), "its")
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.n").alias("na"),
-            F.explode(
-                F.filter(F.col("its"), lambda b: b["id"] > F.col("a.id"))
-            ).alias("b"),
-        )
-        # size-compatibility prefilter — RESULT-PRESERVING, not a heuristic:
-        # |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≥ t requires
-        # min·10⁶ ≥ t·10⁶·max. Prunes cross-length junk pairs BEFORE the
-        # pair-dedup shuffle and the CPU-heavy array-intersect verify
-        # (mega-block candidates are mostly same-language random docs whose
-        # lengths differ; measured at sf10: 33.9M band-duplicated
-        # candidates → 16.6M size-compatible → 2.07M distinct verifies).
-        .filter(
-            (F.least("na", F.col("b.n")) * F.lit(1_000_000))
-            >= (F.lit(scaled_t) * F.greatest("na", F.col("b.n")))
-        )
-        .select("id_a", F.col("b.id").alias("id_b"))
-        # a pair can co-block in several bands; verify each pair once
-        .dropDuplicates(["id_a", "id_b"])
-        # AQE sees a few MB of (id, id) pairs and would coalesce the verify
-        # join onto 1-2 tasks; the intersect/union over ~300-element shingle
-        # arrays per pair is CPU-heavy, so pin the parallelism (same hash
-        # distribution the id_a join needs — no extra exchange downstream).
-        .repartition(_parallelism(df), "id_a")
-    )
-    sh_a = keyed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = keyed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    # broadcast the (id, shingle-array) table into the verify joins when its
-    # exact size fits (total shingle longs counted off the persisted frame —
-    # one cheap agg over cached data); mirrors the minhash verify guard.
-    # Above the cap the strategy falls back to AQE's shuffle join.
-    total_longs = keyed.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
-    if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
-        sh_a = F.broadcast(sh_a)
-        sh_b = F.broadcast(sh_b)
-    # above the broadcast cap the verify joins stay on the default
-    # sort-merge path: a shuffle_hash hint was measured (sf10) to save
-    # nothing (~2%) and it FAILS HARD under executor memory pressure
-    # ("Can't acquire memory to build hash relation") where SMJ spills
-    # gracefully — robustness wins at 100 TB.
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("inter_size"),
-            # |A ∪ B| = |A| + |B| − |A ∩ B| — sh arrays are distinct by
-            # construction, so this equals size(array_union(...)) exactly
-            # while skipping the second per-pair hash-set pass.
-            (F.size("sh_a") + F.size("sh_b")).cast("long").alias("__ab"),
-        )
-        .withColumn("union_size", F.col("__ab") - F.col("inter_size"))
-        .drop("__ab")
-        .filter(
-            F.col("inter_size") * F.lit(1_000_000)
-            >= F.lit(scaled_t) * F.col("union_size")
-        )
+    # r11: BLOCK-LOCAL verify replaced the candidates→join-arrays-back shape
+    # (the sf10 decade knee — see _minshingle_verified_pairs for the
+    # measured story); _minshingle_candidates remains the probe surface.
+    return _minshingle_verified_pairs(
+        keyed, bands=bands, max_block=max_block, scaled_t=scaled_t,
+        p=_parallelism(df),
     )
 
 
