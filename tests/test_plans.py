@@ -183,10 +183,13 @@ def test_near_dup_verify_plan_shapes(spark, sf_dir):
     NO per-pair signature join (the pre-r8 shape shuffled ~2 KB of sigs
     per raw candidate — ~170 GB at sf10).
 
-    minshingle: the shingle-array verify joins must hash-probe a
-    BROADCAST (id, shingles) table when its exact size fits
-    (VERIFY_BROADCAST_MAX_BYTES) — AQE won't broadcast it on its own
-    above autoBroadcastJoinThreshold."""
+    minshingle (r11): verification is BLOCK-LOCAL too — shingle arrays
+    join ONCE onto the pairable block memberships (broadcast when the
+    exact cached size fits VERIFY_BROADCAST_MAX_BYTES; above it the
+    NARROW membership side is the hash build — arrays are never sorted),
+    and exact Jaccard runs in a mapInPandas kernel. The pre-r11 shape
+    (candidates → join both arrays back) shipped ~46 GB of sorted array
+    payload through two SMJs at sf10."""
     from varpulis_spark.operators import dedup as D
     from varpulis_spark.engine import load_table
 
@@ -196,7 +199,12 @@ def test_near_dup_verify_plan_shapes(spark, sf_dir):
     assert "zip_with" not in mh_plan  # no per-pair JVM array comparison
 
     ms_plan = plan_of(D.ngram_minshingle_pairs(docs))
-    assert ms_plan.count("BroadcastHashJoin") >= 2, ms_plan
+    # one array join (broadcast at this size), verify kernel in Python
+    assert ms_plan.count("BroadcastHashJoin") == 1, ms_plan
+    assert "MapInPandas" in ms_plan or "mapInPandas" in ms_plan, ms_plan
+    # arrays never ride a sort-merge join or a per-pair verify join
+    assert "SortMergeJoin" not in ms_plan, ms_plan
+    assert "array_intersect" not in ms_plan  # verify left the JVM plan
     D.release_caches()
 
 
