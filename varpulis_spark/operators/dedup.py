@@ -974,8 +974,19 @@ def _bucket_verified_pairs(
         .filter(F.size("ids") >= 2)
         .select("bucket", F.explode("ids").alias("id"))
     )
+    # join strategy pinned by EXACT signature-table size: broadcast when it
+    # provably fits, else hash-build on the NARROW membership side and
+    # stream the signatures. Catalyst's estimate for a cached frame can
+    # undershoot and auto-broadcast a GB-scale sig table — collects to the
+    # driver and dies on maxResultSize (observed at sf30, r11; flaky with
+    # cache-materialization timing).
+    sig_bytes = base.count() * (num_perm + 1) * 8
+    if sig_bytes <= VERIFY_BROADCAST_MAX_BYTES:
+        joined = capped.join(F.broadcast(base), "id")
+    else:
+        joined = capped.hint("shuffle_hash").join(base, "id")
     items = (
-        capped.join(base, "id")  # (bucket, id, sig); AQE picks the strategy
+        joined
         .repartition(p, "bucket")
         .groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("items"))
