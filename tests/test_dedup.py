@@ -538,3 +538,64 @@ def test_simhash_signature_duckdb_oracle_bit_identity():
     exp = D._simhash_batch(pd.Series(texts), 7)
     for i in range(len(texts)):
         assert got[i] == int(exp[i]), f"doc {i} simhash mismatch"
+
+
+def test_minshingle_block_local_verify_equals_join_shape(spark):
+    """The r11 block-local verify (arrays→memberships, numpy intersections)
+    must produce EXACTLY the pairs + inter/union sizes of the reference
+    candidates→join-arrays-back shape (the DuckDB oracle's shape) — on a
+    skewed shared-vocabulary corpus that exercises over-cap splitting."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = __import__("numpy").random.default_rng(13)
+    vocab = [f"w{v:02d}" for v in range(40)]  # tiny vocab → block collisions
+    texts = [
+        " ".join(rng.choice(vocab, size=30).tolist()) for _ in range(400)
+    ]
+    for i in range(10):  # planted exact + near dups at high ids
+        texts[360 + 2 * i] = texts[100 + i]
+        t = texts[120 + i].split()
+        t[0] = "mutated"
+        texts[361 + 2 * i] = " ".join(t)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(400), "text": texts})
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter_size, r.union_size)
+        for r in D.ngram_minshingle_pairs(docs, k=8, threshold=0.6).collect()
+    }
+
+    # reference shape: same blocking candidates, verify via array joins
+    hashed = F.array_distinct(
+        F.transform(
+            F.array_distinct(D._char_shingles(F.lower(F.col("text")), 8)),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    keyed = docs.select(
+        F.col("doc_id").alias("id"), hashed.alias("sh"),
+        F.size(hashed).alias("n"),
+    )
+    cand = D._minshingle_candidates(
+        keyed, bands=8, max_block=64, scaled_t=600_000, p=4
+    )
+    sh_a = keyed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = keyed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    ref = {
+        (r.id_a, r.id_b): (r.inter_size, r.union_size)
+        for r in (
+            cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select(
+                "id_a", "id_b", inter.alias("inter_size"),
+                (F.size("sh_a") + F.size("sh_b") - inter).alias("union_size"),
+            )
+            .filter(
+                F.col("inter_size") * F.lit(1_000_000)
+                >= F.lit(600_000) * F.col("union_size")
+            )
+            .collect()
+        )
+    }
+    assert got == ref and len(got) >= 10
