@@ -60,3 +60,63 @@ def test_shim_exposes_only_protobuf():
     gdir = os.path.join(pbvendor._state["shim_dir"], "google")
     entries = {e for e in os.listdir(gdir) if not e.startswith("__")}
     assert entries == {"protobuf"}
+
+
+def test_rollback_purges_only_protobuf_modules(tmp_path, monkeypatch):
+    """A failed shim install must purge google.protobuf* from sys.modules
+    but NEVER host google.* namespace siblings (google.auth, google.cloud):
+    deleting those loses their module-level state and breaks isinstance
+    checks against pre-existing references (ADVICE r11)."""
+    import sys
+    import types
+
+    shim = str(tmp_path / "shim")
+    os.makedirs(shim)
+    host_pkg_dir = str(tmp_path / "host" / "google")
+
+    g = types.ModuleType("google")
+    g.__path__ = [host_pkg_dir]  # host-owned namespace, NOT the shim
+    fakes = {
+        "google": g,
+        "google.auth": types.ModuleType("google.auth"),
+        "google.cloud": types.ModuleType("google.cloud"),
+        "google.protobuf": types.ModuleType("google.protobuf"),
+        "google.protobuf.internal": types.ModuleType("google.protobuf.internal"),
+    }
+    for name, mod in fakes.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+    monkeypatch.setenv("PYTHONPATH", shim)
+    monkeypatch.setenv(pbvendor._SHIM_ENV, "true")
+    monkeypatch.syspath_prepend(shim)
+
+    pbvendor._rollback_shim(shim)
+
+    assert "google.protobuf" not in sys.modules
+    assert "google.protobuf.internal" not in sys.modules
+    # host packages and the host-owned namespace survive, same objects
+    assert sys.modules.get("google") is g
+    assert sys.modules.get("google.auth") is fakes["google.auth"]
+    assert sys.modules.get("google.cloud") is fakes["google.cloud"]
+    assert shim not in sys.path
+    assert pbvendor._SHIM_ENV not in os.environ
+
+
+def test_rollback_drops_shim_owned_namespace(tmp_path, monkeypatch):
+    """When the top-level google namespace itself resolved into the shim dir
+    (no host google packages were sharing it), rollback drops it so a later
+    real install re-imports cleanly."""
+    import sys
+    import types
+
+    shim = str(tmp_path / "shim")
+    gdir = os.path.join(shim, "google")
+    os.makedirs(gdir)
+    g = types.ModuleType("google")
+    g.__path__ = [gdir]
+    monkeypatch.setitem(sys.modules, "google", g)
+    monkeypatch.setitem(
+        sys.modules, "google.protobuf", types.ModuleType("google.protobuf")
+    )
+    pbvendor._rollback_shim(shim)
+    assert "google" not in sys.modules
+    assert "google.protobuf" not in sys.modules

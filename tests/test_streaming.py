@@ -2170,3 +2170,116 @@ def test_streaming_trailing_negation_validation(spark, sf_dir, replay_dir):
             src.watermark("1h").partition_by("user_id"), p,
             state_timeout="5m",
         )
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_tws_provider_survives_stamp_stripping_rewrap(spark, sf_dir, replay_dir):
+    """The RocksDB provider conf must reach .start() even when every stamp
+    is lost between the TWS op and the sink: a bare Stream(...) re-wrap
+    resets session_confs and a DataFrame transformation drops the
+    _varpulis_session_confs attribute (the exact path run_program takes
+    through the ts-normalization re-wrap, ADVICE r11 medium).
+    start_query detects transformWithStateInPandas in the analyzed plan and
+    applies _TWS_CONFS regardless — still query-scoped."""
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.count_window_streaming(
+        src.partition_by("user_id"), 20,
+        {"n": ("count", None)}, engine="tws",
+    )
+    # strip every stamp: transformation drops the df attribute, bare
+    # Stream(...) resets session_confs
+    stripped = Stream(
+        out.df.select("user_id", "window_id", "n"), ts_col=out.ts_col
+    )
+    assert not stripped.session_confs
+    assert not getattr(stripped.df, "_varpulis_session_confs", None)
+    S.run_to_memory(stripped, "tws_stripped")
+    got = spark.sql("SELECT count(*) AS c FROM tws_stripped").collect()[0].c
+    assert got > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    ), "plan-detected TWS conf leaked into the session"
+
+
+def _ooo_late_completion_scenario(spark, tmp_path):
+    """Non-trailing SEQ(signup, purchase) within 2h on input watermarked at
+    6h: the completing purchase arrives one micro-batch LATE and
+    out-of-order (event-time before the previous batch's max). The signup
+    must survive eviction until the WATERMARK (not the batch max) passes
+    its horizon — the batch-max floor would evict it in batch 2 and lose
+    the match (ADVICE r11: TWS arm fell back to wm=0 under timeMode None)."""
+    import pandas as _pd
+
+    rows = [
+        [(_pd.Timestamp("2024-01-01 10:00:00"), "signup",   1, 7, 1.0)],
+        # same-key signup 4h ahead: batch-max floor = 14:00-2h evicts
+        # signup#1; watermark floor (10:00-6h-2h) retains it
+        [(_pd.Timestamp("2024-01-01 14:00:00"), "signup",   3, 7, 0.0)],
+        # out-of-order completion, above the watermark (14:00-6h = 08:00)
+        [(_pd.Timestamp("2024-01-01 11:30:00"), "purchase", 2, 7, 2.0)],
+    ]
+    cols = ["ts", "event_type", "event_id", "user_id", "value"]
+    d = str(tmp_path / "ooo_replay")
+    os.makedirs(d, exist_ok=True)
+    for i, batch in enumerate(rows):
+        _pd.DataFrame(batch, columns=cols).to_parquet(
+            os.path.join(d, f"f{i:03d}.parquet"), coerce_timestamps="us"
+        )
+    schema = (
+        "ts timestamp, event_type string, event_id long, user_id long, "
+        "value double"
+    )
+    p = Pattern(
+        steps=[step("signup", "a"), step("purchase", "b")],
+        within="2h",
+        emit={"user_id": ("a", "user_id"), "a_id": ("a", "event_id"),
+              "b_id": ("b", "event_id")},
+    )
+    df = spark.read.schema(schema).parquet(d)
+    batch_rows = sorted(
+        (r.a_id, r.b_id)
+        for r in Stream.from_df(df, ts_col="ts", order_col="event_id")
+        .partition_by("user_id").pattern(p).df.collect()
+    )
+    return d, df.schema, p, batch_rows
+
+
+@pytest.mark.parametrize(
+    "engine",
+    [
+        "pandas",
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not _tws_available(),
+                reason="no google.protobuf runtime discoverable",
+            ),
+        ),
+    ],
+)
+def test_streaming_watermarked_pattern_keeps_ooo_completion(
+    spark, tmp_path, engine
+):
+    """Both stateful engines must use the WATERMARK eviction floor on
+    watermarked input for non-trailing patterns (TWS previously ran
+    timeMode=None → wm 0 → batch-max floor, evicting early)."""
+    d, schema, p, batch_rows = _ooo_late_completion_scenario(spark, tmp_path)
+    assert batch_rows == [(1, 2)]  # scenario sanity
+    src = S.file_source(spark, d, schema, max_files_per_trigger=1,
+                        order_col="event_id")
+    out = S.apply_pattern_streaming(
+        src.watermark("6 hours").partition_by("user_id"), p, engine=engine
+    )
+    S.run_to_memory(out, f"ooo_keep_{engine}")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in spark.table(f"ooo_keep_{engine}").collect()
+    )
+    assert got == batch_rows

@@ -150,24 +150,44 @@ def ensure_protobuf() -> bool:
 
     _state["available"] = _gencode_loads()
     if not _state["available"]:
-        # Roll the shim back COMPLETELY so a broken bundled runtime can't
-        # shadow a later real install (ADVICE r10): waiver env var, sys.path
-        # and PYTHONPATH entries, and any partially-imported google modules.
-        os.environ.pop(_SHIM_ENV, None)
-        if shim in sys.path:
-            sys.path.remove(shim)
-        parts = [
-            p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-            if p and p != shim
-        ]
-        if parts:
-            os.environ["PYTHONPATH"] = os.pathsep.join(parts)
-        else:
-            os.environ.pop("PYTHONPATH", None)
-        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
-            del sys.modules[mod]
+        _rollback_shim(shim)
         _state["shim_dir"] = None
     return _state["available"]
+
+
+def _rollback_shim(shim: str) -> None:
+    """Roll the shim back COMPLETELY so a broken bundled runtime can't
+    shadow a later real install (ADVICE r10): waiver env var, sys.path and
+    PYTHONPATH entries, and the shim's partially-imported modules."""
+    os.environ.pop(_SHIM_ENV, None)
+    if shim in sys.path:
+        sys.path.remove(shim)
+    parts = [
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and p != shim
+    ]
+    if parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    else:
+        os.environ.pop("PYTHONPATH", None)
+    # purge ONLY what the shim imported: google.protobuf and below. Other
+    # google.* namespace packages (google.auth, google.cloud, ...) belong to
+    # the host — deleting them loses their module-level state and breaks
+    # isinstance checks against pre-existing references in long-running
+    # processes (ADVICE r11).
+    for mod in [
+        m for m in sys.modules
+        if m == "google.protobuf" or m.startswith("google.protobuf.")
+    ]:
+        del sys.modules[mod]
+    g = sys.modules.get("google")
+    if g is not None and any(
+        os.path.realpath(str(p)).startswith(os.path.realpath(shim))
+        for p in (getattr(g, "__path__", None) or [])
+    ):
+        # the top-level namespace entry itself points into the shim dir
+        # (no host google packages were sharing it) — safe to drop
+        del sys.modules["google"]
 
 
 def tws_available() -> bool:

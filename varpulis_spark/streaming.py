@@ -40,6 +40,7 @@ guard pinning the bounded-state plan shape.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,27 @@ _TWS_CONFS = {
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
 }
+
+# start_query's set→start→restore on the shared session conf is a critical
+# section: PipelineServer starts/hot-reloads queries from HTTP handler
+# threads, and two interleaved starts could capture each other's provider
+# conf (ADVICE r11). One lock per process is enough — a SparkSession is
+# process-wide here and the window is a few ms around .start().
+_START_LOCK = threading.Lock()
+
+
+def _plan_uses_tws(df) -> bool:
+    """True when the analyzed plan contains a transformWithStateInPandas
+    node. Safety net for _TWS_CONFS propagation: the conf rides on
+    Stream.session_confs / df._varpulis_session_confs, but any DataFrame
+    transformation or bare Stream(...) re-wrap between the op and the sink
+    drops the stamp (ADVICE r11 medium) — the plan itself cannot lie."""
+    try:
+        return "transformwithstate" in (
+            df._jdf.queryExecution().analyzed().toString().lower()
+        )
+    except Exception:  # noqa: BLE001 — plan introspection is best-effort
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -171,20 +193,28 @@ def start_query(writer, stream: Stream | None = None, df=None):
         df = df if df is not None else stream.df
     if df is not None:
         confs.update(getattr(df, "_varpulis_session_confs", None) or {})
+        if (
+            "spark.sql.streaming.stateStore.providerClass" not in confs
+            and _plan_uses_tws(df)
+        ):
+            # the stamp was lost somewhere between the TWS op and here
+            # (re-wrap / transformation) — the plan is the ground truth
+            confs.update(_TWS_CONFS)
     if not confs:
         return writer.start()
     spark = df.sparkSession
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
-    try:
-        return writer.start()
-    finally:
-        for k, prev in saved.items():
-            if prev is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, prev)
+    with _START_LOCK:
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            return writer.start()
+        finally:
+            for k, prev in saved.items():
+                if prev is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, prev)
 
 
 def to_memory(stream: Stream, name: str, output_mode: str = "append", trigger_once: bool = True):
@@ -1884,11 +1914,18 @@ def _apply_pattern_streaming_tws(
         def close(self):
             pass
 
+    # EventTime whenever the input is watermarked (not only for trailing
+    # negation): with timeMode="None" getCurrentWatermarkInMs raises and
+    # eviction falls back to the batch-max floor, evicting out-of-order late
+    # events earlier than the applyInPandasWithState arm does on the same
+    # watermarked input (ADVICE r11).
     out = df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
         statefulProcessor=_PatternProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="EventTime" if has_trailing else "None",
+        timeMode=(
+            "EventTime" if (has_trailing or stream._watermarked) else "None"
+        ),
     )
     out._varpulis_session_confs = dict(_TWS_CONFS)
     out_stream = Stream(out, ts_col=stream.ts_col)
