@@ -695,12 +695,15 @@ def compact_streaming(full: dict) -> dict:
             "p50_ms": lm.get("p50"),
             "p99_ms": lm.get("p99"),
         }
+        if s.get("note"):
+            c[name]["note"] = s["note"]
     ab = full.get("tws_ab") or {}
     if ab:
         c["tws_ab"] = {
             k: (
                 {"eps": v.get("sustained_eps"),
-                 "p50_ms": (v.get("latency_ms") or {}).get("p50")}
+                 "p50_ms": (v.get("latency_ms") or {}).get("p50"),
+                 **({"note": v["note"]} if v.get("note") else {})}
                 if "error" not in v and "skipped" not in str(k)
                 else {"error": str(v)[:80]}
             ) if isinstance(v, dict) else v
