@@ -1426,8 +1426,10 @@ def _minshingle_block_sql(bands: int = 8, max_block: int = 64) -> str:
     subdivided by the band's secondary minimum m2 (min over
     h % (slots·bands) ∈ [j·slots, (j+1)·slots) — the second base-`slots`
     digit; -2 constant for under-cap blocks so their grouping is
-    unchanged), per-key blocks capped at the max_block lowest ids in
-    md5(band:id) order, candidate pairs deduped across bands. Shared by
+    unchanged), candidate pairs deduped across bands. r12: NO residual
+    truncation — sub-blocks still over max_block verify exhaustively
+    (a row_number cap cannot coexist with recall 1.0 on exact dups, which
+    share every minimum; dedup.py _minshingle_blocks r12 note). Shared by
     the minshingle_near_dup and near_dup_clusters oracles so both block
     bit-for-bit like the engine. Expects a CTE `d(id, sh)` in scope;
     leaves `cand(id_a, id_b)` in scope."""
@@ -1455,25 +1457,17 @@ def _minshingle_block_sql(bands: int = 8, max_block: int = 64) -> str:
             ), blocks AS (
               {band_arms}
             ), split AS (
-              -- r11: blocks the cap would truncate are subdivided by the
-              -- band's secondary minimum; under-cap blocks keep -2
+              -- r11: over-cap blocks are subdivided by the band's
+              -- secondary minimum; under-cap blocks keep -2. r12: no
+              -- residual truncation — the sub-block IS the verify unit
               SELECT id, band, m0, m1,
                      CASE WHEN count(*) OVER (PARTITION BY band, m0, m1)
                                > {max_block}
                           THEN m2raw ELSE -2 END AS m2
               FROM blocks
-            ), capped AS (
-              -- per-band pseudo-random cap order (md5 of band:id) so a
-              -- pair's cap survival is independent across bands; md5 of
-              -- the same string is engine-identical
-              SELECT id, band, m0, m1, m2 FROM (
-                SELECT id, band, m0, m1, m2,
-                       row_number() OVER (PARTITION BY band, m0, m1, m2
-                                          ORDER BY md5(concat(band, ':', id)), id) AS rn
-                FROM split) WHERE rn <= {max_block}
             ), cand AS (
               SELECT DISTINCT a.id AS id_a, c.id AS id_b
-              FROM capped a JOIN capped c
+              FROM split a JOIN split c
                 ON a.band = c.band AND a.m0 = c.m0 AND a.m1 = c.m1
                AND a.m2 = c.m2 AND a.id < c.id
             )"""

@@ -1070,9 +1070,11 @@ def _char_shingles(text: Column, k: int) -> Column:
 def _minshingle_blocks(
     keyed: DataFrame, bands: int, max_block: int
 ) -> DataFrame:
-    """Capped block MEMBERSHIPS (band, m0, m1, m2, id, n) of the banded
+    """Block MEMBERSHIPS (band, m0, m1, m2, id, n) of the banded
     one-permutation blocking over a `keyed(id, sh, n)` frame — shared by
-    the bucket-local verify (production) and the candidate-density probe."""
+    the bucket-local verify (production) and the candidate-density probe.
+    max_block triggers the secondary-minimum SPLIT of large blocks; no
+    membership is ever dropped (see the r12 note below)."""
     from pyspark.sql.window import Window
 
     slots = 2 * bands
@@ -1119,46 +1121,35 @@ def _minshingle_blocks(
         .select("id", "n", "bk.band", "bk.m0", "bk.m1", "bk.m2raw")
         .filter(~((F.col("m0") == -1) & (F.col("m1") == -1)))
     )
-    # cap order is per-band PSEUDO-RANDOM (md5 of band:id), not id order:
-    # with a deterministic id-order cap every band keeps the SAME lowest
-    # ids, so a pair capped out of one over-cap block is capped out of
-    # all `bands` of them (correlated loss — measured 7.6% exact-dup
-    # recall loss at sf10). Hashing the order per band makes survival
-    # independent across bands: a pair in a block of size s gets
-    # 1 − (1 − (cap/s)²)^bands odds instead of (cap/s)² once. md5 of the
-    # same string is engine-identical, so the oracle caps bit-for-bit
-    # the same; id tie-break keeps it total.
-    # OVER-CAP SPLIT (r11, VERDICT r10 task 2): a block the cap would
-    # truncate is first subdivided by the band's secondary minimum m2 —
+    # OVER-CAP SPLIT (r11, VERDICT r10 task 2): a block larger than
+    # max_block is subdivided by the band's secondary minimum m2 —
     # under-cap blocks keep a constant -2 (grouping unchanged, which is
-    # 99%+ of blocks), so the split only spends recall odds where the cap
-    # was already losing pairs. For a true pair (J ≥ t) in an over-cap
-    # block, P(same sub-block) ≈ J per band (one more minhash agreement)
-    # vs the bare cap's (cap/s)² at block size s — at the measured
-    # pathological s = 3,163 that is 0.6 vs 4·10⁻⁴. Candidate cost stays
-    # bounded: ≤ C(cap,2) per SUB-block, ≤ ~s·cap/2 per over-cap block —
-    # linear in block size (the old hard C(cap,2) cutoff was constant but
-    # silently dropped the block's true pairs; linear-in-s is the honest
-    # price of mining it). Both the size window and the rank window hash
-    # by (band, m0, m1) — one exchange, the finer rank partitioning is a
-    # refinement co-located by the coarser hash.
+    # 99%+ of blocks). For a true pair (J ≥ t) in an over-cap block,
+    # P(same sub-block) ≈ J per band (one more minhash agreement) — at
+    # the measured pathological s = 3,163 that is 0.6 vs the old hard
+    # cap's (cap/s)² = 4·10⁻⁴.
+    #
+    # NO RESIDUAL TRUNCATION (r12, VERDICT r11 task 5): sub-blocks still
+    # over max_block after the split are verified EXHAUSTIVELY. The r11
+    # row_number cap on sub-blocks lost the last planted pair at sf10
+    # (recall 0.999), and no recursion depth can fix it: exact duplicates
+    # share EVERY minimum, so identical docs land in the same sub-block
+    # at every conceivable split level — a residual over-cap sub-block is
+    # dominated by exact-dup clusters, where a cap MUST drop true pairs.
+    # Cost stays honest: the verify kernel groups identical arrays, so an
+    # s-sized exact-dup cluster costs one intersection per DISTINCT array
+    # pair plus the C(s,2) output rows any exact pair semantics must emit;
+    # mixed over-cap sub-blocks are rare by construction (three
+    # independent minima agreements, P ≈ J³ per band for non-dups).
+    # max_block is therefore the SPLIT TRIGGER, not a truncation bound —
+    # mirrored exactly in the oracle SQL.
     w_cnt = Window.partitionBy("band", "m0", "m1")
-    w = Window.partitionBy("band", "m0", "m1", "m2").orderBy("__ord", "id")
-    capped = (
-        blocks.withColumn(
-            "m2",
-            F.when(
-                F.count(F.lit(1)).over(w_cnt) > max_block, F.col("m2raw")
-            ).otherwise(F.lit(-2).cast("long")),
-        )
-        .withColumn(
-            "__ord", F.md5(F.concat_ws(":", F.col("band"), F.col("id")))
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_block)
-        .drop("__rn", "__ord", "m2raw")
-    )
-    return capped
+    return blocks.withColumn(
+        "m2",
+        F.when(
+            F.count(F.lit(1)).over(w_cnt) > max_block, F.col("m2raw")
+        ).otherwise(F.lit(-2).cast("long")),
+    ).drop("m2raw")
 
 
 def _minshingle_candidates(
@@ -1168,16 +1159,15 @@ def _minshingle_candidates(
     diagnostic/probe half of the family, exposed so scale probes can count
     candidates-per-doc without paying any verify (candidate density is THE
     decade-scaling question for this family; PERF_NOTES r11). Applies the
-    per-band caps, the over-cap secondary split, the result-preserving
-    size prefilter, and cross-band dedup."""
+    over-cap secondary split, the result-preserving size prefilter, and
+    cross-band dedup."""
     capped = _minshingle_blocks(keyed, bands, max_block)
-    # pair WITHIN each capped block instead of self-joining capped with
-    # itself: post-cap groups hold ≤ max_block rows, so collect_list is
-    # bounded, and the groupBy lands on the window's own partitioning —
-    # no extra exchange. (The earlier self-join shape cost two more
-    # shuffles of the block table plus a second run of the slot-minima +
-    # window chain; Spark 4's WindowGroupLimit already does map-side
-    # top-k for the rank filter, so the cap itself is skew-optimal.)
+    # pair WITHIN each block instead of self-joining the block table with
+    # itself: split groups are near-dup-cluster-sized in practice, so
+    # collect_list stays small, and the groupBy lands on the window's own
+    # partitioning — no extra exchange. (The earlier self-join shape cost
+    # two more shuffles of the block table plus a second run of the
+    # slot-minima + window chain.)
     grouped = capped.groupBy("band", "m0", "m1", "m2").agg(
         F.collect_list(F.struct("id", "n")).alias("its")
     )
@@ -1285,18 +1275,63 @@ def _minshingle_verified_pairs(
 
     def verify(batches):
         for pdf in batches:
-            out_a: list = []
-            out_b: list = []
-            out_i: list = []
-            out_u: list = []
+            chunks_a: list = []
+            chunks_b: list = []
+            chunks_i: list = []
+            chunks_u: list = []
+
+            def emit(a_arr, b_arr, i_arr, u_arr):
+                chunks_a.append(a_arr)
+                chunks_b.append(b_arr)
+                chunks_i.append(i_arr)
+                chunks_u.append(u_arr)
+
             for ids, ns, shs in zip(pdf["ids"], pdf["ns"], pdf["shs"]):
                 m = len(ids)
-                # presort once per member; intersections assume sorted+unique
-                arrs = [np.sort(np.asarray(s, dtype=np.int64)) for s in shs]
-                for x in range(m - 1):
-                    nx, ax, idx = int(ns[x]), arrs[x], int(ids[x])
-                    for y in range(x + 1, m):
-                        ny = int(ns[y])
+                # group members by IDENTICAL array content first: residual
+                # over-cap blocks are dominated by exact-dup clusters
+                # (identical docs share every minimum, so no split level
+                # separates them — see _minshingle_blocks r12 note), and
+                # the intersect work must be one per DISTINCT-array pair,
+                # not per member pair, for the exhaustive path to stay
+                # linear-in-output. `sh` is deterministic per text
+                # (first-occurrence distinct order), so identical docs
+                # byte-match; near-identical ones just take the slow path.
+                uniq: dict = {}
+                groups: list[list[int]] = []
+                arrs: list = []
+                uns: list[int] = []
+                for x in range(m):
+                    a = np.asarray(shs[x], dtype=np.int64)
+                    u = uniq.setdefault(a.tobytes(), len(arrs))
+                    if u == len(arrs):
+                        # presort once per distinct array; intersections
+                        # assume sorted+unique
+                        arrs.append(np.sort(a))
+                        uns.append(int(ns[x]))
+                        groups.append([])
+                    groups[u].append(int(ids[x]))
+                k = len(arrs)
+                # within-group pairs: identical arrays ⇒ inter = union = n,
+                # J = 1 — passes iff n·10⁶ ≥ t·10⁶·n, i.e. t ≤ 1
+                if scaled_t <= 1_000_000:
+                    for u in range(k):
+                        g = groups[u]
+                        if len(g) > 1:
+                            garr = np.asarray(g, dtype=np.int64)
+                            iu, iv = np.triu_indices(len(g), 1)
+                            ga, gb = garr[iu], garr[iv]
+                            n_full = np.full(
+                                ga.shape, uns[u], dtype=np.int64
+                            )
+                            emit(np.minimum(ga, gb), np.maximum(ga, gb),
+                                 n_full, n_full)
+                # cross-group: one exact intersection per distinct pair,
+                # result applied to the whole id cross-product
+                for x in range(k - 1):
+                    nx, ax = uns[x], arrs[x]
+                    for y in range(x + 1, k):
+                        ny = uns[y]
                         # size-compatibility prefilter (result-preserving):
                         # J ≥ t needs min·10⁶ ≥ t·10⁶·max
                         lo, hi = (nx, ny) if nx <= ny else (ny, nx)
@@ -1308,17 +1343,22 @@ def _minshingle_verified_pairs(
                         )
                         union = nx + ny - inter
                         if inter * 1_000_000 >= scaled_t * union:
-                            out_a.append(idx)
-                            out_b.append(int(ids[y]))
-                            out_i.append(inter)
-                            out_u.append(union)
-            if out_a:
+                            gx = np.asarray(groups[x], dtype=np.int64)
+                            gy = np.asarray(groups[y], dtype=np.int64)
+                            A = np.repeat(gx, len(gy))
+                            B = np.tile(gy, len(gx))
+                            emit(
+                                np.minimum(A, B), np.maximum(A, B),
+                                np.full(A.shape, inter, dtype=np.int64),
+                                np.full(A.shape, union, dtype=np.int64),
+                            )
+            if chunks_a:
                 yield pd.DataFrame(
                     {
-                        "id_a": np.asarray(out_a, dtype=np.int64),
-                        "id_b": np.asarray(out_b, dtype=np.int64),
-                        "inter_size": np.asarray(out_i, dtype=np.int64),
-                        "union_size": np.asarray(out_u, dtype=np.int64),
+                        "id_a": np.concatenate(chunks_a),
+                        "id_b": np.concatenate(chunks_b),
+                        "inter_size": np.concatenate(chunks_i),
+                        "union_size": np.concatenate(chunks_u),
                     }
                 )
 
@@ -1376,12 +1416,13 @@ def ngram_minshingle_pairs(
       ~1.3e8 substring extractions for those 222K pairs);
     - `spread()` pins UDF-free but CPU-heavy shingling to ≥ default
       parallelism (a small parquet arrives as one split);
-    - per-band blocks are capped at the `max_block` lowest ids (window
-      rank over the narrow (id, band, m0, m1) projection) — a boilerplate
-      mega-block costs at most bands · C(max_block, 2) pairs, and with
-      banded keys a block is ≈ one near-dup cluster, so the cap is a skew
-      guard rather than a recall tax. The cap is part of the operator
-      CONTRACT (mirrored in the oracle SQL), not a silent truncation;
+    - per-band blocks larger than `max_block` are SUBDIVIDED by the band's
+      secondary minimum (one more minhash agreement), and residual
+      over-cap sub-blocks verify exhaustively — nothing is truncated
+      (recall 1.0 on exact dups by construction; r12, VERDICT r11 task 5).
+      Identical-array grouping in the kernel keeps the exhaustive path
+      linear in its output. The split rule is part of the operator
+      CONTRACT (mirrored in the oracle SQL);
     - a pair co-blocking in several bands is deduped BEFORE the verify
       join, so exact Jaccard runs once per candidate pair.
 
