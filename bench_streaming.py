@@ -632,10 +632,98 @@ def bench_distinct_engine(
     return _finish(acct, producer, lat_ms, alerts[0])
 
 
+def bench_trend_bigbuf_engine(
+    spark, workdir: str, engine: str, users: int = 8,
+    rows_per_tick: int = 2048,
+) -> dict:
+    """LARGE-buffer stateful A/B (VERDICT r11 task 4): unwindowed trend
+    with a rising-value predicate and a horizon longer than the run, so
+    the per-key DP tail GROWS to thousands of rows (256/key/tick × the
+    run's ~20 ticks ≈ 5k rows/key) — the regime where the TWS twin's
+    append-only ListState should beat the pandas arm's whole-buffer
+    pickle+unpickle per micro-batch. Latency from the monotonic per-key
+    n_events (tick index = ceil(n_events / rows_per_key))."""
+    import varpulis_spark.streaming as S
+
+    spool = os.path.join(workdir, f"tb_{engine}_spool")
+    os.makedirs(spool)
+    rows_per_key = rows_per_tick // users
+
+    def make_batch(i: int, w_us: int):
+        n = users * rows_per_key
+        rng = np.random.default_rng(7000 + i)
+        return pa.table(
+            {
+                "event_type": pa.array(["purchase"] * n),
+                "user_id": pa.array(
+                    np.repeat(np.arange(users), rows_per_key),
+                    type=pa.int64(),
+                ),
+                "value": pa.array(rng.uniform(0, 100, n)),
+                "ts": pa.array([w_us] * n, type=pa.timestamp("us", tz="UTC")),
+                "event_id": pa.array(
+                    np.arange(i * n, (i + 1) * n), type=pa.int64()
+                ),
+            }
+        )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    src = S.file_source(spark, spool, schema, order_col="event_id")
+    rising = lambda cols, i: cols["value"][:i] < cols["value"][i]  # noqa: E731
+    out = S.trend_aggregate_streaming(
+        src.partition_by("user_id"), event_type="purchase",
+        value_field="value", within="1h", adjacent_vec=rising,
+        engine=engine,
+    )
+    lat_ms: list[float] = []
+    alerts = [0]
+    producer = _Producer(spool, make_batch, DURATION_S, _slow_tick())
+
+    def sink(df, epoch):
+        rows = df.select("user_id", "n_events").collect()
+        if not producer.measuring:
+            return
+        now = _now_us()
+        alerts[0] += len(rows)
+        ticks = producer.tick_times_us
+        for r in rows:
+            tick_idx = -(-int(r.n_events) // rows_per_key)  # ceil
+            if 0 < tick_idx <= len(ticks):
+                lat_ms.append((now - ticks[tick_idx - 1]) / 1000.0)
+
+    acct = _drive(
+        spark, out, sink, producer,
+        os.path.join(workdir, f"ckpt_tb_{engine}"), conf=ROCKSDB_CONF,
+    )
+    r = _finish(acct, producer, lat_ms, alerts[0])
+    r["tail_rows_per_key_at_end"] = rows_per_key * len(
+        producer.tick_times_us
+    )
+    return r
+
+
 def bench_tws_ab(spark, workdir: str) -> dict:
-    """count-window and distinct on BOTH stateful engines, same offered
-    load and store config (RocksDB for both — the TWS requirement; the
-    pandas arm runs on it too, measured r9 as its best config)."""
+    """count-window, distinct, and the large-buffer trend on BOTH stateful
+    engines, same offered load and store config (RocksDB for both — the
+    TWS requirement; the pandas arm runs on it too, measured r9 as its
+    best config)."""
     from varpulis_spark import pbvendor
 
     out: dict = {}
@@ -644,6 +732,7 @@ def bench_tws_ab(spark, workdir: str) -> dict:
     for op, fn in (
         ("count_window", bench_count_window_engine),
         ("distinct", bench_distinct_engine),
+        ("trend_bigbuf", bench_trend_bigbuf_engine),
     ):
         for engine in ("pandas", "tws"):
             sub = os.path.join(workdir, f"{op}_{engine}")

@@ -199,9 +199,12 @@ def test_near_dup_verify_plan_shapes(spark, sf_dir):
     assert "zip_with" not in mh_plan  # no per-pair JVM array comparison
 
     ms_plan = plan_of(D.ngram_minshingle_pairs(docs))
-    # one array join (broadcast at this size), verify kernel in Python
+    # one array join (broadcast at this size), verify kernel in Python —
+    # r12: mapInARROW, not mapInPandas (pandas conversion materialized one
+    # Python int per shingle hash, ~120 s at sf10 before any verification)
     assert ms_plan.count("BroadcastHashJoin") == 1, ms_plan
-    assert "MapInPandas" in ms_plan or "mapInPandas" in ms_plan, ms_plan
+    assert "MapInArrow" in ms_plan or "mapInArrow" in ms_plan, ms_plan
+    assert "MapInPandas" not in ms_plan, ms_plan
     # arrays never ride a sort-merge join or a per-pair verify join
     assert "SortMergeJoin" not in ms_plan, ms_plan
     assert "array_intersect" not in ms_plan  # verify left the JVM plan

@@ -2283,3 +2283,147 @@ def test_streaming_watermarked_pattern_keeps_ooo_completion(
         for r in spark.table(f"ooo_keep_{engine}").collect()
     )
     assert got == batch_rows
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_trend_tws_parity(spark, sf_dir, replay_dir):
+    """transformWithStateInPandas GRETA twin (VERDICT r11 task 4): the DP
+    tail in a native ListState + running totals in a ValueState must
+    reproduce the batch trend_aggregate exactly on both the
+    vectorized-predicate (within-bounded) and closed-form paths; the
+    session provider conf stays untouched."""
+    from varpulis_spark.operators.greta import trend_aggregate
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    schema = Stream.events(spark, sf_dir).df.schema
+
+    def last_rows(table):
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        best = {}
+        for r in rows:
+            if r.user_id not in best or r.n_events > best[r.user_id].n_events:
+                best[r.user_id] = r
+        return best
+
+    rising = lambda cols, i: cols["value"][:i] < cols["value"][i]  # noqa: E731
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1,
+        order_col="event_id",
+    )
+    out = S.trend_aggregate_streaming(
+        src.partition_by("user_id"), event_type="purchase",
+        value_field="value", within="6h", adjacent_vec=rising,
+        engine="tws",
+    )
+    S.run_to_memory(out, "ta_tws")
+    got = {
+        u: (round(r.trend_count, 6), round(r.event_count, 6),
+            round(r.value_sum, 6))
+        for u, r in last_rows("ta_tws").items()
+    }
+    exp = {
+        r.user_id: (round(r.trend_count, 6), round(r.event_count, 6),
+                    round(r.value_sum, 6))
+        for r in trend_aggregate(
+            Stream.events(spark, sf_dir).partition_by("user_id"),
+            event_type="purchase", value_field="value", within="6h",
+            adjacent_vec=rising,
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # closed form: ValueState-only path
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1,
+        order_col="event_id",
+    )
+    out = S.trend_aggregate_streaming(
+        src.partition_by("user_id"), event_type="purchase", engine="tws",
+    )
+    S.run_to_memory(out, "ta_tws_cf")
+    got = {
+        u: (round(r.trend_count, 6), round(r.event_count, 6))
+        for u, r in last_rows("ta_tws_cf").items()
+    }
+    exp = {
+        r.user_id: (round(r.trend_count, 6), round(r.event_count, 6))
+        for r in trend_aggregate(
+            Stream.events(spark, sf_dir).partition_by("user_id"),
+            event_type="purchase",
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        == prev_provider
+    )
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_windowed_trend_tws_pane_timer(spark, sf_dir, replay_dir):
+    """Windowed GRETA on the TWS engine: pane teardown runs on a NATIVE
+    event-time timer (one registerTimer at window_end instead of the
+    re-clamped GroupStateTimeout) and the drained result still equals the
+    batch pane aggregates."""
+    from varpulis_spark.streaming import trend_aggregate_windowed_streaming
+
+    schema = Stream.events(spark, sf_dir).df.schema
+    rising = lambda cols, i: cols["value"][:i] < cols["value"][i]  # noqa: E731
+    src = S.file_source(
+        spark, replay_dir, schema, max_files_per_trigger=1,
+        order_col="event_id",
+    ).watermark("10 minutes")
+    out = trend_aggregate_windowed_streaming(
+        src.partition_by("user_id"), "6h", event_type="purchase",
+        value_field="value", within="2h", adjacent_vec=rising,
+        engine="tws",
+    )
+    S.run_to_memory(out, "taw_tws")
+    rows = spark.sql("SELECT * FROM taw_tws").collect()
+    best = {}
+    for r in rows:
+        k = (r.user_id, r.window_start)
+        if k not in best or r.n_events > best[k].n_events:
+            best[k] = r
+    got = {
+        k: (round(r.trend_count, 6), round(r.event_count, 6))
+        for k, r in best.items()
+    }
+    exp = {
+        (r.user_id, r.window_start): (
+            round(r.trend_count, 6), round(r.event_count, 6)
+        )
+        for r in (
+            Stream.events(spark, sf_dir)
+            .partition_by("user_id")
+            .window("6h")
+            .trend_aggregate(
+                event_type="purchase", value_field="value", within="2h",
+                adjacent_vec=rising,
+            )
+            .df.collect()
+        )
+    }
+    assert got == exp and len(got) > 0
+
+
+@pytest.mark.skipif(
+    not _tws_available(), reason="no google.protobuf runtime discoverable"
+)
+def test_streaming_limit_tws_parity(spark, sf_dir, replay_dir):
+    """TWS limit twin: per-key first-5 equals the pandas arm's contract
+    (5 rows per key, the earliest by (ts, event_id))."""
+    schema = Stream.events(spark, sf_dir).df.schema
+    src = S.file_source(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = S.limit_streaming(src.partition_by("user_id"), 5, engine="tws")
+    S.run_to_memory(out, "lim_tws")
+    got = spark.sql(
+        "SELECT user_id, count(*) c FROM lim_tws GROUP BY 1"
+    ).collect()
+    assert all(r.c == 5 for r in got) and len(got) > 0

@@ -74,7 +74,13 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # the UI is off by default (tests/bench spin many sessions; port
+        # churn) — VARPULIS_SPARK_UI=1 enables it so profiling scripts can
+        # read per-stage shuffle/spill metrics from the REST API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("VARPULIS_SPARK_UI") == "1" else "false",
+        )
     )
     # On a real cluster executors don't inherit the driver's environment;
     # ship the vendored runtime as a py-files zip + the version waiver

@@ -1231,16 +1231,38 @@ def _minshingle_verified_pairs(
     from pyspark.sql.window import Window
 
     capped = _minshingle_blocks(keyed, bands, max_block)
-    # arrays are shipped ONLY to memberships that can pair: singleton
-    # blocks (the vast majority — blocking collisions ≈ near-dups plus
-    # coincidences) are dropped BEFORE the array join, so the fat shuffle
-    # carries pairable memberships only. The size window reuses the cap
-    # windows' (band, m0, m1) exchange (refinement, co-located).
-    wb = Window.partitionBy("band", "m0", "m1", "m2")
-    members = (
-        capped.withColumn("__bn", F.count(F.lit(1)).over(wb))
-        .filter(F.col("__bn") >= 2)
-        .drop("__bn", "n")
+    # arrays are shipped ONLY to memberships that can produce a pair
+    # (r12, VERDICT r11 task 2 — cut the linear array exchange): a member
+    # survives iff SOME co-member is size-compatible (J ≥ t needs
+    # min(|A|,|B|)·10⁶ ≥ t·10⁶·max — result-preserving, the same exact
+    # arithmetic the kernel applies per pair). Within a block sorted by n
+    # the nearest-|n| neighbor is the most compatible one, so one lag/lead
+    # check is exact; singleton blocks fall out for free (both neighbors
+    # null). This moves the kernel's per-pair prefilter BEFORE the fat
+    # exchange: measured at sf10 it drops 11.4% of pairable memberships
+    # (8.5% of array bytes) — modest, because a member usually has SOME
+    # compatible neighbor even when most of its pairs are incompatible;
+    # the per-pair kernel check still prunes those. It also subsumes the
+    # old ≥2-members window (singletons have no neighbors), so it costs
+    # no extra exchange.
+    wn = Window.partitionBy("band", "m0", "m1", "m2").orderBy("n", "id")
+    t6 = F.lit(1_000_000)
+    st = F.lit(scaled_t)
+    members = _register_cache(
+        capped.withColumn("__np", F.lag("n").over(wn))
+        .withColumn("__nn", F.lead("n").over(wn))
+        .filter(
+            (
+                F.col("__np").isNotNull()
+                & (F.col("__np") * t6 >= st * F.col("n"))
+            )
+            | (
+                F.col("__nn").isNotNull()
+                & (F.col("n") * t6 >= st * F.col("__nn"))
+            )
+        )
+        .drop("__np", "__nn")
+        .persist()
     )
     # membership←array join strategy by EXACT size (one cheap agg over the
     # cached frame): broadcast keyed when it provably fits; above the cap,
@@ -1252,13 +1274,23 @@ def _minshingle_verified_pairs(
     # both ways. (r10's shuffle_hash concern was hash-building the ARRAY
     # side; the build side here is the narrow one.)
     total_longs = keyed.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+    # the exchange partition count scales with the EXACT shipped volume
+    # (membership-weighted array longs over the cached members frame, one
+    # cheap agg): at p = default parallelism the sf10 verify exchange put
+    # ~170 MB in each collect_list task and the aggregation fell back to
+    # sort+spill (9 GB of spill = the stage's wall, measured r12). Sizing
+    # to ~64 MB per partition keeps the hash aggregation in memory at any
+    # scale factor — the exact knob spark.sql.files.maxPartitionBytes
+    # applies to scans, applied to this operator-internal exchange.
+    shipped_longs = members.agg(F.sum("n")).collect()[0][0] or 0
+    p_verify = max(p, min(4096, int(shipped_longs * 8 // (64 << 20)) + 1))
     if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
         items_src = members.join(F.broadcast(keyed.drop("n")), "id")
     else:
         items_src = members.hint("shuffle_hash").join(keyed.drop("n"), "id")
     items = (
-        items_src.withColumn("n", F.size("sh"))
-        .repartition(p, "band", "m0", "m1", "m2")
+        items_src
+        .repartition(p_verify, "band", "m0", "m1", "m2")
         .groupBy("band", "m0", "m1", "m2")
         .agg(
             F.sort_array(
@@ -1273,8 +1305,34 @@ def _minshingle_verified_pairs(
         )
     )
 
+    def _list_view(col):
+        """(values ndarray, offsets ndarray) zero-copy view of an Arrow
+        ListArray, offset-window normalized."""
+        off = col.offsets.to_numpy()
+        return col.flatten(), off - off[0]
+
     def verify(batches):
-        for pdf in batches:
+        # mapInArrow, not mapInPandas (r12, the sf10 knee after the r11
+        # exchange redesign): pandas conversion of the list<list<long>>
+        # column materializes one PYTHON INT per shingle hash —
+        # ~600M objects at sf10, ~120 s of pure conversion before any
+        # verification ran (measured; the numpy kernel itself is seconds).
+        # Arrow RecordBatches expose the same data as two offset buffers
+        # over one contiguous int64 values buffer — every member array is
+        # a zero-copy numpy slice.
+        import pyarrow as pa
+
+        for batch in batches:
+            ids_col, ns_col, shs_col = (
+                batch.column(0), batch.column(1), batch.column(2),
+            )
+            ids_v, blk_off = _list_view(ids_col)
+            ids_v = ids_v.to_numpy(zero_copy_only=False)
+            ns_v = _list_view(ns_col)[0].to_numpy(zero_copy_only=False)
+            inner, sh_blk_off = _list_view(shs_col)  # list<long> per member
+            vals_a, mem_off = _list_view(inner)
+            vals = vals_a.to_numpy(zero_copy_only=False)
+
             chunks_a: list = []
             chunks_b: list = []
             chunks_i: list = []
@@ -1286,8 +1344,11 @@ def _minshingle_verified_pairs(
                 chunks_i.append(i_arr)
                 chunks_u.append(u_arr)
 
-            for ids, ns, shs in zip(pdf["ids"], pdf["ns"], pdf["shs"]):
-                m = len(ids)
+            for bi in range(len(blk_off) - 1):
+                lo_m, hi_m = blk_off[bi], blk_off[bi + 1]
+                m = hi_m - lo_m
+                ids = ids_v[lo_m:hi_m]
+                ns = ns_v[lo_m:hi_m]
                 # group members by IDENTICAL array content first: residual
                 # over-cap blocks are dominated by exact-dup clusters
                 # (identical docs share every minimum, so no split level
@@ -1302,7 +1363,8 @@ def _minshingle_verified_pairs(
                 arrs: list = []
                 uns: list[int] = []
                 for x in range(m):
-                    a = np.asarray(shs[x], dtype=np.int64)
+                    j = lo_m + x
+                    a = vals[mem_off[j]:mem_off[j + 1]]
                     u = uniq.setdefault(a.tobytes(), len(arrs))
                     if u == len(arrs):
                         # presort once per distinct array; intersections
@@ -1353,7 +1415,7 @@ def _minshingle_verified_pairs(
                                 np.full(A.shape, union, dtype=np.int64),
                             )
             if chunks_a:
-                yield pd.DataFrame(
+                yield pa.record_batch(
                     {
                         "id_a": np.concatenate(chunks_a),
                         "id_b": np.concatenate(chunks_b),
@@ -1362,7 +1424,7 @@ def _minshingle_verified_pairs(
                     }
                 )
 
-    return items.mapInPandas(
+    return items.mapInArrow(
         verify,
         "id_a long, id_b long, inter_size long, union_size long",
     ).dropDuplicates(["id_a", "id_b"])

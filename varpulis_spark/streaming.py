@@ -852,6 +852,7 @@ def trend_aggregate_streaming(
     within=None,
     adjacent_vec=None,
     timeout_on_window_end: bool = False,
+    engine: str = "auto",
 ) -> Stream:
     """Streaming `.trend_aggregate` — GRETA in the push loop (the
     reference runs trend aggregation per arriving event,
@@ -881,7 +882,37 @@ def trend_aggregate_streaming(
     `window_end` is one of the grouping keys): arm an event-time timeout
     at each pane's `window_end` so (key, pane) state is REMOVED once the
     watermark passes the pane — total state is bounded by the number of
-    OPEN panes, not pane history. Requires a watermarked input."""
+    OPEN panes, not pane history. Requires a watermarked input.
+
+    `engine`: "pandas" = applyInPandasWithState; "tws" =
+    transformWithStateInPandas (DP tail in an APPEND-ONLY native
+    ListState, pane teardown on a native event-time timer). "auto"
+    (default) = tws whenever the protobuf runtime is available — the ONLY
+    op whose default is flipped (VERDICT r11 task 4): the same-host A/B
+    measured tws ahead in BOTH regimes (large-buffer 5k-rows/key tail:
+    p50 1531 vs 2868 ms, +12% sustained eps — whole-buffer pickle loses
+    to append-only rows; small per-(key, pane) state: p50 1199 vs
+    1491 ms, identical alerts), where count-window/distinct measured
+    3-16% behind at cursor-sized state (r11, defaults kept).
+    VARPULIS_TWS_TREND=0 forces pandas (e.g. to resume a pre-r12
+    checkpoint — state formats are not interchangeable), =1 forces tws."""
+    import os as _os
+
+    if engine == "auto":
+        env = _os.environ.get("VARPULIS_TWS_TREND")
+        if env == "1":
+            engine = "tws"
+        elif env == "0":
+            engine = "pandas"
+        else:
+            from varpulis_spark import pbvendor
+
+            engine = "tws" if pbvendor.tws_available() else "pandas"
+    if engine == "tws":
+        return _trend_aggregate_streaming_tws(
+            stream, event_type, adjacent, value_field, within,
+            adjacent_vec, timeout_on_window_end,
+        )
     import pickle
 
     import numpy as np
@@ -1026,6 +1057,250 @@ def trend_aggregate_streaming(
     return Stream(out, ts_col=ts_col, keys=keys)
 
 
+def _trend_aggregate_streaming_tws(
+    stream: Stream,
+    event_type: str | None = None,
+    adjacent=None,
+    value_field: str | None = None,
+    within=None,
+    adjacent_vec=None,
+    timeout_on_window_end: bool = False,
+) -> Stream:
+    """transformWithStateInPandas twin of trend_aggregate_streaming
+    (incremental GRETA, engine/pattern_analyzer.rs:1-80) — VERDICT r11
+    task 4, the third timer-driven TWS migration after distinct-TTL and
+    pattern confirmation.
+
+    Arbitrary-state v2 layout: the within-horizon DP tail (event rows +
+    their propagated cnt/len/val DP values) lives in a native ListState
+    column family — the applyInPandasWithState arm pickles the WHOLE tail
+    through every micro-batch, which is exactly the large-buffer regime
+    (1k-10k rows/key under long horizons) where row-wise state should
+    win; running totals sit in a small ValueState. Pane teardown
+    (`timeout_on_window_end`) is a native event-time timer registered at
+    the pane's window_end: handleExpiredTimer clears the (key, pane)
+    state — replacing the hand-rolled GroupStateTimeout re-arm dance
+    (setTimeoutTimestamp must be re-clamped above the watermark every
+    batch; registerTimer is set once)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from varpulis_spark import pbvendor
+    from varpulis_spark.functions import duration_ns
+    from varpulis_spark.operators.greta import _greta_dp_extend
+
+    if not pbvendor.tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime; "
+            "none importable and no bundled runtime found (see pbvendor)"
+        )
+    df = stream.df
+    keys = stream.keys
+    if not keys:
+        raise ValueError("streaming trend_aggregate requires partition_by")
+    we_idx = keys.index("window_end") if timeout_on_window_end else None
+    if event_type is not None:
+        df = df.filter(F.col("event_type") == event_type)
+    within_ns = duration_ns(within) if within is not None else None
+    ts_col = stream.ts_col
+    sort_cols = [ts_col] + ([stream.order_col] if stream.order_col else [])
+    closed_form = (
+        adjacent is None and adjacent_vec is None and within_ns is None
+    )
+    has_value = value_field is not None
+
+    key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)
+    out_schema = (
+        f"{key_fields}, n_events long, trend_count double, event_count double"
+    )
+    if has_value:
+        out_schema += ", value_sum double"
+    out_cols = list(keys) + ["n_events", "trend_count", "event_count"] + (
+        ["value_sum"] if has_value else []
+    )
+    buf_cols = [c for c, _ in df.dtypes]
+    tail_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    tail_schema += ", __cnt double, __len double"
+    if has_value:
+        tail_schema += ", __val double"
+    _pd_dtypes = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "boolean": "bool", "timestamp": "datetime64[us]",
+        "timestamp_ntz": "datetime64[us]",
+    }
+    tail_cols = buf_cols + ["__cnt", "__len"] + (["__val"] if has_value else [])
+    tail_dtypes = {c: _pd_dtypes[t] for c, t in df.dtypes if t in _pd_dtypes}
+    n_keys = len(keys)
+
+    class _TrendProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            if closed_form:
+                self.meta = handle.getValueState("meta", "n long, vs double")
+            else:
+                self.meta = handle.getValueState(
+                    "meta",
+                    "tc double, ec double, vs double, n long, max_ts long",
+                )
+                self.tail = handle.getListState("tail", tail_schema)
+            if timeout_on_window_end:
+                self.armed = handle.getValueState("armed", "t long")
+
+        def _arm(self, key, timer_values):
+            if not timeout_on_window_end or self.armed.exists():
+                return
+            end_ms = int(pd.Timestamp(key[we_idx]).value // 1_000_000)
+            try:
+                wm_ms = timer_values.getCurrentWatermarkInMs()
+            except Exception:  # noqa: BLE001
+                wm_ms = 0
+            t_ms = max(end_ms, wm_ms + 1)
+            self.handle.registerTimer(t_ms)
+            self.armed.update((t_ms,))
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # the watermark passed this pane's window_end: tear down
+            self.meta.clear()
+            if not closed_form:
+                self.tail.clear()
+            self.armed.clear()
+            yield pd.DataFrame(columns=out_cols)
+
+        def handleInputRows(self, key, rows, timer_values):
+            self._arm(key, timer_values)
+            chunks = [p for p in rows if len(p)]
+            if closed_form:
+                n0, sv0 = self.meta.get() if self.meta.exists() else (0, 0.0)
+                if not chunks:
+                    return
+                pdf = pd.concat(chunks)
+                n = n0 + len(pdf)
+                sv = sv0 + (
+                    float(pdf[value_field].sum()) if has_value else 0.0
+                )
+                self.meta.update((n, sv))
+                p = float(2.0 ** (n - 1))
+                row = list(key[:n_keys]) + [n, 2.0 * p - 1.0, n * p]
+                if has_value:
+                    row.append(sv * p)
+                yield pd.DataFrame([row], columns=out_cols)
+                return
+
+            seen = self.meta.exists()
+            tc, ec, vs, n_tot, max_ts = (
+                self.meta.get() if seen else (0.0, 0.0, 0.0, 0, -1)
+            )
+            if not chunks:
+                return
+            pdf = pd.concat(chunks).sort_values(sort_cols, kind="mergesort")
+            ts_new = pdf[ts_col].astype("int64")
+            if seen and max_ts >= 0:
+                live = ts_new >= max_ts  # drop cross-batch late arrivals
+                pdf = pdf[live]
+            if not len(pdf):
+                return
+            tail_rows = list(self.tail.get()) if seen else []
+            if tail_rows:
+                tpdf = pd.DataFrame(tail_rows, columns=tail_cols)
+                for c, dt in tail_dtypes.items():
+                    try:
+                        tpdf[c] = tpdf[c].astype(dt)
+                    except (TypeError, ValueError):
+                        pass
+                cnt0 = tpdf["__cnt"].to_numpy(dtype=np.float64)
+                len0 = tpdf["__len"].to_numpy(dtype=np.float64)
+                val0 = (
+                    tpdf["__val"].to_numpy(dtype=np.float64).reshape(-1, 1)
+                    if has_value else None
+                )
+                tail_events = tpdf[buf_cols]
+            else:
+                cnt0 = np.zeros(0)
+                len0 = np.zeros(0)
+                val0 = np.zeros((0, 1)) if has_value else None
+                tail_events = None
+            start = len(cnt0)
+            full = (
+                pdf if tail_events is None
+                else pd.concat([tail_events, pdf])
+            )
+            ts = full[ts_col].astype("int64").to_numpy()
+            vals = (
+                full[value_field].to_numpy(dtype=np.float64).reshape(-1, 1)
+                if has_value else None
+            )
+            cols = {c: full[c].to_numpy() for c in full.columns}
+            n = len(full)
+            cnt = np.concatenate([cnt0, np.zeros(n - start)])
+            len_sum = np.concatenate([len0, np.zeros(n - start)])
+            val_sum = (
+                np.concatenate([val0, np.zeros((n - start, 1))])
+                if has_value else None
+            )
+            _greta_dp_extend(
+                ts, vals, cols, adjacent, adjacent_vec, within_ns,
+                cnt, len_sum, val_sum, start=start,
+            )
+            tc += float(cnt[start:].sum())
+            ec += float(len_sum[start:].sum())
+            if has_value:
+                vs += float(val_sum[start:].sum())
+            n_tot += n - start
+            max_ts = int(ts[-1])
+            keep = (
+                ts >= max_ts - within_ns
+                if within_ns is not None
+                else np.ones(n, dtype=bool)
+            )
+            self.meta.update((tc, ec, vs, n_tot, max_ts))
+            # append-only in the common case — THE ListState advantage
+            # over whole-buffer pickle: while the horizon evicts nothing
+            # from the stored tail (long `within`, growing buffer), only
+            # the NEW rows are appended; the stored prefix is untouched.
+            # A clear+rewrite happens only when eviction actually drops
+            # stored rows.
+            old_intact = bool(keep[:start].all()) if start else True
+            if old_intact:
+                new_keep = keep[start:]
+                kept = full.iloc[start:][new_keep].copy()
+                kept["__cnt"] = cnt[start:][new_keep]
+                kept["__len"] = len_sum[start:][new_keep]
+                if has_value:
+                    kept["__val"] = val_sum[start:][new_keep].reshape(-1)
+            else:
+                kept = full[keep].copy()
+                kept["__cnt"] = cnt[keep]
+                kept["__len"] = len_sum[keep]
+                if has_value:
+                    kept["__val"] = val_sum[keep].reshape(-1)
+                self.tail.clear()
+            if len(kept):
+                self.tail.appendList(
+                    list(kept[tail_cols].itertuples(index=False, name=None))
+                )
+            row = list(key[:n_keys]) + [n_tot, tc, ec]
+            if has_value:
+                row.append(vs)
+            yield pd.DataFrame([row], columns=out_cols)
+
+        def close(self):
+            pass
+
+    out = df.groupBy(*[F.col(k) for k in keys]).transformWithStateInPandas(
+        statefulProcessor=_TrendProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime" if timeout_on_window_end else "None",
+    )
+    out._varpulis_session_confs = dict(_TWS_CONFS)
+    s = Stream(out, ts_col=ts_col, keys=keys)
+    s.session_confs.update(_TWS_CONFS)
+    return s
+
+
 def trend_aggregate_windowed_streaming(
     stream: Stream,
     size,
@@ -1036,6 +1311,7 @@ def trend_aggregate_windowed_streaming(
     value_field: str | None = None,
     within=None,
     adjacent_vec=None,
+    engine: str = "auto",
 ) -> Stream:
     """Streaming windowed `.trend_aggregate` — pane composition (GRETA
     VLDB'17 §5; the reference runs trend aggregation continuously under
@@ -1074,6 +1350,7 @@ def trend_aggregate_windowed_streaming(
         sub, event_type, adjacent, value_field, within,
         adjacent_vec=adjacent_vec,
         timeout_on_window_end=stream._watermarked,
+        engine=engine,
     )
 
 
@@ -1272,19 +1549,34 @@ def _distinct_streaming_tws(
     return s
 
 
-def limit_streaming(stream: Stream, n: int, per_key: bool = True) -> Stream:
+def limit_streaming(
+    stream: Stream, n: int, per_key: bool = True, engine: str = "auto"
+) -> Stream:
     """Streaming `.limit(n)`: pass the first n events.
 
     The reference keeps ONE global LimitState counter (types.rs:296-299)
     regardless of `partition by` — `Stream.limit`'s streaming dispatch
     therefore passes ``per_key=False`` so batch and streaming modes of the
     same program agree (ADVICE r6).  ``per_key=True`` (default when called
-    directly) is the keyed extension: first n per partition key."""
+    directly) is the keyed extension: first n per partition key.
+
+    `engine`: "pandas" = applyInPandasWithState (default); "tws" =
+    transformWithStateInPandas (the counter in a ValueState); "auto" =
+    tws only when VARPULIS_TWS_LIMIT=1 and the runtime is available."""
+    import os as _os
     import pickle
 
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if engine == "auto":
+        engine = (
+            "tws" if _os.environ.get("VARPULIS_TWS_LIMIT") == "1"
+            else "pandas"
+        )
+    if engine == "tws":
+        return _limit_streaming_tws(stream, n, per_key)
 
     df = stream.df
     keys = (stream.keys or []) if per_key else []
@@ -1316,6 +1608,69 @@ def limit_streaming(stream: Stream, n: int, per_key: bool = True) -> Stream:
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return Stream(out, ts_col=stream.ts_col, keys=stream.keys)
+
+
+def _limit_streaming_tws(
+    stream: Stream, n: int, per_key: bool = True
+) -> Stream:
+    """transformWithStateInPandas twin of limit_streaming: the per-key
+    seen-counter (LimitState, types.rs:296-299) in a native ValueState —
+    no pickle, no timers (count-triggered like the count window)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from varpulis_spark import pbvendor
+
+    if not pbvendor.tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime; "
+            "none importable and no bundled runtime found (see pbvendor)"
+        )
+    df = stream.df
+    keys = (stream.keys or []) if per_key else []
+    gdf = df if keys else df.withColumn("__g", F.lit(0))
+    gkeys = keys or ["__g"]
+    sort_cols = [stream.ts_col] + (
+        [stream.order_col] if stream.order_col else []
+    )
+    out_cols = [k for k, _t in gdf.dtypes if k != "__g"]
+    out_schema = ", ".join(f"{k} {t}" for k, t in gdf.dtypes if k != "__g")
+
+    class _LimitProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.seen = handle.getValueState("seen", "seen long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = self.seen.get()[0] if self.seen.exists() else 0
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if not chunks:
+                return
+            all_rows = pd.concat(chunks).sort_values(
+                sort_cols, kind="mergesort"
+            )
+            if "__g" in all_rows.columns:
+                all_rows = all_rows.drop(columns="__g")
+            take = max(0, n - seen)
+            self.seen.update((seen + min(take, len(all_rows)),))
+            if take:
+                yield all_rows.iloc[:take]
+            else:
+                yield pd.DataFrame(columns=out_cols)
+
+        def close(self):
+            pass
+
+    out = gdf.groupBy(*[F.col(k) for k in gkeys]).transformWithStateInPandas(
+        statefulProcessor=_LimitProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+    out._varpulis_session_confs = dict(_TWS_CONFS)
+    s = Stream(out, ts_col=stream.ts_col, keys=stream.keys)
+    s.session_confs.update(_TWS_CONFS)
+    return s
 
 
 # ---------------------------------------------------------------------------
