@@ -643,3 +643,53 @@ def test_minshingle_block_local_verify_equals_join_shape(spark):
         )
     }
     assert got == ref and len(got) >= 10
+
+
+def test_minshingle_matrix_path_equals_loop_path(spark):
+    """The inverted-index bincount path for large mixed blocks (r12 — the
+    sf10 mega-block straggler fix) must produce EXACTLY the loop path's
+    pairs and inter/union values. Forced head-to-head on a skewed
+    shared-vocabulary corpus by dropping the k threshold to 2 (matrix
+    everywhere) vs raising it out of reach (loop everywhere)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = __import__("numpy").random.default_rng(29)
+    vocab = [f"v{v:02d}" for v in range(30)]  # tiny vocab → big blocks
+    texts = [
+        " ".join(rng.choice(vocab, size=25).tolist()) for _ in range(300)
+    ]
+    for i in range(8):  # planted exact + near dups
+        texts[250 + 2 * i] = texts[40 + i]
+        t = texts[60 + i].split()
+        t[0] = "changed"
+        texts[251 + 2 * i] = " ".join(t)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300), "text": texts})
+    )
+    hashed = F.array_distinct(
+        F.transform(
+            F.array_distinct(D._char_shingles(F.lower(F.col("text")), 8)),
+            lambda s: F.conv(
+                F.substring(F.md5(s), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    keyed = docs.select(
+        F.col("doc_id").alias("id"), hashed.alias("sh"),
+        F.size(hashed).alias("n"),
+    ).persist()
+
+    def run(min_k):
+        return {
+            (r.id_a, r.id_b): (r.inter_size, r.union_size)
+            for r in D._minshingle_verified_pairs(
+                keyed, bands=8, max_block=16, scaled_t=600_000, p=4,
+                matrix_min_k=min_k,
+            ).collect()
+        }
+
+    matrix = run(2)
+    loop = run(10**9)
+    keyed.unpersist()
+    assert matrix == loop and len(matrix) >= 8

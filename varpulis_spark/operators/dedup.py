@@ -61,6 +61,13 @@ CLUSTERS_LOCAL_MAX_EDGES = 1_000_000
 # join when its exact size (n_docs × num_perm × 8 B) fits; larger corpora
 # fall back to AQE's shuffle-side strategy
 VERIFY_BROADCAST_MAX_BYTES = 256 << 20
+# minshingle verify: blocks with more than _MATRIX_MIN_K distinct arrays
+# use the inverted-index bincount path (O(Σ c_j²) C-ops for ALL pairs at
+# once) instead of the per-pair searchsorted loop (~20 µs/pair of call
+# overhead — 72 s for the measured 3,359-member sf10 block); the k² int32
+# accumulator caps it at _MATRIX_MAX_K (67 MB).
+_MATRIX_MIN_K = 64
+_MATRIX_MAX_K = 4096
 _FNV = np.uint64(1099511628211)
 
 _PERSISTED: list[DataFrame] = []
@@ -1203,7 +1210,8 @@ def _minshingle_candidates(
 
 
 def _minshingle_verified_pairs(
-    keyed: DataFrame, bands: int, max_block: int, scaled_t: int, p: int
+    keyed: DataFrame, bands: int, max_block: int, scaled_t: int, p: int,
+    matrix_min_k: int = _MATRIX_MIN_K,
 ) -> DataFrame:
     """BLOCK-LOCAL exact-Jaccard verify (r11, the minshingle scale knee):
     shingle arrays join onto the capped block MEMBERSHIPS once (≤ max_block
@@ -1388,6 +1396,78 @@ def _minshingle_verified_pairs(
                             )
                             emit(np.minimum(ga, gb), np.maximum(ga, gb),
                                  n_full, n_full)
+
+                def emit_cross(x, y, inter):
+                    union = uns[x] + uns[y] - inter
+                    if inter * 1_000_000 >= scaled_t * union:
+                        gx = np.asarray(groups[x], dtype=np.int64)
+                        gy = np.asarray(groups[y], dtype=np.int64)
+                        A = np.repeat(gx, len(gy))
+                        B = np.tile(gy, len(gx))
+                        emit(
+                            np.minimum(A, B), np.maximum(A, B),
+                            np.full(A.shape, inter, dtype=np.int64),
+                            np.full(A.shape, union, dtype=np.int64),
+                        )
+
+                if matrix_min_k <= k <= _MATRIX_MAX_K:
+                    # LARGE mixed block (the residual over-cap case): the
+                    # per-pair loop costs ~20 µs/pair in searchsorted call
+                    # overhead — C(3359,2) = 5.6M pairs = 72 s in ONE task
+                    # (the measured sf10 straggler). Invert instead: sort
+                    # (value, owner) once, every run of an equal value
+                    # emits its owner-pair codes, bincount accumulates
+                    # |A∩B| for ALL pairs in O(Σ c_j²) C-ops (188M ≈ 2 s
+                    # for that block vs 72 s). k² int32 accumulator caps
+                    # the path at k ≤ 4096 (67 MB); larger falls back to
+                    # the loop (never observed — top sf10 block is 3,359).
+                    ns_arr = np.asarray(uns, dtype=np.int64)
+                    lens = np.fromiter(
+                        (len(a) for a in arrs), dtype=np.int64, count=k
+                    )
+                    allv = np.concatenate(arrs)
+                    owner = np.repeat(
+                        np.arange(k, dtype=np.int64), lens
+                    )
+                    order = np.argsort(allv, kind="stable")
+                    sv, so = allv[order], owner[order]
+                    L = len(sv)
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], sv[1:] != sv[:-1]))
+                    )
+                    runlens = np.diff(np.append(starts, L))
+                    acc = np.zeros(k * k, dtype=np.int32)
+                    buf: list = []
+                    buffered = 0
+                    for c in np.unique(runlens):
+                        if c < 2:
+                            continue
+                        idx = starts[runlens == c]
+                        M = so[idx[:, None] + np.arange(c)]
+                        iu, iv = np.triu_indices(int(c), 1)
+                        a = M[:, iu].ravel()
+                        b = M[:, iv].ravel()
+                        buf.append(np.minimum(a, b) * k + np.maximum(a, b))
+                        buffered += len(a)
+                        if buffered >= 8_000_000:
+                            acc += np.bincount(
+                                np.concatenate(buf), minlength=k * k
+                            ).astype(np.int32)
+                            buf, buffered = [], 0
+                    if buf:
+                        acc += np.bincount(
+                            np.concatenate(buf), minlength=k * k
+                        ).astype(np.int32)
+                    nz = np.flatnonzero(acc)
+                    inters = acc[nz].astype(np.int64)
+                    xs, ys = nz // k, nz % k
+                    nx_, ny_ = ns_arr[xs], ns_arr[ys]
+                    un_ = nx_ + ny_ - inters
+                    ok = inters * 1_000_000 >= scaled_t * un_
+                    for x, y, it in zip(xs[ok], ys[ok], inters[ok]):
+                        emit_cross(int(x), int(y), int(it))
+                    continue
+
                 # cross-group: one exact intersection per distinct pair,
                 # result applied to the whole id cross-product
                 for x in range(k - 1):
@@ -1403,17 +1483,7 @@ def _minshingle_verified_pairs(
                             np.searchsorted(ax, arrs[y], side="right").sum()
                             - np.searchsorted(ax, arrs[y], side="left").sum()
                         )
-                        union = nx + ny - inter
-                        if inter * 1_000_000 >= scaled_t * union:
-                            gx = np.asarray(groups[x], dtype=np.int64)
-                            gy = np.asarray(groups[y], dtype=np.int64)
-                            A = np.repeat(gx, len(gy))
-                            B = np.tile(gy, len(gx))
-                            emit(
-                                np.minimum(A, B), np.maximum(A, B),
-                                np.full(A.shape, inter, dtype=np.int64),
-                                np.full(A.shape, union, dtype=np.int64),
-                            )
+                        emit_cross(x, y, inter)
             if chunks_a:
                 yield pa.record_batch(
                     {
