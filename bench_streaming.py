@@ -138,7 +138,14 @@ def _drive(
     # Pinned at first start via the query's own conf; restored after — the
     # batch suite keeps its 32.
     producer.write_warmup()
-    pinned = {"spark.sql.shuffle.partitions": STREAM_SHUFFLE, **(conf or {})}
+    # ops attach their own query confs to the Stream (e.g. the RocksDB
+    # provider a TWS op needs — trend's auto engine resolves to tws since
+    # r12); honor them like streaming.start_query does
+    pinned = {
+        "spark.sql.shuffle.partitions": STREAM_SHUFFLE,
+        **(getattr(stream, "session_confs", None) or {}),
+        **(conf or {}),
+    }
     saved: dict = {}
     for k, v in pinned.items():
         try:
