@@ -884,30 +884,29 @@ def trend_aggregate_streaming(
     watermark passes the pane — total state is bounded by the number of
     OPEN panes, not pane history. Requires a watermarked input.
 
-    `engine`: "pandas" = applyInPandasWithState; "tws" =
+    `engine`: "pandas" = applyInPandasWithState (default); "tws" =
     transformWithStateInPandas (DP tail in an APPEND-ONLY native
-    ListState, pane teardown on a native event-time timer). "auto"
-    (default) = tws whenever the protobuf runtime is available — the ONLY
-    op whose default is flipped (VERDICT r11 task 4): the same-host A/B
-    measured tws ahead in BOTH regimes (large-buffer 5k-rows/key tail:
-    p50 1531 vs 2868 ms, +12% sustained eps — whole-buffer pickle loses
-    to append-only rows; small per-(key, pane) state: p50 1199 vs
-    1491 ms, identical alerts), where count-window/distinct measured
-    3-16% behind at cursor-sized state (r11, defaults kept).
-    VARPULIS_TWS_TREND=0 forces pandas (e.g. to resume a pre-r12
-    checkpoint — state formats are not interchangeable), =1 forces tws."""
+    ListState, pane teardown on a native event-time timer); "auto" = tws
+    only when VARPULIS_TWS_TREND=1 and the runtime is available.
+
+    The default was briefly flipped to tws mid-r12 on a large-buffer A/B
+    (tws p50 1531 vs pandas 2868 ms) — then REVERTED the same round: on
+    an idle host the pandas arm wins the same ~5k-rows/key scenario
+    consistently (p50 971-1082 vs 1361-1556 ms, eps 3786-3861 vs
+    3087-3465 across 3 runs; the flip-justifying leg was a loaded-host
+    artifact) and the small per-(key, pane) regime is a tie. The
+    structural reason: ListState GETS still round-trip the whole tail
+    through Arrow every batch — append-only only saves the write half,
+    while the pickle arm's read+write are both O(tail) but with a lower
+    constant. bench tws_ab's trend_bigbuf scenario keeps both arms
+    measured every round."""
     import os as _os
 
     if engine == "auto":
-        env = _os.environ.get("VARPULIS_TWS_TREND")
-        if env == "1":
-            engine = "tws"
-        elif env == "0":
-            engine = "pandas"
-        else:
-            from varpulis_spark import pbvendor
-
-            engine = "tws" if pbvendor.tws_available() else "pandas"
+        engine = (
+            "tws" if _os.environ.get("VARPULIS_TWS_TREND") == "1"
+            else "pandas"
+        )
     if engine == "tws":
         return _trend_aggregate_streaming_tws(
             stream, event_type, adjacent, value_field, within,
