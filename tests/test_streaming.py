@@ -2427,3 +2427,32 @@ def test_streaming_limit_tws_parity(spark, sf_dir, replay_dir):
         "SELECT user_id, count(*) c FROM lim_tws GROUP BY 1"
     ).collect()
     assert all(r.c == 5 for r in got) and len(got) > 0
+
+
+def test_trend_auto_engine_defaults_to_pandas(monkeypatch):
+    """The r12 flip-then-revert adjudication (PERF_NOTES r12): trend's
+    auto engine resolves to the applyInPandasWithState arm unless
+    VARPULIS_TWS_TREND=1 opts in — pinned so a stray re-flip cannot land
+    without re-running the idle-host A/B."""
+    import varpulis_spark.streaming as S2
+
+    class _Probe:
+        df = None
+        keys = []
+        ts_col = "ts"
+
+    def _tws_sentinel(*a, **kw):
+        raise AssertionError("auto resolved to the tws arm")
+
+    monkeypatch.delenv("VARPULIS_TWS_TREND", raising=False)
+    monkeypatch.setattr(
+        S2, "_trend_aggregate_streaming_tws", _tws_sentinel
+    )
+    # keys=[] makes the pandas arm raise its partition_by ValueError;
+    # the sentinel would fire first if auto routed to tws
+    with pytest.raises(ValueError, match="partition_by"):
+        S2.trend_aggregate_streaming(_Probe(), engine="auto")
+    # and the opt-in env still routes to tws
+    monkeypatch.setenv("VARPULIS_TWS_TREND", "1")
+    with pytest.raises(AssertionError, match="tws arm"):
+        S2.trend_aggregate_streaming(_Probe(), engine="auto")
