@@ -333,6 +333,26 @@ def run_suite(
     return times, spread, rows, skipped
 
 
+def _running_round() -> str:
+    """The RUNNING round number for artifact filenames.
+
+    $SPARK_GRAFT_ROUND wins when set. Otherwise derive it from the newest
+    committed CORRECTNESS_r{N}.json + 1: those files land when a round
+    CLOSES, so during round N+1 the newest is r{N}. The old hardcoded
+    default ("11") filed round-12 driver data under r11 (VERDICT r12
+    finding #3) — a stale constant masquerading as the current round."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if m:
+            rounds.append(int(m.group(1)))
+    return str(max(rounds) + 1) if rounds else "0"
+
+
 def _detail_path(contended: bool = False) -> str:
     """Full per-query detail lands here; the stdout line stays compact.
 
@@ -343,7 +363,7 @@ def _detail_path(contended: bool = False) -> str:
     APPEND — first free `_contended[.k].json` slot — instead of silently
     replacing an earlier (possibly committed) contended record
     (VERDICT r10 finding #2)."""
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    rnd = _running_round()
     here = os.path.dirname(os.path.abspath(__file__))
     if not contended:
         return os.path.join(here, f"BENCH_LOCAL_r{rnd}.json")

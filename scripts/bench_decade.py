@@ -207,6 +207,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict = {"queries": QUERIES}
+    # Same calibration block bench.py stamps (VERDICT r12 task 4: the r12
+    # decade artifact recorded loadavg 21 with no in-artifact way to tell
+    # host state from engine change — the in-suite minshingle 134 s vs
+    # 85 s warm-standalone gap was pure host state, invisible to a reader
+    # of the artifact alone). Probe BEFORE the suite heats the box.
+    cpu = bench.cpu_ref()
+    cal = bench.host_calibration(cpu)
+    out["cpu_ref"] = cpu
+    out.update(cal)
     results = {}
     all_queries = entrymod.queries()
     skip = set(all_queries) - set(QUERIES)
@@ -230,16 +239,28 @@ def main() -> None:
         ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
     out["streaming"] = run_streaming_decade(spark)
+    # keys_1x runs the same scenario shape (64 keys) as bench.py's idle
+    # twin, so the >3x anomaly note applies mechanically here too
+    # (VERDICT r12 task 4: decade trend p50 1.76 s vs 1.05 idle deserved
+    # the stamp, not prose). Mutates the nested dicts in place.
+    flat_1x = {
+        name: scales.get("keys_1x")
+        for name, scales in out["streaming"].items()
+        if isinstance(scales, dict) and isinstance(scales.get("keys_1x"), dict)
+    }
+    bench.annotate_streaming_anomalies(flat_1x)
     try:
         out["clusters_scale_probe"] = run_clusters_scale_probe(spark)
     except Exception as e:  # record, never kill the artifact
         out["clusters_scale_probe"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+    rnd = bench._running_round()
     path = os.path.join(REPO, f"BENCH_DECADE_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({
         "metric": "decade_eps_ratio_sf10_vs_sf1",
+        "gemm_factor": out.get("gemm_factor"),
+        "host_degraded": out.get("host_degraded"),
         "ratio_floor": out["ratio_floor"],
         "ratio_median": out["ratio_median"],
         "ratios": ratio,

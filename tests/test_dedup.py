@@ -680,16 +680,77 @@ def test_minshingle_matrix_path_equals_loop_path(spark):
         F.size(hashed).alias("n"),
     ).persist()
 
-    def run(min_k):
+    def run(min_k, dense_max_k=None):
         return {
             (r.id_a, r.id_b): (r.inter_size, r.union_size)
             for r in D._minshingle_verified_pairs(
                 keyed, bands=8, max_block=16, scaled_t=600_000, p=4,
-                matrix_min_k=min_k,
+                matrix_min_k=min_k, dense_max_k=dense_max_k,
             ).collect()
         }
 
     matrix = run(2)
+    # r13: force the SPARSE accumulator (the k > 4096 arm) everywhere by
+    # shrinking the dense cap to 2 — every matrix block takes the
+    # unique/reduceat path instead of the k² bincount
+    sparse = run(2, dense_max_k=2)
     loop = run(10**9)
     keyed.unpersist()
     assert matrix == loop and len(matrix) >= 8
+    assert sparse == loop
+
+
+def test_allpairs_intersections_sparse_equals_dense_large_k():
+    """The k > _MATRIX_DENSE_MAX_K sparse arm head-to-head against both
+    the dense bincount arm and a brute-force per-pair loop at a REAL
+    k = 4,500 > 4096 (VERDICT r12 task 3: blocks past the dense cap used
+    to fall back to the O(k²) python loop — the exact straggler class the
+    kernel exists to kill). 4,500 arrays over a 900-value universe →
+    ~10M pair emissions, exercising the chunked flush too."""
+    import numpy as np
+
+    rng = np.random.default_rng(1213)
+    k = 4_500
+    assert k > D._MATRIX_DENSE_MAX_K
+    universe = rng.choice(2**60, size=900, replace=False).astype(np.int64)
+    arrs = [
+        np.sort(rng.choice(universe, size=rng.integers(3, 9), replace=False))
+        for _ in range(k)
+    ]
+    xs, ys, inters = D._allpairs_intersections(arrs)  # sparse (k > cap)
+    assert np.all(xs < ys) and np.all(inters >= 1)
+    got = {(int(x), int(y)): int(i) for x, y, i in zip(xs, ys, inters)}
+
+    # dense arm on the same input (cap lifted) must agree exactly
+    xd, yd, idn = D._allpairs_intersections(arrs, dense_max_k=k)
+    dense = {(int(x), int(y)): int(i) for x, y, i in zip(xd, yd, idn)}
+    assert got == dense
+
+    # spot-check 2,000 random pairs against a direct set intersection
+    # (full O(k²) brute force is 10M pairs — the spot check plus the
+    # dense-arm equality pins correctness without a minutes-long test)
+    sets = [set(a.tolist()) for a in arrs]
+    for x, y in zip(
+        rng.integers(0, k, size=2000), rng.integers(0, k, size=2000)
+    ):
+        if x == y:
+            continue
+        lo, hi = (int(min(x, y)), int(max(x, y)))
+        expect = len(sets[lo] & sets[hi])
+        assert got.get((lo, hi), 0) == expect
+
+
+def test_minshingle_threshold_zero_rejected(spark):
+    """threshold must be in (0, 1]: at 0 the inverted-index arms (which
+    only see pairs sharing >= 1 shingle) and the per-pair loop (which
+    would emit zero-intersection pairs) diverge — the operator refuses
+    the degenerate value instead (ADVICE r12)."""
+    import pandas as pd
+    import pytest
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aaaa bbbb", "cccc dddd"]})
+    )
+    for bad in (0, 0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            D.ngram_minshingle_pairs(docs, threshold=bad)

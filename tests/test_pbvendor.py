@@ -120,3 +120,37 @@ def test_rollback_drops_shim_owned_namespace(tmp_path, monkeypatch):
     pbvendor._rollback_shim(shim)
     assert "google" not in sys.modules
     assert "google.protobuf" not in sys.modules
+
+
+def test_rollback_mixed_namespace_path_keeps_host_entries(tmp_path, monkeypatch):
+    """Mixed namespace __path__ ([host_dir, shim_dir]) — the shim entry is
+    removed IN PLACE and the module survives with the host entry, so host
+    submodules (google.auth) keep a working parent (ADVICE r12: the old
+    any()-then-delete dropped the whole module, leaving google.auth in
+    sys.modules with a dangling parent). A sibling dir that merely
+    prefix-matches the shim path string (/tmp/shim2 vs /tmp/shim) must
+    NOT be treated as shim-owned."""
+    import sys
+    import types
+
+    shim = str(tmp_path / "shim")
+    gdir = os.path.join(shim, "google")
+    os.makedirs(gdir)
+    host_dir = str(tmp_path / "host" / "google")
+    sibling = str(tmp_path / "shim2" / "google")  # prefix-collides w/ shim
+
+    g = types.ModuleType("google")
+    g.__path__ = [host_dir, gdir, sibling]
+    auth = types.ModuleType("google.auth")
+    monkeypatch.setitem(sys.modules, "google", g)
+    monkeypatch.setitem(sys.modules, "google.auth", auth)
+    monkeypatch.setitem(
+        sys.modules, "google.protobuf", types.ModuleType("google.protobuf")
+    )
+
+    pbvendor._rollback_shim(shim)
+
+    assert sys.modules.get("google") is g  # survives: host entries remain
+    assert list(g.__path__) == [host_dir, sibling]  # only shim entry gone
+    assert sys.modules.get("google.auth") is auth
+    assert "google.protobuf" not in sys.modules

@@ -2456,3 +2456,30 @@ def test_trend_auto_engine_defaults_to_pandas(monkeypatch):
     monkeypatch.setenv("VARPULIS_TWS_TREND", "1")
     with pytest.raises(AssertionError, match="tws arm"):
         S2.trend_aggregate_streaming(_Probe(), engine="auto")
+
+
+def test_trend_unbounded_state_warning_both_engines(monkeypatch):
+    """A predicate with no `within` means per-key state grows with full
+    key history — the heads-up must fire for BOTH engines (ADVICE r12:
+    the tws arm silently skipped it). The warning is hoisted before
+    engine dispatch, so it fires even though each arm then raises on the
+    probe's empty keys / missing df."""
+    import warnings as W
+
+    import varpulis_spark.streaming as S2
+
+    class _Probe:
+        df = None
+        keys = []
+        ts_col = "ts"
+
+    for engine in ("pandas", "tws"):
+        with W.catch_warnings(record=True) as got:
+            W.simplefilter("always")
+            with pytest.raises(Exception):
+                S2.trend_aggregate_streaming(
+                    _Probe(), adjacent=lambda a, b: True, engine=engine
+                )
+        assert any(
+            "per-key state grows" in str(w.message) for w in got
+        ), f"missing unbounded-state warning on the {engine} arm"

