@@ -637,7 +637,47 @@ def q_ivf_near_dup(spark, sf):
     return SIM.ivf_near_dup_pairs(emb, threshold=0.4)
 
 
-def _ivf_near_dup_oracle_sql() -> str:
+def q_ivf_near_dup_t85(spark, sf):
+    """IVF near-dup at threshold 0.85 — the DECADE-SCALE measurement twin
+    of `ivf_near_dup`. Why a second threshold (PERF_NOTES r13, VERDICT
+    r12 What's-wrong #2): the embeddings corpus is isotropic unit noise
+    in d=64, whose random-pair cosine tail at 0.4 is ~5e-4 — so above a
+    few thousand rows the 0.4 output is intrinsically ~n²·2.5e-4 for ANY
+    faithful scale-up (a d=64 codebook with pairwise cos < 0.4 saturates
+    near the base corpus size — sphere packing, not a corpus defect). At
+    0.85 the isotropic tail is ~e^-23 ≈ 0, so the output is EXACTLY the
+    derived corpora's planted ~1%-per-copy near-dup population
+    (scripts/make_sf.py planted_slices) — O(n), which is what makes the
+    sf1→sf10 eps ratio read engine scaling instead of output volume.
+    At driver oracle scales the corpus has no planted pairs (max pair
+    cosine 0.601 at sf0.1), so Spark and the oracle both return 0 rows —
+    the non-vacuous correctness pins are the planted-recovery pytests
+    (tests/test_extensions.py::test_ivf_near_dup_planted_recall and
+    ::test_ivf_t85_recovers_derived_corpus_plants, which runs this exact
+    operator+threshold on a make_sf-derived corpus)."""
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.ivf_near_dup_pairs(emb, threshold=0.85)
+
+
+def q_embedding_near_dup_capped(spark, sf):
+    """Fixed-budget EXACT near-dup (VERDICT r12 task 6): `embedding_near_dup`
+    is excluded from sf1+ benches because exact all-pairs cosine is O(n²)
+    by spec — which meant the exact kernel was never exercised above
+    sf0.1. This variant runs the same exact verify over a deterministic
+    4,000-row slice (ORDER BY md5(vec_id) — engine-identical sampling,
+    unbiased by id locality), so the work is CONSTANT at any scale factor
+    and a kernel regression surfaces at sf1/sf10 too. At oracle scales
+    (≤2,000 rows) the slice is the whole corpus, so the oracle comparison
+    is the full exact-pairs check, not vacuous."""
+    emb = load_table(spark, sf, "embeddings")
+    sample = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(4000)
+    )
+    return SIM.cosine_pairs(sample, threshold=0.4)
+
+
+def _ivf_near_dup_oracle_sql(threshold: float = 0.4) -> str:
     """DuckDB twin of q_ivf_near_dup: centroids trained locally from the
     same parquet (byte-identical at oracle scales — the sample is the full
     id-sorted corpus) and inlined as DOUBLE[] literals; assignment,
@@ -687,7 +727,7 @@ def _ivf_near_dup_oracle_sql() -> str:
         JOIN capped b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN corpus ca ON ca.vec_id = a.vec_id
         JOIN corpus cb ON cb.vec_id = b.vec_id
-        WHERE list_dot_product(ca.v, cb.v) >= 0.4
+        WHERE list_dot_product(ca.v, cb.v) >= {threshold}
     """
 
 
@@ -1198,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "ivf_near_dup": q_ivf_near_dup,
+        "ivf_near_dup_t85": q_ivf_near_dup_t85,
+        "embedding_near_dup_capped": q_embedding_near_dup_capped,
         "score_mlp": q_score_mlp,
         "score_sequence": q_score_sequence,
         "forecast_pst": q_forecast,
@@ -1948,6 +1990,21 @@ def oracle_sql() -> dict[str, str]:
         "score_mlp": _score_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "ivf_near_dup": _ivf_near_dup_oracle_sql(),
+        "ivf_near_dup_t85": _ivf_near_dup_oracle_sql(threshold=0.85),
+        "embedding_near_dup_capped": """
+            -- deterministic 4,000-row slice by md5(vec_id): engine-
+            -- identical ordering (md5 of the decimal string is the same
+            -- in Spark and DuckDB), then the exact all-pairs check; at
+            -- oracle scales the slice is the full corpus
+            WITH s AS (
+              SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 4000
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
         "forecast_runs": FORECAST_RUNS_ORACLE,
         "forecast_pst": _forecast_pst_oracle_sql(),
         "score_sequence": """

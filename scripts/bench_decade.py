@@ -41,6 +41,15 @@ QUERIES = [
     "near_dup_clusters",
     "ann_ivf",
     "ivf_near_dup",
+    # r13: the embedding family's SCALING signal moved to the 0.85
+    # planted-pair regime — at the operators' 0.4 oracle threshold the
+    # output is intrinsically ~n²·2.5e-4 on this corpus family (isotropic
+    # unit noise in d=64; see PERF_NOTES r13), so ivf_near_dup@0.4 is
+    # kept for continuity but its decade eps ratio reads output volume,
+    # not engine scaling. embedding_near_dup_capped exercises the exact
+    # kernel at a fixed 4,000-row budget (VERDICT r12 task 6).
+    "ivf_near_dup_t85",
+    "embedding_near_dup_capped",
     "knn_cosine",
     "text_stats",
     "lang_distribution",

@@ -16,8 +16,12 @@ distributions that drive engine work:
   LSH candidate pairs — a data artifact, not scaling). A small planted
   dup (0.2%) and near-dup (0.5%) population keeps the dedup pipelines'
   match stages exercised, matching sf0.1's density.
-- embeddings: 10 copies, ids shifted, deterministic small rotation per
-  copy (knn work is GEMM over the corpus — linear either way).
+- embeddings: 10 copies, ids shifted, deterministic random ORTHOGONAL
+  rotation + small noise per (level, copy) — an isometry, so per-copy
+  cluster geometry is exact, while cross-copy cosine similarity is
+  destroyed by design (the old per-level np.roll composed additively
+  across derivation levels: equal-total-roll sub-copies were near-dups
+  of each other, inflating ivf_near_dup output ~99x per decade).
 - orders/customer/lineitem: 10 copies with consistent key shifts so the
   orders->customer enrich join and lineitem aggregation keep their shape;
   region/nation/supplier/part are fixed dimensions, copied as-is.
@@ -174,22 +178,73 @@ def make_documents(copies: int = COPIES) -> None:
     )
 
 
+def planted_slices(n: int) -> dict:
+    """Per-copy planted-near-dup source-id ranges for an n-row source
+    table: copy k keeps ids [(k-1)·step, k·step) as near-copies (see
+    make_embeddings). Exported so tests and the decade bench can compute
+    the expected O(n) planted-pair population exactly."""
+    step = max(1, n // 100)
+    return {
+        k: ((k - 1) * step, min(k * step, n))
+        for k in range(1, COPIES)
+        if (k - 1) * step < n
+    }
+
+
 def make_embeddings() -> None:
     t = _read("embeddings")
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = np.array(t.column("label").to_pylist())
     n, d = vecs.shape
-    rng = np.random.default_rng(SEED)
+    # Per-(level, copy) random ORTHOGONAL rotation, not np.roll (VERDICT
+    # r12 What's-wrong #2): rolls compose ADDITIVELY, so deriving sf10
+    # from sf1 re-rolled every copy and any two sub-copies whose total
+    # roll collided (mod d) differed only by two small noise draws —
+    # cosine far above any near-dup threshold, and ivf_near_dup pairs
+    # grew ~99x per 10x input (manufactured density, same class as the
+    # r11 frozen-vocabulary documents bug). A seeded QR rotation is the
+    # same isometry class (within-copy cluster geometry preserved
+    # exactly, like the roll), but independent rotations drawn per
+    # (level, copy) compose to rotations that agree between two DISTINCT
+    # composite copies with probability ~0 — cross-copy similarity is
+    # destroyed by design, so near-dup output stays O(n) across decades.
+    # The level salt keeps sf1's rotation k and sf10's rotation k
+    # distinct (otherwise level-1 copy (0,k) and level-2 copy (k,0)
+    # would share the composite Q_k and differ only by noise).
+    import zlib
+
+    level_salt = zlib.crc32(os.path.basename(_dst).encode())
+    plant = planted_slices(n)  # ~1% planted near-dups per non-base copy
     out_vecs, out_ids, out_labels = [], [], []
     for k in range(COPIES):
         if k == 0:
             v = vecs
         else:
-            # deterministic rotation: roll + small noise keeps the metric
-            # structure (cluster geometry) without exact cross-copy dups
-            v = np.roll(vecs, k, axis=1) + rng.normal(0, 0.05, size=(n, d)).astype(
-                np.float32
+            rng_k = np.random.default_rng([SEED, level_salt, k])
+            q, _ = np.linalg.qr(rng_k.standard_normal((d, d)))
+            v = (
+                vecs @ q.astype(np.float32)
+                + rng_k.normal(0, 0.05, size=(n, d)).astype(np.float32)
             )
+            # Planted near-dup population (r13): copy k keeps the DISJOINT
+            # 1% id slice [(k-1)·step, k·step) unrotated with tiny noise
+            # (cos ≈ 0.99 to the source row) — the documents tables' 0.2%
+            # dup / 0.5% near-dup analogue. Each source id is planted at
+            # most once per level, so the high-similarity pair population
+            # is provably O(n) across derivation levels — this is the
+            # class the decade bench measures at threshold 0.85, where the
+            # isotropic tail is ~0 (P(cos ≥ 0.85) in d=64 ≈ e^-23). At
+            # the operators' oracle threshold 0.4 the output is
+            # intrinsically ~n²·5e-4 for ANY faithful scale-up of this
+            # corpus (the base table is isotropic unit noise; a d=64
+            # codebook with pairwise cos < 0.4 saturates near the base
+            # size), so O(n) growth at 0.4 is a sphere-packing
+            # impossibility, not a derivation defect — see PERF_NOTES r13.
+            if k in plant:
+                lo, hi = plant[k]
+                v[lo:hi] = vecs[lo:hi] + rng_k.normal(
+                    0, 0.02, size=(hi - lo, d)
+                ).astype(np.float32)
         out_vecs.append(v)
         out_ids.append(np.arange(n, dtype=np.int64) + k * n)
         out_labels.append(labels)

@@ -495,3 +495,70 @@ def test_ivf_near_dup_planted_recall(spark):
     assert got == again
     # max_cluster hard-caps hot clusters: one survivor per cluster → no pairs
     assert ivf_near_dup_pairs(emb, 0.9, n_clusters=16, max_cluster=1).count() == 0
+
+
+def test_ivf_t85_recovers_derived_corpus_plants(spark, tmp_path):
+    """End-to-end pin for the decade-scale measurement regime
+    (`ivf_near_dup_t85`): derive a corpus with scripts/make_sf.py (random
+    orthogonal rotations + the ~1% planted near-dup slices) and run the
+    IVF miner at threshold 0.85 — the output must be essentially the
+    planted population: every planted (source, copy) link is recoverable
+    (IVF recall >= 0.9 on cos ~ 0.99 pairs) and nothing beyond the
+    planted/exact set appears (at 0.85 the isotropic cross-copy tail is
+    negligible, unlike the operators' 0.4 oracle threshold — see
+    PERF_NOTES r13)."""
+    import os
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import make_sf
+
+    from varpulis_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    src = tmp_path / "sfA"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array(np.arange(n) % 10, type=pa.int32()),
+        }),
+        str(src / "embeddings.parquet"),
+    )
+    dst = tmp_path / "sfB"
+    dst.mkdir()
+    make_sf._target(str(src), str(dst))
+    make_sf.make_embeddings()
+
+    emb = spark.read.parquet(str(dst / "embeddings.parquet"))
+    planted = {
+        (i, k * n + i)
+        for k, (lo, hi) in make_sf.planted_slices(n).items()
+        for i in range(lo, hi)
+    }
+    assert planted
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.85).collect()}
+    # the 0.85 population IS the planted class (plants sit at cos ~ 0.99;
+    # distinct composite rotations are isotropically unrelated)
+    assert planted <= exact
+    assert len(exact) <= len(planted) + 3  # tail slack, ~0 expected
+    got = {(r.id_a, r.id_b) for r in ivf_near_dup_pairs(emb, 0.85).collect()}
+    assert got <= exact
+    assert len(got & planted) / len(planted) >= 0.9
