@@ -472,11 +472,20 @@ def q_multimodal_meta(spark, sf):
     from varpulis_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    enc = MM.encode_fake_images(docs)
-    meta = MM.decode_metadata(enc).select("doc_id", "width", "height", "channels")
-    frames = MM.sample_frames(
-        enc.select("doc_id", "content"), every_n=10, frame_bytes=64
+    # persist the encoded frame: meta and frame-sampling both consume it,
+    # and without the cache Spark computes the encode mapInPandas TWICE
+    # (one per join branch — no common-subexpression reuse across plan
+    # branches). `text` is also dropped BEFORE the downstream kernels so it
+    # never round-trips the Python boundary again (guide: pass only the
+    # columns the function needs). Released by the caller via clearCache or
+    # dedup.release_caches (the op registry both bench and oracle use).
+    from varpulis_spark.operators.dedup import _register_cache
+
+    enc = _register_cache(
+        MM.encode_fake_images(docs).select("doc_id", "content").persist()
     )
+    meta = MM.decode_metadata(enc).select("doc_id", "width", "height", "channels")
+    frames = MM.sample_frames(enc, every_n=10, frame_bytes=64)
     n_frames = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     return meta.join(n_frames, "doc_id")
 
@@ -749,7 +758,12 @@ def q_near_dup_clusters(spark, sf):
     pairs = D.ngram_minshingle_pairs(docs, k=8, threshold=0.6)
     cl = D.dedup_clusters(pairs)
     sizes = cl.groupBy("canon_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cl.join(sizes, "canon_id").select(
+    # sizes is an aggregate of the (tiny) component table — a handful of
+    # bytes per cluster — but dedup_clusters' local branch returns a
+    # createDataFrame with NO size statistics, so Catalyst planned this as
+    # a SortMergeJoin (2 exchanges + 2 sorts of scheduling for a join whose
+    # both sides fit in one hand). Pin the broadcast.
+    return cl.join(F.broadcast(sizes), "canon_id").select(
         F.col("id").alias("doc_id"), "canon_id", "cluster_size"
     )
 

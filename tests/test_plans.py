@@ -216,8 +216,10 @@ def test_no_red_flags_in_any_driver_plan(spark, sf_dir):
     joins (quadratic at scale) and no row-at-a-time Python UDFs
     (BatchEvalPython — the non-Arrow slow path). `embedding_near_dup` is
     whitelisted for its row×block-id replication crossJoin (a broadcast of
-    an n_blocks-row frame — the block-matrix shape, not row×row)."""
-    allowed_cartesian = {"embedding_near_dup"}
+    an n_blocks-row frame — the block-matrix shape, not row×row);
+    `embedding_near_dup_capped` is the same cosine_pairs kernel over a
+    fixed 4,000-row slice, so it carries the identical whitelisted shape."""
+    allowed_cartesian = {"embedding_near_dup", "embedding_near_dup_capped"}
     flags = []
     for name, fn in E.queries().items():
         plan = plan_of(fn(spark, sf_dir))
