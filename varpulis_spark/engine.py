@@ -93,6 +93,41 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
     return builder.getOrCreate()
 
 
+# (session id, path, file stamp) → DataFrame plan handle. Plan METADATA
+# only — a DataFrame is an immutable lazy plan; every action still reads the
+# parquet bytes from disk, so no result or data is ever cached here. What the
+# memo removes is the per-call schema-inference work: each spark.read.parquet
+# runs a driver file-listing/footer job (~30-90 ms measured at sf0.1) plus a
+# pyarrow read_schema, repeated for EVERY query × run over the same immutable
+# table — exactly the "parquet footer reads" cost bench.warmup() documents as
+# absorbed, which a fresh scan per call silently re-paid inside the timed
+# region (guide §6: listing/metadata is cached per session; the same
+# principle applied to schema inference). Keyed by file mtime+size so a
+# rewritten table (tests regenerate tmp corpora in place) never serves a
+# stale schema. The memoized DataFrame strongly references its session, so
+# id(spark) cannot be reused while an entry lives.
+_TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _path_stamp(path: str) -> tuple:
+    """Change-detection stamp for a parquet file or directory: rewritten
+    data must produce a new stamp (a dir's mtime changes on any entry
+    create/rename — Spark commits via rename — and the first file's
+    mtime+size catches an in-place single-file rewrite)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (None,)
+    if os.path.isdir(path):
+        first = _first_parquet_file(path)
+        try:
+            fst = os.stat(first)
+            return (st.st_mtime_ns, first, fst.st_mtime_ns, fst.st_size)
+        except OSError:
+            return (st.st_mtime_ns, None)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet reader that tolerates TIMESTAMP(NANOS) columns.
 
@@ -101,7 +136,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     Spark has no ns timestamp, so we read nanos as long and truncate to µs
     TimestampType (`x div 1000` — integer division, no double rounding).
     This matches DuckDB's ns→µs truncation, so oracle comparisons agree.
+
+    The resolved plan handle is memoized per (session, path, file stamp):
+    see _TABLE_PLAN_MEMO.
     """
+    key = (id(spark), path, _path_stamp(path))
+    memo = _TABLE_PLAN_MEMO.get(key)
+    if memo is not None:
+        return memo
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ns_cols: list[str] = []
@@ -127,6 +169,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    if len(_TABLE_PLAN_MEMO) > 256:  # bound long sessions over many dirs
+        _TABLE_PLAN_MEMO.clear()
+    _TABLE_PLAN_MEMO[key] = df
     return df
 
 

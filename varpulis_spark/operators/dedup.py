@@ -1379,7 +1379,6 @@ def _minshingle_verified_pairs(
     # on maxResultSize at sf10; observed r11), so the strategy is pinned
     # both ways. (r10's shuffle_hash concern was hash-building the ARRAY
     # side; the build side here is the narrow one.)
-    total_longs = keyed.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
     # the exchange partition count scales with the EXACT shipped volume
     # (membership-weighted array longs over the cached members frame, one
     # cheap agg): at p = default parallelism the sf10 verify exchange put
@@ -1388,7 +1387,19 @@ def _minshingle_verified_pairs(
     # to ~64 MB per partition keeps the hash aggregation in memory at any
     # scale factor — the exact knob spark.sql.files.maxPartitionBytes
     # applies to scans, applied to this operator-internal exchange.
+    #
+    # Probe order matters (r13, guide §1.2): the members probe runs FIRST —
+    # it pulls the whole chain (shingle pass → keyed persist → window
+    # prefilter → members persist) through one action; the keyed probe then
+    # reads the already-populated cache (keyed carries n = size(sh) by
+    # construction, so sum(n) ≡ sum(size(sh))). The r12 order ran the keyed
+    # probe first as its own 3-4-stage AQE job before the members probe
+    # repeated the scheduling. (A single unionAll probe was tried and
+    # REVERTED: its two branches materialize concurrently, so the members
+    # branch missed the still-empty keyed cache and re-ran the shingle
+    # pass in parallel — slower than either sequential order.)
     shipped_longs = members.agg(F.sum("n")).collect()[0][0] or 0
+    total_longs = keyed.agg(F.sum("n")).collect()[0][0] or 0
     p_verify = max(p, min(4096, int(shipped_longs * 8 // (64 << 20)) + 1))
     if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
         items_src = members.join(F.broadcast(keyed.drop("n")), "id")
@@ -1749,9 +1760,17 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         out = [(x, find(x)) for x in sorted(nodes)]
         edges.unpersist()
         id_t = dict(pairs.dtypes).get("id_a", "bigint")
+        # few partitions, not defaultParallelism: createDataFrame slices
+        # driver-local rows across 32 near-empty partitions, and every
+        # downstream op (size aggregate, join) then schedules 32 tiny
+        # tasks per stage — measured ~0.6 s of pure scheduling at sf0.1
+        # on a 477-row result (guide §2.2: fewer, larger partitions). The
+        # local branch is bounded by local_max edges, so one partition per
+        # ~50k rows keeps tasks meaningful at the branch's ceiling.
+        n_slices = max(1, len(out) // 50_000 + (1 if len(out) % 50_000 else 0))
         return pairs.sparkSession.createDataFrame(
             out, f"id {id_t}, canon_id {id_t}"
-        )
+        ).coalesce(n_slices)
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
     persisted_edges = edges  # keep the persisted handle: repartition below
     # rebinds `edges`, and unpersisting THAT frame would leak the cached
@@ -1865,8 +1884,20 @@ def simhash_near_dup_pairs(
         .select(F.col(id_col).alias("id"), "simhash")
         .persist()  # 4 band projections would re-run the UDF otherwise
     )
+    # the 64-bit signature RIDES THE BANDING (r13, guide §2.4/§8): the old
+    # shape generated bare (id_a, id_b) pairs and joined the signature
+    # table back TWICE to compute Hamming — two extra joins (broadcast
+    # builds at bench scale, shuffles beyond the threshold) for an 8-byte
+    # payload that fits in the bucket lists. Carrying struct(id, simhash)
+    # through the same two-level salted cap doubles only the tiny bucket
+    # exchanges and lets the Hamming check run INLINE during the per-bucket
+    # pair explode — failing candidates die map-side (the
+    # _bucket_verified_pairs principle, minus the Python kernel: bit_count
+    # of a long xor is pure codegen). Output identical: structs sort by id
+    # (unique), so the capped id set matches _bucket_pairs exactly.
     banded = sh.select(
         "id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -1879,15 +1910,41 @@ def simhash_near_dup_pairs(
             )
         ).alias("bucket"),
     )
-    pairs = _bucket_pairs(banded, dedup_pairs=False)
-    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    p = _parallelism(banded)
+    salted = banded.withColumn(
+        "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
+    )
+    lvl1 = (
+        salted.repartition(p, "bucket", "__salt")
+        .groupBy("bucket", "__salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("id", "simhash"))),
+                1,
+                MAX_BUCKET,
+            ).alias("items")
+        )
+    )
+    lists = (
+        lvl1.repartition(p, "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("items"))), 1, MAX_BUCKET
+            ).alias("items")
+        )
+        .filter(F.size("items") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), y -> "
+        "struct(x.id AS id_a, y.id AS id_b, "
+        "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
+    )
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("hamming", hamming)
+        lists.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -220,7 +220,8 @@ def ivf_near_dup_pairs(
         if n_clusters is None:
             n_clusters = max(8, min(256, n // 64))
         centroids = train_ivf_centroids(
-            corpus_df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
+            corpus_df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
+            n_rows=n,
         )
     cent = np.asarray(centroids, dtype=np.float64)
     assign = min(assign, len(cent))
@@ -389,11 +390,14 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
     id_col: str = "vec_id",
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """K-means centroids for the IVF coarse quantizer (Lloyd iterations on
     a driver-side sample, spherical: centroids re-normalized each step so
     assignment is by cosine). The SAMPLE comes to the driver — bounded by
-    `sample`, never the corpus.
+    `sample`, never the corpus. Pass `n_rows` (the null-filtered corpus
+    count) when the caller already ran that count — it sizes the sampling
+    threshold identically and skips a duplicate count job (r13).
 
     Sampling is by hash-threshold on the id (`xxhash64(id) % D < K`): the
     scan parallelizes across all input splits (a global `limit(n)` funnels
@@ -419,7 +423,7 @@ def train_ivf_centroids(
         ]
     else:
         denom = 1 << 20
-        n = nonnull.count()
+        n = nonnull.count() if n_rows is None else n_rows
         if n <= sample:
             cond = F.lit(True)
         else:
