@@ -439,7 +439,9 @@ def q_lag_delta(spark, sf):
 
 
 def q_text_stats(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # single-row-group parquet → 1-task scan; the tokenization/regex work
+    # is the whole query, so spread it across the cores (guide §2.5)
+    docs = D.spread(load_table(spark, sf, "documents").select("doc_id", "text"))
     return T.with_text_stats(docs).select(
         "doc_id", "n_tokens", "n_subtokens", "punct_ratio", "stopword_ratio",
         F.round("quality", 6).alias("quality"), "fingerprint", "lang_pred",
@@ -447,7 +449,9 @@ def q_text_stats(spark, sf):
 
 
 def q_lang_distribution(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # spread: tokenize+stopword filters are the query's CPU; 1-task scan
+    # otherwise (single row group — see q_props_dynamic)
+    docs = D.spread(load_table(spark, sf, "documents").select("text"))
     return (
         T.with_lang_id(docs)
         .groupBy("lang_pred")
@@ -471,7 +475,7 @@ def q_multimodal_meta(spark, sf):
     width/height/channels/frame-count without touching binary."""
     from varpulis_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = D.spread(load_table(spark, sf, "documents").select("doc_id", "text"))
     # persist the encoded frame: meta and frame-sampling both consume it,
     # and without the cache Spark computes the encode mapInPandas TWICE
     # (one per join branch — no common-subexpression reuse across plan
@@ -532,7 +536,10 @@ fn collatz_len(n0: int) -> int:
 stream Out = purchase
     .emit(event_id: event_id, user_id: user_id, steps: collatz_len(event_id % 100 + 1))
 """
-    out = run_program(src, Stream.events(spark, sf))["Out"]
+    # spread: the compiled-fn pandas UDF is the per-row cost; the 1-task
+    # single-row-group scan would serialize it (see q_props_dynamic)
+    s = Stream.events(spark, sf)
+    out = run_program(src, s._with(D.spread(s.df)))["Out"]
     return out.select("event_id", "user_id", "steps")
 
 
@@ -773,7 +780,12 @@ def q_props_dynamic(spark, sf):
     JSON `props` payload — Value::Map, value.rs:31-42): parse the JSON
     column, extract a dynamic field, filter + aggregate on it. Exercises
     from_json → Catalyst JsonToStructs with field pruning."""
-    ev = Stream.events(spark, sf).df
+    # project to the two needed columns, then spread: the bench parquet is
+    # ONE row group, so the scan is a single task and the from_json parse —
+    # the query's entire CPU cost — ran on 1 of 32 cores (guide §2.5 input
+    # skew / §4: the JSON parse is the heavy per-row work; measured 2.8 s
+    # single-task at sf1). The exchange ships only (event_type, props).
+    ev = D.spread(Stream.events(spark, sf).df.select("event_type", "props"))
     k = F.from_json(F.col("props"), "k long").getField("k")
     # conditional aggregation instead of filter-then-aggregate: Catalyst
     # pushes a post-projection filter back below the Project and
@@ -828,10 +840,14 @@ def q_score_mlp(spark, sf):
     if not os.path.exists(path):
         with open(path, "wb") as f:
             f.write(make_mlp_onnx(w1, b1, w2, b2))
-    ev = load_table(spark, sf, "events").select(
-        "event_id",
-        F.col("value").alias("f1"),
-        F.pmod(F.col("value"), F.lit(7.0)).alias("f2"),
+    # spread after the narrow projection: the ONNX batch inference is the
+    # per-row cost and the single-row-group scan would run it on one task
+    ev = D.spread(
+        load_table(spark, sf, "events").select(
+            "event_id",
+            F.col("value").alias("f1"),
+            F.pmod(F.col("value"), F.lit(7.0)).alias("f2"),
+        )
     )
     out = score_op(ev, path, inputs=["f1", "f2"], output="risk")
     return out.select("event_id", F.round("risk", 6).alias("risk"))

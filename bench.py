@@ -58,6 +58,32 @@ SF1_EXCLUDE = {"embedding_near_dup"}
 QUERY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "120"))
 SUITE_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_SUITE_BUDGET", "900"))
 
+# Measurement-bug fix (r13, guide §1.4): `count()` lets Catalyst prune
+# deterministic projections, and a plan probe over all 48 declared queries
+# (OPTIMIZATION_r13.md) found exactly two whose ENTIRE work is such a
+# projection — `text_stats` (pure-Catalyst regex/tokenize columns) and
+# `collatz_steps` (pandas-UDF column): their count-timed numbers measured a
+# bare column-less parquet scan. These two are now timed through the noop
+# sink (computes every output column, discards rows); the old-methodology
+# numbers stay alongside as `<name>__count` entries so the r1-r12 trend
+# tables remain readable. Every other query keeps its work nodes under
+# count() (same probe), so its numbers stay methodology-identical.
+NOOP_TIMED = {"text_stats", "collatz_steps"}
+
+
+def bench_items() -> list[tuple[str, object, str]]:
+    """(bench_name, query_fn, action) list the suite runs: NOOP_TIMED
+    queries get a noop-sink timing under their contract name plus a
+    `<name>__count` legacy twin; everything else is count-timed."""
+    items: list[tuple[str, object, str]] = []
+    for name, fn in entrymod.queries().items():
+        if name in NOOP_TIMED:
+            items.append((name, fn, "noop"))
+            items.append((name + "__count", fn, "count"))
+        else:
+            items.append((name, fn, "count"))
+    return items
+
 
 def wait_for_idle(threshold: float = 1.0) -> tuple[float, bool]:
     """Block until BOTH the 1-min and 5-min loadavg are < threshold
@@ -243,19 +269,29 @@ def warmup(spark, sf_dir: str) -> int:
     return n_events
 
 
-def timed_count(spark, fn, sf_dir: str, name: str) -> tuple[int | None, float]:
-    """fn(spark, sf_dir).count() under a wall-clock cap. Returns
-    (rows, seconds) or (None, -1.0) on timeout. The count runs in a worker
-    thread holding its own Spark job group (pinned-thread mode: the group
-    must be set INSIDE the thread); on timeout the group is cancelled so
-    the executors stop burning cores on the abandoned query."""
+def timed_count(
+    spark, fn, sf_dir: str, name: str, action: str = "count"
+) -> tuple[int | None, float]:
+    """fn(spark, sf_dir) forced with `action` ("count", or "noop" — the
+    noop sink computes every column, guide §1.4) under a wall-clock cap.
+    Returns (rows, seconds) or (None, -1.0) on timeout; noop runs return
+    rows=None (the caller backfills from the count twin). The action runs
+    in a worker thread holding its own Spark job group (pinned-thread
+    mode: the group must be set INSIDE the thread); on timeout the group
+    is cancelled so the executors stop burning cores on the abandoned
+    query."""
     result: dict = {}
     group = f"bench-{name}-{time.monotonic_ns()}"
 
     def work() -> None:
         try:
             spark.sparkContext.setJobGroup(group, name, True)
-            result["rows"] = fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            if action == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                result["rows"] = None
+            else:
+                result["rows"] = df.count()
         except BaseException as e:  # noqa: BLE001 - re-raised on the main thread
             result["err"] = e
 
@@ -283,8 +319,8 @@ def run_suite(
     rows: dict[str, int] = {}
     skipped: list[str] = []
     suite_t0 = time.time()
-    for name, fn in entrymod.queries().items():
-        if name in skip:
+    for name, fn, action in bench_items():
+        if name in skip or name.split("__")[0] in skip:
             continue
         if time.time() - suite_t0 > SUITE_BUDGET:
             skipped.append(name)
@@ -293,7 +329,7 @@ def run_suite(
         try:
             samples = []
             for _ in range(max(1, runs_per_query)):
-                n, sec = timed_count(spark, fn, sf_dir, name)
+                n, sec = timed_count(spark, fn, sf_dir, name, action)
                 spark.catalog.clearCache()
                 from varpulis_spark.operators.dedup import release_caches
 
@@ -302,7 +338,8 @@ def run_suite(
                     print(f"bench timeout in {name} (> {QUERY_TIMEOUT}s)", file=sys.stderr)
                     samples = []
                     break
-                rows[name] = n
+                if n is not None:
+                    rows[name] = n
                 samples.append(sec)
             if not samples:
                 times[name] = -1.0
@@ -317,7 +354,7 @@ def run_suite(
                 and max(samples) / min(samples) > 3.0
             ):
                 for _ in range(2):
-                    n, sec = timed_count(spark, fn, sf_dir, name)
+                    n, sec = timed_count(spark, fn, sf_dir, name, action)
                     spark.catalog.clearCache()
                     from varpulis_spark.operators.dedup import release_caches
 
@@ -330,6 +367,9 @@ def run_suite(
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+    for q in NOOP_TIMED:  # noop runs report no row count; the twin does
+        if q in times and q not in rows and q + "__count" in rows:
+            rows[q] = rows[q + "__count"]
     return times, spread, rows, skipped
 
 
@@ -442,7 +482,11 @@ def main() -> None:
     # exposes host-contention noise so round-over-round deltas can be read
     # against variance.
     times, spread, rows, skipped = run_suite(spark, sf_dir, runs_per_query)
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    # suite total counts each declared query ONCE (the `__count` legacy
+    # twins are extra telemetry, not extra suite members)
+    total = round(
+        sum(t for n, t in times.items() if t >= 0 and "__" not in n), 3
+    )
     # comparable to BASELINE.md CPU-bound event throughput (filter row)
     filter_tput = (
         round(n_events / times["high_value_filter"])
@@ -515,7 +559,9 @@ def main() -> None:
                 ),
                 "eps_ratio_vs_sf0.1": ratio,
                 "runs_per_query": runs1,
-                "value": round(sum(v for v in t1.values() if v >= 0), 3),
+                "value": round(
+                    sum(v for n, v in t1.items() if v >= 0 and "__" not in n), 3
+                ),
                 "excluded": sorted(SF1_EXCLUDE),
                 "skipped": sk1,
             }

@@ -1763,14 +1763,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # few partitions, not defaultParallelism: createDataFrame slices
         # driver-local rows across 32 near-empty partitions, and every
         # downstream op (size aggregate, join) then schedules 32 tiny
-        # tasks per stage — measured ~0.6 s of pure scheduling at sf0.1
-        # on a 477-row result (guide §2.2: fewer, larger partitions). The
-        # local branch is bounded by local_max edges, so one partition per
-        # ~50k rows keeps tasks meaningful at the branch's ceiling.
+        # tasks per stage (guide §2.2: fewer, larger partitions). Slice at
+        # the SOURCE (parallelize(out, n)) — a coalesce(1) on the default
+        # frame was tried and reverted: the merged task re-runs the Python
+        # evaluation handshake once per PARENT partition (~140 ms × 32 ≈
+        # 4.5 s per downstream subtree, measured). One partition per ~50k
+        # rows keeps tasks meaningful at the branch's 1M-edge ceiling.
         n_slices = max(1, len(out) // 50_000 + (1 if len(out) % 50_000 else 0))
-        return pairs.sparkSession.createDataFrame(
-            out, f"id {id_t}, canon_id {id_t}"
-        ).coalesce(n_slices)
+        spark = pairs.sparkSession
+        try:
+            rdd = spark.sparkContext.parallelize(out, n_slices)
+            return spark.createDataFrame(rdd, f"id {id_t}, canon_id {id_t}")
+        except Exception:  # Spark Connect: no sparkContext — default slicing
+            return spark.createDataFrame(out, f"id {id_t}, canon_id {id_t}")
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
     persisted_edges = edges  # keep the persisted handle: repartition below
     # rebinds `edges`, and unpersisting THAT frame would leak the cached
