@@ -582,23 +582,22 @@ def minhash_near_dup_pairs(
 
     # banding carries only (band-bucket hash, id) — the shuffle and the
     # per-bucket pair explosion never touch the 128-long signatures.
-    # xxhash64 hashes the band's longs directly (no string casts).
+    # xxhash64 hashes the band's longs directly (no string casts). The
+    # expression is assembled as ONE SQL string: composing it from Column
+    # objects issued ~5,300 py4j round-trips (~1.4 s of driver wall per
+    # query build, measured r13 — guide §1.2 driver overhead); a single
+    # F.expr is one round-trip and parses to the identical plan.
+    band_exprs = ", ".join(
+        "xxhash64({j}, {items})".format(
+            j=j,
+            items=", ".join(
+                f"sig[{j * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for j in range(bands)
+    )
     banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(j),
-                        *[
-                            F.col("sig").getItem(j * rows_per_band + r)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        "id", F.explode(F.expr(f"array({band_exprs})")).alias("bucket")
     )
 
     # bucket-local verification (r8): the banding S-curve lets through
@@ -609,7 +608,14 @@ def minhash_near_dup_pairs(
     # candidate through a shuffle join and blew the sf10 timeout. The
     # agreement check now runs inline during the per-bucket pair explode;
     # failing candidates never materialize (see _bucket_verified_pairs).
-    return _bucket_verified_pairs(banded, base, num_perm, threshold)
+    # n_sigs: base is a 1:1 projection of df, so df.count() — metadata-only
+    # on an unfiltered parquet scan — equals base.count() exactly without
+    # forcing the signature UDF pass as a serial build-time job (r13,
+    # guide §1.2: the probe cost ~1.5 s of the sf0.1 wall; the sig pass
+    # now runs pipelined inside the main action instead).
+    return _bucket_verified_pairs(
+        banded, base, num_perm, threshold, n_sigs=df.count()
+    )
 
 
 def _bucketed_near_dup_streaming(
@@ -948,7 +954,11 @@ def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
 
 
 def _bucket_verified_pairs(
-    banded: DataFrame, base: DataFrame, num_perm: int, threshold: float
+    banded: DataFrame,
+    base: DataFrame,
+    num_perm: int,
+    threshold: float,
+    n_sigs: int | None = None,
 ) -> DataFrame:
     """(id, bucket) candidates → verified (id_a, id_b, est_jaccard) with
     the signature-agreement check computed INSIDE the per-bucket pair
@@ -992,7 +1002,10 @@ def _bucket_verified_pairs(
     # undershoot and auto-broadcast a GB-scale sig table — collects to the
     # driver and dies on maxResultSize (observed at sf30, r11; flaky with
     # cache-materialization timing).
-    sig_bytes = base.count() * (num_perm + 1) * 8
+    # n_sigs is supplied by callers that know the signature-table row count
+    # without an action (base is a 1:1 projection of the caller's input);
+    # the count() fallback forces the full signature pass eagerly.
+    sig_bytes = (n_sigs if n_sigs is not None else base.count()) * (num_perm + 1) * 8
     if sig_bytes <= VERIFY_BROADCAST_MAX_BYTES:
         joined = capped.join(F.broadcast(base), "id")
     else:
@@ -1090,44 +1103,36 @@ def _minshingle_blocks(
     from pyspark.sql.window import Window
 
     slots = 2 * bands
-    slot_min = [
-        F.coalesce(
-            F.array_min(F.filter(F.col("sh"), lambda h: h % slots == t)),
-            F.lit(-1).cast("long"),
-        )
-        for t in range(slots)
-    ]
-    # per-band SECONDARY minimum from an independent hash digit — min over
-    # {h : (h div slots) % bands == j}, i.e. the SECOND base-`slots` digit
-    # of the 60-bit md5 prefix (the primary slotting reads the first).
-    # Expressed as a pure-modulo range test (h % (slots·bands) ∈
-    # [j·slots, (j+1)·slots)) so the arithmetic is exact int64 in both
-    # engines (a double division would lose bits above 2^53). Used ONLY to
-    # subdivide over-cap blocks; see the split below.
+    # per-band SECONDARY minimum (m2raw) from an independent hash digit —
+    # min over {h : (h div slots) % bands == j}, i.e. the SECOND base-
+    # `slots` digit of the 60-bit md5 prefix (the primary slotting reads
+    # the first). Expressed as a pure-modulo range test (h % (slots·bands)
+    # ∈ [j·slots, (j+1)·slots)) so the arithmetic is exact int64 in both
+    # engines (a double division would lose bits above 2^53). m2raw is
+    # used ONLY to subdivide over-cap blocks; see the split below.
+    #
+    # The whole band-key array is assembled as ONE SQL string: composing
+    # it per-band from Column objects + Python lambdas issued ~2,000 py4j
+    # round-trips (~0.9 s of driver wall per query build, measured r13 —
+    # guide §1.2 driver overhead); a single F.expr is one round-trip and
+    # parses to the identical plan.
     sb = slots * bands
-    m2_min = [
-        F.coalesce(
-            F.array_min(
-                F.filter(
-                    F.col("sh"),
-                    lambda h, j=j: (h % sb >= j * slots) & (h % sb < (j + 1) * slots),
-                )
+
+    def _filter_min(cond: str) -> str:
+        return f"coalesce(array_min(filter(sh, h -> {cond})), -1L)"
+
+    band_structs = ", ".join(
+        "named_struct('band', {j}, 'm0', {m0}, 'm1', {m1}, 'm2raw', {m2})".format(
+            j=j,
+            m0=_filter_min(f"h % {slots} = {2 * j}"),
+            m1=_filter_min(f"h % {slots} = {2 * j + 1}"),
+            m2=_filter_min(
+                f"(h % {sb}) >= {j * slots} and (h % {sb}) < {(j + 1) * slots}"
             ),
-            F.lit(-1).cast("long"),
         )
         for j in range(bands)
-    ]
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                slot_min[2 * j].alias("m0"),
-                slot_min[2 * j + 1].alias("m1"),
-                m2_min[j].alias("m2raw"),
-            )
-            for j in range(bands)
-        ]
     )
+    band_keys = F.expr(f"array({band_structs})")
     blocks = (
         keyed.select("id", "n", F.explode(band_keys).alias("bk"))
         .select("id", "n", "bk.band", "bk.m0", "bk.m1", "bk.m2raw")
