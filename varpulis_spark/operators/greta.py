@@ -262,38 +262,50 @@ def trend_aggregate_multi(
         # agg, whole-stage codegen, no Python); the per-query rows then
         # explode from an in-row struct array. Keys with zero events of a
         # query's type emit the zero row naturally (n_T = 0).
+        # The aggregate and per-query struct expressions are assembled as
+        # SQL strings: composing them from Column objects issued ~2,000
+        # py4j round-trips for a 10-query spec (~0.7 s of driver wall per
+        # query build, measured r13 — guide §1.2 driver overhead); one
+        # F.expr per aggregate/array is a handful of round-trips and
+        # parses to the identical optimized plan (normalized-plan diff).
+        def _sq(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
         agg_exprs = []
         for i, g in enumerate(groups.values()):
             cond = (
-                F.col("event_type") == g["etype"]
-                if g["etype"] is not None else F.lit(True)
+                f"event_type = {_sq(g['etype'])}"
+                if g["etype"] is not None else "true"
             )
             agg_exprs.append(
-                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
-                .cast("double").alias(f"__n_{i}")
+                f"cast(sum(case when {cond} then 1 else 0 end) as double)"
+                f" as `__n_{i}`"
             )
             for f in g["fields"]:
                 agg_exprs.append(
-                    F.sum(F.when(cond, F.col(f))).alias(f"__s_{i}_{f}")
+                    f"sum(case when {cond} then `{f}` end) as `__s_{i}_{f}`"
                 )
-        base = df.groupBy(*[F.col(k) for k in keys]).agg(*agg_exprs)
+        base = df.groupBy(*[F.col(k) for k in keys]).agg(
+            *[F.expr(e) for e in agg_exprs]
+        )
         structs = []
         for i, g in enumerate(groups.values()):
-            n = F.col(f"__n_{i}")
-            p = F.pow(F.lit(2.0), n - F.lit(1.0))
+            n = f"`__n_{i}`"
+            p = f"power(2.0D, {n} - 1.0D)"
             for name, fi in g["members"]:
                 vs = (
-                    F.coalesce(F.col(f"__s_{i}_{g['fields'][fi]}"), F.lit(0.0)) * p
-                    if fi is not None else F.lit(0.0)
+                    f"coalesce(`__s_{i}_{g['fields'][fi]}`, 0.0D) * {p}"
+                    if fi is not None else "0.0D"
                 )
-                structs.append(F.struct(
-                    F.lit(name).alias("query"),
-                    (F.lit(2.0) * p - F.lit(1.0)).alias("trend_count"),
-                    (n * p).alias("event_count"),
-                    vs.alias("value_sum"),
-                ))
+                structs.append(
+                    f"struct({_sq(name)} as query, "
+                    f"2.0D * {p} - 1.0D as trend_count, "
+                    f"{n} * {p} as event_count, "
+                    f"{vs} as value_sum)"
+                )
         return base.select(
-            *keys, F.explode(F.array(*structs)).alias("__q")
+            *keys,
+            F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("__q"),
         ).select(*keys, "__q.*")
 
     key_fields = ", ".join(f"{k} {t}" for k, t in df.dtypes if k in keys)

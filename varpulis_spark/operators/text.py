@@ -95,21 +95,37 @@ def lang_id(text: Column) -> Column:
     return _lang_case(lang_scores(text))
 
 
+def _sql_str_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Language-ID with the token array and per-language scores materialized
-    once (separate projections, so CollapseProject keeps single evaluation)."""
-    df = df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    once (separate projections, so CollapseProject keeps single evaluation).
+
+    Expressions are assembled as SQL strings and parsed with one F.expr
+    each: composing them from Column objects + Python lambdas issued
+    hundreds of py4j round-trips per build (guide §1.2 driver overhead,
+    measured r13); the parsed plan is identical (normalized-plan diff)."""
+    t = f"`{text_col}`"
+    df = df.withColumn("__toks", F.expr(f"split(trim(lower({t})), '\\\\s+')"))
     sets = {"en": STOPWORDS_EN, "de": STOPWORDS_DE, "es": STOPWORDS_ES, "fr": STOPWORDS_FR}
-
-    def _hit_counter(sw: list[str]):
-        # NB: the predicate must be a SINGLE-arg lambda — F.filter dispatches
-        # on arity, and a defaulted second parameter would receive the index.
-        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(sw)))
-
-    for code, sw in sets.items():
-        df = df.withColumn(f"__s_{code}", _hit_counter(sw))
-    scores = {code: F.col(f"__s_{code}") for code in sets}
-    return df.withColumn(out_col, _lang_case(scores)).drop("__toks", *[f"__s_{c}" for c in sets])
+    df = df.withColumns(
+        {
+            f"__s_{code}": F.expr(
+                f"size(filter(__toks, t -> t in ({_sql_str_list(sw)})))"
+            )
+            for code, sw in sets.items()
+        }
+    )
+    # argmax with deterministic alphabetical tie-break; 'und' when no hits
+    # (same branch order as _lang_case: the und-guard first, then sorted
+    # codes, each comparing against the full greatest(...) tree)
+    best = "greatest(" + ", ".join(f"__s_{c}" for c in sets) + ")"
+    case = f"case when {best} <= 0 then 'und' " + " ".join(
+        f"when __s_{c} = {best} then '{c}'" for c in sorted(sets)
+    ) + " else 'und' end"
+    return df.withColumn(out_col, F.expr(case)).drop("__toks", *[f"__s_{c}" for c in sets])
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -117,27 +133,43 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Intermediates (token array, counts) are materialized as their own
     projections so each is computed once per row."""
-    t = F.col(text_col)
-    df = (
-        df.withColumn("__toks", tokens(t))
-        .withColumn("__toks_l", tokens(F.lower(t)))
-        .withColumn("__punct", F.regexp_count(t, F.lit(PUNCT_CLASS)).cast("double"))
+    t = f"`{text_col}`"
+    # SQL-string expression assembly (one F.expr per column) — the Column/
+    # lambda composition issued ~900 py4j round-trips per build (~0.5 s of
+    # driver wall, measured r13 — guide §1.2). The optimized plan keeps the
+    # same values with slightly different projection-merge boundaries
+    # (__toks/__punct stay materialized instead of CollapseProject inlining
+    # a duplicate split into n_tokens); oracle hash-verified.
+    df = df.withColumns(
+        {
+            "__toks": F.expr(f"split(trim({t}), '\\\\s+')"),
+            "__toks_l": F.expr(f"split(trim(lower({t})), '\\\\s+')"),
+            "__punct": F.expr(f"cast(regexp_count({t}, '{PUNCT_CLASS}') as double)"),
+        }
     )
-    df = (
-        df.withColumn("n_tokens", F.size(F.col("__toks")))
-        .withColumn("n_subtokens", bpe_ish_token_count(t))
-        .withColumn("punct_ratio", F.col("__punct") / F.length(t))
-        .withColumn(
-            "stopword_ratio",
-            F.size(F.filter(F.col("__toks_l"), lambda x: x.isin(STOPWORDS_EN)))
-            / F.size(F.col("__toks_l")),
-        )
+    df = df.withColumns(
+        {
+            "n_tokens": F.expr("size(__toks)"),
+            "n_subtokens": F.expr(
+                f"size(regexp_extract_all({t},"
+                " '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s])', 0))"
+            ),
+            "punct_ratio": F.expr(f"__punct / length({t})"),
+            "stopword_ratio": F.expr(
+                f"size(filter(__toks_l, x -> x in ({_sql_str_list(STOPWORDS_EN)})))"
+                " / size(__toks_l)"
+            ),
+        }
     )
-    quality = (
-        F.lit(0.4) * F.least(F.col("n_tokens").cast("double") / F.lit(64.0), F.lit(1.0))
-        + F.lit(0.3) * F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * F.lit(10.0))
-        + F.lit(0.3) * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+    df = df.withColumns(
+        {
+            "quality": F.expr(
+                "0.4D * least(cast(n_tokens as double) / 64.0D, 1.0D)"
+                " + 0.3D * greatest(0.0D, 1.0D - punct_ratio * 10.0D)"
+                " + 0.3D * least(stopword_ratio * 4.0D, 1.0D)"
+            ),
+            "fingerprint": F.expr(f"md5(lower(regexp_replace({t}, '\\\\s+', ' ')))"),
+        }
     )
-    df = df.withColumn("quality", quality).withColumn("fingerprint", fingerprint(t))
     df = with_lang_id(df, text_col)
     return df.drop("__toks", "__toks_l", "__punct")
