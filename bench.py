@@ -377,10 +377,11 @@ def _running_round() -> str:
     """The RUNNING round number for artifact filenames.
 
     $SPARK_GRAFT_ROUND wins when set. Otherwise derive it from the newest
-    committed CORRECTNESS_r{N}.json + 1: those files land when a round
-    CLOSES, so during round N+1 the newest is r{N}. The old hardcoded
-    default ("11") filed round-12 driver data under r11 (VERDICT r12
-    finding #3) — a stale constant masquerading as the current round."""
+    committed CORRECTNESS_r{N}.json: the round driver writes
+    CORRECTNESS_r{N} BEFORE it runs this bench (r13's close produced a
+    detail artifact stamped r14 — VERDICT r13 'what's wrong' #3), so
+    newest-CORRECTNESS = r{N} means round N is still CLOSING unless its
+    BENCH_r{N}.json has also landed; only then is round N+1 underway."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return env
@@ -390,7 +391,14 @@ def _running_round() -> str:
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
         if m:
             rounds.append(int(m.group(1)))
-    return str(max(rounds) + 1) if rounds else "0"
+    if not rounds:
+        return "0"
+    n = max(rounds)
+    if os.path.exists(os.path.join(here, f"BENCH_r{n:02d}.json")) or os.path.exists(
+        os.path.join(here, f"BENCH_r{n}.json")
+    ):
+        return str(n + 1)  # round n fully closed: this run belongs to n+1
+    return str(n)  # round n's driver close is in flight: stamp n
 
 
 def _detail_path(contended: bool = False) -> str:
@@ -483,9 +491,11 @@ def main() -> None:
     # against variance.
     times, spread, rows, skipped = run_suite(spark, sf_dir, runs_per_query)
     # suite total counts each declared query ONCE (the `__count` legacy
-    # twins are extra telemetry, not extra suite members)
+    # twins are extra telemetry, not extra suite members; match the twin
+    # SUFFIX explicitly — ADVICE r13: a future query whose own name happens
+    # to contain "__" must not silently fall out of the total)
     total = round(
-        sum(t for n, t in times.items() if t >= 0 and "__" not in n), 3
+        sum(t for n, t in times.items() if t >= 0 and not n.endswith("__count")), 3
     )
     # comparable to BASELINE.md CPU-bound event throughput (filter row)
     filter_tput = (
@@ -560,7 +570,12 @@ def main() -> None:
                 "eps_ratio_vs_sf0.1": ratio,
                 "runs_per_query": runs1,
                 "value": round(
-                    sum(v for n, v in t1.items() if v >= 0 and "__" not in n), 3
+                    sum(
+                        v
+                        for n, v in t1.items()
+                        if v >= 0 and not n.endswith("__count")
+                    ),
+                    3,
                 ),
                 "excluded": sorted(SF1_EXCLUDE),
                 "skipped": sk1,
@@ -594,6 +609,16 @@ def main() -> None:
         with open(detail, "w") as f:
             f.write(json.dumps(out) + "\n")
         print(compact_line(out, detail), flush=True)
+
+    # the ABSOLUTE last stdout action re-prints the final compact line
+    # after Spark shutdown: the r12 driver capture lost its one-line JSON
+    # to post-JSON shutdown noise in the bounded tail (VERDICT r13 #3) —
+    # with stop() already done, nothing can print after this line.
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 - shutdown is best-effort
+        pass
+    print(compact_line(out, detail), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from varpulis_spark.engine import TABLE_NAMES, get_spark  # noqa: E402
+from varpulis_spark.operators.dedup import release_caches  # noqa: E402
 
 
 def norm_cell(v):
@@ -62,6 +63,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # operator-registered persists (multimodal encode, near-dup
+            # signature caches) are per-query intermediates; without this
+            # they accumulate across the 48-query sweep (ADVICE r13)
+            release_caches()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only  {name}: {len(rows)} rows  ({time.time()-t0:.1f}s)")
             continue

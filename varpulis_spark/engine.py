@@ -102,29 +102,53 @@ def get_spark(app_name: str = "varpulis_spark", cores: int | None = None) -> Spa
 # table — exactly the "parquet footer reads" cost bench.warmup() documents as
 # absorbed, which a fresh scan per call silently re-paid inside the timed
 # region (guide §6: listing/metadata is cached per session; the same
-# principle applied to schema inference). Keyed by file mtime+size so a
+# principle applied to schema inference). Keyed by file stamps so a
 # rewritten table (tests regenerate tmp corpora in place) never serves a
-# stale schema. The memoized DataFrame strongly references its session, so
-# id(spark) cannot be reused while an entry lives.
+# stale schema. Sessions are identified by a uuid token stamped onto the
+# SparkSession object itself (not id(spark), which the allocator may reuse
+# after a wholesale clear() drops the strong reference — VERDICT r13 #5).
 _TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _session_token(spark: SparkSession) -> str:
+    tok = getattr(spark, "_varpulis_memo_token", None)
+    if tok is None:
+        import uuid
+
+        tok = uuid.uuid4().hex
+        try:
+            spark._varpulis_memo_token = tok
+        except Exception:  # frozen/slotted session object: fall back to id
+            return f"id:{id(spark)}"
+    return tok
 
 
 def _path_stamp(path: str) -> tuple:
     """Change-detection stamp for a parquet file or directory: rewritten
-    data must produce a new stamp (a dir's mtime changes on any entry
-    create/rename — Spark commits via rename — and the first file's
-    mtime+size catches an in-place single-file rewrite)."""
+    data must produce a new stamp. For a directory the stamp aggregates
+    EVERY entry (count + summed mtime_ns + total size via one os.scandir
+    pass, ~µs for bench-sized dirs) — the earlier dir-mtime + first-file
+    stamp missed an in-place rewrite of a non-first file, which changes
+    neither (ADVICE r13)."""
     try:
         st = os.stat(path)
     except OSError:
         return (None,)
     if os.path.isdir(path):
-        first = _first_parquet_file(path)
+        n, mt_sum, sz_sum = 0, 0, 0
         try:
-            fst = os.stat(first)
-            return (st.st_mtime_ns, first, fst.st_mtime_ns, fst.st_size)
+            with os.scandir(path) as it:
+                for e in it:
+                    try:
+                        est = e.stat()
+                    except OSError:
+                        continue
+                    n += 1
+                    mt_sum += est.st_mtime_ns
+                    sz_sum += est.st_size
         except OSError:
             return (st.st_mtime_ns, None)
+        return (st.st_mtime_ns, n, mt_sum, sz_sum)
     return (st.st_mtime_ns, st.st_size)
 
 
@@ -140,7 +164,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     The resolved plan handle is memoized per (session, path, file stamp):
     see _TABLE_PLAN_MEMO.
     """
-    key = (id(spark), path, _path_stamp(path))
+    key = (_session_token(spark), path, _path_stamp(path))
     memo = _TABLE_PLAN_MEMO.get(key)
     if memo is not None:
         return memo

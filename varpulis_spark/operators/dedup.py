@@ -1776,11 +1776,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # rows keeps tasks meaningful at the branch's 1M-edge ceiling.
         n_slices = max(1, len(out) // 50_000 + (1 if len(out) % 50_000 else 0))
         spark = pairs.sparkSession
+        # Spark Connect has no driver sparkContext (the property RAISES on
+        # a Connect session) — guard ONLY the attribute access, so real
+        # schema/type errors from parallelize/createDataFrame propagate
+        # instead of silently re-running down the default-slicing path
+        # (ADVICE r13)
         try:
-            rdd = spark.sparkContext.parallelize(out, n_slices)
+            sc = spark.sparkContext
+        except Exception:  # noqa: BLE001 - Connect: property raises
+            sc = None
+        if sc is not None:
+            rdd = sc.parallelize(out, n_slices)
             return spark.createDataFrame(rdd, f"id {id_t}, canon_id {id_t}")
-        except Exception:  # Spark Connect: no sparkContext — default slicing
-            return spark.createDataFrame(out, f"id {id_t}, canon_id {id_t}")
+        return spark.createDataFrame(out, f"id {id_t}, canon_id {id_t}")
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
     persisted_edges = edges  # keep the persisted handle: repartition below
     # rebinds `edges`, and unpersisting THAT frame would leak the cached
