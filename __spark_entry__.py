@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from varpulis_spark import Stream
+from varpulis_spark import engine
 from varpulis_spark.engine import load_table
 from varpulis_spark.operators import aggregates as A
 from varpulis_spark.operators import dedup as D
@@ -557,7 +558,11 @@ def q_embedding_near_dup(spark, sf):
 
 def q_minhash_near_dup(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return D.minhash_near_dup_pairs(docs, threshold=0.4).select(
+    # exact doc count from the parquet footer (metadata-only): the operator
+    # only needs it to size the signature-broadcast decision, and a count()
+    # here ran a 2-job scan-aggregate during query build (~0.3 s at sf0.1)
+    n = engine.parquet_num_rows(os.path.join(sf, "documents.parquet"))
+    return D.minhash_near_dup_pairs(docs, threshold=0.4, n_rows=n).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
@@ -577,9 +582,17 @@ def q_ann_ivf(spark, sf):
     Rank ties broken by neighbor_id in both engines."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return SIM.ivf_topk(emb, queries_df, k=10, n_clusters=32, nprobe=8).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    # footer row count in place of the training count job — EXACTLY valid
+    # only when it is ≤ the training sample size (10k): then the sampling
+    # condition is `True` for any null-filtered count ≤ it, so the trained
+    # centroids are byte-identical with or without the hint. Above 10k the
+    # hint is withheld and training runs its own null-filtered count —
+    # correct at every scale, count-free at bench scales (r14, guide §1.2).
+    n = engine.parquet_num_rows(os.path.join(sf, "embeddings.parquet"))
+    hint = n if n is not None and n <= 10_000 else None
+    return SIM.ivf_topk(
+        emb, queries_df, k=10, n_clusters=32, nprobe=8, n_rows=hint
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _ann_ivf_oracle_sql() -> str:

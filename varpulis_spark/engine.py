@@ -213,5 +213,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Exact row count of a parquet file or directory from footer metadata
+    (num_rows is a MANDATORY row-level footer field — exact for any
+    writer), no Spark job. A plain count() over the same table costs a
+    full 2-job scan-aggregate round (~0.3 s at sf0.1, measured r14) that
+    operators run during QUERY BUILD just to size a broadcast decision —
+    this is the metadata-only answer. Returns None when the path is not
+    readable parquet (callers fall back to count())."""
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 - non-local / unreadable: use count()
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

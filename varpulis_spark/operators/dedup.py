@@ -555,8 +555,13 @@ def minhash_near_dup_pairs(
     bands: int = 32,
     shingle_k: int = 7,
     threshold: float = 0.5,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    ``n_rows``: exact row count of ``df`` when the caller already knows it
+    (e.g. from parquet footer metadata) — sizes the signature-broadcast
+    decision without running a count job during query build (r14).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
     (signature agreement rate) ≥ threshold.
@@ -614,7 +619,8 @@ def minhash_near_dup_pairs(
     # guide §1.2: the probe cost ~1.5 s of the sf0.1 wall; the sig pass
     # now runs pipelined inside the main action instead).
     return _bucket_verified_pairs(
-        banded, base, num_perm, threshold, n_sigs=df.count()
+        banded, base, num_perm, threshold,
+        n_sigs=n_rows if n_rows is not None else df.count(),
     )
 
 
@@ -1359,7 +1365,7 @@ def _minshingle_verified_pairs(
     wn = Window.partitionBy("band", "m0", "m1", "m2").orderBy("n", "id")
     t6 = F.lit(1_000_000)
     st = F.lit(scaled_t)
-    members = _register_cache(
+    members = (
         capped.withColumn("__np", F.lag("n").over(wn))
         .withColumn("__nn", F.lead("n").over(wn))
         .filter(
@@ -1373,7 +1379,6 @@ def _minshingle_verified_pairs(
             )
         )
         .drop("__np", "__nn")
-        .persist()
     )
     # membership←array join strategy by EXACT size (one cheap agg over the
     # cached frame): broadcast keyed when it provably fits; above the cap,
@@ -1393,19 +1398,23 @@ def _minshingle_verified_pairs(
     # scale factor — the exact knob spark.sql.files.maxPartitionBytes
     # applies to scans, applied to this operator-internal exchange.
     #
-    # Probe order matters (r13, guide §1.2): the members probe runs FIRST —
-    # it pulls the whole chain (shingle pass → keyed persist → window
-    # prefilter → members persist) through one action; the keyed probe then
-    # reads the already-populated cache (keyed carries n = size(sh) by
-    # construction, so sum(n) ≡ sum(size(sh))). The r12 order ran the keyed
-    # probe first as its own 3-4-stage AQE job before the members probe
-    # repeated the scheduling. (A single unionAll probe was tried and
-    # REVERTED: its two branches materialize concurrently, so the members
-    # branch missed the still-empty keyed cache and re-ran the shingle
-    # pass in parallel — slower than either sequential order.)
-    shipped_longs = members.agg(F.sum("n")).collect()[0][0] or 0
+    # ONE probe (r14, guide §1.2 — was two): sum(n) over the CACHED keyed
+    # frame gives total_longs exactly and, as the first action, pulls the
+    # shingle pass into the keyed cache sequentially — without a probe the
+    # main action's two keyed consumers (the window chain and the join's
+    # array side) materialize concurrently and each runs the shingle pass
+    # (the r13 unionAll-probe lesson). The r13 shape additionally PERSISTED
+    # the window-prefiltered members and probed sum(n) over it to size the
+    # verify exchange; the persist existed only for that probe (members has
+    # exactly one downstream consumer), so both are gone: the exchange is
+    # sized from the bound shipped_longs ≤ bands · total_longs (each doc
+    # has ≤ `bands` pairable memberships, each shipping its n longs —
+    # measured ≈ 0.89 of the bound at sf10, so partitions land within ~15%
+    # of the exact sizing), and the window chain now runs inside the main
+    # action instead of once-in-probe + cache round-trip.
     total_longs = keyed.agg(F.sum("n")).collect()[0][0] or 0
-    p_verify = max(p, min(4096, int(shipped_longs * 8 // (64 << 20)) + 1))
+    shipped_bound = bands * total_longs
+    p_verify = max(p, min(4096, int(shipped_bound * 8 // (64 << 20)) + 1))
     if total_longs * 8 <= VERIFY_BROADCAST_MAX_BYTES:
         items_src = members.join(F.broadcast(keyed.drop("n")), "id")
     else:
@@ -1712,23 +1721,17 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     iterative-DataFrame trap: without it, round k's plan replays rounds
     1..k-1). Either way the edge list is the PAIR graph, orders of
     magnitude smaller than the corpus at 100 TB."""
-    # both orientations in ONE pass over `pairs` via explode — a unionAll
-    # of two selects is two branches of the same plan, and Spark computes
-    # each branch separately (no common-subexpression reuse), re-running
-    # the upstream pair-mining twice (measured ~2x the mining cost at sf1)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
+    # persist the PAIRS, not a doubled edge list: the r13 shape exploded
+    # both orientations and dropDuplicates'd them BEFORE the adaptive
+    # branch, paying a shuffle of 2x rows plus a count job that the local
+    # branch never needed (guide §2.4 — remove shuffles outright). The
+    # orientation doubling is now done lazily per branch: the local
+    # union-find is orientation-agnostic, and the distributed loop derives
+    # edges from the cached pairs with a cheap map-side explode. The
+    # dropDuplicates was redundant work either way — mined pairs are
+    # distinct (id_a < id_b) by construction, and min-label propagation /
+    # union-find are correct under duplicate edges.
+    pairs = pairs.persist()
     # adaptive strategy (the AQE-broadcast analog for iterative graphs):
     # below the threshold the whole edge list fits the driver trivially —
     # a local union-find replaces 3-6 rounds of distributed propagation
@@ -1736,14 +1739,21 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # pure scheduling overhead on a small graph; measured 2.4 s → 0.3 s at
     # sf0.1 on a 234-node graph). Above it, the propagation loop runs
     # fully distributed — the edge list never needs to fit anywhere.
-    n_edges = edges.count()
     # env override for scale probes/tuning: force the distributed branch
-    # (0) or raise the local ceiling, without code changes
+    # (0) or raise the local ceiling, without code changes. The threshold
+    # is an EDGE count (both orientations) for compatibility; pairs are
+    # half that, so the local ceiling in pair terms is local_max // 2.
     local_max = int(
         os.environ.get("VARPULIS_CLUSTERS_LOCAL_MAX_EDGES", CLUSTERS_LOCAL_MAX_EDGES)
     )
-    if n_edges <= local_max:
-        rows = edges.filter(F.col("src") < F.col("dst")).collect()
+    # ONE action decides the branch AND (when small) delivers the rows:
+    # take(cap+1) pulls the mining through the cache and stops growing
+    # driver memory at the cap, where the r13 shape ran a count job first
+    # and a collect after (two sequential actions over the same cache).
+    head = pairs.select("id_a", "id_b").take(local_max // 2 + 1)
+    if len(head) <= local_max // 2:
+        rows = head
+        pairs.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -1763,7 +1773,6 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(x, find(x)) for x in sorted(nodes)]
-        edges.unpersist()
         id_t = dict(pairs.dtypes).get("id_a", "bigint")
         # few partitions, not defaultParallelism: createDataFrame slices
         # driver-local rows across 32 near-empty partitions, and every
@@ -1789,11 +1798,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             rdd = sc.parallelize(out, n_slices)
             return spark.createDataFrame(rdd, f"id {id_t}, canon_id {id_t}")
         return spark.createDataFrame(out, f"id {id_t}, canon_id {id_t}")
+    # distributed branch: edges (both orientations) derive from the cached
+    # pairs with a map-side explode — no dedup shuffle (mined pairs are
+    # distinct; propagation is correct under dups). p sizes from the exact
+    # pair count (cheap: the cache is at least partially materialized by
+    # the take above).
+    n_edges = 2 * pairs.count()
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
-    persisted_edges = edges  # keep the persisted handle: repartition below
-    # rebinds `edges`, and unpersisting THAT frame would leak the cached
-    # edge list for the whole session (ADVICE r5)
-    edges = edges.repartition(p, "src")
+    persisted_pairs = pairs  # keep the persisted handle for the unpersist
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").repartition(p, "src")
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
@@ -1840,7 +1860,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "graphs with diameter > max_iter",
             stacklevel=2,
         )
-    persisted_edges.unpersist()
+    persisted_pairs.unpersist()
     return labels.select("id", F.col("lbl").alias("canon_id"))
 
 

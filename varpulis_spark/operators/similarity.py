@@ -496,6 +496,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an inverted file: corpus rows are
     assigned to their nearest k-means centroid (one vectorized Arrow pass,
@@ -511,7 +512,8 @@ def ivf_topk(
         return _empty_topk(corpus_df.sparkSession)
     if centroids is None:
         centroids = train_ivf_centroids(
-            corpus_df, n_clusters, vec_col=vec_col, id_col=id_col
+            corpus_df, n_clusters, vec_col=vec_col, id_col=id_col,
+            n_rows=n_rows,
         )
     cent = np.asarray(centroids, dtype=np.float64)
 
