@@ -582,17 +582,55 @@ def q_ann_ivf(spark, sf):
     Rank ties broken by neighbor_id in both engines."""
     emb = load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    # footer row count in place of the training count job — EXACTLY valid
-    # only when it is ≤ the training sample size (10k): then the sampling
-    # condition is `True` for any null-filtered count ≤ it, so the trained
-    # centroids are byte-identical with or without the hint. Above 10k the
-    # hint is withheld and training runs its own null-filtered count —
-    # correct at every scale, count-free at bench scales (r14, guide §1.2).
-    n = engine.parquet_num_rows(os.path.join(sf, "embeddings.parquet"))
-    hint = n if n is not None and n <= 10_000 else None
+    # Train the coarse quantizer straight off the parquet when the footer
+    # PROVES the corpus fits the 10k training sample: below the cap the
+    # Spark path collects the full id-sorted corpus anyway, so the pyarrow
+    # twin (the oracle's own path — byte-equality pinned in
+    # tests/test_extensions.py) yields bit-identical centroids while
+    # removing BOTH build-time Spark jobs (the sizing count and the
+    # sample collect — guide §1.2/§5: the driver-side Lloyd was the
+    # 8v32-core-flat tail in PERF_r13). Above the cap (or without footer
+    # stats) training keeps the distributed hash-sample path.
+    cents = _footer_trained_centroids(sf, n_clusters=32)
     return SIM.ivf_topk(
-        emb, queries_df, k=10, n_clusters=32, nprobe=8, n_rows=hint
+        emb, queries_df, k=10, n_clusters=32, nprobe=8, centroids=cents
     ).select("query_id", "neighbor_id", "rank")
+
+
+def _footer_trained_centroids(sf: str, n_clusters: int | None):
+    """Centroids from the driver-local parquet twin when the footer proves
+    the corpus fits the 10k training sample (num_rows ≤ cap ⇒ the
+    null-filtered count is too ⇒ the Spark path's sampling condition is
+    TRUE and it collects the full id-sorted corpus — so the pyarrow twin,
+    the oracle's own path with byte-equality pinned in
+    tests/test_extensions.py, yields bit-identical centroids). Returns
+    None above the cap or when the footer is unreadable, and the operator
+    keeps the distributed hash-sample training path (the 100 TB shape).
+    n_clusters=None applies ivf_near_dup_pairs' default formula over the
+    null-filtered count, exactly as the operator would."""
+    path = os.path.join(sf, "embeddings.parquet")
+    total = engine.parquet_num_rows(path)
+    if total is None or total == 0 or total > 10_000:
+        return None
+    import pyarrow.parquet as pq
+
+    from varpulis_spark.operators.similarity import _lloyd_spherical
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    rows = [
+        (i, v)
+        for i, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+        if v is not None
+    ]
+    if not rows:
+        return None  # operator's own empty-corpus path returns empty
+    if n_clusters is None:
+        n_clusters = max(8, min(256, len(rows) // 64))
+    rows.sort(key=lambda r: r[0])
+    import numpy as np
+
+    m = np.array([r[1] for r in rows[:10_000]], dtype=np.float64)
+    return _lloyd_spherical(m, n_clusters, iters=10, seed=42)
 
 
 def _ann_ivf_oracle_sql() -> str:
@@ -663,7 +701,11 @@ def q_ivf_near_dup(spark, sf):
     the centroids from the same parquet (as ann_ivf does) and mirrors
     assignment, the id-ordered cluster cap, and cosine verification."""
     emb = load_table(spark, sf, "embeddings")
-    return SIM.ivf_near_dup_pairs(emb, threshold=0.4)
+    # footer-trained centroids (see _footer_trained_centroids): identical
+    # result, no build-time count/collect jobs at bench scales
+    return SIM.ivf_near_dup_pairs(
+        emb, threshold=0.4, centroids=_footer_trained_centroids(sf, None)
+    )
 
 
 def q_ivf_near_dup_t85(spark, sf):
@@ -685,7 +727,9 @@ def q_ivf_near_dup_t85(spark, sf):
     ::test_ivf_t85_recovers_derived_corpus_plants, which runs this exact
     operator+threshold on a make_sf-derived corpus)."""
     emb = load_table(spark, sf, "embeddings")
-    return SIM.ivf_near_dup_pairs(emb, threshold=0.85)
+    return SIM.ivf_near_dup_pairs(
+        emb, threshold=0.85, centroids=_footer_trained_centroids(sf, None)
+    )
 
 
 def q_embedding_near_dup_capped(spark, sf):

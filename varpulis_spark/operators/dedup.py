@@ -1806,14 +1806,25 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     n_edges = 2 * pairs.count()
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
     persisted_pairs = pairs  # keep the persisted handle for the unpersist
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst").repartition(p, "src")
+    # localCheckpoint the doubled edge list ONCE, already hash-partitioned
+    # on the join key (dst): the checkpointed RDD keeps its output
+    # partitioning, so every iteration's edges⋈labels join reshuffles only
+    # the (small) label table — the r13 shape re-ran the explode + a full
+    # edge shuffle from the persisted pairs on EVERY iteration's action
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(p, "dst")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lbl", F.col("id"))
@@ -1828,22 +1839,23 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nlbl").alias("minn"))
         )
+        # min-label propagation only ever LOWERS a label, so "changed" is
+        # exactly "minn < lbl" — computed in the SAME pass and counted off
+        # the checkpointed partitions. The r13 shape re-joined new_labels
+        # against labels for the convergence check: one extra shuffle join
+        # + full-table comparison per iteration (guide §2.4 — remove
+        # shuffles outright).
         new_labels = (
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce(F.col("minn"), F.col("lbl"))).alias("lbl"),
+                (F.col("minn") < F.col("lbl")).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "old"), "id"
-            )
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
     else:
