@@ -558,11 +558,9 @@ def q_embedding_near_dup(spark, sf):
 
 def q_minhash_near_dup(spark, sf):
     docs = load_table(spark, sf, "documents")
-    # exact doc count from the parquet footer (metadata-only): the operator
-    # only needs it to size the signature-broadcast decision, and a count()
-    # here ran a 2-job scan-aggregate during query build (~0.3 s at sf0.1)
-    n = engine.parquet_num_rows(os.path.join(sf, "documents.parquet"))
-    return D.minhash_near_dup_pairs(docs, threshold=0.4, n_rows=n).select(
+    # (the r13 footer-count hint is gone with the signature join-back it
+    # sized — signatures ride the banding since r14, see minhash_near_dup_pairs)
+    return D.minhash_near_dup_pairs(docs, threshold=0.4).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 

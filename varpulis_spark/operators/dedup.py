@@ -559,9 +559,10 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    ``n_rows``: exact row count of ``df`` when the caller already knows it
-    (e.g. from parquet footer metadata) — sizes the signature-broadcast
-    decision without running a count job during query build (r14).
+    ``n_rows``: accepted for caller compatibility, no longer consulted —
+    the r14 shape carries signatures through the banding, so there is no
+    signature-broadcast decision left to size (the r13/r14.0 join-back
+    shape used it to avoid a count job at query build).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated Jaccard
     (signature agreement rate) ≥ threshold.
@@ -577,21 +578,31 @@ def minhash_near_dup_pairs(
        behavior."""
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_k)
-    # persist: the banding projection references `sig` once per band and
-    # CollapseProject would otherwise re-evaluate the UDF `bands` times.
-    base = _register_cache(
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
-        .select("id", sig(F.col("__t")).alias("sig"))
-        .persist()
-    )
-
-    # banding carries only (band-bucket hash, id) — the shuffle and the
-    # per-bucket pair explosion never touch the 128-long signatures.
-    # xxhash64 hashes the band's longs directly (no string casts). The
-    # expression is assembled as ONE SQL string: composing it from Column
-    # objects issued ~5,300 py4j round-trips (~1.4 s of driver wall per
-    # query build, measured r13 — guide §1.2 driver overhead); a single
-    # F.expr is one round-trip and parses to the identical plan.
+    # No persist and no join-back (r14, the simhash r13 shape applied to
+    # minhash): the signature RIDES THE BANDING as a column. The r13 shape
+    # persisted (id, sig) and joined it back onto the capped bucket
+    # membership — but the banding stage and the sig-table join build
+    # (broadcast at bench scale, shuffle-hash beyond it) start CONCURRENTLY
+    # under AQE, each found the cache unpopulated, and each ran the full
+    # signature UDF pass (measured r14: two ~0.7 s 32-task jobs per action
+    # at sf0.1 — at 100 TB that is the corpus text scanned and signed
+    # TWICE). With one consumer the UDF runs once (ExtractPythonUDFs emits
+    # a single ArrowEvalPython; plan-verified), the cache (num_perm·8 B per
+    # doc — ~1 TB/10⁹ docs of executor storage) is gone, and so are the
+    # broadcast/join and the post-join regroup aggregation round.
+    # The trade, stated honestly: the pre-cap level-1 exchange now carries
+    # the 128-long signature per (doc, band) membership instead of the bare
+    # id. The r13 shape shipped the same per-membership signature bytes
+    # through its post-join regroup exchange anyway, so the net is one
+    # extra capped fat exchange (level 2) in return for one fewer full
+    # corpus pass — the §8 trade (move heavy bytes once, never recompute
+    # them) with the verify's own payload.
+    #
+    # The band-bucket expression is assembled as ONE SQL string: composing
+    # it from Column objects issued ~5,300 py4j round-trips (~1.4 s of
+    # driver wall per query build, measured r13 — guide §1.2); a single
+    # F.expr is one round-trip and parses to the identical plan. xxhash64
+    # hashes the band's longs directly (no string casts).
     band_exprs = ", ".join(
         "xxhash64({j}, {items})".format(
             j=j,
@@ -601,8 +612,10 @@ def minhash_near_dup_pairs(
         )
         for j in range(bands)
     )
-    banded = base.select(
-        "id", F.explode(F.expr(f"array({band_exprs})")).alias("bucket")
+    banded = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+        .select("id", sig(F.col("__t")).alias("sig"))
+        .select("id", "sig", F.explode(F.expr(f"array({band_exprs})")).alias("bucket"))
     )
 
     # bucket-local verification (r8): the banding S-curve lets through
@@ -611,17 +624,9 @@ def minhash_near_dup_pairs(
     # sf10 on the high-baseline-similarity corpus) — the old
     # pairs→join-sigs-back shape shipped 2 KB of signatures per raw
     # candidate through a shuffle join and blew the sf10 timeout. The
-    # agreement check now runs inline during the per-bucket pair explode;
+    # agreement check runs inline during the per-bucket pair explode;
     # failing candidates never materialize (see _bucket_verified_pairs).
-    # n_sigs: base is a 1:1 projection of df, so df.count() — metadata-only
-    # on an unfiltered parquet scan — equals base.count() exactly without
-    # forcing the signature UDF pass as a serial build-time job (r13,
-    # guide §1.2: the probe cost ~1.5 s of the sf0.1 wall; the sig pass
-    # now runs pipelined inside the main action instead).
-    return _bucket_verified_pairs(
-        banded, base, num_perm, threshold,
-        n_sigs=n_rows if n_rows is not None else df.count(),
-    )
+    return _bucket_verified_pairs(banded, num_perm, threshold)
 
 
 def _bucketed_near_dup_streaming(
@@ -961,27 +966,29 @@ def _bucket_pairs(banded: DataFrame, dedup_pairs: bool = True) -> DataFrame:
 
 def _bucket_verified_pairs(
     banded: DataFrame,
-    base: DataFrame,
     num_perm: int,
     threshold: float,
-    n_sigs: int | None = None,
 ) -> DataFrame:
-    """(id, bucket) candidates → verified (id_a, id_b, est_jaccard) with
-    the signature-agreement check computed INSIDE the per-bucket pair
+    """(id, sig, bucket) memberships → verified (id_a, id_b, est_jaccard)
+    with the signature-agreement check computed INSIDE the per-bucket pair
     explode (the minhash scale path, r8).
 
     Why not pairs → join sigs back (the pre-r8 shape): on a high-baseline-
     similarity corpus the banding S-curve admits ~10^8 raw candidates at
     ~10^6 docs, and the verify join then ships TWO full signatures
     (2 × num_perm × 8 B ≈ 2 KB) per candidate THROUGH A SHUFFLE — ~170 GB
-    at sf10, where it blew the per-query bench timeout. Here the sig
-    table joins onto the capped bucket MEMBERSHIP once (≤ MAX_BUCKET rows
-    per bucket, linear in buckets), the per-bucket (id, sig) lists are
-    regrouped, and the pairwise agreement runs inline in whole-stage
-    codegen during the explode — candidates that fail the threshold die
-    map-side and never materialize, let alone shuffle. Same two-level
-    salted cap, same output as the join shape (pinned by the sf0.01
-    oracle and test_dedup parity)."""
+    at sf10, where it blew the per-query bench timeout.
+
+    r14: the signature arrives ON the membership row (it rides the
+    banding — see minhash_near_dup_pairs) and the same two-level salted
+    cap collects struct(id, sig) directly, so the r13 sig-table join-back
+    (broadcast build / shuffle-hash + a third aggregation round) is gone
+    along with its duplicated signature pass. Structs sort by id (unique
+    within a bucket), so the capped id set — and therefore the verified
+    pair set — is bit-identical to the join shape (pinned by the sf0.01
+    oracle and test_dedup parity). The pairwise agreement then runs as
+    C-level numpy during the per-bucket explode — candidates that fail
+    the threshold die map-side and never materialize, let alone shuffle."""
     p = _parallelism(banded)
     salted = banded.withColumn(
         "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
@@ -989,38 +996,21 @@ def _bucket_verified_pairs(
     lvl1 = (
         salted.repartition(p, "bucket", "__salt")
         .groupBy("bucket", "__salt")
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, MAX_BUCKET).alias("ids"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("id", "sig"))), 1, MAX_BUCKET
+            ).alias("items")
+        )
     )
-    capped = (
+    items = (
         lvl1.repartition(p, "bucket")
         .groupBy("bucket")
         .agg(
             F.slice(
-                F.sort_array(F.flatten(F.collect_list("ids"))), 1, MAX_BUCKET
-            ).alias("ids")
+                F.sort_array(F.flatten(F.collect_list("items"))), 1, MAX_BUCKET
+            ).alias("items")
         )
-        .filter(F.size("ids") >= 2)
-        .select("bucket", F.explode("ids").alias("id"))
-    )
-    # join strategy pinned by EXACT signature-table size: broadcast when it
-    # provably fits, else hash-build on the NARROW membership side and
-    # stream the signatures. Catalyst's estimate for a cached frame can
-    # undershoot and auto-broadcast a GB-scale sig table — collects to the
-    # driver and dies on maxResultSize (observed at sf30, r11; flaky with
-    # cache-materialization timing).
-    # n_sigs is supplied by callers that know the signature-table row count
-    # without an action (base is a 1:1 projection of the caller's input);
-    # the count() fallback forces the full signature pass eagerly.
-    sig_bytes = (n_sigs if n_sigs is not None else base.count()) * (num_perm + 1) * 8
-    if sig_bytes <= VERIFY_BROADCAST_MAX_BYTES:
-        joined = capped.join(F.broadcast(base), "id")
-    else:
-        joined = capped.hint("shuffle_hash").join(base, "id")
-    items = (
-        joined
-        .repartition(p, "bucket")
-        .groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("items"))
+        .filter(F.size("items") >= 2)
         # one flat int64 buffer per bucket: Arrow hands it to numpy as a
         # single array (a list<struct> would arrive as per-row dicts)
         .select(
@@ -1929,10 +1919,13 @@ def simhash_near_dup_pairs(
 
     .. note:: default ``shingle_k`` changed 5 → 7 in r4 (module docstring);
        pass ``shingle_k=5`` to reproduce pre-r4 signatures."""
-    sh = _register_cache(
-        with_simhash(spread(df.select(id_col, text_col)), text_col, shingle_k)
-        .select(F.col(id_col).alias("id"), "simhash")
-        .persist()  # 4 band projections would re-run the UDF otherwise
+    # no persist (r14): since the r13 join-removal this frame has exactly
+    # ONE consumer (the banding below), and ExtractPythonUDFs materializes
+    # the UDF once per row regardless of how many band expressions
+    # reference the column (single ArrowEvalPython node, plan-verified) —
+    # the persist only added a cache-materialization round.
+    sh = with_simhash(spread(df.select(id_col, text_col)), text_col, shingle_k).select(
+        F.col(id_col).alias("id"), "simhash"
     )
     # the 64-bit signature RIDES THE BANDING (r13, guide §2.4/§8): the old
     # shape generated bare (id_a, id_b) pairs and joined the signature
