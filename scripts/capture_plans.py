@@ -1,5 +1,6 @@
 """Capture `.explain("formatted")` for every declared driver query into
-plans/r13/<query>_<tag>.txt (tag = before/after, argv[1], default "before").
+plans/r<N>/<query>_<tag>.txt (tag = before/after, argv[1], default
+"before"; N from $SPARK_GRAFT_PLAN_ROUND, default 14).
 
 Usage: python scripts/capture_plans.py [before|after] [query ...]
 
@@ -31,7 +32,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r13")
+    out_dir = os.path.join(
+        HERE, "plans", "r" + os.environ.get("SPARK_GRAFT_PLAN_ROUND", "14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("varpulis-capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
