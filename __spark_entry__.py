@@ -476,7 +476,17 @@ def q_multimodal_meta(spark, sf):
     width/height/channels/frame-count without touching binary."""
     from varpulis_spark.operators import multimodal as MM
 
-    docs = D.spread(load_table(spark, sf, "documents").select("doc_id", "text"))
+    # spread gated at 4 MB (r14, VERDICT #1 re-adjudication): the fake-image
+    # encode is near-I/O-speed header packing, and the same-host noop A/B
+    # read ~1.9 s spread vs ~1.1 s unspread on the 0.6 MB sf0.1 input while
+    # sf1's 6.7 MB already favors the fan-out — below the floor the
+    # exchange + 32-task scheduling is pure cost. audio_meta keeps the
+    # unconditional spread: its PCM/feature kernel measured a 4× spread win
+    # at sf1 (heavy per byte). No-op at real scale (multi-split inputs).
+    docs = D.spread(
+        load_table(spark, sf, "documents").select("doc_id", "text"),
+        min_bytes=4 << 20,
+    )
     # persist the encoded frame: meta and frame-sampling both consume it,
     # and without the cache Spark computes the encode mapInPandas TWICE
     # (one per join branch — no common-subexpression reuse across plan

@@ -103,7 +103,7 @@ def _parallelism(df: DataFrame) -> int:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Ensure at least default-parallelism partitions before a CPU-heavy UDF.
 
     Small local files arrive as one input split, serializing Arrow-UDF work;
@@ -112,11 +112,37 @@ def spread(df: DataFrame) -> DataFrame:
     (`inputFiles()`, plan-only — no job runs and no RDD conversion, so it
     works under Spark Connect); files can split further by
     maxPartitionBytes, so this undercounts only in the direction that
-    skips the extra shuffle."""
+    skips the extra shuffle.
+
+    ``min_bytes`` (r14): callers whose downstream kernel is CHEAP per byte
+    (near-I/O-speed header packing, e.g. the multimodal fake-image encode)
+    pass a floor; when the scan's files are locally stat-able and total
+    UNDER it, the fan-out is skipped — the exchange + 32-task scheduling
+    costs more than the kernel on inputs that small (measured: the
+    multimodal noop wall at a 0.6 MB sf0.1 input was ~1.9 s spread vs
+    ~1.1 s unspread, while at 6.7 MB sf1 spread already wins). Files that
+    cannot be stat-ed locally (object stores) are treated as large, so the
+    fan-out is kept — at real scale the input is multi-split and spread()
+    is a no-op anyway. Heavy-per-byte kernels (shingling, JSON parse, PCM
+    feature extraction — a measured 4× spread win at sf1) keep the
+    default min_bytes=0."""
     target = _parallelism(df)
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        if len(files) >= target:
             return df
+        if min_bytes > 0 and files:
+            total = 0
+            for f in files:
+                p = f[7:] if f.startswith("file://") else f
+                p = p[5:] if p.startswith("file:") else p
+                try:
+                    total += os.stat(p).st_size
+                except OSError:
+                    total = None  # non-local: assume large, keep the fan-out
+                    break
+            if total is not None and total < min_bytes:
+                return df
     except Exception:
         pass
     return df.repartition(target)
