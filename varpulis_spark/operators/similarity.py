@@ -249,7 +249,13 @@ def ivf_near_dup_pairs(
                 }
             )
 
-    assigned = nonnull.mapInPandas(assign_iter, assign_schema)
+    # fan the assignment GEMM out (r14): the sf1 parquet arrives as 2
+    # splits, so the centroid-assignment mapInPandas ran on 2 of 32 cores
+    # (1.36 s job at sf1, profile_query). spread() is a no-op on real
+    # multi-split inputs.
+    from varpulis_spark.operators.dedup import spread
+
+    assigned = spread(nonnull).mapInPandas(assign_iter, assign_schema)
 
     def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").head(max_cluster)
@@ -272,8 +278,17 @@ def ivf_near_dup_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
+    # pin the GEMM parallelism (r14): AQE's size-based coalescing sees a
+    # few MB of (cluster, id, vec) rows and ran the per-cluster GEMM on 2
+    # tasks at sf1 (profile_query job timeline) — the same
+    # cheap-bytes/heavy-CPU mismatch dedup.spread_keys documents. The
+    # explicit repartition pins the count on the SAME hash distribution
+    # the groupBy needs, so no extra exchange is introduced.
+    from varpulis_spark.operators.dedup import spread_keys
+
     return (
-        assigned.groupBy("cluster")
+        spread_keys(assigned, ["cluster"])
+        .groupBy("cluster")
         .applyInPandas(cluster_pairs, "id_a long, id_b long")
         .distinct()  # a pair can share both of its `assign` clusters
     )
