@@ -1006,99 +1006,168 @@ def _bucket_verified_pairs(
     at sf10, where it blew the per-query bench timeout.
 
     r14: the signature arrives ON the membership row (it rides the
-    banding — see minhash_near_dup_pairs) and the same two-level salted
-    cap collects struct(id, sig) directly, so the r13 sig-table join-back
-    (broadcast build / shuffle-hash + a third aggregation round) is gone
-    along with its duplicated signature pass. Structs sort by id (unique
-    within a bucket), so the capped id set — and therefore the verified
-    pair set — is bit-identical to the join shape (pinned by the sf0.01
-    oracle and test_dedup parity). The pairwise agreement then runs as
-    C-level numpy during the per-bucket explode — candidates that fail
-    the threshold die map-side and never materialize, let alone shuffle."""
+    banding — see minhash_near_dup_pairs), so each fat row (id, sig,
+    bucket) crosses exactly ONE exchange: hash-repartition on bucket +
+    in-partition sort on (bucket, id), and the streaming kernel applies
+    the cap and the agreement check over sorted bucket runs. The r14.0
+    shape ran the two-level salted collect_list(struct(id, sig)) cap
+    instead, which shipped every signature through TWO exchanges
+    (747 MB + 1093 MB at sf1 for a 6 MB input — measured, stage metrics)
+    and paid two ObjectHashAggregate rounds sorting fat struct arrays
+    (its level-2 stage was also the round's JIT-warmup bomb: 43 s cold vs
+    1.3 s warm at sf1). Halving the fat bytes is guide §2.2; the sort is
+    Tungsten radix-spill (skew-safe memory), and the cap means a
+    degenerate mega-bucket costs one linear spilled sort, never a
+    quadratic explode.
+
+    Cap equivalence: rows arrive id-ascending within each bucket run, so
+    "first MAX_BUCKET rows per bucket" is exactly the lowest-id cap the
+    salted collect_list/sort_array/slice chain computed (structs sorted
+    by their unique leading id) — the capped membership, hence the
+    verified pair set, is bit-identical (pinned by the sf0.001/sf0.01
+    oracle and test_dedup parity). The pairwise agreement is the same
+    numpy kernel: candidates that fail the threshold die in the kernel
+    and never materialize, let alone shuffle."""
     p = _parallelism(banded)
-    salted = banded.withColumn(
-        "__salt", F.pmod(F.xxhash64("id"), F.lit(BUCKET_SALTS))
-    )
-    lvl1 = (
-        salted.repartition(p, "bucket", "__salt")
-        .groupBy("bucket", "__salt")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("id", "sig"))), 1, MAX_BUCKET
-            ).alias("items")
-        )
-    )
-    items = (
-        lvl1.repartition(p, "bucket")
-        .groupBy("bucket")
-        .agg(
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("items"))), 1, MAX_BUCKET
-            ).alias("items")
-        )
-        .filter(F.size("items") >= 2)
-        # one flat int64 buffer per bucket: Arrow hands it to numpy as a
-        # single array (a list<struct> would arrive as per-row dicts)
-        .select(
-            F.expr("transform(items, x -> x.id)").alias("ids"),
-            F.flatten(F.expr("transform(items, x -> x.sig)")).alias("flat_sigs"),
-        )
+    stream = (
+        banded.select("bucket", "id", "sig")
+        .repartition(p, "bucket")
+        .sortWithinPartitions("bucket", "id")
     )
 
-    # per-bucket pairwise agreement as ONE numpy broadcast per bucket
-    # ((m, P) matrix → (m, m) agreement counts). A zip_with-per-pair SQL
-    # verify measured ~11e9 JVM array ops at sf10 (200 s); the same work
-    # is seconds as C-level int64 comparisons.
+    # per-bucket pairwise agreement as ONE numpy broadcast per size class
+    # ((B, m, P) stack → (B, m, m) agreement counts). A zip_with-per-pair
+    # SQL verify measured ~11e9 JVM array ops at sf10 (200 s); the same
+    # work is seconds as C-level int64 comparisons.
     import numpy as np
     import pandas as pd
 
-    def verify(batches):
-        # buckets grouped by size m and processed as ONE stacked
-        # (B, m, P) comparison per chunk — most buckets are tiny (m=2-3),
-        # and a per-bucket numpy call costs ~20 µs of dispatch overhead,
-        # which dominated at millions of buckets. Chunked so the
-        # (B, m, m, P) bool intermediate stays ~64 MB.
-        budget = 64 << 20
+    cap = MAX_BUCKET
 
-        for pdf in batches:
-            sizes = pdf["ids"].map(len).to_numpy()
-            out_a: list = []
-            out_b: list = []
-            out_e: list = []
+    def verify(batches):
+        # Input: partition-local stream sorted by (bucket, id); a bucket
+        # is one contiguous run, possibly spanning Arrow batches. Per
+        # batch, complete runs are capped and verified vectorized (group
+        # sizes via boundary diff; size classes stacked — a per-bucket
+        # numpy call costs ~20 µs of dispatch, which dominated at millions
+        # of buckets). The trailing (possibly incomplete) run carries over
+        # as (kept ≤ cap rows, total seen) so a mega-bucket's tail streams
+        # through in O(1) memory. Chunked so the (B, m, m, P) bool
+        # intermediate stays ~64 MB.
+        budget = 64 << 20
+        out_a: list = []
+        out_b: list = []
+        out_e: list = []
+
+        def emit_groups(ids_k, sigs_k, starts, sizes):
+            # groups (all sizes ≥ 2, ≤ cap) over compacted row arrays
             for m in np.unique(sizes):
                 m = int(m)
-                rows = np.flatnonzero(sizes == m)
+                gsel = np.flatnonzero(sizes == m)
                 ia, ib = np.triu_indices(m, k=1)
                 chunk = max(1, budget // max(1, m * m * num_perm))
-                for c0 in range(0, rows.size, chunk):
-                    sel = rows[c0 : c0 + chunk]
-                    ids = np.stack(
-                        [np.asarray(pdf["ids"].iat[i], dtype=np.int64) for i in sel]
-                    )
-                    sigs = np.stack(
-                        [
-                            np.asarray(pdf["flat_sigs"].iat[i], dtype=np.int64)
-                            for i in sel
-                        ]
-                    ).reshape(len(sel), m, num_perm)
-                    agree = (sigs[:, :, None, :] == sigs[:, None, :, :]).sum(
+                for c0 in range(0, gsel.size, chunk):
+                    gs = gsel[c0 : c0 + chunk]
+                    idx = starts[gs][:, None] + np.arange(m)[None, :]
+                    ids_m = ids_k[idx]  # (B, m)
+                    sig_m = sigs_k[idx.ravel()].reshape(len(gs), m, num_perm)
+                    agree = (sig_m[:, :, None, :] == sig_m[:, None, :, :]).sum(
                         axis=3, dtype=np.int32
                     )
                     est = agree[:, ia, ib] / float(num_perm)  # (B, n_pairs)
                     bk, pk = np.nonzero(est >= threshold)
-                    out_a.append(ids[bk, ia[pk]])
-                    out_b.append(ids[bk, ib[pk]])
+                    out_a.append(ids_m[bk, ia[pk]])
+                    out_b.append(ids_m[bk, ib[pk]])
                     out_e.append(est[bk, pk])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "est_jaccard": np.concatenate(out_e),
-                    }
-                )
 
-    return items.mapInPandas(
+        def flush():
+            if not out_a:
+                return None
+            df = pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "est_jaccard": np.concatenate(out_e),
+                }
+            )
+            out_a.clear(), out_b.clear(), out_e.clear()
+            return df
+
+        c_ids = np.empty(0, dtype=np.int64)  # carry: kept rows ≤ cap
+        c_sigs = np.empty((0, num_perm), dtype=np.int64)
+        c_bucket = None
+        c_seen = 0  # rows of the carry bucket seen so far (cap bookkeeping)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b = pdf["bucket"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            sigs = np.stack(pdf["sig"].to_numpy()).astype(np.int64, copy=False)
+            change = np.flatnonzero(b[1:] != b[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(b)]))
+            first = 0
+            if c_bucket is not None:
+                if b[0] == c_bucket:
+                    n0 = int(ends[0])
+                    take = max(0, min(cap - c_seen, n0))
+                    if take:
+                        c_ids = np.concatenate((c_ids, ids[:take]))
+                        c_sigs = np.concatenate((c_sigs, sigs[:take]))
+                    c_seen += n0
+                    first = 1
+                    if len(starts) == 1:
+                        continue  # whole batch is the carry bucket
+                # carry bucket is complete (either it just ended at the
+                # batch boundary, or it was extended and more groups
+                # follow): verify it
+                if len(c_ids) >= 2:
+                    emit_groups(
+                        c_ids,
+                        c_sigs,
+                        np.array([0]),
+                        np.array([len(c_ids)]),
+                    )
+                c_bucket = None
+                c_seen = 0
+                c_ids = np.empty(0, dtype=np.int64)
+                c_sigs = np.empty((0, num_perm), dtype=np.int64)
+            # the trailing run becomes the new carry
+            ls, le = int(starts[-1]), int(ends[-1])
+            c_bucket = b[ls]
+            c_seen = le - ls
+            keep = min(cap, c_seen)
+            c_ids = ids[ls : ls + keep].copy()
+            c_sigs = sigs[ls : ls + keep].copy()
+            # complete middle runs [first, -1): cap + verify, vectorized
+            gs, ge = starts[first:-1], ends[first:-1]
+            if gs.size:
+                gsize = ge - gs
+                capped = np.minimum(gsize, cap)
+                sel = capped >= 2
+                gs, capped = gs[sel], capped[sel]
+                if gs.size:
+                    # compact kept rows — first `capped` rows of each run,
+                    # built without a per-run Python loop
+                    kstarts = np.concatenate(([0], np.cumsum(capped)[:-1]))
+                    within = np.arange(int(capped.sum())) - np.repeat(
+                        kstarts, capped
+                    )
+                    idx = np.repeat(gs, capped) + within
+                    emit_groups(ids[idx], sigs[idx], kstarts, capped)
+            df = flush()
+            if df is not None:
+                yield df
+        if len(c_ids) >= 2:
+            emit_groups(
+                c_ids, c_sigs, np.array([0]), np.array([len(c_ids)])
+            )
+        df = flush()
+        if df is not None:
+            yield df
+
+    return stream.mapInPandas(
         verify, "id_a long, id_b long, est_jaccard double"
     ).dropDuplicates(["id_a", "id_b"])
 
