@@ -1831,13 +1831,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     local_max = int(
         os.environ.get("VARPULIS_CLUSTERS_LOCAL_MAX_EDGES", CLUSTERS_LOCAL_MAX_EDGES)
     )
-    # ONE action decides the branch AND (when small) delivers the rows:
-    # take(cap+1) pulls the mining through the cache and stops growing
-    # driver memory at the cap, where the r13 shape ran a count job first
-    # and a collect after (two sequential actions over the same cache).
-    head = pairs.select("id_a", "id_b").take(local_max // 2 + 1)
-    if len(head) <= local_max // 2:
-        rows = head
+    # count() decides the branch; a CACHED collect delivers the rows only
+    # when they fit. The r14.0 single take(cap+1) looked cheaper (one
+    # action) but CollectLimit runs by partition-count ESCALATION — with
+    # the mined pair count far below the cap (every sane graph) it scans
+    # 1, then 4×, then all partitions, re-running the expensive verify
+    # final stage per round (measured at sf1: the take's job chain cost
+    # 9.3 s where one full pass costs 3.3 s). count() materializes the
+    # persist in ONE full pass, the branch collect then reads pure cache,
+    # and the distributed branch reuses the same count for its edge
+    # sizing — still no driver-memory growth beyond the local-branch cap.
+    n_pairs = pairs.count()
+    if n_pairs <= local_max // 2:
+        rows = pairs.select("id_a", "id_b").collect()
         pairs.unpersist()
         parent: dict = {}
 
@@ -1886,9 +1892,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # distributed branch: edges (both orientations) derive from the cached
     # pairs with a map-side explode — no dedup shuffle (mined pairs are
     # distinct; propagation is correct under dups). p sizes from the exact
-    # pair count (cheap: the cache is at least partially materialized by
-    # the take above).
-    n_edges = 2 * pairs.count()
+    # pair count already taken for the branch decision.
+    n_edges = 2 * n_pairs
     p = max(2, min(_parallelism(pairs), n_edges // 50_000 + 1))
     persisted_pairs = pairs  # keep the persisted handle for the unpersist
     # localCheckpoint the doubled edge list ONCE, already hash-partitioned
