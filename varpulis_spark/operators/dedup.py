@@ -1504,21 +1504,24 @@ def _minshingle_verified_pairs(
         items_src = members.join(F.broadcast(keyed.drop("n")), "id")
     else:
         items_src = members.hint("shuffle_hash").join(keyed.drop("n"), "id")
+    # r14.1: no collect_list regroup — the verify exchange feeds the kernel
+    # as a SORTED MEMBER STREAM (repartition on the block key + in-partition
+    # sort on (block key, id)), the same restructure measured on minhash's
+    # `_bucket_verified_pairs`: the groupBy round materialized every block
+    # as one fat struct array (collect_list + sort_array over ~2.4 KB
+    # payloads — the r12 sf10 run saw that aggregation fall back to
+    # sort+spill, 9 GB of disk), where a Tungsten in-partition sort streams
+    # the same rows spill-safely and the kernel re-derives block boundaries
+    # from the key columns. Member order within a block is id-ascending —
+    # exactly the order sort_array(struct(id, ...)) produced (ids are
+    # unique per block) — and singleton blocks were already dropped by the
+    # window prefilter, so the kernel sees the identical block stream and
+    # emits the identical pair set.
     items = (
         items_src
         .repartition(p_verify, "band", "m0", "m1", "m2")
-        .groupBy("band", "m0", "m1", "m2")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("id", "n", "sh"))
-            ).alias("its")
-        )
-        .filter(F.size("its") >= 2)
-        .select(
-            F.expr("transform(its, x -> x.id)").alias("ids"),
-            F.expr("transform(its, x -> x.n)").alias("ns"),
-            F.expr("transform(its, x -> x.sh)").alias("shs"),
-        )
+        .sortWithinPartitions("band", "m0", "m1", "m2", "id")
+        .select("band", "m0", "m1", "m2", "id", "n", "sh")
     )
 
     def _list_view(col):
@@ -1536,135 +1539,201 @@ def _minshingle_verified_pairs(
         # Arrow RecordBatches expose the same data as two offset buffers
         # over one contiguous int64 values buffer — every member array is
         # a zero-copy numpy slice.
+        #
+        # Input: partition-local member stream sorted by (block key, id);
+        # a block is one contiguous run, possibly spanning Arrow batches —
+        # the trailing (possibly incomplete) run carries over between
+        # batches (an over-cap residual block buffers whole, the same
+        # footprint the old one-row-per-block aggregate materialized).
         import pyarrow as pa
 
-        for batch in batches:
-            ids_col, ns_col, shs_col = (
-                batch.column(0), batch.column(1), batch.column(2),
+        chunks_a: list = []
+        chunks_b: list = []
+        chunks_i: list = []
+        chunks_u: list = []
+
+        def emit(a_arr, b_arr, i_arr, u_arr):
+            chunks_a.append(a_arr)
+            chunks_b.append(b_arr)
+            chunks_i.append(i_arr)
+            chunks_u.append(u_arr)
+
+        def flush():
+            if not chunks_a:
+                return None
+            rb = pa.record_batch(
+                {
+                    "id_a": np.concatenate(chunks_a),
+                    "id_b": np.concatenate(chunks_b),
+                    "inter_size": np.concatenate(chunks_i),
+                    "union_size": np.concatenate(chunks_u),
+                }
             )
-            ids_v, blk_off = _list_view(ids_col)
-            ids_v = ids_v.to_numpy(zero_copy_only=False)
-            ns_v = _list_view(ns_col)[0].to_numpy(zero_copy_only=False)
-            inner, sh_blk_off = _list_view(shs_col)  # list<long> per member
-            vals_a, mem_off = _list_view(inner)
-            vals = vals_a.to_numpy(zero_copy_only=False)
+            chunks_a.clear()
+            chunks_b.clear()
+            chunks_i.clear()
+            chunks_u.clear()
+            return rb
 
-            chunks_a: list = []
-            chunks_b: list = []
-            chunks_i: list = []
-            chunks_u: list = []
+        def do_block(ids, ns, vals, mem_off):
+            # one block's members: ids/ns (m,), member x's array is
+            # vals[mem_off[x]:mem_off[x+1]] (mem_off has m+1 entries)
+            m = len(ids)
+            if m < 2:
+                return
+            # group members by IDENTICAL array content first: residual
+            # over-cap blocks are dominated by exact-dup clusters
+            # (identical docs share every minimum, so no split level
+            # separates them — see _minshingle_blocks r12 note), and
+            # the intersect work must be one per DISTINCT-array pair,
+            # not per member pair, for the exhaustive path to stay
+            # linear-in-output. `sh` is deterministic per text
+            # (first-occurrence distinct order), so identical docs
+            # byte-match; near-identical ones just take the slow path.
+            uniq: dict = {}
+            groups: list[list[int]] = []
+            arrs: list = []
+            uns: list[int] = []
+            for x in range(m):
+                a = vals[mem_off[x]:mem_off[x + 1]]
+                u = uniq.setdefault(a.tobytes(), len(arrs))
+                if u == len(arrs):
+                    # presort once per distinct array; intersections
+                    # assume sorted+unique
+                    arrs.append(np.sort(a))
+                    uns.append(int(ns[x]))
+                    groups.append([])
+                groups[u].append(int(ids[x]))
+            k = len(arrs)
+            # within-group pairs: identical arrays ⇒ inter = union = n,
+            # J = 1 — passes iff n·10⁶ ≥ t·10⁶·n, i.e. t ≤ 1
+            if scaled_t <= 1_000_000:
+                for u in range(k):
+                    g = groups[u]
+                    if len(g) > 1:
+                        garr = np.asarray(g, dtype=np.int64)
+                        iu, iv = np.triu_indices(len(g), 1)
+                        ga, gb = garr[iu], garr[iv]
+                        n_full = np.full(ga.shape, uns[u], dtype=np.int64)
+                        emit(np.minimum(ga, gb), np.maximum(ga, gb),
+                             n_full, n_full)
 
-            def emit(a_arr, b_arr, i_arr, u_arr):
-                chunks_a.append(a_arr)
-                chunks_b.append(b_arr)
-                chunks_i.append(i_arr)
-                chunks_u.append(u_arr)
-
-            for bi in range(len(blk_off) - 1):
-                lo_m, hi_m = blk_off[bi], blk_off[bi + 1]
-                m = hi_m - lo_m
-                ids = ids_v[lo_m:hi_m]
-                ns = ns_v[lo_m:hi_m]
-                # group members by IDENTICAL array content first: residual
-                # over-cap blocks are dominated by exact-dup clusters
-                # (identical docs share every minimum, so no split level
-                # separates them — see _minshingle_blocks r12 note), and
-                # the intersect work must be one per DISTINCT-array pair,
-                # not per member pair, for the exhaustive path to stay
-                # linear-in-output. `sh` is deterministic per text
-                # (first-occurrence distinct order), so identical docs
-                # byte-match; near-identical ones just take the slow path.
-                uniq: dict = {}
-                groups: list[list[int]] = []
-                arrs: list = []
-                uns: list[int] = []
-                for x in range(m):
-                    j = lo_m + x
-                    a = vals[mem_off[j]:mem_off[j + 1]]
-                    u = uniq.setdefault(a.tobytes(), len(arrs))
-                    if u == len(arrs):
-                        # presort once per distinct array; intersections
-                        # assume sorted+unique
-                        arrs.append(np.sort(a))
-                        uns.append(int(ns[x]))
-                        groups.append([])
-                    groups[u].append(int(ids[x]))
-                k = len(arrs)
-                # within-group pairs: identical arrays ⇒ inter = union = n,
-                # J = 1 — passes iff n·10⁶ ≥ t·10⁶·n, i.e. t ≤ 1
-                if scaled_t <= 1_000_000:
-                    for u in range(k):
-                        g = groups[u]
-                        if len(g) > 1:
-                            garr = np.asarray(g, dtype=np.int64)
-                            iu, iv = np.triu_indices(len(g), 1)
-                            ga, gb = garr[iu], garr[iv]
-                            n_full = np.full(
-                                ga.shape, uns[u], dtype=np.int64
-                            )
-                            emit(np.minimum(ga, gb), np.maximum(ga, gb),
-                                 n_full, n_full)
-
-                def emit_cross(x, y, inter):
-                    union = uns[x] + uns[y] - inter
-                    if inter * 1_000_000 >= scaled_t * union:
-                        gx = np.asarray(groups[x], dtype=np.int64)
-                        gy = np.asarray(groups[y], dtype=np.int64)
-                        A = np.repeat(gx, len(gy))
-                        B = np.tile(gy, len(gx))
-                        emit(
-                            np.minimum(A, B), np.maximum(A, B),
-                            np.full(A.shape, inter, dtype=np.int64),
-                            np.full(A.shape, union, dtype=np.int64),
-                        )
-
-                if k >= matrix_min_k:
-                    # LARGE mixed block (the residual over-cap case): the
-                    # per-pair loop costs ~20 µs/pair in searchsorted call
-                    # overhead — C(3359,2) = 5.6M pairs = 72 s in ONE task
-                    # (the measured sf10 straggler). The inverted-index
-                    # accumulator computes |A∩B| for ALL pairs at once in
-                    # O(Σ c_j²) C-ops (188M ≈ 2 s for that block vs 72 s)
-                    # and holds at ANY k (see _allpairs_intersections), so
-                    # the loop never sees a big block (r13, VERDICT r12
-                    # task 3 — the r12 k≤4096 cap fell back to the loop,
-                    # the exact straggler class it was built to kill).
-                    ns_arr = np.asarray(uns, dtype=np.int64)
-                    xs, ys, inters = _allpairs_intersections(
-                        arrs, dense_max_k
+            def emit_cross(x, y, inter):
+                union = uns[x] + uns[y] - inter
+                if inter * 1_000_000 >= scaled_t * union:
+                    gx = np.asarray(groups[x], dtype=np.int64)
+                    gy = np.asarray(groups[y], dtype=np.int64)
+                    A = np.repeat(gx, len(gy))
+                    B = np.tile(gy, len(gx))
+                    emit(
+                        np.minimum(A, B), np.maximum(A, B),
+                        np.full(A.shape, inter, dtype=np.int64),
+                        np.full(A.shape, union, dtype=np.int64),
                     )
-                    nx_, ny_ = ns_arr[xs], ns_arr[ys]
-                    un_ = nx_ + ny_ - inters
-                    ok = inters * 1_000_000 >= scaled_t * un_
-                    for x, y, it in zip(xs[ok], ys[ok], inters[ok]):
-                        emit_cross(int(x), int(y), int(it))
-                    continue
 
-                # cross-group: one exact intersection per distinct pair,
-                # result applied to the whole id cross-product
-                for x in range(k - 1):
-                    nx, ax = uns[x], arrs[x]
-                    for y in range(x + 1, k):
-                        ny = uns[y]
-                        # size-compatibility prefilter (result-preserving):
-                        # J ≥ t needs min·10⁶ ≥ t·10⁶·max
-                        lo, hi = (nx, ny) if nx <= ny else (ny, nx)
-                        if lo * 1_000_000 < scaled_t * hi:
-                            continue
-                        inter = int(
-                            np.searchsorted(ax, arrs[y], side="right").sum()
-                            - np.searchsorted(ax, arrs[y], side="left").sum()
-                        )
-                        emit_cross(x, y, inter)
-            if chunks_a:
-                yield pa.record_batch(
-                    {
-                        "id_a": np.concatenate(chunks_a),
-                        "id_b": np.concatenate(chunks_b),
-                        "inter_size": np.concatenate(chunks_i),
-                        "union_size": np.concatenate(chunks_u),
-                    }
-                )
+            if k >= matrix_min_k:
+                # LARGE mixed block (the residual over-cap case): the
+                # per-pair loop costs ~20 µs/pair in searchsorted call
+                # overhead — C(3359,2) = 5.6M pairs = 72 s in ONE task
+                # (the measured sf10 straggler). The inverted-index
+                # accumulator computes |A∩B| for ALL pairs at once in
+                # O(Σ c_j²) C-ops (188M ≈ 2 s for that block vs 72 s)
+                # and holds at ANY k (see _allpairs_intersections), so
+                # the loop never sees a big block (r13, VERDICT r12
+                # task 3 — the r12 k≤4096 cap fell back to the loop,
+                # the exact straggler class it was built to kill).
+                ns_arr = np.asarray(uns, dtype=np.int64)
+                xs, ys, inters = _allpairs_intersections(arrs, dense_max_k)
+                nx_, ny_ = ns_arr[xs], ns_arr[ys]
+                un_ = nx_ + ny_ - inters
+                ok = inters * 1_000_000 >= scaled_t * un_
+                for x, y, it in zip(xs[ok], ys[ok], inters[ok]):
+                    emit_cross(int(x), int(y), int(it))
+                return
+
+            # cross-group: one exact intersection per distinct pair,
+            # result applied to the whole id cross-product
+            for x in range(k - 1):
+                nx, ax = uns[x], arrs[x]
+                for y in range(x + 1, k):
+                    ny = uns[y]
+                    # size-compatibility prefilter (result-preserving):
+                    # J ≥ t needs min·10⁶ ≥ t·10⁶·max
+                    lo, hi = (nx, ny) if nx <= ny else (ny, nx)
+                    if lo * 1_000_000 < scaled_t * hi:
+                        continue
+                    inter = int(
+                        np.searchsorted(ax, arrs[y], side="right").sum()
+                        - np.searchsorted(ax, arrs[y], side="left").sum()
+                    )
+                    emit_cross(x, y, inter)
+
+        carry = None  # (key, ids, ns, vals, mem_off) of the trailing run
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            band = batch.column(0).to_numpy(zero_copy_only=False)
+            m0 = batch.column(1).to_numpy(zero_copy_only=False)
+            m1 = batch.column(2).to_numpy(zero_copy_only=False)
+            m2 = batch.column(3).to_numpy(zero_copy_only=False)
+            ids_v = batch.column(4).to_numpy(zero_copy_only=False)
+            ns_v = batch.column(5).to_numpy(zero_copy_only=False)
+            vals_a, mem_off = _list_view(batch.column(6))
+            vals = vals_a.to_numpy(zero_copy_only=False)
+            change = np.flatnonzero(
+                (band[1:] != band[:-1])
+                | (m0[1:] != m0[:-1])
+                | (m1[1:] != m1[:-1])
+                | (m2[1:] != m2[:-1])
+            ) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [nrows]))
+            first = 0
+            if carry is not None:
+                if carry[0] == (band[0], m0[0], m1[0], m2[0]):
+                    e0 = int(ends[0])
+                    c_vals = np.concatenate(
+                        (carry[3], vals[mem_off[0]:mem_off[e0]])
+                    )
+                    c_off = np.concatenate(
+                        (carry[4],
+                         mem_off[1:e0 + 1] - mem_off[0] + carry[4][-1])
+                    )
+                    carry = (
+                        carry[0],
+                        np.concatenate((carry[1], ids_v[:e0])),
+                        np.concatenate((carry[2], ns_v[:e0])),
+                        c_vals,
+                        c_off,
+                    )
+                    first = 1
+                    if len(starts) == 1:
+                        continue  # whole batch is the carry block
+                do_block(carry[1], carry[2], carry[3], carry[4])
+                carry = None
+            # the trailing run becomes the new carry
+            ls, le = int(starts[-1]), int(ends[-1])
+            carry = (
+                (band[ls], m0[ls], m1[ls], m2[ls]),
+                ids_v[ls:le].copy(),
+                ns_v[ls:le].copy(),
+                vals[mem_off[ls]:mem_off[le]].copy(),
+                (mem_off[ls:le + 1] - mem_off[ls]).copy(),
+            )
+            # complete middle runs
+            for gi in range(first, len(starts) - 1):
+                s, e = int(starts[gi]), int(ends[gi])
+                do_block(ids_v[s:e], ns_v[s:e], vals, mem_off[s:e + 1])
+            rb = flush()
+            if rb is not None:
+                yield rb
+        if carry is not None:
+            do_block(carry[1], carry[2], carry[3], carry[4])
+            rb = flush()
+            if rb is not None:
+                yield rb
 
     return items.mapInArrow(
         verify,
