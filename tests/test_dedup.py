@@ -754,3 +754,38 @@ def test_minshingle_threshold_zero_rejected(spark):
     for bad in (0, 0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="threshold"):
             D.ngram_minshingle_pairs(docs, threshold=bad)
+
+
+def test_minshingle_mega_block_tiling_identical_pairs(spark, monkeypatch):
+    """Mega-block tiling (r14, guide §2.3) is a PHYSICAL split of the
+    pair space: forcing every block through the tiled path (tiny
+    _TILE_MEMBERS, several chunks) must reproduce the untiled pair set
+    and values exactly — near-dup noise, an over-cap exact-dup cluster,
+    and cross-length junk all in one corpus."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(5)
+    vocab = [f"tok{v:03d}" for v in range(250)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(20, 50)).tolist())
+        for _ in range(150)
+    ]
+    dup = " ".join(rng.choice(vocab, size=35).tolist())
+    near = dup + " extraone"
+    ids = list(range(150)) + list(range(1000, 1090))
+    texts += [dup] * 60 + [near] * 30
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, r.inter_size, r.union_size)
+            for r in D.ngram_minshingle_pairs(
+                docs, k=8, threshold=0.6, max_block=16
+            ).collect()
+        )
+
+    base = run()
+    monkeypatch.setattr(D, "_TILE_MEMBERS", 8)
+    monkeypatch.setattr(D, "_TILE_MAX_G", 5)
+    tiled = run()
+    assert tiled == base and len(base) >= 60 * 59 // 2

@@ -65,14 +65,31 @@ VERIFY_BROADCAST_MAX_BYTES = 256 << 20
 # use the inverted-index path (O(Σ c_j²) C-ops for ALL pairs at once)
 # instead of the per-pair searchsorted loop (~20 µs/pair of call overhead —
 # 72 s for the measured 3,359-member sf10 block). Up to _MATRIX_DENSE_MAX_K
-# the accumulator is a dense k² int32 bincount (67 MB at 4096); above it
+# the accumulator is a dense k² int32 bincount (268 MB at 8192); above it
 # the same pair codes accumulate SPARSELY (per-chunk np.unique, then one
 # sort+reduceat merge — memory ∝ distinct co-occurring pairs, valid at any
 # k), so the loop fallback the r12 cap implied cannot return at 100× scale
 # (VERDICT r12 task 3: C(8000,2) ≈ 32M python-loop pairs ≈ minutes in one
 # task).
+#
+# Dense cap 4096 → 8192 (r14): the sf10 corpus' residual mega-block has
+# k = 7,254 distinct arrays with near-UNIVERSAL shingles (4 values appear
+# in every array; Σ c_j² = 830M pair codes), and the sparse arm paid
+# ~100 s of chunked sort/unique over those codes in ONE task — the wall
+# of the whole query (task p50 2.2 s, max 129 s, measured). The dense
+# bincount handles the same codes in seconds with no sort; 268 MB of
+# transient numpy per in-flight mega block is well inside the worker
+# budget on any sane executor (and mega blocks are rare by construction —
+# the m2 split subdivides everything except same-minima clusters).
 _MATRIX_MIN_K = 64
-_MATRIX_DENSE_MAX_K = 4096
+_MATRIX_DENSE_MAX_K = 8192
+# minshingle mega-block tiling (guide §2.3): blocks with more than
+# _TILE_MEMBERS pairable members split into up to _TILE_MAX_G member
+# chunks; each chunk PAIR verifies on its own task (exact partition of
+# the pair space — see _minshingle_verified_pairs). _TILE_MAX_G bounds
+# the replication factor of a degenerate block's exchange bytes.
+_TILE_MEMBERS = 1024
+_TILE_MAX_G = 8
 _FNV = np.uint64(1099511628211)
 
 _PERSISTED: list[DataFrame] = []
@@ -1324,8 +1341,9 @@ def _allpairs_intersections(
     to the O(k²) python loop above it, the exact straggler class the
     kernel exists to kill, returning precisely at 100× scale where blocks
     are biggest):
-    - k ≤ dense_max_k (default _MATRIX_DENSE_MAX_K = 4096): dense k²
-      int32 bincount, ≤ 67 MB — the fastest arm;
+    - k ≤ dense_max_k (default _MATRIX_DENSE_MAX_K = 8192): dense k²
+      int32 bincount, ≤ 268 MB — the fastest arm (no sort; near-universal
+      values that make Σ c_j² quadratic cost only scattered increments);
     - larger k: SPARSE — each ~8M-code chunk collapses with
       np.unique(return_counts), chunks merge with one argsort +
       np.add.reduceat. Memory ∝ distinct co-occurring pairs (the true
@@ -1365,6 +1383,11 @@ def _allpairs_intersections(
     runlens = np.diff(np.append(starts, L))
     buf: list = []
     buffered = 0
+    # dense flushes are one k²-array bincount each — flush rarely (the
+    # code buffer is cheap next to re-scanning a 268 MB accumulator);
+    # sparse flushes np.unique (sort) per chunk, whose cost grows
+    # superlinearly with chunk size — keep those small.
+    flush_at = 64_000_000 if dense else 8_000_000
     for c in np.unique(runlens):
         if c < 2:
             continue
@@ -1375,7 +1398,7 @@ def _allpairs_intersections(
         b = M[:, iv].ravel()
         buf.append(np.minimum(a, b) * k + np.maximum(a, b))
         buffered += len(a)
-        if buffered >= 8_000_000:
+        if buffered >= flush_at:
             _flush(buf)
             buf, buffered = [], 0
     if buf:
@@ -1465,6 +1488,58 @@ def _minshingle_verified_pairs(
         )
         .drop("__np", "__nn")
     )
+    # MEGA-BLOCK TILING (r14, guide §2.3 — split hot keys): a residual
+    # over-cap block is ONE task's work in the bucket-local design, and
+    # the sf10 corpus produces a k = 7,254 block (same primary AND
+    # secondary minima — the m0-winning shingle's hash also sits in the
+    # m2 digit window, so the split adds nothing) whose exact
+    # verification is a measured 48 s single-task straggler while 31
+    # cores idle. Blocks above _TILE_MEMBERS split into G member chunks
+    # (hash(id) mod G); each member replicates into the G tile-pairs its
+    # chunk participates in, and each (ta, tb) tile verifies exactly the
+    # pairs with chunks {ta, tb} — a disjoint exact partition of the
+    # block's pair space, so the emitted pair set is IDENTICAL (tile
+    # (c, c) verifies within-chunk pairs, tile (a, b), a < b, verifies
+    # only cross-side pairs). Costs: ~2× the kernel's per-block C-ops
+    # (each value's owner set is scanned once per tile it spans) and G×
+    # the mega block's exchange bytes — paid ONLY by blocks that would
+    # otherwise serialize the stage; sub-threshold blocks take the G = 1
+    # path, which is byte-identical to the untiled shape. The count
+    # window rides the prefilter's existing (block key) partitioning —
+    # no new exchange.
+    wcnt = Window.partitionBy("band", "m0", "m1", "m2")
+    g = F.when(
+        F.col("__bc") <= _TILE_MEMBERS, F.lit(1)
+    ).otherwise(
+        F.least(
+            F.lit(_TILE_MAX_G),
+            F.ceil(F.col("__bc") / _TILE_MEMBERS).cast("int"),
+        )
+    )
+    members = (
+        members.withColumn("__bc", F.count(F.lit(1)).over(wcnt))
+        .withColumn("__g", g)
+        .withColumn("__c", F.pmod(F.xxhash64("id"), F.col("__g")).cast("int"))
+        .select(
+            "band", "m0", "m1", "m2", "id", "n", "__c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __g - 1), t -> struct("
+                    "least(t, __c) AS ta, greatest(t, __c) AS tb))"
+                )
+            ).alias("__t"),
+        )
+        .select(
+            "band", "m0", "m1", "m2", "id", "n",
+            F.col("__t.ta").alias("ta"), F.col("__t.tb").alias("tb"),
+            # side 1 = the member belongs to the tile's UPPER chunk; in a
+            # cross tile (ta < tb) the kernel emits only side-0 × side-1
+            # id pairs. Diagonal tiles (ta == tb) are all side 0.
+            F.when(F.col("__t.ta") == F.col("__t.tb"), F.lit(0))
+            .otherwise((F.col("__c") == F.col("__t.tb")).cast("int"))
+            .alias("side"),
+        )
+    )
     # membership←array join strategy by EXACT size (one cheap agg over the
     # cached frame): broadcast keyed when it provably fits; above the cap,
     # hash-build on the NARROW membership side (bounded: a few dozen bytes
@@ -1519,9 +1594,9 @@ def _minshingle_verified_pairs(
     # emits the identical pair set.
     items = (
         items_src
-        .repartition(p_verify, "band", "m0", "m1", "m2")
-        .sortWithinPartitions("band", "m0", "m1", "m2", "id")
-        .select("band", "m0", "m1", "m2", "id", "n", "sh")
+        .repartition(p_verify, "band", "m0", "m1", "m2", "ta", "tb")
+        .sortWithinPartitions("band", "m0", "m1", "m2", "ta", "tb", "id")
+        .select("band", "m0", "m1", "m2", "ta", "tb", "side", "id", "n", "sh")
     )
 
     def _list_view(col):
@@ -1575,12 +1650,17 @@ def _minshingle_verified_pairs(
             chunks_u.clear()
             return rb
 
-        def do_block(ids, ns, vals, mem_off):
+        def do_block(ids, ns, vals, mem_off, sides=None):
             # one block's members: ids/ns (m,), member x's array is
-            # vals[mem_off[x]:mem_off[x+1]] (mem_off has m+1 entries)
+            # vals[mem_off[x]:mem_off[x+1]] (mem_off has m+1 entries).
+            # sides: None for a within-block verify (untiled / diagonal
+            # tile); else 0/1 per member — a CROSS tile of a split mega
+            # block, where only cross-side id pairs are emitted (the
+            # same-side pairs belong to the diagonal tiles).
             m = len(ids)
             if m < 2:
                 return
+            cross = sides is not None
             # group members by IDENTICAL array content first: residual
             # over-cap blocks are dominated by exact-dup clusters
             # (identical docs share every minimum, so no split level
@@ -1592,6 +1672,7 @@ def _minshingle_verified_pairs(
             # byte-match; near-identical ones just take the slow path.
             uniq: dict = {}
             groups: list[list[int]] = []
+            gsides: list[list[int]] = []
             arrs: list = []
             uns: list[int] = []
             for x in range(m):
@@ -1603,8 +1684,23 @@ def _minshingle_verified_pairs(
                     arrs.append(np.sort(a))
                     uns.append(int(ns[x]))
                     groups.append([])
+                    gsides.append([])
                 groups[u].append(int(ids[x]))
+                if cross:
+                    gsides[u].append(int(sides[x]))
             k = len(arrs)
+
+            def emit_prod(ga, gb, inter, union):
+                if len(ga) == 0 or len(gb) == 0:
+                    return
+                A = np.repeat(ga, len(gb))
+                B = np.tile(gb, len(ga))
+                emit(
+                    np.minimum(A, B), np.maximum(A, B),
+                    np.full(A.shape, inter, dtype=np.int64),
+                    np.full(A.shape, union, dtype=np.int64),
+                )
+
             # within-group pairs: identical arrays ⇒ inter = union = n,
             # J = 1 — passes iff n·10⁶ ≥ t·10⁶·n, i.e. t ≤ 1
             if scaled_t <= 1_000_000:
@@ -1612,37 +1708,80 @@ def _minshingle_verified_pairs(
                     g = groups[u]
                     if len(g) > 1:
                         garr = np.asarray(g, dtype=np.int64)
-                        iu, iv = np.triu_indices(len(g), 1)
-                        ga, gb = garr[iu], garr[iv]
-                        n_full = np.full(ga.shape, uns[u], dtype=np.int64)
-                        emit(np.minimum(ga, gb), np.maximum(ga, gb),
-                             n_full, n_full)
+                        if cross:
+                            sarr = np.asarray(gsides[u])
+                            emit_prod(garr[sarr == 0], garr[sarr == 1],
+                                      uns[u], uns[u])
+                        else:
+                            iu, iv = np.triu_indices(len(g), 1)
+                            ga, gb = garr[iu], garr[iv]
+                            n_full = np.full(
+                                ga.shape, uns[u], dtype=np.int64
+                            )
+                            emit(np.minimum(ga, gb), np.maximum(ga, gb),
+                                 n_full, n_full)
 
             def emit_cross(x, y, inter):
                 union = uns[x] + uns[y] - inter
                 if inter * 1_000_000 >= scaled_t * union:
                     gx = np.asarray(groups[x], dtype=np.int64)
                     gy = np.asarray(groups[y], dtype=np.int64)
-                    A = np.repeat(gx, len(gy))
-                    B = np.tile(gy, len(gx))
-                    emit(
-                        np.minimum(A, B), np.maximum(A, B),
-                        np.full(A.shape, inter, dtype=np.int64),
-                        np.full(A.shape, union, dtype=np.int64),
-                    )
+                    if cross:
+                        sx = np.asarray(gsides[x])
+                        sy = np.asarray(gsides[y])
+                        emit_prod(gx[sx == 0], gy[sy == 1], inter, union)
+                        emit_prod(gx[sx == 1], gy[sy == 0], inter, union)
+                    else:
+                        emit_prod(gx, gy, inter, union)
 
             if k >= matrix_min_k:
-                # LARGE mixed block (the residual over-cap case): the
-                # per-pair loop costs ~20 µs/pair in searchsorted call
-                # overhead — C(3359,2) = 5.6M pairs = 72 s in ONE task
-                # (the measured sf10 straggler). The inverted-index
-                # accumulator computes |A∩B| for ALL pairs at once in
-                # O(Σ c_j²) C-ops (188M ≈ 2 s for that block vs 72 s)
-                # and holds at ANY k (see _allpairs_intersections), so
-                # the loop never sees a big block (r13, VERDICT r12
-                # task 3 — the r12 k≤4096 cap fell back to the loop,
-                # the exact straggler class it was built to kill).
+                # LARGE mixed block (the residual over-cap case): two
+                # exact arms, chosen per block by MEASURED unit costs
+                # (r14) — the winner is corpus-dependent and both losing
+                # modes were real stragglers:
+                # - the inverted-index accumulator is O(Σ c_j²); on the
+                #   r13-era corpus it ran the C(3359,2) block in ~2 s
+                #   where the loop took 72 s — but the current sf10
+                #   corpus has a k = 7,254 block with near-UNIVERSAL
+                #   shingles (Σ c_j² = 830M) where the accumulator is a
+                #   37 s straggler;
+                # - the size-compatibility loop is O(compatible pairs ×
+                #   ~20 µs searchsorted); cheap exactly when cross-length
+                #   junk dominates the block (that same 7,254 block),
+                #   ruinous when most pairs are size-compatible.
+                # Both counts are computable exactly up front for ~an
+                # argsort each: compatible pairs via one vectorized
+                # searchsorted over sorted sizes, Σ c_j² via one
+                # np.unique over the concatenated arrays. Unit costs
+                # (this box, numpy 1.26): searchsorted pair ≈ 20 µs,
+                # accumulator ≈ 80 ns/code. Either arm emits the
+                # identical pair set (oracle + arms-parity pinned).
                 ns_arr = np.asarray(uns, dtype=np.int64)
+                order = np.argsort(ns_arr, kind="stable")
+                ns_s = ns_arr[order]
+                bound = ns_s * 1_000_000 // scaled_t
+                hi = np.searchsorted(ns_s, bound, side="right")
+                counts = np.maximum(hi - np.arange(k) - 1, 0)
+                comp = int(counts.sum())
+                allv = np.concatenate(arrs)
+                _, cnts = np.unique(allv, return_counts=True)
+                sc2 = int((cnts.astype(np.int64) ** 2).sum())
+                if comp * 20e-6 < sc2 * 80e-9:
+                    # sparse-compatibility arm: enumerate ONLY the
+                    # size-compatible pairs (vectorized — no O(k²)
+                    # Python skip loop) and verify each exactly
+                    kst = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    xs_p = np.repeat(np.arange(k), counts)
+                    within = np.arange(comp) - np.repeat(kst, counts)
+                    ys_p = xs_p + 1 + within
+                    for xp, yp in zip(order[xs_p], order[ys_p]):
+                        ax, ay = arrs[xp], arrs[yp]
+                        inter = int(
+                            np.searchsorted(ax, ay, side="right").sum()
+                            - np.searchsorted(ax, ay, side="left").sum()
+                        )
+                        emit_cross(int(xp), int(yp), inter)
+                    return
                 xs, ys, inters = _allpairs_intersections(arrs, dense_max_k)
                 nx_, ny_ = ns_arr[xs], ns_arr[ys]
                 un_ = nx_ + ny_ - inters
@@ -1668,7 +1807,16 @@ def _minshingle_verified_pairs(
                     )
                     emit_cross(x, y, inter)
 
-        carry = None  # (key, ids, ns, vals, mem_off) of the trailing run
+        # carry: (key, ids, ns, vals, mem_off, sides) of the trailing run;
+        # key includes (ta, tb) so a tile is its own run, and key[4] !=
+        # key[5] marks a cross tile (side-aware emission)
+        carry = None
+
+        def run_block(ids, ns, vals, mem_off, sides, key):
+            do_block(
+                ids, ns, vals, mem_off,
+                sides=sides if key[4] != key[5] else None,
+            )
 
         for batch in batches:
             nrows = batch.num_rows
@@ -1678,21 +1826,26 @@ def _minshingle_verified_pairs(
             m0 = batch.column(1).to_numpy(zero_copy_only=False)
             m1 = batch.column(2).to_numpy(zero_copy_only=False)
             m2 = batch.column(3).to_numpy(zero_copy_only=False)
-            ids_v = batch.column(4).to_numpy(zero_copy_only=False)
-            ns_v = batch.column(5).to_numpy(zero_copy_only=False)
-            vals_a, mem_off = _list_view(batch.column(6))
+            ta = batch.column(4).to_numpy(zero_copy_only=False)
+            tb = batch.column(5).to_numpy(zero_copy_only=False)
+            side_v = batch.column(6).to_numpy(zero_copy_only=False)
+            ids_v = batch.column(7).to_numpy(zero_copy_only=False)
+            ns_v = batch.column(8).to_numpy(zero_copy_only=False)
+            vals_a, mem_off = _list_view(batch.column(9))
             vals = vals_a.to_numpy(zero_copy_only=False)
             change = np.flatnonzero(
                 (band[1:] != band[:-1])
                 | (m0[1:] != m0[:-1])
                 | (m1[1:] != m1[:-1])
                 | (m2[1:] != m2[:-1])
+                | (ta[1:] != ta[:-1])
+                | (tb[1:] != tb[:-1])
             ) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [nrows]))
             first = 0
             if carry is not None:
-                if carry[0] == (band[0], m0[0], m1[0], m2[0]):
+                if carry[0] == (band[0], m0[0], m1[0], m2[0], ta[0], tb[0]):
                     e0 = int(ends[0])
                     c_vals = np.concatenate(
                         (carry[3], vals[mem_off[0]:mem_off[e0]])
@@ -1707,30 +1860,38 @@ def _minshingle_verified_pairs(
                         np.concatenate((carry[2], ns_v[:e0])),
                         c_vals,
                         c_off,
+                        np.concatenate((carry[5], side_v[:e0])),
                     )
                     first = 1
                     if len(starts) == 1:
                         continue  # whole batch is the carry block
-                do_block(carry[1], carry[2], carry[3], carry[4])
+                run_block(carry[1], carry[2], carry[3], carry[4],
+                          carry[5], carry[0])
                 carry = None
             # the trailing run becomes the new carry
             ls, le = int(starts[-1]), int(ends[-1])
             carry = (
-                (band[ls], m0[ls], m1[ls], m2[ls]),
+                (band[ls], m0[ls], m1[ls], m2[ls], ta[ls], tb[ls]),
                 ids_v[ls:le].copy(),
                 ns_v[ls:le].copy(),
                 vals[mem_off[ls]:mem_off[le]].copy(),
                 (mem_off[ls:le + 1] - mem_off[ls]).copy(),
+                side_v[ls:le].copy(),
             )
             # complete middle runs
             for gi in range(first, len(starts) - 1):
                 s, e = int(starts[gi]), int(ends[gi])
-                do_block(ids_v[s:e], ns_v[s:e], vals, mem_off[s:e + 1])
+                run_block(
+                    ids_v[s:e], ns_v[s:e], vals, mem_off[s:e + 1],
+                    side_v[s:e],
+                    (band[s], m0[s], m1[s], m2[s], ta[s], tb[s]),
+                )
             rb = flush()
             if rb is not None:
                 yield rb
         if carry is not None:
-            do_block(carry[1], carry[2], carry[3], carry[4])
+            run_block(carry[1], carry[2], carry[3], carry[4],
+                      carry[5], carry[0])
             rb = flush()
             if rb is not None:
                 yield rb
